@@ -1,0 +1,129 @@
+"""Cypher-subset parser: ``MATCH <pattern>(, <pattern>)* RETURN <vars>``.
+
+Reference front-end: the openCypher parser feeding QueryGraph.fromAST
+(g4s-optimizer/.../optim/QueryGraph.scala:26-99). The supported surface is
+exactly the reference's (SURVEY §2.7): pattern chains with single optional
+label per node, optional edge variable, one-or-more edge types
+(``:X|Y``), directed edges only (OUT `->` / IN `<-`), multiple
+comma-separated paths, multi-binding RETURN. Anything else raises, like
+the reference's MatchError.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PatternEdge:
+    src: str          # binding name of the edge's source (graph direction)
+    dst: str
+    types: tuple[str, ...]  # empty = any type
+
+
+@dataclass
+class QueryGraph:
+    """Bindings + directed typed edges + return set
+    (QueryGraph.scala:15-22)."""
+
+    labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
+    edges: list[PatternEdge] = field(default_factory=list)
+    returns: list[str] = field(default_factory=list)
+
+
+_NODE = re.compile(r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*(?P<label>[A-Za-z_][A-Za-z0-9_]*))?\s*\)")
+_EDGE = re.compile(
+    r"(?P<left><)?-\s*\[\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
+    r"(?::\s*(?P<types>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*\]\s*-(?P<right>>)?"
+)
+
+
+class CypherParseError(ValueError):
+    pass
+
+
+def parse(query: str) -> QueryGraph:
+    q = query.strip()
+    m = re.match(r"(?is)^\s*MATCH\s+(?P<patterns>.+?)\s+RETURN\s+(?P<returns>.+?)\s*$", q)
+    if not m:
+        raise CypherParseError(f"unsupported query (expected MATCH ... RETURN ...): {query!r}")
+    qg = QueryGraph()
+    anon = 0
+
+    def fresh() -> str:
+        nonlocal anon
+        anon += 1
+        return f"_anon{anon}"
+
+    for pattern in _split_patterns(m.group("patterns")):
+        pos = 0
+        pattern = pattern.strip()
+        nm = _NODE.match(pattern, pos)
+        if not nm:
+            raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
+        prev = _bind_node(qg, nm, fresh)
+        pos = nm.end()
+        while pos < len(pattern):
+            em = _EDGE.match(pattern, pos)
+            if not em:
+                raise CypherParseError(f"expected edge at: {pattern[pos:]!r}")
+            if bool(em.group("left")) == bool(em.group("right")):
+                raise CypherParseError(
+                    "undirected/bidirected edges unsupported (reference is directed-only, "
+                    "QueryGraph.scala:76-83)"
+                )
+            pos = em.end()
+            nm = _NODE.match(pattern, pos)
+            if not nm:
+                raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
+            cur = _bind_node(qg, nm, fresh)
+            pos = nm.end()
+            types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
+            if em.group("right"):  # (prev)-[:T]->(cur)
+                qg.edges.append(PatternEdge(prev, cur, types))
+            else:  # (prev)<-[:T]-(cur)
+                qg.edges.append(PatternEdge(cur, prev, types))
+            prev = cur
+
+    for item in m.group("returns").split(","):
+        name = item.strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise CypherParseError(f"unsupported return item: {name!r}")
+        if name not in qg.labels:
+            raise CypherParseError(f"return of unbound variable: {name!r}")
+        qg.returns.append(name)
+    if not qg.returns:
+        raise CypherParseError("empty RETURN")
+    return qg
+
+
+def _split_patterns(s: str) -> list[str]:
+    """Split on top-level commas (commas can't nest in this grammar's
+    brackets, but be robust anyway)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _bind_node(qg: QueryGraph, nm: re.Match, fresh) -> str:
+    name = nm.group("name") or fresh()
+    label = nm.group("label")
+    if name in qg.labels:
+        if label is not None and qg.labels[name] is not None and qg.labels[name] != label:
+            raise CypherParseError(f"conflicting labels for {name}")
+        if label is not None:
+            qg.labels[name] = label
+    else:
+        qg.labels[name] = label
+    return name

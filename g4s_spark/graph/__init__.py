@@ -1,0 +1,5 @@
+from .stats import GraphStats
+from .store import PropertyGraph
+from .tpch import build_graph
+
+__all__ = ["PropertyGraph", "GraphStats", "build_graph"]

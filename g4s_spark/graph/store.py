@@ -1,0 +1,118 @@
+"""Property graph store: nodes/edges DataFrames + label statistics.
+
+Reference: ConcurrentDirectedGraph (g4s-matrix-graph/.../graph/
+ConcurrentDirectedGraph.scala:29-41) keeps one boolean matrix per node
+label / edge type plus eagerly-maintained transposes, and a payload
+DataStore (DataStore.scala:9-92). Here:
+
+- ``nodes(id: long, label: string, props: map<string,string>)`` — the
+  per-label "diagonal matrix" is just ``nodes.filter(label == L)``,
+- ``edges(src: long, dst: long, type: string, weight: double,
+  props: map)`` — the transpose is a column swap (free), so unlike the
+  reference we never materialize it (SURVEY §1.3),
+- label/type statistics for the cost-based planner come from
+  ``groupBy(label).count()`` and are cached driver-side, mirroring
+  StatsStore (g4s-optimizer/.../optim/StatsStore.scala:111-255).
+
+At 100 TB the nodes/edges tables are parquet, partitioned/bucketed by
+label (resp. type, src) so a label scan is partition-pruned and an expand
+join is co-located. Locally they're in-memory DataFrames; the API is the
+same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stats import GraphStats
+
+
+class PropertyGraph:
+    def __init__(self, nodes: DataFrame, edges: DataFrame, spark: SparkSession | None = None):
+        """nodes: (id long, label string, ...props); edges: (src long,
+        dst long, type string[, weight])."""
+        self.spark = spark or nodes.sparkSession
+        self.nodes = nodes
+        self.edges = edges
+        self._stats: GraphStats | None = None
+
+    # -- construction / mutation (ConcurrentDirectedGraph.scala:109-153) --
+
+    @staticmethod
+    def empty(spark: SparkSession) -> "PropertyGraph":
+        nodes = spark.createDataFrame([], schema="id long, label string")
+        edges = spark.createDataFrame([], schema="src long, dst long, type string")
+        return PropertyGraph(nodes, edges, spark)
+
+    @staticmethod
+    def from_tuples(
+        spark: SparkSession,
+        nodes: list[tuple[int, str]],
+        edges: list[tuple[int, int, str]] | list[tuple[int, int, str, float]],
+    ) -> "PropertyGraph":
+        ndf = spark.createDataFrame(nodes, schema="id long, label string")
+        if edges and len(edges[0]) == 4:
+            edf = spark.createDataFrame(edges, schema="src long, dst long, type string, weight double")
+        else:
+            edf = spark.createDataFrame(edges, schema="src long, dst long, type string")
+        return PropertyGraph(ndf, edf, spark)
+
+    def insert_vertices(self, rows: DataFrame) -> "PropertyGraph":
+        """Batch append (insertVertex, ConcurrentDirectedGraph.scala:109-125).
+        Append-only, id uniqueness is the caller's contract; at scale this
+        is a Delta/parquet append, not a union."""
+        g = PropertyGraph(self.nodes.unionByName(rows, allowMissingColumns=True), self.edges, self.spark)
+        return g
+
+    def insert_edges(self, rows: DataFrame) -> "PropertyGraph":
+        return PropertyGraph(self.nodes, self.edges.unionByName(rows, allowMissingColumns=True), self.spark)
+
+    def next_id(self) -> int:
+        """Driver-side id counter analogue (DataStore.scala:44-49). At
+        cluster scale use max(id)+monotonically_increasing_id per batch."""
+        row = self.nodes.agg(F.max("id").alias("m")).collect()[0]
+        return (row.m if row.m is not None else -1) + 1
+
+    # -- lookups (ConcurrentDirectedGraph.scala:55-80,104) -----------------
+
+    def label_nodes(self, label: str | None) -> DataFrame:
+        """The per-label diagonal matrix: node-id set for a label."""
+        df = self.nodes
+        if label is not None:
+            df = df.filter(F.col("label") == label)
+        return df.select("id")
+
+    def typed_edges(self, types: list[str] | None, transpose: bool = False) -> DataFrame:
+        """Edge matrix for type(s), optionally transposed
+        (lookupEdges, ConcurrentDirectedGraph.scala:65-80). Transpose is a
+        projection — the reference maintains a second physical matrix
+        (ConcurrentDirectedGraph.scala:145-148); Spark doesn't need to."""
+        df = self.edges
+        if types:
+            df = df.filter(F.col("type") == types[0]) if len(types) == 1 else df.filter(
+                F.col("type").isin(types)
+            )
+        if transpose:
+            df = df.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                *[c for c in df.columns if c not in ("src", "dst")],
+            )
+        return df
+
+    def get_vs(self, ids: DataFrame) -> DataFrame:
+        """Payload resolution: ids -> full node rows (DataStore.scala:81-92)."""
+        return ids.join(self.nodes, ids.columns[0] == self.nodes.id, "inner")
+
+    # -- stats --------------------------------------------------------------
+
+    @property
+    def stats(self) -> GraphStats:
+        if self._stats is None:
+            self._stats = GraphStats.compute(self.nodes, self.edges)
+        return self._stats
+
+    def cache(self) -> "PropertyGraph":
+        self.nodes = self.nodes.cache()
+        self.edges = self.edges.cache()
+        return self

@@ -1,0 +1,34 @@
+from .matrix import (
+    Matrix,
+    Vector,
+    assign,
+    diag,
+    ewise_intersect,
+    ewise_union,
+    extract,
+    is_eq,
+    mxm,
+    mxv,
+    reduce_all,
+    reduce_cols,
+    reduce_rows,
+    vxm,
+)
+from .semiring import (
+    ANY_PAIR,
+    BINARY_OPS,
+    LOR_LAND,
+    MIN_PLUS,
+    MONOIDS,
+    PLUS_TIMES,
+    SEMIRINGS,
+    Monoid,
+    Semiring,
+)
+
+__all__ = [
+    "Matrix", "Vector", "mxm", "mxv", "vxm", "ewise_union", "ewise_intersect",
+    "reduce_rows", "reduce_cols", "reduce_all", "diag", "extract", "assign",
+    "is_eq", "ANY_PAIR", "LOR_LAND", "MIN_PLUS", "PLUS_TIMES", "SEMIRINGS",
+    "BINARY_OPS", "MONOIDS", "Monoid", "Semiring",
+]

@@ -1,0 +1,152 @@
+"""Cost-based pattern-match planner: QueryGraph -> DataFrame program.
+
+Reference pipeline (SURVEY §3.1): QueryGraph -> LogicNode DFS
+(LogicNode.scala:106-200) -> memo optimizer picking join order from label
+statistics (Optimizer.scala:24-38) -> physical mxm chain
+(Operator.scala:150-197).
+
+Spark-first translation (SURVEY §7.1): instead of boolean matrices keyed
+by (start, current) we carry one id column per binding through a chain of
+equi-joins — strictly more capable (multi-binding RETURN needs no separate
+Join/tuple-merge stage, cf. GrBTuples.scala:67-147) and it lets Catalyst
+fuse the whole chain into whole-stage-codegen'd hash joins.
+
+The reference's semantics we must preserve (SURVEY §7.3):
+- ANY_PAIR existence semiring == duplicate elimination after every hop
+  (Operator.scala:401-424): we project to the *live* bindings (returned or
+  still needed by a pending pattern edge) and dropDuplicates after each
+  join. This bounds every intermediate at |distinct live-binding tuples| —
+  the reason the plan survives 100 TB instead of exploding with path
+  multiplicity.
+- Label filters are semi-joins (FilterMul, Operator.scala:298-324),
+  broadcast when the label's cardinality is small.
+- Join order is chosen by the reference's cost model (plans/cost.py) over
+  edge-step estimates: type_card × src-label-sel × dst-label-sel — greedy
+  smallest-first, which reproduces the OptimSpec plan flips for chain
+  queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cypher.parser import PatternEdge, QueryGraph, parse
+from ..graph.store import PropertyGraph
+from .cost import expand_card, step_cost
+
+BROADCAST_MAX_ROWS = 2_000_000  # label sets below this are broadcast
+
+
+@dataclass
+class PlannedQuery:
+    df: DataFrame
+    steps: list[tuple] = field(default_factory=list)  # for plan-shape tests
+    cost: float = 0.0
+
+
+def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataFrame:
+    """Parse + plan + emit. Result: one column per returned binding holding
+    node ids; with resolve=True, payload rows (id + label per binding,
+    Readme.md:66-70 result semantics)."""
+    planned = plan_match(graph, parse(query))
+    df = planned.df
+    if resolve:
+        for b in df.columns:
+            n = graph.nodes.select(
+                F.col("id").alias(b), F.col("label").alias(f"{b}_label")
+            )
+            df = df.join(n, on=b, how="left")
+    return df
+
+
+def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
+    stats = graph.stats
+    steps: list[tuple] = []
+    total_cost = 0.0
+
+    def label_set(label: str) -> DataFrame:
+        ids = graph.label_nodes(label)
+        if stats.label_card(label) < BROADCAST_MAX_ROWS:
+            ids = F.broadcast(ids)
+        return ids
+
+    def constrain(df: DataFrame, binding: str) -> DataFrame:
+        label = qg.labels.get(binding)
+        if label is None:
+            return df
+        steps.append(("semi", binding, label))
+        return df.join(
+            label_set(label).withColumnRenamed("id", binding), on=binding, how="left_semi"
+        )
+
+    def edge_est(e: PatternEdge) -> float:
+        return expand_card(
+            stats.type_card(list(e.types)) or 1,
+            1.0,
+            stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
+        )
+
+    def edge_df(e: PatternEdge) -> DataFrame:
+        base = graph.typed_edges(list(e.types))
+        if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
+            df = base.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(e.src))
+        else:
+            df = base.select(F.col("src").alias(e.src), F.col("dst").alias(e.dst))
+        for b in {e.src, e.dst}:
+            df = constrain(df, b)
+        return df
+
+    remaining = list(qg.edges)
+    # bindings that appear in no pattern edge: plain label scans, joined in
+    # at the end (cartesian across disconnected components is Cypher
+    # semantics; the reference only emits connected patterns)
+    edge_bindings = {b for e in qg.edges for b in (e.src, e.dst)}
+    isolated = [b for b in qg.labels if b not in edge_bindings]
+
+    df: DataFrame | None = None
+    bound: set[str] = set()
+
+    def live_bindings() -> set[str]:
+        need = set(qg.returns)
+        for e in remaining:
+            need.update((e.src, e.dst))
+        return need
+
+    while remaining:
+        connected = [e for e in remaining if bound and (e.src in bound or e.dst in bound)]
+        pool = connected if connected else remaining
+        nxt = min(pool, key=edge_est)
+        remaining.remove(nxt)
+        est = edge_est(nxt)
+        total_cost += step_cost(est)
+        ndf = edge_df(nxt)
+        if df is None:
+            df = ndf
+            bound = set(ndf.columns)
+            steps.append(("scan", (nxt.src, nxt.dst), nxt.types, est))
+        else:
+            shared = [c for c in ndf.columns if c in bound]
+            if shared:
+                df = df.join(ndf, on=shared, how="inner")
+                steps.append(("expand", (nxt.src, nxt.dst), tuple(shared), est))
+            else:
+                df = df.crossJoin(ndf)
+                steps.append(("cartesian", (nxt.src, nxt.dst), est))
+            bound |= set(ndf.columns)
+        # ANY_PAIR projection: drop dead bindings, dedup (see module doc)
+        live = sorted(live_bindings() & bound)
+        df = df.select(*live).dropDuplicates(live)
+        steps.append(("project_distinct", tuple(live)))
+
+    for b in isolated:
+        scan = constrain(graph.nodes.select(F.col("id").alias(b)), b).dropDuplicates([b])
+        steps.append(("node_scan", b, qg.labels.get(b)))
+        df = scan if df is None else df.crossJoin(scan)
+        bound.add(b)
+
+    assert df is not None, "empty pattern"
+    out = df.select(*qg.returns).dropDuplicates(qg.returns)
+    return PlannedQuery(out, steps, total_cost)

@@ -1,0 +1,36 @@
+"""SparkSession construction tuned for the test/bench environment.
+
+Local mode is one JVM; on a real cluster the same knobs apply per-executor.
+AQE is on so runtime stats re-plan joins (skew, broadcast thresholds) — the
+dynamic upgrade of the reference's static cost model (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "g4s_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("G4S_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # driver testdata parquet carries TIMESTAMP(NANOS); read as long,
+        # sources.tables converts to TimestampType (micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,55 @@
+"""Parser tests mirroring LogicNodeSpec's Cypher cases (SURVEY §5)."""
+
+import pytest
+
+from g4s_spark.cypher import CypherParseError, PatternEdge, parse
+
+
+def test_one_hop():
+    qg = parse("MATCH (a:A)-[:X]->(b:B) RETURN b")
+    assert qg.labels == {"a": "A", "b": "B"}
+    assert qg.edges == [PatternEdge("a", "b", ("X",))]
+    assert qg.returns == ["b"]
+
+
+def test_two_hop_reverse_edge():
+    qg = parse("MATCH (a:A)-[:X]->(b:B)<-[:Y]-(c:C) RETURN c")
+    assert qg.edges == [PatternEdge("a", "b", ("X",)), PatternEdge("c", "b", ("Y",))]
+
+
+def test_multi_return_and_multi_pattern():
+    qg = parse("MATCH (a:A)-[:X]->(b:B), (b)-[:Y]->(c:C) RETURN a, b, c")
+    assert qg.returns == ["a", "b", "c"]
+    assert qg.labels["b"] == "B"
+    assert len(qg.edges) == 2
+
+
+def test_anonymous_and_untyped():
+    qg = parse("MATCH (a)-[]->() RETURN a")
+    assert qg.edges[0].src == "a"
+    assert qg.edges[0].types == ()
+    assert qg.labels[qg.edges[0].dst] is None
+
+
+def test_multi_type():
+    qg = parse("MATCH (a)-[:X|Y]->(b) RETURN a")
+    assert qg.edges[0].types == ("X", "Y")
+
+
+def test_edge_variable_allowed():
+    qg = parse("MATCH (a)-[e:X]->(b) RETURN b")
+    assert qg.edges == [PatternEdge("a", "b", ("X",))]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "MATCH (a)-[:X]-(b) RETURN a",  # undirected
+        "SELECT 1",
+        "MATCH (a) RETURN z",  # unbound return
+        "MATCH (a:A:B) RETURN a",  # multi-label
+    ],
+)
+def test_rejects_out_of_subset(bad):
+    with pytest.raises(CypherParseError):
+        parse(bad)
