@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect). Headline set = the queries whose input scales with sf
+(lineitem/orders/events-driven), covering the pattern-match pipeline,
+kernels, algorithms, analytics, and streaming-batch shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cypher_1hop",
+    "cypher_2hop_reverse",
+    "cypher_multi_return",
+    "cypher_fork",
+    "graph_bfs",
+    "graph_sssp",
+    "mxm_plus_times",
+    "mxm_any_pair",
+    "ewise_union_plus",
+    "reduce_rows_plus",
+    "rel_q1_pricing",
+    "rel_top_orders",
+    "rel_supplier_rank",
+    "events_window_agg",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "ann_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from g4s_spark.session import get_spark
+
+    spark = get_spark("g4s_bench")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (north-star surface, BASELINE.json:6).
+
+Scale design:
+- exact dedup is a hash groupBy — one shuffle on the digest,
+- Jaccard/MinHash avoid the O(n²) pair space by generating candidate
+  pairs only through an inverted index (shingle -> docs) resp. LSH band
+  buckets — the joins shuffle on shingle/band keys, never on doc pairs,
+- SimHash emits a 16-bit fingerprint per doc; near-dups share a bucket
+  (equality join, no pair enumeration),
+- embedding near-dup is the one brute-force op (pair join + JVM-side
+  zip_with dot product); its scale path is the LSH variant in
+  similarity.py.
+
+Determinism: all hashing is md5 (identical hex in Spark and DuckDB), so
+every operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rounding import pround
+from .text import tokens, word_ngrams
+
+MINHASH_K = 12
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: (digest, rep_id, n_dups);
+    rep = min id (deterministic keep-first). Filter n_dups > 1 downstream
+    for dup-only groups; keeping singletons makes this the dedup key table."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ t.
+
+    inverted index self-join on shingle -> |A∩B| per pair; sizes joined
+    back for |A∪B| = |A|+|B|−|A∩B|. Candidate pairs only exist where at
+    least one shingle is shared (required for any t > 0)."""
+    sh = shingle_docs(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), on="a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), on="b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", pround(F.col("jaccard"), 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """k-permutation MinHash over word 3-gram shingles: h_s(doc) =
+    min(md5(shingle || '#s')). Output: (id, h0..h{k-1}). 3-grams (not
+    unigrams) keep the signature discriminative on small vocabularies —
+    unigram minhash over a narrow vocab makes nearly every pair collide."""
+    sh = shingle_docs(df, text_col, id_col, n=3)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs (a < b): docs agreeing on all rows of ≥1 band.
+    Band key = md5(concat of the band's minhashes); bucket equality join
+    keyed on (band_idx, key) — the scale path never enumerates pairs."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{bi * rows + r}") for r in range(rows)])).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    bucketed = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l = bucketed.select(F.col(id_col).alias("a"), "band", "key")
+    r = bucketed.select(F.col(id_col).alias("b"), "band", "key")
+    return (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over the distinct token set: bit p of md5(token)
+    (hex-digit decode via strpos — portable to the SQL oracle), summed as
+    ±1 votes; fingerprint bit = vote > 0. Output: (id, simhash long).
+
+    Near-dups = equal fingerprints (bucket join downstream)."""
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .dropDuplicates([id_col, "tok"])
+        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, bits // 4))
+    )
+    pos = tok.select(
+        id_col,
+        "h4",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p"),
+    )
+    digit = F.col("h4").substr(F.floor(F.col("p") / 4).cast("int") + 1, F.lit(1))
+    dval = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    shift = F.when(F.col("p") % 4 == 0, 8).when(F.col("p") % 4 == 1, 4).when(F.col("p") % 4 == 2, 2).otherwise(1)
+    bit = F.floor(dval / shift).cast("long") % 2
+    votes = (
+        pos.withColumn("vote", bit * 2 - 1)
+        .groupBy(id_col, "p")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bitval", F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (a < b) with cosine ≥ t — brute-force baseline.
+    zip_with/aggregate keep the arithmetic JVM-side (no Python UDF); the
+    pair join is the quadratic baseline, LSH in similarity.py is the
+    scale path."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", pround(F.col("cos"), 4).alias("cos"))
+    )

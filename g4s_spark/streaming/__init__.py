@@ -1,0 +1,13 @@
+from .events import (
+    read_events_stream,
+    session_counts,
+    sessionize,
+    sessionize_stream,
+    windowed_counts,
+    windowed_counts_stream,
+)
+
+__all__ = [
+    "windowed_counts", "windowed_counts_stream", "sessionize",
+    "session_counts", "sessionize_stream", "read_events_stream",
+]

@@ -1,0 +1,153 @@
+"""Streaming operators over the events table — the streaming story the
+reference lacks entirely (SURVEY §2.7: no watermarks/windows/state).
+
+Each operator comes in two shapes with identical semantics:
+- a batch DataFrame implementation (oracle-checkable against DuckDB),
+- a Structured Streaming implementation (readStream -> transform ->
+  writeStream) with event-time watermarks; tested with a file source +
+  availableNow trigger in tests/test_streaming.py.
+
+Sessionization is the custom stateful operator: batch = gaps-and-islands
+window functions; streaming = applyInPandasWithState with per-user
+session state and timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import pround
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Batch shape; the
+    window() expression is identical in the streaming variant."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def windowed_counts_stream(events_stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming variant: event-time watermark bounds state; late rows
+    beyond the watermark are dropped deterministically."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap to the previous event of the same user exceeds gap_min.
+    Returns (user_id, session_id, n_events, t_start, t_end)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # millisecond epochs: integer-exact in both Spark (unix_millis) and the
+    # DuckDB oracle (epoch_ms) — second-cast would round vs truncate differently
+    gap_ms = F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap_ms.isNull() | (gap_ms > gap_min * 60000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-user session count — compact oracle-checkable shape."""
+    return (
+        sessionize(events, gap_min)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState: per-user state
+    holds the open session; a processing-time timeout flushes idle users.
+    Non-SQL-expressible (custom stateful operator) — rows-only checked."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, session_id long, n_events long, t_start timestamp, t_end timestamp"
+    state_schema = "session_id long, n_events long, t_start long, t_end long"
+    gap_sec = gap_min * 60
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, n, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_id": [sid], "n_events": [n],
+                 "t_start": [pd.Timestamp(t0, unit="s")], "t_end": [pd.Timestamp(t1, unit="s")]}
+            )
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        closed = []
+        cur = state.get if state.exists else None  # (sid, n, t0, t1) epochs
+        for ts in rows["ts"]:
+            t = int(ts.timestamp())
+            if cur is None:
+                cur = (1, 1, t, t)
+            elif t - cur[3] > gap_sec:
+                closed.append(cur)
+                cur = (cur[0] + 1, 1, t, t)
+            else:
+                cur = (cur[0], cur[1] + 1, cur[2], t)
+        state.update(cur)
+        state.setTimeoutDuration(gap_sec * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_id": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "t_start": [pd.Timestamp(c[2], unit="s") for c in closed],
+                    "t_end": [pd.Timestamp(c[3], unit="s") for c in closed],
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    raw batch read — ts arrives as nanos-long under nanosAsLong and is
+    converted here, matching sources.load_table). With
+    Trigger.availableNow a test drains it exactly once."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stream

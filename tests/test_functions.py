@@ -1,0 +1,141 @@
+"""Unit tests for the north-star pipeline operators (text / dedup /
+similarity / multimodal) on small in-line corpora with hand-computed or
+pandas-computed oracles."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from g4s_spark.functions import dedup as D
+from g4s_spark.functions import multimodal as MM
+from g4s_spark.functions import similarity as S
+from g4s_spark.functions import text as TX
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content here entirely"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n_tokens for r in TX.token_count(docs).collect()}
+    assert got == {1: 9, 2: 9, 3: 5, 4: 9, 5: 0}
+
+
+def test_quality_empty_doc_safe(docs):
+    rows = {r.doc_id: r for r in TX.quality_score(docs).collect()}
+    assert rows[5].n_tokens == 0 and rows[5].stop_ratio == 0.0
+    assert rows[1].stop_ratio == pytest.approx(2 / 9, abs=1e-3)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is here and of course"), (2, "der hund und die katze das"),
+         (3, "le chat et la maison les arbres"), (4, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in TX.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in TX.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_exact_dedup(docs):
+    got = {r.rep_id: r.n_dups for r in D.exact_dedup(docs).collect()}
+    assert got[1] == 2  # docs 1 and 4
+    assert got[2] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs  # 6 of 7 shingles shared: j = 6/8
+    assert pairs[(1, 2)] == pytest.approx(0.75, abs=1e-4)
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in pairs  # identical token sets agree on every band
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    assert 0 <= sh[1] < 2**16
+    assert sh[1] != sh[3]
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>").cache()
+
+
+def test_embedding_near_dups(emb):
+    pairs = {(r.a, r.b): r.cos for r in D.embedding_near_dups(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-3)
+
+
+def test_brute_force_topk(emb):
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=3).collect()
+    }
+    assert got[(1, 1)] == 2  # closest
+    assert got[(1, 2)] == 3  # orthogonal beats opposite
+    assert got[(1, 3)] == 4
+
+
+def test_lsh_bucket_excludes_negative(emb):
+    # dims=1: bucket = sign of dim 0 -> {1,2} vs {3,4}
+    got = S.lsh_topk(emb, emb.filter(F.col("vec_id") == 1), k=3, dims=1).collect()
+    ids = {r.n_id for r in got}
+    assert ids == {2}  # 3 and 4 are in the non-positive-dim0 bucket
+
+
+def test_ivf_assign(emb):
+    got = {r.vec_id: r.cell for r in S.ivf_assign(emb, n_centroids_dims=4).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}  # argmax dim; ties -> first index
+
+
+def test_multimodal_pipeline(docs):
+    media = MM.to_media(docs.filter(F.col("doc_id") <= 2))
+    feats = MM.extract_features(media, n_features=4).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].n_bytes == len(DOCS[0][1].encode())
+    assert len(by_id[1].features) == 4
+    import hashlib
+
+    assert by_id[1].digest == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+def test_frame_sample(docs, spark):
+    media = MM.to_media(docs.filter(F.col("doc_id") == 1))
+    frames = MM.frame_sample_stub(media, every_n=1).collect()
+    assert len(frames) >= 1 and frames[0].frame_no == 0
