@@ -40,9 +40,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted-index rows, distinct per doc."""
+    """(id, shingle) inverted-index rows, distinct per doc.
+
+    Tokenization is materialized as a column BEFORE the n-gram transform:
+    referencing tokens(text) inside the per-element lambda re-runs the
+    regex for every shingle (no CSE across lambda scopes) — at 5k docs
+    that recompute alone was ~60x the whole job."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    if n == 1:
+        grams = F.col("t")
+    else:
+        grams = F.when(
+            F.size(F.col("t")) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 

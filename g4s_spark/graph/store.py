@@ -102,7 +102,8 @@ class PropertyGraph:
 
     def get_vs(self, ids: DataFrame) -> DataFrame:
         """Payload resolution: ids -> full node rows (DataStore.scala:81-92)."""
-        return ids.join(self.nodes, ids.columns[0] == self.nodes.id, "inner")
+        key = ids[ids.columns[0]]
+        return ids.join(self.nodes, key == self.nodes["id"], "inner")
 
     # -- stats --------------------------------------------------------------
 

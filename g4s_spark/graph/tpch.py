@@ -56,7 +56,23 @@ def _id(col, offset: int):
     return (F.lit(offset) + F.col(col).cast("long")).cast("long")
 
 
+# One cached graph per (spark app, sf_dir): every query in a session shares
+# the materialized nodes/edges instead of re-unioning 7 parquet scans.
+_GRAPH_CACHE: dict[tuple[str, str], PropertyGraph] = {}
+
+
 def build_graph(spark: SparkSession, sf_dir: str, tables: dict[str, DataFrame] | None = None) -> PropertyGraph:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if tables is None and key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    g = _build_graph_uncached(spark, sf_dir, tables)
+    if tables is None:
+        g.cache()
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, DataFrame] | None = None) -> PropertyGraph:
     if tables is None:
         from ..sources import load_tables
 
@@ -91,7 +107,32 @@ def build_graph(spark: SparkSession, sf_dir: str, tables: dict[str, DataFrame] |
         .unionByName(e(lineitem, li_id, _id("l_partkey", PART_OFF), "OF_PART", F.lit(1)))
         .unionByName(e(lineitem, li_id, _id("l_suppkey", SUPPLIER_OFF), "BY_SUPP", F.lit(2)))
     )
-    return PropertyGraph(nodes, edges, spark)
+    g = PropertyGraph(nodes, edges, spark)
+
+    # label/type counts are table counts — parquet row-group metadata makes
+    # .count() on a bare scan cheap, so the planner's stats never require a
+    # full scan of the unioned nodes/edges (StatsStore analogue, free).
+    from .stats import GraphStats
+
+    counts = {name: tables[name].count() for name in
+              ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]}
+    label_counts = {
+        "Region": counts["region"], "Nation": counts["nation"],
+        "Customer": counts["customer"], "Supplier": counts["supplier"],
+        "Part": counts["part"], "Order": counts["orders"], "Lineitem": counts["lineitem"],
+    }
+    type_counts = {
+        "IN_REGION": counts["nation"],
+        "FROM_NATION": counts["customer"] + counts["supplier"],
+        "PLACED": counts["orders"],
+        "HAS_ITEM": counts["lineitem"],
+        "OF_PART": counts["lineitem"],
+        "BY_SUPP": counts["lineitem"],
+    }
+    g._stats = GraphStats(
+        sum(label_counts.values()), sum(type_counts.values()), label_counts, type_counts
+    )
+    return g
 
 
 # Oracle-side: the same edge list as a DuckDB CTE, for recursive BFS/SSSP

@@ -26,28 +26,38 @@ def bfs(
     start_ids: list[int],
     max_hops: int | None = None,
     edge_types: list[str] | None = None,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: returns (id long, dist long) with the minimum hop
     count from any start node. LOR_LAND frontier push: frontier ⋈ edges →
-    distinct new ids not yet visited."""
+    distinct new ids not yet visited.
+
+    The edge set is cached once (every iteration re-joins it); the
+    frontier/visited sets are broadcast while small — for whole-graph
+    frontiers at cluster scale pass broadcast_frontier=False and the join
+    shuffles on src."""
     spark = graph.spark
-    edges = graph.typed_edges(edge_types).select("src", "dst")
+    edges = graph.typed_edges(edge_types).select("src", "dst").cache()
     visited = spark.createDataFrame([(int(s), 0) for s in start_ids], "id long, dist long")
     frontier = visited.select("id")
+    bc = F.broadcast if broadcast_frontier else (lambda df: df)
     dist = 0
-    while max_hops is None or dist < max_hops:
-        dist += 1
-        nxt = (
-            frontier.join(edges, frontier.id == edges.src)
-            .select(F.col("dst").alias("id"))
-            .dropDuplicates(["id"])
-            .join(visited.select("id"), on="id", how="left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(nxt.withColumn("dist", F.lit(dist))).localCheckpoint(eager=True)
-        frontier = nxt
+    try:
+        while max_hops is None or dist < max_hops:
+            dist += 1
+            nxt = (
+                bc(frontier).join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"))
+                .dropDuplicates(["id"])
+                .join(bc(visited.select("id")), on="id", how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(nxt.withColumn("dist", F.lit(dist))).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        edges.unpersist()
     return visited
 
 
@@ -57,39 +67,45 @@ def sssp(
     max_iters: int = 50,
     edge_types: list[str] | None = None,
     weight_col: str = "weight",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Single/multi-source shortest path over the MIN_PLUS semiring:
     d ← min(d, d ⊕min.+ A) iterated to fixpoint (Bellman-Ford layered
-    relaxation). Returns (id long, dist)."""
+    relaxation). Returns (id long, dist). Same caching/broadcast strategy
+    as bfs()."""
     edges = graph.typed_edges(edge_types).select(
         "src", "dst", F.col(weight_col).alias("w")
-    )
+    ).cache()
     spark = graph.spark
     dist = spark.createDataFrame([(int(s), 0) for s in start_ids], "id long, dist long")
     frontier = dist  # nodes whose distance improved last round
-    for _ in range(max_iters):
-        candidates = (
-            frontier.join(edges, frontier.id == edges.src)
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-        )
-        # keep only strict improvements over current distances
-        improved = (
-            candidates.alias("c")
-            .join(dist.alias("d"), on="id", how="left")
-            .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
-            .select("id", F.col("c.dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        if improved.limit(1).count() == 0:
-            break
-        dist = (
-            dist.join(improved.select("id"), on="id", how="left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
+    bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    try:
+        for _ in range(max_iters):
+            candidates = (
+                bc(frontier).join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # keep only strict improvements over current distances
+            improved = (
+                candidates.alias("c")
+                .join(bc(dist).alias("d"), on="id", how="left")
+                .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
+                .select("id", F.col("c.dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.limit(1).count() == 0:
+                break
+            dist = (
+                dist.join(improved.select("id"), on="id", how="left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+    finally:
+        edges.unpersist()
     return dist
 
 

@@ -1,0 +1,91 @@
+"""Plan-shape tests: the cost-based planner must reproduce the reference
+optimizer's selectivity-driven decisions (OptimSpec.scala:18-262 asserts
+exact physical plans; here we assert the join order / step structure and
+key physical-plan properties of the emitted DataFrame program)."""
+
+from pyspark.sql import functions as F
+
+from g4s_spark.cypher import parse
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import plan_match
+
+
+def steps_of(planned, kind):
+    return [s for s in planned.steps if s[0] == kind]
+
+
+def test_cheapest_edge_scanned_first_chain(spark):
+    """2-hop chain where the second hop is far more selective: the planner
+    must anchor the join chain at the cheap edge (the analogue of the
+    OptimSpec A*X*B vs A*(X*B) flip)."""
+    nodes = (
+        [(i, "A") for i in range(50)]
+        + [(100 + i, "B") for i in range(50)]
+        + [(200, "C")]
+    )
+    # 50 X edges A->B, 1 Y edge B->C
+    edges = [(i, 100 + i, "X") for i in range(50)] + [(100, 200, "Y")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
+    first = steps_of(planned, "scan")[0]
+    assert first[1] == ("b", "c"), planned.steps  # Y edge anchors the chain
+    # and the X edge joins onto it
+    expands = steps_of(planned, "expand")
+    assert expands and expands[0][1] == ("a", "b")
+
+
+def test_live_binding_projection_prunes_dead_columns(spark):
+    """After each hop, bindings not returned and not needed by pending
+    edges must be projected away (the ANY_PAIR distinct trick)."""
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "B"), (2, "C")],
+        edges=[(0, 1, "X"), (1, 2, "Y")],
+    )
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
+    final_proj = steps_of(planned, "project_distinct")[-1]
+    assert final_proj[1] == ("c",)  # a and b dropped before the end
+    assert planned.df.columns == ["c"]
+
+
+def test_label_pruning_reaches_parquet_scan(spark, tmp_path):
+    """A label filter over the union-of-tables node set must prune to the
+    single underlying scan: Catalyst folds lit-label predicates per union
+    branch, so (label == 'A') eliminates the other branches entirely."""
+    a_path, b_path = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(10).select(F.col("id")).write.mode("overwrite").parquet(a_path)
+    spark.range(10).select((F.col("id") + 100).alias("id")).write.mode("overwrite").parquet(b_path)
+    nodes = (
+        spark.read.parquet(a_path).select("id", F.lit("A").alias("label"))
+        .unionByName(spark.read.parquet(b_path).select("id", F.lit("B").alias("label")))
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    df = g.label_nodes("A")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE FileScan survives: the B branch is constant-folded away
+    # (lit('B') == 'A' -> false) before execution
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_broadcast_semi_join_for_small_labels(spark):
+    """Label semi-joins must go broadcast when the label set is small —
+    the FilterMul analogue should never shuffle the frontier for a tiny
+    dimension (SURVEY §4.3)."""
+    nodes = [(i, "A") for i in range(100)] + [(1000, "B")]
+    edges = [(i, 1000, "X") for i in range(100)]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN b"))
+    physical = planned.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+
+
+def test_cost_model_formulas():
+    from g4s_spark.plans import expand_card, filter_card, step_cost
+
+    # Operator.scala:116-148 formulas
+    assert expand_card(10, 20, 0.5) == 100
+    assert expand_card(1, 1, 0.0001) == 1  # floor at 1
+    assert filter_card(10, 20, 0.5) == 10  # capped at lCard
+    assert step_cost(100) == 120.0  # 1.2 factor
