@@ -157,6 +157,15 @@ def _q_reduce_cols_transpose(spark, sf_dir):
     return reduce_rows(a.transpose(), "max").df.select("i", pround(F.col("v"), 2).alias("v"))
 
 
+def _q_extract_submatrix(spark, sf_dir):
+    from g4s_spark.grblas import extract
+
+    _, a, _ = _li_matrices(spark, sf_dir)
+    # slice rows (orderkeys) 100..499, all columns; indices re-based to 0
+    sub = extract(a, (100, 499), None)
+    return sub.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
+
+
 def _q_rel_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -288,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewise_intersect_min": _q_ewise_intersect,
         "reduce_rows_plus": _q_reduce_rows,
         "reduce_cols_max": _q_reduce_cols_transpose,
+        "extract_submatrix": _q_extract_submatrix,
         # relational analytics
         "rel_q1_pricing": _q_rel_q1,
         "rel_top_orders": _q_rel_top_orders,
@@ -459,6 +469,13 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
                        FROM lineitem GROUP BY 1, 2)
             SELECT k AS i, floor(max(v) * 100 + 0.5) / 100 AS v FROM a GROUP BY k
+        """,
+        "extract_submatrix": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT CAST(i - 100 AS BIGINT) AS i, CAST(k AS BIGINT) AS j,
+                   floor(v * 100 + 0.5) / 100 AS v
+            FROM a WHERE i BETWEEN 100 AND 499
         """,
         "rel_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -12,6 +12,9 @@ from .matrix import (
     reduce_all,
     reduce_cols,
     reduce_rows,
+    vector_ewise_intersect,
+    vector_ewise_union,
+    vector_reduce,
     vxm,
 )
 from .semiring import (
@@ -29,6 +32,7 @@ from .semiring import (
 __all__ = [
     "Matrix", "Vector", "mxm", "mxv", "vxm", "ewise_union", "ewise_intersect",
     "reduce_rows", "reduce_cols", "reduce_all", "diag", "extract", "assign",
-    "is_eq", "ANY_PAIR", "LOR_LAND", "MIN_PLUS", "PLUS_TIMES", "SEMIRINGS",
+    "is_eq", "vector_ewise_union", "vector_ewise_intersect", "vector_reduce",
+    "ANY_PAIR", "LOR_LAND", "MIN_PLUS", "PLUS_TIMES", "SEMIRINGS",
     "BINARY_OPS", "MONOIDS", "Monoid", "Semiring",
 ]

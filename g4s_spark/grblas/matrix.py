@@ -100,6 +100,60 @@ class Vector:
     def nvals(self) -> int:
         return self.df.count()
 
+    def extract(self, sel: tuple[int, int] | list[int]) -> "Vector":
+        """Subvector w = v(I) with re-based indices
+        (SparseVectorHandler.scala:7-33 extract surface)."""
+        if isinstance(sel, tuple):
+            lo, hi = sel
+            return Vector(
+                self.df.filter(F.col("i").between(lo, hi)).withColumn("i", F.col("i") - F.lit(lo)),
+                hi - lo + 1,
+            )
+        mapping = {int(old): pos for pos, old in enumerate(sel)}
+        mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        return Vector(
+            self.df.filter(F.col("i").isin(list(mapping))).withColumn("i", mexpr[F.col("i")]),
+            len(sel),
+        )
+
+    def assign(self, sub: "Vector", sel: tuple[int, int]) -> "Vector":
+        """v(I) = sub: anti out the range, union the re-based values."""
+        lo, hi = sel
+        outside = self.df.filter(~F.col("i").between(lo, hi))
+        shifted = sub.df.select((F.col("i") + F.lit(lo)).alias("i"), "v")
+        return Vector(outside.unionByName(shifted), self.size)
+
+
+def vector_ewise_union(a: Vector, b: Vector, op_name: str) -> Vector:
+    op = BINARY_OPS[op_name]
+    ad = a.df.withColumnRenamed("v", "va")
+    bd = b.df.withColumnRenamed("v", "vb")
+    joined = ad.join(bd, on="i", how="full_outer")
+    return Vector(
+        joined.select(
+            "i",
+            F.when(F.col("va").isNull(), F.col("vb"))
+            .when(F.col("vb").isNull(), F.col("va"))
+            .otherwise(op(F.col("va"), F.col("vb")))
+            .alias("v"),
+        ),
+        a.size,
+    )
+
+
+def vector_ewise_intersect(a: Vector, b: Vector, op_name: str) -> Vector:
+    op = BINARY_OPS[op_name]
+    ad = a.df.withColumnRenamed("v", "va")
+    bd = b.df.withColumnRenamed("v", "vb")
+    return Vector(
+        ad.join(bd, on="i").select("i", op(F.col("va"), F.col("vb")).alias("v")), a.size
+    )
+
+
+def vector_reduce(a: Vector, monoid_name: str = "plus"):
+    m = MONOIDS[monoid_name]
+    return a.df.agg(m.agg(F.col("v")).alias("v")).collect()[0].v
+
 
 # --------------------------------------------------------------------------
 # kernels

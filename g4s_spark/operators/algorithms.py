@@ -77,7 +77,11 @@ def sssp(
         "src", "dst", F.col(weight_col).alias("w")
     ).cache()
     spark = graph.spark
-    dist = spark.createDataFrame([(int(s), 0) for s in start_ids], "id long, dist long")
+    # distance domain follows the weight type (long weights -> exact long
+    # distances for oracle comparison; double weights -> double distances)
+    wtype = dict(edges.dtypes)["w"]
+    zero = 0.0 if wtype in ("double", "float") else 0
+    dist = spark.createDataFrame([(int(s), zero) for s in start_ids], f"id long, dist {wtype}")
     frontier = dist  # nodes whose distance improved last round
     bc = F.broadcast if broadcast_frontier else (lambda df: df)
     try:

@@ -106,6 +106,8 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     edge_bindings = {b for e in qg.edges for b in (e.src, e.dst)}
     isolated = [b for b in qg.labels if b not in edge_bindings]
 
+    order = _choose_join_order(qg.edges, edge_est)
+
     df: DataFrame | None = None
     bound: set[str] = set()
 
@@ -115,10 +117,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             need.update((e.src, e.dst))
         return need
 
-    while remaining:
-        connected = [e for e in remaining if bound and (e.src in bound or e.dst in bound)]
-        pool = connected if connected else remaining
-        nxt = min(pool, key=edge_est)
+    for nxt in order:
         remaining.remove(nxt)
         est = edge_est(nxt)
         total_cost += step_cost(est)
@@ -150,3 +149,63 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     assert df is not None, "empty pattern"
     out = df.select(*qg.returns).dropDuplicates(qg.returns)
     return PlannedQuery(out, steps, total_cost)
+
+
+def _choose_join_order(edges, edge_est) -> list:
+    """Join-order search under the reference cost model.
+
+    The reference explores the full memo of plan shapes (MemoV2 /
+    Columbia cascades, SURVEY §3.1-3.2, §4.1); our plan space is the
+    order in which pattern edges join the chain. For ≤ MAX_EXHAUSTIVE
+    edges we run a Selinger-style DP over connected edge subsets —
+    exact under the cost model (cost = Σ 1.2·card_i, card_i =
+    max(card_{i-1} · est_i, 1), Operator.scala:116-148) — and fall back
+    to greedy smallest-first beyond that. Subset states double as the
+    reference's order-insensitive plan signatures (LogicNode.scala:20-31):
+    two orders reaching the same edge set share one memo entry.
+    """
+    MAX_EXHAUSTIVE = 7
+    if len(edges) <= 1:
+        return list(edges)
+    if len(edges) > MAX_EXHAUSTIVE:
+        # greedy: repeatedly take the cheapest edge connected to the chain
+        remaining, order, bound = list(edges), [], set()
+        while remaining:
+            pool = [e for e in remaining if bound and (e.src in bound or e.dst in bound)] or remaining
+            nxt = min(pool, key=edge_est)
+            remaining.remove(nxt)
+            order.append(nxt)
+            bound.update((nxt.src, nxt.dst))
+        return order
+
+    ests = {i: max(edge_est(e), 1e-9) for i, e in enumerate(edges)}
+    n = len(edges)
+    full = (1 << n) - 1
+    # memo: subset -> (total_cost, running_card, order as tuple of indices)
+    best: dict[int, tuple[float, float, tuple[int, ...]]] = {}
+    for i in range(n):
+        best[1 << i] = (step_cost(ests[i]), ests[i], (i,))
+    for subset in sorted(best.keys() | set(range(1, full + 1)), key=int.bit_count):
+        if subset not in best:
+            continue
+        cost, card, order = best[subset]
+        bound = {b for i in order for b in (edges[i].src, edges[i].dst)}
+        for j in range(n):
+            if subset & (1 << j):
+                continue
+            e = edges[j]
+            connected = e.src in bound or e.dst in bound
+            # disallow cartesian steps while connected options remain: try
+            # connected extensions first; cartesian handled by falling back
+            # when nothing is connected
+            if not connected and any(
+                not (subset & (1 << k)) and (edges[k].src in bound or edges[k].dst in bound)
+                for k in range(n)
+            ):
+                continue
+            new_card = max(card * ests[j], 1.0)
+            new_cost = cost + step_cost(new_card)
+            key = subset | (1 << j)
+            if key not in best or new_cost < best[key][0]:
+                best[key] = (new_cost, new_card, order + (j,))
+    return [edges[i] for i in best[full][2]]

@@ -1,0 +1,61 @@
+"""BFS / SSSP golden tests on the DocSpec 7-node fixtures (FIXTURES.md §2.3,
+reference DocSpec.scala:31-101)."""
+
+import pytest
+
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.operators import bfs, reachable, sssp
+
+UNWEIGHTED = [(0, 2), (0, 3), (1, 4), (1, 6), (2, 5), (3, 0), (3, 2), (4, 5), (5, 2), (6, 2), (6, 3), (6, 4)]
+# DocSpec.scala:55-101 weighted digraph; golden SSSP from 0:
+# [0.0, 0.3, 1.0, 0.8, 0.4, 0.5, 1.0]
+WEIGHTED = [
+    (0, 1, 0.3), (0, 3, 0.8), (1, 4, 0.1), (1, 6, 0.7), (2, 5, 0.5),
+    (3, 0, 0.2), (3, 2, 0.4), (4, 5, 0.1), (5, 2, 0.5), (6, 2, 0.1),
+    (6, 3, 0.5), (6, 4, 0.9),
+]
+
+
+@pytest.fixture(scope="module")
+def unweighted(spark):
+    nodes = [(i, "V") for i in range(7)]
+    edges = [(s, d, "E") for s, d in UNWEIGHTED]
+    return PropertyGraph.from_tuples(spark, nodes, edges).cache()
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    nodes = [(i, "V") for i in range(7)]
+    edges = [(s, d, "E", w) for s, d, w in WEIGHTED]
+    return PropertyGraph.from_tuples(spark, nodes, edges).cache()
+
+
+def test_bfs_one_hop_golden(unweighted):
+    got = {r.id for r in bfs(unweighted, [0], max_hops=1).filter("dist = 1").collect()}
+    assert got == {2, 3}  # DocSpec.scala:31-53
+
+
+def test_bfs_full_distances(unweighted):
+    got = {r.id: r.dist for r in bfs(unweighted, [0]).collect()}
+    assert got == {0: 0, 2: 1, 3: 1, 5: 2}  # 5 via 2; 1,4,6 unreachable
+
+
+def test_bfs_cycle_terminates(unweighted):
+    # 0 -> 3 -> 0 cycle must not loop forever
+    got = reachable(unweighted, [3]).count()
+    assert got == 4  # {3, 0, 2, 5}
+
+
+def test_sssp_docspec_golden(spark, weighted):
+    got = {r.id: pytest.approx(r.dist, abs=1e-9) for r in sssp(weighted, [0]).collect()}
+    assert got == {0: 0.0, 1: 0.3, 2: 1.0, 3: 0.8, 4: 0.4, 5: 0.5, 6: 1.0}
+
+
+def test_sssp_integer_weights(spark):
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "V"), (1, "V"), (2, "V")],
+        edges=[(0, 1, "E", 3.0), (0, 2, "E", 10.0), (1, 2, "E", 2.0)],
+    )
+    got = {r.id: r.dist for r in sssp(g, [0]).collect()}
+    assert got == {0: 0, 1: 3, 2: 5}  # min-plus picks the 2-hop path
