@@ -36,7 +36,12 @@ HEADLINE = [
     "events_window_agg",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality",
+    "multimodal_meta",
     "ann_topk",
+    "ann_lsh_topk",
 ]
 
 

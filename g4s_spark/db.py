@@ -1,0 +1,39 @@
+"""GraphDB — the top-level facade mirroring the reference's pipeline entry
+(g4s-matrix-graph/.../graph/GraphDB.scala:10-32: "parsing / optimising /
+evaluating graph queries" — whose eval step the reference left commented
+out; here the full pipeline runs).
+
+    db = GraphDB(graph)
+    db.query("MATCH (a:A)-[:X]->(b:B) RETURN b")        # ids per binding
+    db.query(..., resolve=True)                          # + payload labels
+    db.explain("MATCH ...")                              # planner steps
+
+Result semantics follow the Readme traverser spec (Readme.md:66-70):
+distinct rows over the returned bindings, resolvable to vertex payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .cypher.parser import parse
+from .graph.store import PropertyGraph
+from .plans.planner import PlannedQuery, plan_match, run_cypher
+
+
+class GraphDB:
+    def __init__(self, graph: PropertyGraph):
+        self.graph = graph
+
+    def query(self, cypher: str, resolve: bool = False) -> DataFrame:
+        return run_cypher(self.graph, cypher, resolve=resolve)
+
+    def plan(self, cypher: str) -> PlannedQuery:
+        return plan_match(self.graph, parse(cypher))
+
+    def explain(self, cypher: str) -> str:
+        planned = self.plan(cypher)
+        lines = [f"cost≈{planned.cost:.1f}"]
+        for s in planned.steps:
+            lines.append("  " + " ".join(str(x) for x in s))
+        return "\n".join(lines)

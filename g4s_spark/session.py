@@ -22,6 +22,13 @@ def get_spark(app_name: str = "g4s_spark", shuffle_partitions: int | None = None
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # 64MB advisory partitions over-coalesce the small-but-CPU-heavy
+        # shuffles of a 32-thread local node (mxm join stages ran 3-wide);
+        # 8m keeps them parallel. Cluster deployments should raise this.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("G4S_ADVISORY_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("G4S_DRIVER_MEM", "48g"))

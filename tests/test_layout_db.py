@@ -1,0 +1,35 @@
+"""Graph persistence layout + GraphDB facade tests."""
+
+from g4s_spark.db import GraphDB
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.sources import read_graph, write_graph
+
+
+def diamond(spark):
+    return PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "B"), (2, "B"), (3, "C")],
+        edges=[(0, 1, "X"), (1, 3, "Y"), (0, 2, "X"), (2, 3, "Y")],
+    )
+
+
+def test_write_read_roundtrip_partitioned(spark, tmp_path):
+    g = diamond(spark)
+    write_graph(g, str(tmp_path / "g"))
+    g2 = read_graph(spark, str(tmp_path / "g"))
+    assert g2.nodes.count() == 4 and g2.edges.count() == 4
+    db = GraphDB(g2)
+    got = {tuple(r) for r in db.query("MATCH (a:A)-[:X]->(b:B) RETURN b").collect()}
+    assert got == {(1,), (2,)}
+    # label scan on the partitioned layout is partition-pruned: the plan
+    # carries a PartitionFilters entry on label
+    plan = g2.label_nodes("A")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan
+
+
+def test_graphdb_explain_and_resolve(spark):
+    db = GraphDB(diamond(spark))
+    text = db.explain("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c")
+    assert "scan" in text and "expand" in text and "cost" in text
+    rows = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b", resolve=True).collect()
+    assert {(r.b, r.b_label) for r in rows} == {(1, "B"), (2, "B")}
