@@ -36,12 +36,13 @@ from g4s_spark.graph.tpch import (
     EDGES_SQL_CTE,
     LINEITEM_OFF,
     NATION_OFF,
+    NODES_SQL_CTE,
     ORDER_OFF,
     PART_OFF,
     REGION_OFF,
     SUPPLIER_OFF,
 )
-from g4s_spark.operators import bfs, sssp
+from g4s_spark.operators import bfs, connected_components, pagerank, sssp, triangle_count
 from g4s_spark.plans import run_cypher
 from g4s_spark.sources import load_table, load_tables
 from g4s_spark.streaming import session_counts, windowed_counts
@@ -79,6 +80,31 @@ def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(build_graph(spark, sf_dir), [BFS_START]).select("id", "dist")
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank(build_graph(spark, sf_dir), iters=3)
+    return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
+
+
+def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(build_graph(spark, sf_dir))
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    return (
+        l1.join(l2, on="o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
 def _li_matrices(spark: SparkSession, sf_dir: str):
@@ -155,6 +181,21 @@ def _q_reduce_cols_transpose(spark, sf_dir):
     # column reduce expressed through transpose (MatrixOps.scala:20-44 +
     # GrBMatrix.scala:56-65): reduce_rows(Aᵀ)
     return reduce_rows(a.transpose(), "max").df.select("i", pround(F.col("v"), 2).alias("v"))
+
+
+def _q_mxm_masked(spark, sf_dir):
+    from g4s_spark.grblas import PLUS_TIMES, Matrix, mxm
+
+    li, a, b = _li_matrices(spark, sf_dir)
+    # mask = direct (order, supplier) incidence: keep only products where
+    # the order already bought from that supplier (mask as semi-join,
+    # MatrixOps.scala mask parameter)
+    mask = Matrix.from_df(
+        li.select("l_orderkey", "l_suppkey").dropDuplicates(), "l_orderkey", "l_suppkey", None
+    )
+    return mxm(a, b, PLUS_TIMES, mask=mask).df.select(
+        "i", "j", pround(F.col("v"), 2).alias("v")
+    )
 
 
 def _q_extract_submatrix(spark, sf_dir):
@@ -290,9 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_components": _q_graph_components,  # rows-only (no SQL oracle)
+        "graph_triangles": _q_graph_triangles,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
         "mxm_any_pair": _q_mxm_any_pair,
+        "mxm_masked": _q_mxm_masked,
         "ewise_union_plus": _q_ewise_union,
         "ewise_intersect_min": _q_ewise_intersect,
         "reduce_rows_plus": _q_reduce_rows,
@@ -354,6 +399,35 @@ _COS = (
 def _lang_score(words: list[str]) -> str:
     lst = "['" + "','".join(words) + "']"
     return f"len(list_filter({_TOKS}, x -> list_contains({lst}, x)))"
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank matching operators.pagerank
+    exactly: pr0 = 1/N; pr_{t+1} = (1-d)/N + d·Σ pr_t(u)/outdeg(u)."""
+    prev = "pr0"
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+            it{t} AS (
+                SELECT gn.id, (1 - {d}) / c.n + {d} * COALESCE(s.mass, 0) AS pr
+                FROM graph_nodes gn CROSS JOIN cnt c
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(p.pr / dg.deg) AS mass
+                    FROM {prev} p
+                    JOIN graph_edges e ON p.id = e.src
+                    JOIN deg dg ON dg.src = p.id
+                    GROUP BY e.dst
+                ) s ON s.id = gn.id
+            )""")
+        prev = f"it{t}"
+    return f"""
+        WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()},
+        cnt AS (SELECT count(*) AS n FROM graph_nodes),
+        deg AS (SELECT src, count(*) AS deg FROM graph_edges GROUP BY src),
+        pr0 AS (SELECT gn.id, 1.0 / c.n AS pr FROM graph_nodes gn CROSS JOIN cnt c),
+        {",".join(its)}
+        SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -428,6 +502,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
         """,
+        "graph_pagerank": _pagerank_oracle(),
+        "graph_triangles": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
         "mxm_plus_times": """
             WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
                        FROM lineitem GROUP BY 1, 2),
@@ -440,6 +526,17 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT DISTINCT l_orderkey AS i, l_partkey AS k FROM lineitem),
                  b AS (SELECT DISTINCT l_partkey AS k, l_suppkey AS j FROM lineitem)
             SELECT DISTINCT a.i, b.j, TRUE AS v FROM a JOIN b USING (k)
+        """,
+        "mxm_masked": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2),
+                 b AS (SELECT l_partkey AS k, l_suppkey AS j, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2),
+                 m AS (SELECT DISTINCT l_orderkey AS i, l_suppkey AS j FROM lineitem)
+            SELECT p.i, p.j, p.v FROM (
+                SELECT a.i, b.j, floor(sum(a.v * b.v) * 100 + 0.5) / 100 AS v
+                FROM a JOIN b USING (k) GROUP BY a.i, b.j
+            ) p SEMI JOIN m ON p.i = m.i AND p.j = m.j
         """,
         "ewise_union_plus": """
             WITH e AS (SELECT l_orderkey AS i, l_partkey AS j, sum(l_quantity) AS v

@@ -26,6 +26,7 @@ HEADLINE = [
     "cypher_fork",
     "graph_bfs",
     "graph_sssp",
+    "graph_pagerank",
     "mxm_plus_times",
     "mxm_any_pair",
     "ewise_union_plus",

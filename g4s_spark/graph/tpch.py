@@ -135,6 +135,18 @@ def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, Da
     return g
 
 
+NODES_SQL_CTE = f"""
+    graph_nodes(id) AS (
+        SELECT CAST({REGION_OFF} + r_regionkey AS BIGINT) FROM region
+        UNION ALL SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) FROM customer
+        UNION ALL SELECT CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({PART_OFF} + p_partkey AS BIGINT) FROM part
+        UNION ALL SELECT CAST({ORDER_OFF} + o_orderkey AS BIGINT) FROM orders
+        UNION ALL SELECT CAST({LINEITEM_OFF} + l_orderkey*8 + l_linenumber AS BIGINT) FROM lineitem
+    )
+"""
+
 # Oracle-side: the same edge list as a DuckDB CTE, for recursive BFS/SSSP
 # oracles. Matches build_graph exactly.
 EDGES_SQL_CTE = f"""

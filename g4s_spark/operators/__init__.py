@@ -1,3 +1,3 @@
-from .algorithms import bfs, reachable, sssp
+from .algorithms import bfs, connected_components, pagerank, reachable, sssp, triangle_count
 
-__all__ = ["bfs", "sssp", "reachable"]
+__all__ = ["bfs", "sssp", "reachable", "pagerank", "connected_components", "triangle_count"]

@@ -116,3 +116,94 @@ def sssp(
 def reachable(graph: PropertyGraph, start_ids: list[int], edge_types: list[str] | None = None) -> DataFrame:
     """Transitive closure from the start set (ids only)."""
     return bfs(graph, start_ids, None, edge_types).select("id")
+
+
+def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank (simplified: dangling mass dropped — the
+    semantics are pinned so the unrolled-SQL oracle matches exactly):
+
+        pr_0(v)   = 1/N
+        pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u)/outdeg(u)
+
+    Returns (id long, pr double). Each iteration is one join + one
+    aggregation shuffled on dst — the Pregel message-passing pattern as
+    plain DataFrames; contributions combine map-side before the shuffle."""
+    nodes = graph.nodes.select("id")
+    edges = graph.edges.select("src", "dst").cache()
+    n = nodes.count()
+    # distinct key name: deg shares src's attribute lineage with edges,
+    # a second join on it would be ambiguous
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "deg_src").cache()
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            pr.join(edges, pr.id == edges.src)
+            .join(deg, pr.id == F.col("deg_src"))
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = (
+            nodes.join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    deg.unpersist()
+    return pr
+
+
+def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame:
+    """Undirected connected components by iterative min-id label
+    propagation (HashMin / Pregel style): each node adopts the smallest
+    component id among itself and its neighbors until fixpoint. Returns
+    (id long, component long)."""
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .cache()
+    )
+    comp = graph.nodes.select("id", F.col("id").alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            comp.join(sym, comp.id == sym.src)
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, on="id", how="left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    sym.unpersist()
+    return comp
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Triangle count over an undirected edge list given as canonical
+    pairs (a < b). Standard 3-way self-join on ordered vertices; the
+    (a<b<c) orientation counts each triangle exactly once. Returns a
+    single row (n_triangles long)."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

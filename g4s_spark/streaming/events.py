@@ -79,10 +79,17 @@ def session_counts(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
-def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN, timeout: str = "processing"
+) -> DataFrame:
     """Streaming sessionization via applyInPandasWithState: per-user state
     holds the open session; a processing-time timeout flushes idle users.
-    Non-SQL-expressible (custom stateful operator) — rows-only checked."""
+    Non-SQL-expressible (custom stateful operator) — rows-only checked.
+
+    timeout: "processing" for live streams (idle users flushed after the
+    gap); "none" for drain-once/batch-replay runs — processing-time timers
+    keep an availableNow query servicing empty timer batches, so bounded
+    replays should disable them."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -113,7 +120,8 @@ def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) 
             else:
                 cur = (cur[0], cur[1] + 1, cur[2], t)
         state.update(cur)
-        state.setTimeoutDuration(gap_sec * 1000)
+        if timeout == "processing":
+            state.setTimeoutDuration(gap_sec * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -125,12 +133,17 @@ def sessionize_stream(events_stream: DataFrame, gap_min: int = SESSION_GAP_MIN) 
                 }
             )
 
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout == "processing"
+        else GroupStateTimeout.NoTimeout
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 

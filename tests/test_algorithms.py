@@ -51,6 +51,47 @@ def test_sssp_docspec_golden(spark, weighted):
     assert got == {0: 0.0, 1: 0.3, 2: 1.0, 3: 0.8, 4: 0.4, 5: 0.5, 6: 1.0}
 
 
+def test_pagerank_star(spark):
+    """Star graph: all leaves point at the hub; after 1 iteration the hub
+    holds (1-d)/N + d·(3/4)·(1/N)·... — check against hand-computed."""
+    from g4s_spark.operators import pagerank
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "V"), (1, "V"), (2, "V"), (3, "V")],
+        edges=[(1, 0, "E"), (2, 0, "E"), (3, 0, "E")],
+    )
+    pr = {r.id: r.pr for r in pagerank(g, iters=1).collect()}
+    n, d = 4, 0.85
+    assert pr[0] == pytest.approx((1 - d) / n + d * 3 * (1 / n), abs=1e-12)
+    assert pr[1] == pytest.approx((1 - d) / n, abs=1e-12)  # no in-edges
+    assert sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_connected_components_two_islands(spark):
+    from g4s_spark.operators import connected_components
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "V"), (1, "V"), (2, "V"), (5, "V"), (6, "V"), (9, "V")],
+        edges=[(0, 1, "E"), (2, 1, "E"), (5, 6, "E")],
+    )
+    comp = {r.id: r.component for r in connected_components(g).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+def test_triangle_count_known(spark):
+    from pyspark.sql import functions as F
+
+    from g4s_spark.operators import triangle_count
+
+    # K4 minus one edge: triangles {0,1,2} and {0,1,3}
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], "a long, b long"
+    )
+    assert triangle_count(pairs).collect()[0].n_triangles == 2
+
+
 def test_sssp_integer_weights(spark):
     g = PropertyGraph.from_tuples(
         spark,

@@ -1,0 +1,103 @@
+"""Property-based kernel tests (hypothesis), mirroring the reference's
+ScalaCheck suites (SURVEY §5): random COO matrices with coordinate-distinct
+entries, checked against a pure-python oracle.
+
+- MxM associativity (MxMSpec.scala:21-62)
+- reduce vs oracle (ReduceSpec.scala:31-137)
+- self-union == self-intersect == 2x (ElemWiseSpec.scala:19-70)
+- extract/assign roundtrip (AssignSpec.scala:26-81)
+- transpose involution
+
+Example counts are kept small: each example runs real Spark jobs; the
+fixed-seed suites in test_grblas.py carry the volume, these carry the
+generator diversity.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from g4s_spark import grblas as gb
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def coo(draw, n=6, vmin=1, vmax=9):
+    ncoords = draw(st.integers(1, n * n // 2))
+    coords = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=ncoords, max_size=ncoords, unique=True,
+        )
+    )
+    return [(i, j, draw(st.integers(vmin, vmax))) for i, j in coords]
+
+
+def py_mxm(a, b):
+    out = {}
+    for (i, k1), va in a.items():
+        for (k2, j), vb in b.items():
+            if k1 == k2:
+                out[(i, j)] = out.get((i, j), 0) + va * vb
+    return out
+
+
+def as_dict(t):
+    return {(i, j): v for i, j, v in t}
+
+
+@given(ta=coo(), tb=coo(), tc=coo())
+@settings(**SETTINGS)
+def test_mxm_associativity_property(spark, ta, tb, tc):
+    n = 6
+    A = gb.Matrix.from_tuples(spark, ta, n, n)
+    B = gb.Matrix.from_tuples(spark, tb, n, n)
+    C = gb.Matrix.from_tuples(spark, tc, n, n)
+    left = gb.mxm(gb.mxm(A, B, gb.PLUS_TIMES), C, gb.PLUS_TIMES)
+    right = gb.mxm(A, gb.mxm(B, C, gb.PLUS_TIMES), gb.PLUS_TIMES)
+    assert as_dict(left.to_tuples()) == py_mxm(py_mxm(as_dict(ta), as_dict(tb)), as_dict(tc))
+    assert gb.is_eq(left, right)
+
+
+@given(t=coo())
+@settings(**SETTINGS)
+def test_reduce_property(spark, t):
+    A = gb.Matrix.from_tuples(spark, t, 6, 6)
+    assert gb.reduce_all(A, "plus") == sum(v for _, _, v in t)
+    assert gb.reduce_all(A, "max") == max(v for _, _, v in t)
+    rows = dict(gb.reduce_rows(A, "min").to_tuples())
+    expect = {}
+    for i, _, v in t:
+        expect[i] = min(expect.get(i, 10**9), v)
+    assert rows == expect
+
+
+@given(t=coo())
+@settings(**SETTINGS)
+def test_self_union_intersect_double_property(spark, t):
+    A = gb.Matrix.from_tuples(spark, t, 6, 6)
+    doubled = {(i, j): 2 * v for i, j, v in t}
+    assert as_dict(gb.ewise_union(A, A, "plus").to_tuples()) == doubled
+    assert as_dict(gb.ewise_intersect(A, A, "plus").to_tuples()) == doubled
+
+
+@given(t=coo(), lo=st.integers(0, 2), hi=st.integers(3, 5))
+@settings(**SETTINGS)
+def test_extract_assign_roundtrip_property(spark, t, lo, hi):
+    A = gb.Matrix.from_tuples(spark, t, 6, 6)
+    sub = gb.extract(A, (lo, hi), (lo, hi))
+    back = gb.assign(A, sub, (lo, hi), (lo, hi))
+    assert gb.is_eq(back, A)
+
+
+@given(t=coo())
+@settings(**SETTINGS)
+def test_transpose_involution_property(spark, t):
+    A = gb.Matrix.from_tuples(spark, t, 6, 6)
+    assert gb.is_eq(A.transpose().transpose(), A)
+    assert as_dict(A.transpose().to_tuples()) == {(j, i): v for i, j, v in t}

@@ -66,11 +66,60 @@ def test_sessionize_batch_consistency(events):
     assert per_user.agg(F.sum("n_events")).collect()[0][0] == events.count()
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches via file source: batch 2 carries an event older
+    than (max event time - watermark) — the windowed aggregate must NOT
+    count it (deterministic late-data semantics)."""
+    import os
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    chk = str(tmp_path / "chk")
+    schema = "ts string, event_type string, value double"
+    batch1 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 13:00:00", "a", 1.0)], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.write.mode("overwrite").parquet(str(src / "b1.parquet"))
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(batch1.schema).parquet(str(src) + "/*")
+    agg = windowed_counts_stream(stream, width="1 hour", watermark="1 hour")
+
+    def run_once():
+        # parquet sink: supports checkpoint recovery across restarts
+        # (memory sink does not)
+        q = (
+            agg.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # append mode emits only windows fully below the watermark (13:00-1h):
+    # the 10:00 window is finalized
+    first = {r.window_start.hour: r.n for r in spark.read.parquet(out).collect()}
+    assert first.get(10) == 1
+
+    # batch 2: one on-time event + one LATE event (08:30 < 12:00 watermark)
+    batch2 = spark.createDataFrame(
+        [("2024-01-01 14:00:00", "a", 1.0), ("2024-01-01 08:30:00", "a", 99.0)], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2.write.mode("overwrite").parquet(str(src / "b2.parquet"))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    hours = {r.window_start.hour for r in rows}
+    assert 8 not in hours  # late row dropped, never emitted
+    assert all(r.sum_value != 99.0 for r in rows)
+
+
 def test_sessionize_stream_state(spark, events):
     """applyInPandasWithState: with availableNow all data arrives in one
     batch; closed sessions (all but each user's last) are emitted."""
     stream = read_events_stream(spark, SF)
-    sess = sessionize_stream(stream)
+    # NoTimeout for the drain-once replay: processing-time timers keep an
+    # availableNow query servicing empty timer batches indefinitely
+    sess = sessionize_stream(stream, timeout="none")
     with tempfile.TemporaryDirectory() as d:
         q = (
             sess.writeStream.format("memory")
@@ -81,6 +130,7 @@ def test_sessionize_stream_state(spark, events):
             .start()
         )
         q.awaitTermination(180)
+        q.stop()  # ensure stopped before tempdir cleanup (state-store race)
     got = spark.sql("SELECT * FROM sess_stream").collect()
     batch = sessionize(events).collect()
     batch_keys = {(r.user_id, r.session_id, r.n_events) for r in batch}
