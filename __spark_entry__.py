@@ -328,6 +328,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cypher_multitype": _cypher("MATCH (x)-[:IN_REGION|FROM_NATION]->(n) RETURN n"),
         "cypher_untyped": _cypher("MATCH (n:Nation)-[]->(r) RETURN r"),
+        # WHERE prop predicates — extension beyond the reference surface
+        "cypher_where_numeric": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
+        ),
+        "cypher_where_string": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE c.mktsegment = 'BUILDING' AND n.name <> 'NATION_1' RETURN c, n"
+        ),
         # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
@@ -479,6 +487,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cypher_untyped": f"""
             SELECT DISTINCT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r FROM nation
+        """,
+        "cypher_where_numeric": f"""
+            SELECT DISTINCT {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal >= 5000
+        """,
+        "cypher_where_string": f"""
+            SELECT DISTINCT {_CID} AS c, CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING' AND n_name <> 'NATION_1'
         """,
         "graph_bfs": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},

@@ -22,14 +22,27 @@ class PatternEdge:
     types: tuple[str, ...]  # empty = any type
 
 
+@dataclass(frozen=True)
+class PropFilter:
+    """WHERE predicate `binding.prop <op> literal` — an extension beyond
+    the reference surface (which has no WHERE at all, SURVEY §2.7)."""
+
+    binding: str
+    prop: str
+    op: str  # = <> != < <= > >=
+    value: str | float
+    is_num: bool
+
+
 @dataclass
 class QueryGraph:
     """Bindings + directed typed edges + return set
-    (QueryGraph.scala:15-22)."""
+    (QueryGraph.scala:15-22), plus WHERE prop filters (extension)."""
 
     labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
     edges: list[PatternEdge] = field(default_factory=list)
     returns: list[str] = field(default_factory=list)
+    filters: list[PropFilter] = field(default_factory=list)
 
 
 _NODE = re.compile(r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*(?P<label>[A-Za-z_][A-Za-z0-9_]*))?\s*\)")
@@ -43,9 +56,19 @@ class CypherParseError(ValueError):
     pass
 
 
+_COND = re.compile(
+    r"^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
 def parse(query: str) -> QueryGraph:
     q = query.strip()
-    m = re.match(r"(?is)^\s*MATCH\s+(?P<patterns>.+?)\s+RETURN\s+(?P<returns>.+?)\s*$", q)
+    m = re.match(
+        r"(?is)^\s*MATCH\s+(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+?))?\s+RETURN\s+(?P<returns>.+?)\s*$",
+        q,
+    )
     if not m:
         raise CypherParseError(f"unsupported query (expected MATCH ... RETURN ...): {query!r}")
     qg = QueryGraph()
@@ -85,6 +108,22 @@ def parse(query: str) -> QueryGraph:
             else:  # (prev)<-[:T]-(cur)
                 qg.edges.append(PatternEdge(cur, prev, types))
             prev = cur
+
+    if m.group("where"):
+        for cond in re.split(r"(?i)\s+AND\s+", m.group("where")):
+            cm = _COND.match(cond)
+            if not cm:
+                raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
+            if cm.group("b") not in qg.labels:
+                raise CypherParseError(f"WHERE references unbound variable: {cm.group('b')!r}")
+            raw = cm.group("val")
+            if raw[0] in "'\"":
+                value, is_num = raw[1:-1], False
+            else:
+                value, is_num = float(raw), True
+            qg.filters.append(
+                PropFilter(cm.group("b"), cm.group("p"), cm.group("op"), value, is_num)
+            )
 
     for item in m.group("returns").split(","):
         name = item.strip()

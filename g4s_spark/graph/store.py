@@ -83,6 +83,32 @@ class PropertyGraph:
             df = df.filter(F.col("label") == label)
         return df.select("id")
 
+    def node_set(self, label: str | None, prop_filters=()) -> DataFrame:
+        """Node-id set for a label + WHERE prop predicates (extension —
+        the reference has no property predicates, SURVEY §2.7). Predicates
+        evaluate against the props map; numeric values compare as doubles
+        (string round-trip through Double.toString is exact)."""
+        df = self.nodes
+        if label is not None:
+            df = df.filter(F.col("label") == label)
+        if prop_filters and "props" not in df.columns:
+            raise ValueError("graph nodes carry no props column; WHERE unsupported")
+        ops = {
+            "=": lambda c, v: c == v,
+            "<>": lambda c, v: c != v,
+            "!=": lambda c, v: c != v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for f in prop_filters:
+            c = F.col("props").getItem(f.prop)
+            if f.is_num:
+                c = c.cast("double")
+            df = df.filter(ops[f.op](c, F.lit(f.value)))
+        return df.select("id")
+
     def typed_edges(self, types: list[str] | None, transpose: bool = False) -> DataFrame:
         """Edge matrix for type(s), optionally transposed
         (lookupEdges, ConcurrentDirectedGraph.scala:65-80). Transpose is a

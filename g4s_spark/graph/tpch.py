@@ -83,14 +83,32 @@ def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, Da
 
     li_id = (F.lit(LINEITEM_OFF) + F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
 
+    def props(**cols):
+        """string-keyed property map; doubles round-trip exactly through
+        Double.toString so numeric predicates stay exact."""
+        pairs = []
+        for k, c in cols.items():
+            pairs += [F.lit(k), F.col(c).cast("string")]
+        return F.create_map(*pairs)
+
     nodes = (
-        region.select(_id("r_regionkey", REGION_OFF).alias("id"), F.lit("Region").alias("label"))
-        .unionByName(nation.select(_id("n_nationkey", NATION_OFF).alias("id"), F.lit("Nation").alias("label")))
-        .unionByName(customer.select(_id("c_custkey", CUSTOMER_OFF).alias("id"), F.lit("Customer").alias("label")))
-        .unionByName(supplier.select(_id("s_suppkey", SUPPLIER_OFF).alias("id"), F.lit("Supplier").alias("label")))
-        .unionByName(part.select(_id("p_partkey", PART_OFF).alias("id"), F.lit("Part").alias("label")))
-        .unionByName(orders.select(_id("o_orderkey", ORDER_OFF).alias("id"), F.lit("Order").alias("label")))
-        .unionByName(lineitem.select(li_id.alias("id"), F.lit("Lineitem").alias("label")))
+        region.select(_id("r_regionkey", REGION_OFF).alias("id"), F.lit("Region").alias("label"),
+                      props(name="r_name").alias("props"))
+        .unionByName(nation.select(_id("n_nationkey", NATION_OFF).alias("id"), F.lit("Nation").alias("label"),
+                                   props(name="n_name").alias("props")))
+        .unionByName(customer.select(_id("c_custkey", CUSTOMER_OFF).alias("id"), F.lit("Customer").alias("label"),
+                                     props(name="c_name", acctbal="c_acctbal", mktsegment="c_mktsegment").alias("props")))
+        .unionByName(supplier.select(_id("s_suppkey", SUPPLIER_OFF).alias("id"), F.lit("Supplier").alias("label"),
+                                     props(name="s_name", acctbal="s_acctbal").alias("props")))
+        .unionByName(part.select(_id("p_partkey", PART_OFF).alias("id"), F.lit("Part").alias("label"),
+                                 props(name="p_name", brand="p_brand", type="p_type", size="p_size",
+                                       retailprice="p_retailprice").alias("props")))
+        .unionByName(orders.select(_id("o_orderkey", ORDER_OFF).alias("id"), F.lit("Order").alias("label"),
+                                   props(orderstatus="o_orderstatus", totalprice="o_totalprice",
+                                         orderpriority="o_orderpriority").alias("props")))
+        .unionByName(lineitem.select(li_id.alias("id"), F.lit("Lineitem").alias("label"),
+                                     props(quantity="l_quantity", extendedprice="l_extendedprice",
+                                           discount="l_discount", returnflag="l_returnflag").alias("props")))
     )
 
     def e(df, src, dst, tpe, weight):

@@ -67,19 +67,26 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     steps: list[tuple] = []
     total_cost = 0.0
 
-    def label_set(label: str) -> DataFrame:
-        ids = graph.label_nodes(label)
-        if stats.label_card(label) < BROADCAST_MAX_ROWS:
+    filters_by_binding: dict[str, list] = {}
+    for pf in qg.filters:
+        filters_by_binding.setdefault(pf.binding, []).append(pf)
+
+    def node_set(binding: str) -> DataFrame:
+        label = qg.labels.get(binding)
+        ids = graph.node_set(label, filters_by_binding.get(binding, ()))
+        # prop filters only shrink the set, so the label card is an upper
+        # bound; unlabeled-but-filtered sets have no bound -> let AQE pick
+        if label is not None and stats.label_card(label) < BROADCAST_MAX_ROWS:
             ids = F.broadcast(ids)
         return ids
 
     def constrain(df: DataFrame, binding: str) -> DataFrame:
         label = qg.labels.get(binding)
-        if label is None:
+        if label is None and binding not in filters_by_binding:
             return df
-        steps.append(("semi", binding, label))
+        steps.append(("semi", binding, label, len(filters_by_binding.get(binding, ()))))
         return df.join(
-            label_set(label).withColumnRenamed("id", binding), on=binding, how="left_semi"
+            node_set(binding).withColumnRenamed("id", binding), on=binding, how="left_semi"
         )
 
     def edge_est(e: PatternEdge) -> float:

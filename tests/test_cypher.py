@@ -41,6 +41,16 @@ def test_edge_variable_allowed():
     assert qg.edges == [PatternEdge("a", "b", ("X",))]
 
 
+def test_where_filters():
+    qg = parse(
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WHERE c.acctbal >= 5000 AND o.orderstatus = 'F' RETURN o"
+    )
+    f1, f2 = qg.filters
+    assert (f1.binding, f1.prop, f1.op, f1.value, f1.is_num) == ("c", "acctbal", ">=", 5000.0, True)
+    assert (f2.binding, f2.prop, f2.op, f2.value, f2.is_num) == ("o", "orderstatus", "=", "F", False)
+
+
 @pytest.mark.parametrize(
     "bad",
     [
@@ -48,6 +58,8 @@ def test_edge_variable_allowed():
         "SELECT 1",
         "MATCH (a) RETURN z",  # unbound return
         "MATCH (a:A:B) RETURN a",  # multi-label
+        "MATCH (a) WHERE z.x = 1 RETURN a",  # WHERE on unbound variable
+        "MATCH (a) WHERE a.x LIKE 'y' RETURN a",  # unsupported operator
     ],
 )
 def test_rejects_out_of_subset(bad):

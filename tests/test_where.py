@@ -1,0 +1,63 @@
+"""WHERE prop-predicate extension: planner pushes predicates into the
+node-set scans (semi-join side), verified end-to-end on a small
+props-carrying graph."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import run_cypher
+
+
+@pytest.fixture(scope="module")
+def props_graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            (0, "Person", {"age": "35.0", "city": "berlin"}),
+            (1, "Person", {"age": "17.0", "city": "paris"}),
+            (2, "Person", {"age": "50.0", "city": "berlin"}),
+            (3, "Item", {"price": "9.5"}),
+            (4, "Item", {"price": "120.0"}),
+        ],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 3, "BOUGHT"), (1, 3, "BOUGHT"), (2, 4, "BOUGHT")],
+        "src long, dst long, type string",
+    )
+    return PropertyGraph(nodes, edges, spark).cache()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_numeric_predicate(props_graph):
+    got = rows(run_cypher(props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) WHERE p.age >= 18 RETURN p"))
+    assert got == {(0,), (2,)}
+
+
+def test_string_and_conjunction(props_graph):
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+        "WHERE p.city = 'berlin' AND i.price < 100 RETURN p, i",
+    ))
+    assert got == {(0, 3)}
+
+
+def test_not_equal(props_graph):
+    got = rows(run_cypher(props_graph, "MATCH (p:Person) WHERE p.city <> 'berlin' RETURN p"))
+    assert got == {(1,)}
+
+
+def test_where_without_props_column_raises(spark):
+    g = PropertyGraph.from_tuples(spark, [(0, "A")], [])
+    with pytest.raises(ValueError, match="props"):
+        run_cypher(g, "MATCH (a:A) WHERE a.x = 1 RETURN a").collect()
+
+
+def test_missing_prop_filters_out(props_graph):
+    # Items have no 'age' -> NULL comparison -> filtered (SQL semantics)
+    got = rows(run_cypher(props_graph, "MATCH (i:Item) WHERE i.age > 0 RETURN i"))
+    assert got == set()
