@@ -36,6 +36,7 @@ class PropertyGraph:
         self.nodes = nodes
         self.edges = edges
         self._stats: GraphStats | None = None
+        self._nodes_slim: DataFrame | None = None  # cached (id,label) projection
 
     # -- construction / mutation (ConcurrentDirectedGraph.scala:109-153) --
 
@@ -77,8 +78,10 @@ class PropertyGraph:
     # -- lookups (ConcurrentDirectedGraph.scala:55-80,104) -----------------
 
     def label_nodes(self, label: str | None) -> DataFrame:
-        """The per-label diagonal matrix: node-id set for a label."""
-        df = self.nodes
+        """The per-label diagonal matrix: node-id set for a label. Uses the
+        slim (id,label) cache when present — label semi-joins never touch
+        the props payload."""
+        df = self._nodes_slim if self._nodes_slim is not None else self.nodes
         if label is not None:
             df = df.filter(F.col("label") == label)
         return df.select("id")
@@ -88,6 +91,8 @@ class PropertyGraph:
         the reference has no property predicates, SURVEY §2.7). Predicates
         evaluate against the props map; numeric values compare as doubles
         (string round-trip through Double.toString is exact)."""
+        if not prop_filters:
+            return self.label_nodes(label)  # slim-cache path
         df = self.nodes
         if label is not None:
             df = df.filter(F.col("label") == label)
@@ -140,6 +145,10 @@ class PropertyGraph:
         return self._stats
 
     def cache(self) -> "PropertyGraph":
-        self.nodes = self.nodes.cache()
+        """Cache the hot projections: (id,label) for planning/semi-joins
+        and the edge topology. The full props payload stays uncached —
+        prop-predicate scans and payload resolution read the source with
+        column pruning/pushdown instead of pinning every map in memory."""
+        self._nodes_slim = self.nodes.select("id", "label").cache()
         self.edges = self.edges.cache()
         return self

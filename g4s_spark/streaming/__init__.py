@@ -1,5 +1,6 @@
 from .events import (
     read_events_stream,
+    stream_edges_into_graph,
     session_counts,
     sessionize,
     sessionize_stream,
@@ -10,4 +11,5 @@ from .events import (
 __all__ = [
     "windowed_counts", "windowed_counts_stream", "sessionize",
     "session_counts", "sessionize_stream", "read_events_stream",
+    "stream_edges_into_graph",
 ]

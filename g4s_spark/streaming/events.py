@@ -147,6 +147,33 @@ def sessionize_stream(
     )
 
 
+def stream_edges_into_graph(
+    events_stream: DataFrame, out_path: str, checkpoint: str
+):
+    """Streaming graph mutation: continuously append event-derived edges
+    (user -[:DID]-> event) to a parquet edge table that PropertyGraph can
+    read — the Structured Streaming analogue of the reference's async
+    matrix writer (BlockingMatrixV2.scala:1-62, an actor draining a
+    mailbox of updates). Returns the StreamingQuery; callers own stop().
+
+    At scale this is the live-ingest path: micro-batches append to the
+    edges table (Delta/parquet), readers see each committed batch."""
+    edges = events_stream.select(
+        F.col("user_id").cast("long").alias("src"),
+        (F.lit(9_000_000_000_000) + F.col("event_id")).cast("long").alias("dst"),
+        F.lit("DID").alias("type"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    return (
+        edges.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
     raw batch read — ts arrives as nanos-long under nanosAsLong and is

@@ -113,6 +113,26 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(r.sum_value != 99.0 for r in rows)
 
 
+def test_stream_edges_into_graph(spark, events, tmp_path):
+    """Streaming graph mutation: drain events into an edge table, then
+    query the grown graph (BlockingMatrixV2 analogue)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+    from g4s_spark.streaming import read_events_stream, stream_edges_into_graph
+
+    out, chk = str(tmp_path / "edges"), str(tmp_path / "chk")
+    q = stream_edges_into_graph(read_events_stream(spark, SF), out, chk)
+    q.awaitTermination(120)
+    q.stop()
+    edges = spark.read.parquet(out)
+    assert edges.count() == events.count()  # one edge per event
+    users = events.select(F.col("user_id").alias("id")).distinct().withColumn("label", F.lit("User"))
+    evs = edges.select(F.col("dst").alias("id")).distinct().withColumn("label", F.lit("Event"))
+    g = PropertyGraph(users.unionByName(evs), edges, spark)
+    got = run_cypher(g, "MATCH (u:User)-[:DID]->(e:Event) RETURN u")
+    assert got.count() == users.count()  # every user did something
+
+
 def test_sessionize_stream_state(spark, events):
     """applyInPandasWithState: with availableNow all data arrives in one
     batch; closed sessions (all but each user's last) are emitted."""
