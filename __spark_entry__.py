@@ -328,7 +328,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cypher_multitype": _cypher("MATCH (x)-[:IN_REGION|FROM_NATION]->(n) RETURN n"),
         "cypher_untyped": _cypher("MATCH (n:Nation)-[]->(r) RETURN r"),
-        # WHERE prop predicates — extension beyond the reference surface
+        # extensions beyond the reference surface: WHERE / ORDER BY /
+        # LIMIT / count() aggregates
+        "cypher_orderby_limit": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
+            "RETURN o ORDER BY o DESC LIMIT 20"
+        ),
+        "cypher_count_groups": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c, count(o) AS n_orders"
+        ),
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
@@ -487,6 +495,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cypher_untyped": f"""
             SELECT DISTINCT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r FROM nation
+        """,
+        "cypher_orderby_limit": f"""
+            SELECT DISTINCT {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal >= 5000
+            ORDER BY o DESC LIMIT 20
+        """,
+        "cypher_count_groups": f"""
+            SELECT c, CAST(count(*) AS BIGINT) AS n_orders FROM (
+                SELECT DISTINCT {_CID} AS c, {_OID} AS o
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) GROUP BY c
         """,
         "cypher_where_numeric": f"""
             SELECT DISTINCT {_OID} AS o

@@ -37,12 +37,16 @@ class PropFilter:
 @dataclass
 class QueryGraph:
     """Bindings + directed typed edges + return set
-    (QueryGraph.scala:15-22), plus WHERE prop filters (extension)."""
+    (QueryGraph.scala:15-22), plus extensions beyond the reference
+    surface: WHERE prop filters, count() aggregates, ORDER BY, LIMIT."""
 
     labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
     edges: list[PatternEdge] = field(default_factory=list)
     returns: list[str] = field(default_factory=list)
     filters: list[PropFilter] = field(default_factory=list)
+    aggregates: list[tuple[str, str]] = field(default_factory=list)  # (binding, alias)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
+    limit: int | None = None
 
 
 _NODE = re.compile(r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*(?P<label>[A-Za-z_][A-Za-z0-9_]*))?\s*\)")
@@ -66,7 +70,10 @@ _COND = re.compile(
 def parse(query: str) -> QueryGraph:
     q = query.strip()
     m = re.match(
-        r"(?is)^\s*MATCH\s+(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+?))?\s+RETURN\s+(?P<returns>.+?)\s*$",
+        r"(?is)^\s*MATCH\s+(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+RETURN\s+(?P<returns>.+?)"
+        r"(?:\s+ORDER\s+BY\s+(?P<orderby>.+?))?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
         q,
     )
     if not m:
@@ -127,13 +134,36 @@ def parse(query: str) -> QueryGraph:
 
     for item in m.group("returns").split(","):
         name = item.strip()
+        cm = re.fullmatch(
+            r"(?i)count\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if cm:
+            arg = cm.group("arg")
+            if arg not in qg.labels:
+                raise CypherParseError(f"count() of unbound variable: {arg!r}")
+            qg.aggregates.append((arg, cm.group("alias") or f"count_{arg}"))
+            continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name not in qg.labels:
             raise CypherParseError(f"return of unbound variable: {name!r}")
         qg.returns.append(name)
-    if not qg.returns:
+    if not qg.returns and not qg.aggregates:
         raise CypherParseError("empty RETURN")
+
+    out_cols = set(qg.returns) | {alias for _, alias in qg.aggregates}
+    if m.group("orderby"):
+        for part in m.group("orderby").split(","):
+            om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
+            if not om:
+                raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
+            if om.group("col") not in out_cols:
+                raise CypherParseError(f"ORDER BY of non-returned column: {om.group('col')!r}")
+            qg.order_by.append((om.group("col"), (om.group("dir") or "").upper() == "DESC"))
+    if m.group("limit"):
+        qg.limit = int(m.group("limit"))
     return qg
 
 

@@ -118,8 +118,10 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     df: DataFrame | None = None
     bound: set[str] = set()
 
+    agg_bindings = [b for b, _ in qg.aggregates]
+
     def live_bindings() -> set[str]:
-        need = set(qg.returns)
+        need = set(qg.returns) | set(agg_bindings)
         for e in remaining:
             need.update((e.src, e.dst))
         return need
@@ -154,7 +156,20 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         bound.add(b)
 
     assert df is not None, "empty pattern"
-    out = df.select(*qg.returns).dropDuplicates(qg.returns)
+    needed = qg.returns + [b for b in agg_bindings if b not in qg.returns]
+    out = df.select(*needed).dropDuplicates(needed)
+    if qg.aggregates:
+        # count() over distinct matches (existence semantics): rows are
+        # already distinct over (returns + counted bindings)
+        aggs = [F.count(F.col(b)).alias(a) for b, a in qg.aggregates]
+        out = out.groupBy(*qg.returns).agg(*aggs) if qg.returns else out.agg(*aggs)
+        steps.append(("aggregate", tuple(a for _, a in qg.aggregates)))
+    if qg.order_by:
+        out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc() for c, d in qg.order_by])
+        steps.append(("order_by", tuple(qg.order_by)))
+    if qg.limit is not None:
+        out = out.limit(qg.limit)
+        steps.append(("limit", qg.limit))
     return PlannedQuery(out, steps, total_cost)
 
 

@@ -51,6 +51,20 @@ def test_where_filters():
     assert (f2.binding, f2.prop, f2.op, f2.value, f2.is_num) == ("o", "orderstatus", "=", "F", False)
 
 
+def test_orderby_limit_count():
+    qg = parse("MATCH (a:A)-[:X]->(b) RETURN a, count(b) AS n ORDER BY n DESC, a LIMIT 5")
+    assert qg.returns == ["a"]
+    assert qg.aggregates == [("b", "n")]
+    assert qg.order_by == [("n", True), ("a", False)]
+    assert qg.limit == 5
+
+
+def test_count_default_alias():
+    qg = parse("MATCH (a:A)-[:X]->(b) RETURN count(b)")
+    assert qg.aggregates == [("b", "count_b")]
+    assert qg.returns == []
+
+
 @pytest.mark.parametrize(
     "bad",
     [

@@ -57,6 +57,19 @@ def test_where_without_props_column_raises(spark):
         run_cypher(g, "MATCH (a:A) WHERE a.x = 1 RETURN a").collect()
 
 
+def test_count_orderby_limit_e2e(props_graph):
+    got = run_cypher(
+        props_graph,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN i, count(p) AS n ORDER BY n DESC, i LIMIT 1",
+    ).collect()
+    assert [(r.i, r.n) for r in got] == [(3, 2)]  # item 3 bought by 2 people
+
+
+def test_global_count(props_graph):
+    got = run_cypher(props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN count(p)").collect()
+    assert got[0].count_p == 3  # distinct buyers... (0,1,2 each bought)
+
+
 def test_missing_prop_filters_out(props_graph):
     # Items have no 'age' -> NULL comparison -> filtered (SQL semantics)
     got = rows(run_cypher(props_graph, "MATCH (i:Item) WHERE i.age > 0 RETURN i"))
