@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_untyped": _cypher("MATCH (n:Nation)-[]->(r) RETURN r"),
         # extensions beyond the reference surface: WHERE / ORDER BY /
         # LIMIT / count() aggregates
+        "cypher_varlength": _cypher(
+            "MATCH (c:Customer)-[:PLACED|HAS_ITEM*1..2]->(x) RETURN c, x"
+        ),
         "cypher_orderby_limit": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
             "RETURN o ORDER BY o DESC LIMIT 20"
@@ -495,6 +498,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cypher_untyped": f"""
             SELECT DISTINCT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r FROM nation
+        """,
+        "cypher_varlength": f"""
+            WITH {EDGES_SQL_CTE.strip()},
+            e AS (SELECT src, dst FROM graph_edges WHERE type IN ('PLACED', 'HAS_ITEM')),
+            cust AS (SELECT {_CID} AS c FROM customer)
+            SELECT DISTINCT c, x FROM (
+                SELECT cust.c, e1.dst AS x
+                FROM cust JOIN e e1 ON e1.src = cust.c
+                UNION ALL
+                SELECT cust.c, e2.dst
+                FROM cust JOIN e e1 ON e1.src = cust.c JOIN e e2 ON e2.src = e1.dst
+            )
         """,
         "cypher_orderby_limit": f"""
             SELECT DISTINCT {_OID} AS o

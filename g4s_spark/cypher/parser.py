@@ -20,6 +20,10 @@ class PatternEdge:
     src: str          # binding name of the edge's source (graph direction)
     dst: str
     types: tuple[str, ...]  # empty = any type
+    # variable-length path bounds (extension): -[:X*1..3]-> gives (1, 3);
+    # plain edges are (1, 1); -[:X*2]-> gives (2, 2)
+    min_hops: int = 1
+    max_hops: int = 1
 
 
 @dataclass(frozen=True)
@@ -52,7 +56,8 @@ class QueryGraph:
 _NODE = re.compile(r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*(?P<label>[A-Za-z_][A-Za-z0-9_]*))?\s*\)")
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::\s*(?P<types>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*\]\s*-(?P<right>>)?"
+    r"(?::\s*(?P<types>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*"
+    r"(?:\*\s*(?P<lo>\d+)?\s*(?P<range>\.\.)?\s*(?P<hi>\d+)?\s*)?\]\s*-(?P<right>>)?"
 )
 
 
@@ -110,10 +115,26 @@ def parse(query: str) -> QueryGraph:
             cur = _bind_node(qg, nm, fresh)
             pos = nm.end()
             types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
+            lo, hi = 1, 1
+            star = em.group(0).find("*") != -1
+            if star:
+                if em.group("lo") is None and em.group("hi") is None:
+                    raise CypherParseError(
+                        "unbounded variable-length path '*' unsupported; give bounds like *1..3"
+                    )
+                lo = int(em.group("lo")) if em.group("lo") else 1
+                if em.group("range"):
+                    if em.group("hi") is None:
+                        raise CypherParseError("open-ended '*n..' unsupported; give an upper bound")
+                    hi = int(em.group("hi"))
+                else:
+                    hi = lo  # *n = exactly n hops
+                if lo < 1 or hi < lo:
+                    raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
             if em.group("right"):  # (prev)-[:T]->(cur)
-                qg.edges.append(PatternEdge(prev, cur, types))
+                qg.edges.append(PatternEdge(prev, cur, types, lo, hi))
             else:  # (prev)<-[:T]-(cur)
-                qg.edges.append(PatternEdge(cur, prev, types))
+                qg.edges.append(PatternEdge(cur, prev, types, lo, hi))
             prev = cur
 
     if m.group("where"):

@@ -91,13 +91,15 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     def edge_est(e: PatternEdge) -> float:
         return expand_card(
-            stats.type_card(list(e.types)) or 1,
+            (stats.type_card(list(e.types)) or 1) * e.max_hops,
             1.0,
             stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
         )
 
     def edge_df(e: PatternEdge) -> DataFrame:
-        base = graph.typed_edges(list(e.types))
+        base = graph.typed_edges(list(e.types)).select("src", "dst")
+        if (e.min_hops, e.max_hops) != (1, 1):
+            base = _var_length_pairs(base, e.min_hops, e.max_hops)
         if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
             df = base.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(e.src))
         else:
@@ -171,6 +173,33 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         out = out.limit(qg.limit)
         steps.append(("limit", qg.limit))
     return PlannedQuery(out, steps, total_cost)
+
+
+MAX_VAR_HOPS = 10
+
+
+def _var_length_pairs(edges: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Distinct (src,dst) pairs connected by a directed walk of length in
+    [lo, hi] — the variable-length path operator `-[:T*lo..hi]->`
+    (extension; bounded iterative expand with per-step distinct, the
+    ANY_PAIR trick again so intermediate size is pair-bounded, never
+    walk-count-bounded)."""
+    if hi > MAX_VAR_HOPS:
+        raise ValueError(f"variable-length upper bound {hi} exceeds cap {MAX_VAR_HOPS}")
+    e = edges.dropDuplicates(["src", "dst"])
+    walks = [e]  # exact-k pair sets, k = 1..hi
+    for _ in range(2, hi + 1):
+        prev = walks[-1].select("src", F.col("dst").alias("mid"))
+        step = (
+            prev.join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        walks.append(step)
+    out = walks[lo - 1]
+    for w in walks[lo:]:
+        out = out.unionByName(w)
+    return out.dropDuplicates(["src", "dst"])
 
 
 def _choose_join_order(edges, edge_est) -> list:

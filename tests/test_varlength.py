@@ -1,0 +1,61 @@
+"""Variable-length path extension: -[:T*lo..hi]-> as bounded iterative
+expand with existence semantics."""
+
+import pytest
+
+from g4s_spark.cypher import CypherParseError, parse
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import run_cypher
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4 (X), plus a cycle 5 <-> 6
+    return PropertyGraph.from_tuples(
+        spark,
+        nodes=[(i, "N") for i in range(5)] + [(5, "N"), (6, "N")],
+        edges=[(0, 1, "X"), (1, 2, "X"), (2, 3, "X"), (3, 4, "X"), (5, 6, "X"), (6, 5, "X")],
+    ).cache()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_parse_bounds():
+    e = parse("MATCH (a)-[:X*2..4]->(b) RETURN b").edges[0]
+    assert (e.min_hops, e.max_hops) == (2, 4)
+    e2 = parse("MATCH (a)-[:X*3]->(b) RETURN b").edges[0]
+    assert (e2.min_hops, e2.max_hops) == (3, 3)
+    e3 = parse("MATCH (a)<-[:X*1..2]-(b) RETURN b").edges[0]
+    assert (e3.src, e3.dst, e3.min_hops, e3.max_hops) == ("b", "a", 1, 2)
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a)-[:X*]->(b) RETURN b")  # unbounded rejected
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a)-[:X*3..]->(b) RETURN b")
+
+
+def test_exact_hops(chain):
+    got = rows(run_cypher(chain, "MATCH (a)-[:X*2]->(b) RETURN a, b"))
+    assert got == {(0, 2), (1, 3), (2, 4), (5, 5), (6, 6)}  # cycle closes on itself
+
+
+def test_range_hops_from_anchor(chain):
+    g = chain
+    got = rows(run_cypher(g, "MATCH (a)-[:X*1..3]->(b) WHERE a.x = 1 RETURN b")) if False else None
+    # anchor via extra pattern edge instead of WHERE (nodes have no props)
+    got = rows(run_cypher(g, "MATCH (s)-[:X]->(a)-[:X*1..2]->(b) RETURN s, b"))
+    # s->a is one X edge; b is 1..2 further X hops
+    assert (0, 2) in got and (0, 3) in got and (0, 4) not in got
+
+
+def test_cycle_terminates_bounded(chain):
+    got = rows(run_cypher(chain, "MATCH (a)-[:X*1..5]->(b) RETURN a, b"))
+    # cycle nodes reach each other and themselves; no infinite loop
+    assert (5, 5) in got and (5, 6) in got and (6, 5) in got
+
+
+def test_min_hops_excludes_shorter(chain):
+    got = rows(run_cypher(chain, "MATCH (a)-[:X*3..4]->(b) RETURN a, b"))
+    assert (0, 1) not in got and (0, 2) not in got
+    assert (0, 3) in got and (0, 4) in got
