@@ -340,6 +340,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_count_groups": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c, count(o) AS n_orders"
         ),
+        "cypher_prop_return": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "RETURN c.name AS cname, n.name AS nname"
+        ),
+        "cypher_prop_agg": _cypher(
+            "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
+            "RETURN o.orderpriority AS prio, sum(l.quantity) AS sum_qty, "
+            "avg(l.quantity) AS avg_qty, min(l.quantity) AS min_qty, "
+            "max(l.quantity) AS max_qty, count(l) AS n_items"
+        ),
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
@@ -510,6 +520,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT cust.c, e2.dst
                 FROM cust JOIN e e1 ON e1.src = cust.c JOIN e e2 ON e2.src = e1.dst
             )
+        """,
+        "cypher_prop_return": """
+            SELECT c_name AS cname, n_name AS nname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "cypher_prop_agg": """
+            SELECT o_orderpriority AS prio, sum(l_quantity) AS sum_qty,
+                   avg(l_quantity) AS avg_qty, min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty, count(*) AS n_items
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "cypher_orderby_limit": f"""
             SELECT DISTINCT {_OID} AS o

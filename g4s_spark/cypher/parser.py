@@ -38,17 +38,32 @@ class PropFilter:
     is_num: bool
 
 
+@dataclass(frozen=True)
+class AggItem:
+    """RETURN aggregate (extension): count(b), or sum/avg/min/max(b.prop)
+    evaluated as a double over the distinct matches."""
+
+    func: str  # count | sum | avg | min | max
+    binding: str
+    prop: str | None  # None for count
+    alias: str
+
+
 @dataclass
 class QueryGraph:
     """Bindings + directed typed edges + return set
     (QueryGraph.scala:15-22), plus extensions beyond the reference
-    surface: WHERE prop filters, count() aggregates, ORDER BY, LIMIT."""
+    surface: WHERE prop filters, property returns, aggregates
+    (count/sum/avg/min/max), ORDER BY, LIMIT."""
 
     labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
     edges: list[PatternEdge] = field(default_factory=list)
     returns: list[str] = field(default_factory=list)
+    # property access in RETURN: (binding, prop, alias); values are strings
+    # (the props map is map<string,string>)
+    prop_returns: list[tuple[str, str, str]] = field(default_factory=list)
     filters: list[PropFilter] = field(default_factory=list)
-    aggregates: list[tuple[str, str]] = field(default_factory=list)  # (binding, alias)
+    aggregates: list[AggItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     limit: int | None = None
 
@@ -156,25 +171,49 @@ def parse(query: str) -> QueryGraph:
     for item in m.group("returns").split(","):
         name = item.strip()
         cm = re.fullmatch(
-            r"(?i)count\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?i)(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
         )
         if cm:
-            arg = cm.group("arg")
+            fn, arg, prop = cm.group("fn").lower(), cm.group("arg"), cm.group("p")
             if arg not in qg.labels:
-                raise CypherParseError(f"count() of unbound variable: {arg!r}")
-            qg.aggregates.append((arg, cm.group("alias") or f"count_{arg}"))
+                raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
+            if fn == "count":
+                if prop is not None:
+                    raise CypherParseError("count(b.prop) unsupported; use count(b)")
+                alias = cm.group("alias") or f"count_{arg}"
+            else:
+                if prop is None:
+                    raise CypherParseError(f"{fn}() needs a property: {fn}({arg}.<prop>)")
+                alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
+            qg.aggregates.append(AggItem(fn, arg, prop, alias))
+            continue
+        pm = re.fullmatch(
+            r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if pm:
+            b = pm.group("b")
+            if b not in qg.labels:
+                raise CypherParseError(f"return of unbound variable: {b!r}")
+            qg.prop_returns.append((b, pm.group("p"), pm.group("alias") or f"{b}_{pm.group('p')}"))
             continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name not in qg.labels:
             raise CypherParseError(f"return of unbound variable: {name!r}")
         qg.returns.append(name)
-    if not qg.returns and not qg.aggregates:
+    if not qg.returns and not qg.prop_returns and not qg.aggregates:
         raise CypherParseError("empty RETURN")
 
-    out_cols = set(qg.returns) | {alias for _, alias in qg.aggregates}
+    out_cols = (
+        set(qg.returns)
+        | {alias for _, _, alias in qg.prop_returns}
+        | {a.alias for a in qg.aggregates}
+    )
     if m.group("orderby"):
         for part in m.group("orderby").split(","):
             om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)

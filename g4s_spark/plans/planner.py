@@ -120,10 +120,11 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     df: DataFrame | None = None
     bound: set[str] = set()
 
-    agg_bindings = [b for b, _ in qg.aggregates]
+    prop_bindings = [b for b, _, _ in qg.prop_returns]
+    agg_bindings = [a.binding for a in qg.aggregates]
 
     def live_bindings() -> set[str]:
-        need = set(qg.returns) | set(agg_bindings)
+        need = set(qg.returns) | set(prop_bindings) | set(agg_bindings)
         for e in remaining:
             need.update((e.src, e.dst))
         return need
@@ -158,14 +159,48 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         bound.add(b)
 
     assert df is not None, "empty pattern"
-    needed = qg.returns + [b for b in agg_bindings if b not in qg.returns]
+    needed = list(dict.fromkeys(qg.returns + prop_bindings + agg_bindings))
     out = df.select(*needed).dropDuplicates(needed)
+
+    # Property resolution (extension): one join back to the nodes payload
+    # per binding with property accesses — the Readme.md:66-70 "resolve to
+    # payload rows" step, done lazily on the already-distinct match set so
+    # the props map is only fetched for surviving ids.
+    prop_cols: dict[str, list[tuple[str, str]]] = {}  # binding -> [(prop, outcol)]
+    for b, p, a in qg.prop_returns:
+        prop_cols.setdefault(b, []).append((p, a))
+    for ag in qg.aggregates:
+        if ag.prop is not None:
+            prop_cols.setdefault(ag.binding, []).append((ag.prop, f"_agg_{ag.alias}"))
+    for b, cols in prop_cols.items():
+        n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))
+        out = out.join(n, on=b, how="left")
+        for p, a in cols:
+            out = out.withColumn(a, F.col(f"_props_{b}").getItem(p))
+        out = out.drop(f"_props_{b}")
+        steps.append(("resolve_props", b, tuple(p for p, _ in cols)))
+
+    group_cols = qg.returns + [a for _, _, a in qg.prop_returns]
     if qg.aggregates:
-        # count() over distinct matches (existence semantics): rows are
-        # already distinct over (returns + counted bindings)
-        aggs = [F.count(F.col(b)).alias(a) for b, a in qg.aggregates]
-        out = out.groupBy(*qg.returns).agg(*aggs) if qg.returns else out.agg(*aggs)
-        steps.append(("aggregate", tuple(a for _, a in qg.aggregates)))
+        # aggregates over distinct matches (existence semantics): rows are
+        # already distinct over (returned + aggregated bindings); numeric
+        # aggs evaluate the string prop as a double
+        _FN = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        aggs = []
+        for ag in qg.aggregates:
+            if ag.func == "count":
+                aggs.append(F.count(F.col(ag.binding)).alias(ag.alias))
+            else:
+                aggs.append(
+                    _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias)
+                )
+        out = out.groupBy(*group_cols).agg(*aggs) if group_cols else out.agg(*aggs)
+        steps.append(("aggregate", tuple(ag.alias for ag in qg.aggregates)))
+    elif qg.prop_returns:
+        # distinct matches projected to properties; duplicates from shared
+        # property values are kept (the match set, not the value set, is
+        # what's distinct)
+        out = out.select(*group_cols)
     if qg.order_by:
         out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc() for c, d in qg.order_by])
         steps.append(("order_by", tuple(qg.order_by)))

@@ -54,14 +54,16 @@ def test_where_filters():
 def test_orderby_limit_count():
     qg = parse("MATCH (a:A)-[:X]->(b) RETURN a, count(b) AS n ORDER BY n DESC, a LIMIT 5")
     assert qg.returns == ["a"]
-    assert qg.aggregates == [("b", "n")]
+    a, = qg.aggregates
+    assert (a.func, a.binding, a.prop, a.alias) == ("count", "b", None, "n")
     assert qg.order_by == [("n", True), ("a", False)]
     assert qg.limit == 5
 
 
 def test_count_default_alias():
     qg = parse("MATCH (a:A)-[:X]->(b) RETURN count(b)")
-    assert qg.aggregates == [("b", "count_b")]
+    a, = qg.aggregates
+    assert (a.func, a.binding, a.prop, a.alias) == ("count", "b", None, "count_b")
     assert qg.returns == []
 
 

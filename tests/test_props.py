@@ -1,0 +1,89 @@
+"""Property access in RETURN and sum/avg/min/max aggregates (extensions
+beyond the reference surface — g4s is schemaless past labels, SURVEY §2.7;
+result resolution to payloads follows Readme.md:66-70 semantics)."""
+
+import pytest
+
+from g4s_spark.cypher import CypherParseError, parse
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import run_cypher
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def shop(spark):
+    nodes = spark.createDataFrame(
+        [
+            (1, "Person", {"name": "ann", "age": "30"}),
+            (2, "Person", {"name": "bob", "age": "40"}),
+            (3, "Item", {"name": "hat", "price": "5.0"}),
+            (4, "Item", {"name": "cap", "price": "7.0"}),
+            (5, "Item", {"name": "hat", "price": "9.0"}),  # duplicate name
+        ],
+        schema="id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3, "BOUGHT"), (1, 4, "BOUGHT"), (2, 4, "BOUGHT"), (2, 5, "BOUGHT")],
+        schema="src long, dst long, type string",
+    )
+    return PropertyGraph(nodes, edges).cache()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_parse_prop_return():
+    qg = parse("MATCH (a:A)-[:X]->(b) RETURN a, b.name AS bn, b.price")
+    assert qg.returns == ["a"]
+    assert qg.prop_returns == [("b", "name", "bn"), ("b", "price", "b_price")]
+
+
+def test_parse_numeric_aggregates():
+    qg = parse("MATCH (a)-[:X]->(b) RETURN a, sum(b.price) AS total, avg(b.price)")
+    s, v = qg.aggregates
+    assert (s.func, s.binding, s.prop, s.alias) == ("sum", "b", "price", "total")
+    assert (v.func, v.binding, v.prop, v.alias) == ("avg", "b", "price", "avg_b_price")
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a)-[:X]->(b) RETURN sum(b)")  # sum needs a property
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a)-[:X]->(b) RETURN count(b.price)")  # count takes a binding
+
+
+def test_prop_return_values(shop):
+    got = rows(run_cypher(shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN p.name, i.name"))
+    assert got == {("ann", "hat"), ("ann", "cap"), ("bob", "cap"), ("bob", "hat")}
+
+
+def test_prop_return_keeps_match_multiplicity(shop):
+    # distinct is over match ids, not property values: items 3 and 5 are
+    # both named "hat", so "hat" appears twice
+    df = run_cypher(shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN i.name")
+    vals = sorted(r[0] for r in df.collect())
+    assert vals == ["cap", "hat", "hat"]
+
+
+def test_sum_avg_min_max(shop):
+    got = rows(
+        run_cypher(
+            shop,
+            "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+            "RETURN p.name AS who, sum(i.price) AS total, min(i.price) AS lo, "
+            "max(i.price) AS hi, count(i) AS n",
+        )
+    )
+    assert got == {("ann", 12.0, 5.0, 7.0, 2), ("bob", 16.0, 7.0, 9.0, 2)}
+
+
+def test_global_aggregate(shop):
+    [(total,)] = run_cypher(shop, "MATCH (p:Person)-[:BOUGHT]->(i) RETURN sum(i.price)").collect()
+    assert total == 5.0 + 7.0 + 9.0  # distinct items, not per-buyer
+
+
+def test_orderby_prop_alias(shop):
+    df = run_cypher(
+        shop,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN i.name AS n, count(p) AS buyers "
+        "ORDER BY buyers DESC, n LIMIT 2",
+    )
+    assert [tuple(r) for r in df.collect()] == [("cap", 2), ("hat", 2)]
