@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "avg(l.quantity) AS avg_qty, min(l.quantity) AS min_qty, "
             "max(l.quantity) AS max_qty, count(l) AS n_items"
         ),
+        "cypher_optional": _cypher(
+            "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) RETURN c, o"
+        ),
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
@@ -531,6 +534,10 @@ def oracle_sql() -> dict[str, str]:
                    max(l_quantity) AS max_qty, count(*) AS n_items
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "cypher_optional": f"""
+            SELECT DISTINCT {_CID} AS c, CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS o
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         """,
         "cypher_orderby_limit": f"""
             SELECT DISTINCT {_OID} AS o

@@ -58,6 +58,12 @@ class QueryGraph:
 
     labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
     edges: list[PatternEdge] = field(default_factory=list)
+    # OPTIONAL MATCH groups (extension): each group is left-joined to the
+    # required match on its shared bindings; unmatched rows keep NULLs
+    optionals: list[list[PatternEdge]] = field(default_factory=list)
+    # bindings introduced by the required MATCH clause (empty = all labels,
+    # for QueryGraphs built by hand in tests)
+    match_bindings: set[str] = field(default_factory=set)
     returns: list[str] = field(default_factory=list)
     # property access in RETURN: (binding, prop, alias); values are strings
     # (the props map is map<string,string>)
@@ -90,7 +96,7 @@ _COND = re.compile(
 def parse(query: str) -> QueryGraph:
     q = query.strip()
     m = re.match(
-        r"(?is)^\s*MATCH\s+(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"(?is)^\s*MATCH\s+(?P<body>.+?)"
         r"\s+RETURN\s+(?P<returns>.+?)"
         r"(?:\s+ORDER\s+BY\s+(?P<orderby>.+?))?"
         r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
@@ -106,67 +112,40 @@ def parse(query: str) -> QueryGraph:
         anon += 1
         return f"_anon{anon}"
 
-    for pattern in _split_patterns(m.group("patterns")):
-        pos = 0
-        pattern = pattern.strip()
-        nm = _NODE.match(pattern, pos)
-        if not nm:
-            raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
-        prev = _bind_node(qg, nm, fresh)
-        pos = nm.end()
-        while pos < len(pattern):
-            em = _EDGE.match(pattern, pos)
-            if not em:
-                raise CypherParseError(f"expected edge at: {pattern[pos:]!r}")
-            if bool(em.group("left")) == bool(em.group("right")):
-                raise CypherParseError(
-                    "undirected/bidirected edges unsupported (reference is directed-only, "
-                    "QueryGraph.scala:76-83)"
-                )
-            pos = em.end()
-            nm = _NODE.match(pattern, pos)
-            if not nm:
-                raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
-            cur = _bind_node(qg, nm, fresh)
-            pos = nm.end()
-            types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
-            lo, hi = 1, 1
-            star = em.group(0).find("*") != -1
-            if star:
-                if em.group("lo") is None and em.group("hi") is None:
-                    raise CypherParseError(
-                        "unbounded variable-length path '*' unsupported; give bounds like *1..3"
-                    )
-                lo = int(em.group("lo")) if em.group("lo") else 1
-                if em.group("range"):
-                    if em.group("hi") is None:
-                        raise CypherParseError("open-ended '*n..' unsupported; give an upper bound")
-                    hi = int(em.group("hi"))
+    # clause list: required MATCH first, then zero or more OPTIONAL MATCH;
+    # each clause is `patterns [WHERE conds]` and WHERE scoping follows
+    # clause order (a clause's WHERE may only reference bindings bound so
+    # far, like openCypher)
+    clauses = re.split(r"(?i)\s+OPTIONAL\s+MATCH\s+", m.group("body"))
+    for ci, clause in enumerate(clauses):
+        cm_ = re.match(r"(?is)^(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+))?$", clause.strip())
+        if not cm_:
+            raise CypherParseError(f"empty MATCH clause in: {query!r}")
+        target = qg.edges
+        if ci > 0:
+            target = []
+            qg.optionals.append(target)
+        for pattern in _split_patterns(cm_.group("patterns")):
+            _parse_pattern(pattern, qg, target, fresh)
+        if ci == 0:
+            qg.match_bindings = set(qg.labels)
+        elif not target:
+            raise CypherParseError("OPTIONAL MATCH needs at least one pattern edge")
+        if cm_.group("where"):
+            for cond in re.split(r"(?i)\s+AND\s+", cm_.group("where")):
+                wm = _COND.match(cond)
+                if not wm:
+                    raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
+                if wm.group("b") not in qg.labels:
+                    raise CypherParseError(f"WHERE references unbound variable: {wm.group('b')!r}")
+                raw = wm.group("val")
+                if raw[0] in "'\"":
+                    value, is_num = raw[1:-1], False
                 else:
-                    hi = lo  # *n = exactly n hops
-                if lo < 1 or hi < lo:
-                    raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
-            if em.group("right"):  # (prev)-[:T]->(cur)
-                qg.edges.append(PatternEdge(prev, cur, types, lo, hi))
-            else:  # (prev)<-[:T]-(cur)
-                qg.edges.append(PatternEdge(cur, prev, types, lo, hi))
-            prev = cur
-
-    if m.group("where"):
-        for cond in re.split(r"(?i)\s+AND\s+", m.group("where")):
-            cm = _COND.match(cond)
-            if not cm:
-                raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
-            if cm.group("b") not in qg.labels:
-                raise CypherParseError(f"WHERE references unbound variable: {cm.group('b')!r}")
-            raw = cm.group("val")
-            if raw[0] in "'\"":
-                value, is_num = raw[1:-1], False
-            else:
-                value, is_num = float(raw), True
-            qg.filters.append(
-                PropFilter(cm.group("b"), cm.group("p"), cm.group("op"), value, is_num)
-            )
+                    value, is_num = float(raw), True
+                qg.filters.append(
+                    PropFilter(wm.group("b"), wm.group("p"), wm.group("op"), value, is_num)
+                )
 
     for item in m.group("returns").split(","):
         name = item.strip()
@@ -225,6 +204,55 @@ def parse(query: str) -> QueryGraph:
     if m.group("limit"):
         qg.limit = int(m.group("limit"))
     return qg
+
+
+def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fresh) -> None:
+    """Parse one node-edge-node chain, appending edges to `target`
+    (qg.edges for MATCH, a group list for OPTIONAL MATCH)."""
+    pos = 0
+    pattern = pattern.strip()
+    nm = _NODE.match(pattern, pos)
+    if not nm:
+        raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
+    prev = _bind_node(qg, nm, fresh)
+    pos = nm.end()
+    while pos < len(pattern):
+        em = _EDGE.match(pattern, pos)
+        if not em:
+            raise CypherParseError(f"expected edge at: {pattern[pos:]!r}")
+        if bool(em.group("left")) == bool(em.group("right")):
+            raise CypherParseError(
+                "undirected/bidirected edges unsupported (reference is directed-only, "
+                "QueryGraph.scala:76-83)"
+            )
+        pos = em.end()
+        nm = _NODE.match(pattern, pos)
+        if not nm:
+            raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
+        cur = _bind_node(qg, nm, fresh)
+        pos = nm.end()
+        types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
+        lo, hi = 1, 1
+        star = em.group(0).find("*") != -1
+        if star:
+            if em.group("lo") is None and em.group("hi") is None:
+                raise CypherParseError(
+                    "unbounded variable-length path '*' unsupported; give bounds like *1..3"
+                )
+            lo = int(em.group("lo")) if em.group("lo") else 1
+            if em.group("range"):
+                if em.group("hi") is None:
+                    raise CypherParseError("open-ended '*n..' unsupported; give an upper bound")
+                hi = int(em.group("hi"))
+            else:
+                hi = lo  # *n = exactly n hops
+            if lo < 1 or hi < lo:
+                raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
+        if em.group("right"):  # (prev)-[:T]->(cur)
+            target.append(PatternEdge(prev, cur, types, lo, hi))
+        else:  # (prev)<-[:T]-(cur)
+            target.append(PatternEdge(cur, prev, types, lo, hi))
+        prev = cur
 
 
 def _split_patterns(s: str) -> list[str]:

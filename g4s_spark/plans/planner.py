@@ -113,7 +113,8 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     # at the end (cartesian across disconnected components is Cypher
     # semantics; the reference only emits connected patterns)
     edge_bindings = {b for e in qg.edges for b in (e.src, e.dst)}
-    isolated = [b for b in qg.labels if b not in edge_bindings]
+    required = qg.match_bindings or set(qg.labels)
+    isolated = [b for b in qg.labels if b in required and b not in edge_bindings]
 
     order = _choose_join_order(qg.edges, edge_est)
 
@@ -123,8 +124,12 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     prop_bindings = [b for b, _, _ in qg.prop_returns]
     agg_bindings = [a.binding for a in qg.aggregates]
 
+    opt_bindings = {b for g in qg.optionals for e in g for b in (e.src, e.dst)}
+
     def live_bindings() -> set[str]:
-        need = set(qg.returns) | set(prop_bindings) | set(agg_bindings)
+        # optional groups left-join on their shared bindings later, so those
+        # must survive the main chain's projections
+        need = set(qg.returns) | set(prop_bindings) | set(agg_bindings) | opt_bindings
         for e in remaining:
             need.update((e.src, e.dst))
         return need
@@ -159,6 +164,43 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         bound.add(b)
 
     assert df is not None, "empty pattern"
+
+    # OPTIONAL MATCH (extension): each group becomes its own distinct
+    # match set, left-joined to the required matches on the shared
+    # bindings — the relational reading of openCypher's optional
+    # pattern (unmatched rows keep NULL for the group's new bindings).
+    # The group is deduplicated to (shared + returned) bindings BEFORE
+    # the left join, so optional multiplicity never multiplies the
+    # required match set beyond real distinct matches.
+    for gi, group in enumerate(qg.optionals):
+        gb = {b for e in group for b in (e.src, e.dst)}
+        shared = sorted(gb & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL MATCH pattern must share at least one binding with MATCH"
+            )
+        later = {b for g2 in qg.optionals[gi + 1:] for e in g2 for b in (e.src, e.dst)}
+        keep = sorted(
+            (gb & (set(qg.returns) | set(prop_bindings) | set(agg_bindings) | later))
+            | set(shared)
+        )
+        odf: DataFrame | None = None
+        obound: set[str] = set()
+        for e in _choose_join_order(group, edge_est):
+            est = edge_est(e)
+            total_cost += step_cost(est)
+            ndf = edge_df(e)
+            if odf is None:
+                odf = ndf
+            else:
+                oshared = [c for c in ndf.columns if c in obound]
+                odf = odf.join(ndf, on=oshared, how="inner") if oshared else odf.crossJoin(ndf)
+            obound |= set(ndf.columns)
+        odf = odf.select(*keep).dropDuplicates(keep)
+        df = df.join(odf, on=shared, how="left")
+        bound |= set(keep)
+        steps.append(("optional", tuple(shared), tuple(keep)))
+
     needed = list(dict.fromkeys(qg.returns + prop_bindings + agg_bindings))
     out = df.select(*needed).dropDuplicates(needed)
 

@@ -1,0 +1,77 @@
+"""OPTIONAL MATCH extension: left-outer pattern groups with NULL for
+unmatched bindings."""
+
+import pytest
+
+from g4s_spark.cypher import CypherParseError, parse
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import run_cypher
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    # A customers 1,2,3; only 1,2 placed orders; order 20 has an item
+    return PropertyGraph.from_tuples(
+        spark,
+        nodes=[(1, "C"), (2, "C"), (3, "C"), (10, "O"), (20, "O"), (30, "L")],
+        edges=[(1, 10, "PLACED"), (2, 20, "PLACED"), (20, 30, "HAS_ITEM")],
+    ).cache()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_parse_optional():
+    qg = parse("MATCH (c:C) OPTIONAL MATCH (c)-[:PLACED]->(o:O) RETURN c, o")
+    assert len(qg.edges) == 0 and len(qg.optionals) == 1
+    e = qg.optionals[0][0]
+    assert (e.src, e.dst, e.types) == ("c", "o", ("PLACED",))
+    assert qg.match_bindings == {"c"}
+
+
+def test_parse_optional_needs_edge():
+    with pytest.raises(CypherParseError):
+        parse("MATCH (c:C) OPTIONAL MATCH (o:O) RETURN c, o")
+
+
+def test_optional_basic(g):
+    got = rows(run_cypher(g, "MATCH (c:C) OPTIONAL MATCH (c)-[:PLACED]->(o:O) RETURN c, o"))
+    assert got == {(1, 10), (2, 20), (3, None)}
+
+
+def test_optional_after_required_edge(g):
+    got = rows(
+        run_cypher(
+            g,
+            "MATCH (c:C)-[:PLACED]->(o:O) OPTIONAL MATCH (o)-[:HAS_ITEM]->(l:L) "
+            "RETURN c, o, l",
+        )
+    )
+    assert got == {(1, 10, None), (2, 20, 30)}
+
+
+def test_optional_count_skips_nulls(g):
+    got = rows(
+        run_cypher(
+            g,
+            "MATCH (c:C) OPTIONAL MATCH (c)-[:PLACED]->(o:O) RETURN c, count(o) AS n",
+        )
+    )
+    assert got == {(1, 1), (2, 1), (3, 0)}
+
+
+def test_chained_optionals(g):
+    got = rows(
+        run_cypher(
+            g,
+            "MATCH (c:C) OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+            "OPTIONAL MATCH (o)-[:HAS_ITEM]->(l:L) RETURN c, l",
+        )
+    )
+    assert got == {(1, None), (2, 30), (3, None)}
+
+
+def test_optional_requires_shared_binding(g):
+    with pytest.raises(ValueError):
+        run_cypher(g, "MATCH (c:C) OPTIONAL MATCH (x:O)-[:HAS_ITEM]->(l:L) RETURN c, l").collect()
