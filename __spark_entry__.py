@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_optional": _cypher(
             "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) RETURN c, o"
         ),
+        "cypher_closure": _cypher("MATCH (c:Customer)-[*]->(x) RETURN c, x"),
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
@@ -538,6 +539,16 @@ def oracle_sql() -> dict[str, str]:
         "cypher_optional": f"""
             SELECT DISTINCT {_CID} AS c, CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS o
             FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+        "cypher_closure": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            reach(src, dst) AS (
+                SELECT src, dst FROM graph_edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN graph_edges e ON e.src = r.dst
+            )
+            SELECT DISTINCT r.src AS c, r.dst AS x
+            FROM reach r JOIN customer ON r.src = {_CID}
         """,
         "cypher_orderby_limit": f"""
             SELECT DISTINCT {_OID} AS o

@@ -21,9 +21,11 @@ class PatternEdge:
     dst: str
     types: tuple[str, ...]  # empty = any type
     # variable-length path bounds (extension): -[:X*1..3]-> gives (1, 3);
-    # plain edges are (1, 1); -[:X*2]-> gives (2, 2)
+    # plain edges are (1, 1); -[:X*2]-> gives (2, 2); unbounded forms
+    # (*, *n.., *..m with open lower end) use max_hops=None = closure
+    # to fixpoint
     min_hops: int = 1
-    max_hops: int = 1
+    max_hops: int | None = 1
 
 
 @dataclass(frozen=True)
@@ -235,18 +237,15 @@ def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fres
         lo, hi = 1, 1
         star = em.group(0).find("*") != -1
         if star:
-            if em.group("lo") is None and em.group("hi") is None:
-                raise CypherParseError(
-                    "unbounded variable-length path '*' unsupported; give bounds like *1..3"
-                )
             lo = int(em.group("lo")) if em.group("lo") else 1
             if em.group("range"):
-                if em.group("hi") is None:
-                    raise CypherParseError("open-ended '*n..' unsupported; give an upper bound")
-                hi = int(em.group("hi"))
-            else:
+                # *lo..hi; open upper end (*n..) = unbounded closure
+                hi = int(em.group("hi")) if em.group("hi") else None
+            elif em.group("lo") is not None:
                 hi = lo  # *n = exactly n hops
-            if lo < 1 or hi < lo:
+            else:
+                hi = None  # bare * = 1..unbounded
+            if lo < 1 or (hi is not None and hi < lo):
                 raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
         if em.group("right"):  # (prev)-[:T]->(cur)
             target.append(PatternEdge(prev, cur, types, lo, hi))

@@ -90,8 +90,10 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         )
 
     def edge_est(e: PatternEdge) -> float:
+        # unbounded closures have no hop count; assume a deep-ish graph
+        hops = e.max_hops if e.max_hops is not None else 8
         return expand_card(
-            (stats.type_card(list(e.types)) or 1) * e.max_hops,
+            (stats.type_card(list(e.types)) or 1) * hops,
             1.0,
             stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
         )
@@ -253,30 +255,71 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
 
 MAX_VAR_HOPS = 10
+MAX_CLOSURE_ITERS = 64
 
 
-def _var_length_pairs(edges: DataFrame, lo: int, hi: int) -> DataFrame:
+def _var_length_pairs(edges: DataFrame, lo: int, hi: int | None) -> DataFrame:
     """Distinct (src,dst) pairs connected by a directed walk of length in
     [lo, hi] — the variable-length path operator `-[:T*lo..hi]->`
     (extension; bounded iterative expand with per-step distinct, the
     ANY_PAIR trick again so intermediate size is pair-bounded, never
-    walk-count-bounded)."""
-    if hi > MAX_VAR_HOPS:
-        raise ValueError(f"variable-length upper bound {hi} exceeds cap {MAX_VAR_HOPS}")
+    walk-count-bounded).
+
+    hi=None (bare `*` / `*n..`) runs a delta-iteration transitive
+    closure: only newly discovered pairs are re-expanded each round
+    (semi-naive evaluation), lineage truncated per iteration with
+    localCheckpoint (reliable checkpoint dir at cluster scale). The loop
+    terminates after at most graph-diameter rounds; MAX_CLOSURE_ITERS is
+    a hard error, not a silent cap."""
     e = edges.dropDuplicates(["src", "dst"])
-    walks = [e]  # exact-k pair sets, k = 1..hi
-    for _ in range(2, hi + 1):
-        prev = walks[-1].select("src", F.col("dst").alias("mid"))
-        step = (
-            prev.join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
+    if hi is not None:
+        if hi > MAX_VAR_HOPS:
+            raise ValueError(f"variable-length upper bound {hi} exceeds cap {MAX_VAR_HOPS}")
+        walks = [e]  # exact-k pair sets, k = 1..hi
+        for _ in range(2, hi + 1):
+            prev = walks[-1].select("src", F.col("dst").alias("mid"))
+            step = (
+                prev.join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
+                .select("src", "dst")
+                .dropDuplicates(["src", "dst"])
+            )
+            walks.append(step)
+        out = walks[lo - 1]
+        for w in walks[lo:]:
+            out = out.unionByName(w)
+        return out.dropDuplicates(["src", "dst"])
+
+    e = e.cache()
+    # frontier = exact-lo-hop pairs (walk semantics, same as bounded path)
+    frontier = e
+    for _ in range(lo - 1):
+        frontier = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
             .select("src", "dst")
             .dropDuplicates(["src", "dst"])
         )
-        walks.append(step)
-    out = walks[lo - 1]
-    for w in walks[lo:]:
-        out = out.unionByName(w)
-    return out.dropDuplicates(["src", "dst"])
+    pairs = frontier.localCheckpoint(eager=True)
+    frontier = pairs
+    e_next = e.select(F.col("src").alias("mid"), "dst")
+    for _ in range(MAX_CLOSURE_ITERS):
+        new = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(e_next, on="mid")
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+            .join(pairs, on=["src", "dst"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"transitive closure did not converge within {MAX_CLOSURE_ITERS} iterations"
+        )
+    return pairs
 
 
 def _choose_join_order(edges, edge_est) -> list:

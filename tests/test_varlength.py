@@ -29,10 +29,14 @@ def test_parse_bounds():
     assert (e2.min_hops, e2.max_hops) == (3, 3)
     e3 = parse("MATCH (a)<-[:X*1..2]-(b) RETURN b").edges[0]
     assert (e3.src, e3.dst, e3.min_hops, e3.max_hops) == ("b", "a", 1, 2)
+    e4 = parse("MATCH (a)-[:X*]->(b) RETURN b").edges[0]
+    assert (e4.min_hops, e4.max_hops) == (1, None)  # unbounded closure
+    e5 = parse("MATCH (a)-[:X*3..]->(b) RETURN b").edges[0]
+    assert (e5.min_hops, e5.max_hops) == (3, None)
+    e6 = parse("MATCH (a)-[:X*..4]->(b) RETURN b").edges[0]
+    assert (e6.min_hops, e6.max_hops) == (1, 4)
     with pytest.raises(CypherParseError):
-        parse("MATCH (a)-[:X*]->(b) RETURN b")  # unbounded rejected
-    with pytest.raises(CypherParseError):
-        parse("MATCH (a)-[:X*3..]->(b) RETURN b")
+        parse("MATCH (a)-[:X*0]->(b) RETURN b")  # zero-length rejected
 
 
 def test_exact_hops(chain):
@@ -59,3 +63,21 @@ def test_min_hops_excludes_shorter(chain):
     got = rows(run_cypher(chain, "MATCH (a)-[:X*3..4]->(b) RETURN a, b"))
     assert (0, 1) not in got and (0, 2) not in got
     assert (0, 3) in got and (0, 4) in got
+
+
+def test_unbounded_closure(chain):
+    got = rows(run_cypher(chain, "MATCH (a)-[:X*]->(b) RETURN a, b"))
+    # full reachability on the 0->1->2->3->4 chain
+    chain_pairs = {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    # the 5<->6 cycle reaches both nodes incl. itself
+    cycle_pairs = {(5, 5), (5, 6), (6, 5), (6, 6)}
+    assert got == chain_pairs | cycle_pairs
+
+
+def test_unbounded_min_hops(chain):
+    got = rows(run_cypher(chain, "MATCH (a)-[:X*3..]->(b) RETURN a, b"))
+    # chain pairs at distance >= 3 only; cycle nodes still reach all
+    # (walks can loop to reach length >= 3)
+    assert {(0, 3), (0, 4), (1, 4)} <= got
+    assert (0, 1) not in got and (0, 2) not in got and (2, 4) not in got
+    assert {(5, 5), (5, 6), (6, 5), (6, 6)} <= got
