@@ -46,7 +46,10 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     referencing tokens(text) inside the per-element lambda re-runs the
     regex for every shingle (no CSE across lambda scopes) — at 5k docs
     that recompute alone was ~60x the whole job."""
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    # spread docs across the cluster BEFORE the shingle fan-out: the
+    # explode + per-shingle hashing is the expensive part and a
+    # single-file input would otherwise run it on one task
+    toked = df.repartition(F.col(id_col)).select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
     if n == 1:
         grams = F.col("t")
     else:
@@ -129,8 +132,13 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    bucketed = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # cache before the self-join: both join sides share the whole
+    # load->shingle->12xmd5-agg lineage, which would otherwise execute
+    # twice; the bucket table is k/bands rows per doc (tiny vs corpus)
+    bucketed = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .cache()
     )
     l = bucketed.select(F.col(id_col).alias("a"), "band", "key")
     r = bucketed.select(F.col(id_col).alias("b"), "band", "key")
