@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) RETURN c, o"
         ),
         "cypher_closure": _cypher("MATCH (c:Customer)-[*]->(x) RETURN c, x"),
+        "cypher_count_star": _cypher(
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "RETURN DISTINCT r, count(*) AS n_nations"
+        ),
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
@@ -549,6 +553,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT r.src AS c, r.dst AS x
             FROM reach r JOIN customer ON r.src = {_CID}
+        """,
+        "cypher_count_star": f"""
+            SELECT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r,
+                   count(DISTINCT n_nationkey) AS n_nations
+            FROM nation GROUP BY n_regionkey
         """,
         "cypher_orderby_limit": f"""
             SELECT DISTINCT {_OID} AS o

@@ -149,8 +149,17 @@ def parse(query: str) -> QueryGraph:
                     PropFilter(wm.group("b"), wm.group("p"), wm.group("op"), value, is_num)
                 )
 
-    for item in m.group("returns").split(","):
+    # RETURN DISTINCT is accepted and is a no-op: match results are
+    # already distinct endpoint combinations (ANY_PAIR existence
+    # semantics, Readme.md:66-70 returns a Set)
+    returns_src = re.sub(r"(?is)^\s*DISTINCT\s+", "", m.group("returns"))
+    for item in returns_src.split(","):
         name = item.strip()
+        sm = re.fullmatch(r"(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?", name)
+        if sm:
+            # count(*) counts the distinct matches themselves
+            qg.aggregates.append(AggItem("count", "*", None, sm.group("alias") or "count_star"))
+            continue
         cm = re.fullmatch(
             r"(?i)(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"

@@ -124,14 +124,18 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     bound: set[str] = set()
 
     prop_bindings = [b for b, _, _ in qg.prop_returns]
-    agg_bindings = [a.binding for a in qg.aggregates]
+    agg_bindings = [a.binding for a in qg.aggregates if a.binding != "*"]
 
     opt_bindings = {b for g in qg.optionals for e in g for b in (e.src, e.dst)}
+    # count(*) counts distinct full-pattern matches — no binding is ever dead
+    star = any(a.binding == "*" for a in qg.aggregates)
 
     def live_bindings() -> set[str]:
         # optional groups left-join on their shared bindings later, so those
         # must survive the main chain's projections
         need = set(qg.returns) | set(prop_bindings) | set(agg_bindings) | opt_bindings
+        if star:
+            need |= set(qg.labels)
         for e in remaining:
             need.update((e.src, e.dst))
         return need
@@ -203,7 +207,10 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         bound |= set(keep)
         steps.append(("optional", tuple(shared), tuple(keep)))
 
-    needed = list(dict.fromkeys(qg.returns + prop_bindings + agg_bindings))
+    # with count(*), every bound binding joins the distinct set, not just
+    # the grouped/aggregated ones
+    star_extra = [b for b in sorted(bound) if b in df.columns] if star else []
+    needed = list(dict.fromkeys(qg.returns + prop_bindings + agg_bindings + star_extra))
     out = df.select(*needed).dropDuplicates(needed)
 
     # Property resolution (extension): one join back to the nodes payload
@@ -233,7 +240,8 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         aggs = []
         for ag in qg.aggregates:
             if ag.func == "count":
-                aggs.append(F.count(F.col(ag.binding)).alias(ag.alias))
+                cnt = F.count(F.lit(1)) if ag.binding == "*" else F.count(F.col(ag.binding))
+                aggs.append(cnt.alias(ag.alias))
             else:
                 aggs.append(
                     _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias)

@@ -81,3 +81,16 @@ def test_count_default_alias():
 def test_rejects_out_of_subset(bad):
     with pytest.raises(CypherParseError):
         parse(bad)
+
+
+def test_return_distinct_noop():
+    qg = parse("MATCH (a:A)-[:X]->(b) RETURN DISTINCT a, b")
+    assert qg.returns == ["a", "b"]
+
+
+def test_count_star():
+    qg = parse("MATCH (a:A)-[:X]->(b) RETURN a, count(*) AS n")
+    ag, = qg.aggregates
+    assert (ag.func, ag.binding, ag.prop, ag.alias) == ("count", "*", None, "n")
+    qg2 = parse("MATCH (a:A)-[:X]->(b) RETURN count(*)")
+    assert qg2.aggregates[0].alias == "count_star"

@@ -75,3 +75,20 @@ def test_chained_optionals(g):
 def test_optional_requires_shared_binding(g):
     with pytest.raises(ValueError):
         run_cypher(g, "MATCH (c:C) OPTIONAL MATCH (x:O)-[:HAS_ITEM]->(l:L) RETURN c, l").collect()
+
+
+def test_count_star_matches(g):
+    got = rows(
+        run_cypher(g, "MATCH (c:C)-[:PLACED]->(o:O) RETURN count(*) AS n")
+    )
+    assert got == {(2,)}
+
+
+def test_count_star_grouped(g):
+    got = rows(
+        run_cypher(
+            g,
+            "MATCH (c:C)-[:PLACED]->(o:O)-[:HAS_ITEM]->(l:L) RETURN c, count(*) AS n",
+        )
+    )
+    assert got == {(2, 1)}
