@@ -20,42 +20,62 @@ from pyspark.sql import functions as F
 
 from ..graph.store import PropertyGraph
 
+# frontier/visited sets below this row count are broadcast into the expand
+# join; beyond it the join shuffles on src. The visited set grows
+# monotonically toward the whole reachable set, so an unconditional
+# broadcast is an executor-memory bomb at cluster scale — the size check
+# is driver-side arithmetic over counts we already have (the checkpointed
+# delta sets), so being size-aware costs nothing.
+BROADCAST_SET_MAX_ROWS = 1_000_000
+
+
+def _bc(df: DataFrame, n_rows: int, broadcast: bool | None):
+    """broadcast=None -> size-aware (default); True/False -> forced."""
+    if broadcast is None:
+        broadcast = n_rows <= BROADCAST_SET_MAX_ROWS
+    return F.broadcast(df) if broadcast else df
+
 
 def bfs(
     graph: PropertyGraph,
     start_ids: list[int],
     max_hops: int | None = None,
     edge_types: list[str] | None = None,
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """Multi-source BFS: returns (id long, dist long) with the minimum hop
     count from any start node. LOR_LAND frontier push: frontier ⋈ edges →
     distinct new ids not yet visited.
 
     The edge set is cached once (every iteration re-joins it); the
-    frontier/visited sets are broadcast while small — for whole-graph
-    frontiers at cluster scale pass broadcast_frontier=False and the join
-    shuffles on src."""
+    frontier/visited sets are broadcast only while under
+    BROADCAST_SET_MAX_ROWS (size-aware default; pass True/False to force),
+    so the monotonically-growing visited set never gets broadcast
+    unboundedly."""
     spark = graph.spark
     edges = graph.typed_edges(edge_types).select("src", "dst").cache()
     visited = spark.createDataFrame([(int(s), 0) for s in start_ids], "id long, dist long")
     frontier = visited.select("id")
-    bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    n_frontier = n_visited = len(start_ids)
     dist = 0
     try:
         while max_hops is None or dist < max_hops:
             dist += 1
             nxt = (
-                bc(frontier).join(edges, frontier.id == edges.src)
+                _bc(frontier, n_frontier, broadcast_frontier)
+                .join(edges, frontier.id == edges.src)
                 .select(F.col("dst").alias("id"))
                 .dropDuplicates(["id"])
-                .join(bc(visited.select("id")), on="id", how="left_anti")
+                .join(_bc(visited.select("id"), n_visited, broadcast_frontier), on="id", how="left_anti")
                 .localCheckpoint(eager=True)
             )
-            if nxt.limit(1).count() == 0:
+            n_new = nxt.count()  # nxt is checkpointed: count is a cheap re-scan
+            if n_new == 0:
                 break
             visited = visited.unionByName(nxt.withColumn("dist", F.lit(dist))).localCheckpoint(eager=True)
             frontier = nxt
+            n_frontier = n_new
+            n_visited += n_new
     finally:
         edges.unpersist()
     return visited
@@ -67,12 +87,13 @@ def sssp(
     max_iters: int = 50,
     edge_types: list[str] | None = None,
     weight_col: str = "weight",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """Single/multi-source shortest path over the MIN_PLUS semiring:
     d ← min(d, d ⊕min.+ A) iterated to fixpoint (Bellman-Ford layered
-    relaxation). Returns (id long, dist). Same caching/broadcast strategy
-    as bfs()."""
+    relaxation). Returns (id long, dist). Same caching/size-aware
+    broadcast strategy as bfs(). Raises if max_iters is hit before the
+    fixpoint (never a silently-truncated answer)."""
     edges = graph.typed_edges(edge_types).select(
         "src", "dst", F.col(weight_col).alias("w")
     ).cache()
@@ -83,11 +104,12 @@ def sssp(
     zero = 0.0 if wtype in ("double", "float") else 0
     dist = spark.createDataFrame([(int(s), zero) for s in start_ids], f"id long, dist {wtype}")
     frontier = dist  # nodes whose distance improved last round
-    bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    n_frontier = n_dist = len(start_ids)
     try:
         for _ in range(max_iters):
             candidates = (
-                bc(frontier).join(edges, frontier.id == edges.src)
+                _bc(frontier, n_frontier, broadcast_frontier)
+                .join(edges, frontier.id == edges.src)
                 .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
                 .groupBy("id")
                 .agg(F.min("dist").alias("dist"))
@@ -95,12 +117,13 @@ def sssp(
             # keep only strict improvements over current distances
             improved = (
                 candidates.alias("c")
-                .join(bc(dist).alias("d"), on="id", how="left")
+                .join(_bc(dist, n_dist, broadcast_frontier).alias("d"), on="id", how="left")
                 .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
                 .select("id", F.col("c.dist").alias("dist"))
                 .localCheckpoint(eager=True)
             )
-            if improved.limit(1).count() == 0:
+            n_improved = improved.count()
+            if n_improved == 0:
                 break
             dist = (
                 dist.join(improved.select("id"), on="id", how="left_anti")
@@ -108,6 +131,13 @@ def sssp(
                 .localCheckpoint(eager=True)
             )
             frontier = improved
+            n_frontier = n_improved
+            n_dist = dist.count()
+        else:
+            raise RuntimeError(
+                f"sssp did not converge within {max_iters} iterations; "
+                "raise max_iters (matches MAX_CLOSURE_ITERS hard-error behavior)"
+            )
     finally:
         edges.unpersist()
     return dist
@@ -163,7 +193,9 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
     """Undirected connected components by iterative min-id label
     propagation (HashMin / Pregel style): each node adopts the smallest
     component id among itself and its neighbors until fixpoint. Returns
-    (id long, component long)."""
+    (id long, component long). Raises if max_iters is hit before the
+    fixpoint — a silently-unconverged labeling is wrong, not approximate
+    (e.g. min-id propagation on a path graph longer than max_iters)."""
     sym = (
         graph.edges.select("src", "dst")
         .unionByName(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -171,29 +203,36 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
         .cache()
     )
     comp = graph.nodes.select("id", F.col("id").alias("component"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            comp.join(sym, comp.id == sym.src)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_comp = (
-            comp.join(neighbor_min, on="id", how="left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
-    sym.unpersist()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                comp.join(sym, comp.id == sym.src)
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("nmin"))
+            )
+            new_comp = (
+                comp.join(neighbor_min, on="id", how="left")
+                .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), on="id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iters} "
+                "iterations; raise max_iters"
+            )
+    finally:
+        sym.unpersist()
     return comp
 
 

@@ -98,15 +98,43 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
         )
 
+    def is_constrained(binding: str) -> bool:
+        return qg.labels.get(binding) is not None or binding in filters_by_binding
+
     def edge_df(e: PatternEdge) -> DataFrame:
         base = graph.typed_edges(list(e.types)).select("src", "dst")
+        seeded: str | None = None
         if (e.min_hops, e.max_hops) != (1, 1):
-            base = _var_length_pairs(base, e.min_hops, e.max_hops)
+            # Push the endpoint restriction INTO the iterative expansion:
+            # closing over the whole graph and filtering afterwards is the
+            # classic scale-killer (full-graph transitive closure at 100 TB).
+            # Seed the frontier with the constrained source node set — or,
+            # when only the destination is constrained, run the closure over
+            # the transposed edges seeded from the destination set (transpose
+            # is a column swap, store.py:117-132).
+            if is_constrained(e.src):
+                seeded = e.src
+                base = _var_length_pairs(
+                    base, e.min_hops, e.max_hops, sources=node_set(e.src)
+                )
+            elif is_constrained(e.dst):
+                seeded = e.dst
+                t = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                closed = _var_length_pairs(
+                    t, e.min_hops, e.max_hops, sources=node_set(e.dst)
+                )
+                base = closed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            else:
+                base = _var_length_pairs(base, e.min_hops, e.max_hops)
+            if seeded is not None:
+                steps.append(("closure_seed", seeded))
         if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
             df = base.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(e.src))
         else:
             df = base.select(F.col("src").alias(e.src), F.col("dst").alias(e.dst))
         for b in {e.src, e.dst}:
+            if b == seeded:
+                continue  # restriction already applied inside the expansion
             df = constrain(df, b)
         return df
 
@@ -266,12 +294,19 @@ MAX_VAR_HOPS = 10
 MAX_CLOSURE_ITERS = 64
 
 
-def _var_length_pairs(edges: DataFrame, lo: int, hi: int | None) -> DataFrame:
+def _var_length_pairs(
+    edges: DataFrame, lo: int, hi: int | None, sources: DataFrame | None = None
+) -> DataFrame:
     """Distinct (src,dst) pairs connected by a directed walk of length in
     [lo, hi] — the variable-length path operator `-[:T*lo..hi]->`
     (extension; bounded iterative expand with per-step distinct, the
     ANY_PAIR trick again so intermediate size is pair-bounded, never
     walk-count-bounded).
+
+    ``sources`` (optional, one ``id`` column) restricts the walk origins:
+    the FIRST hop is semi-joined to the source set, so every later
+    intermediate is bounded by |reachable-from-sources|, not |graph| —
+    the pushed-down form of `(a:Label)-[*]->(x)`.
 
     hi=None (bare `*` / `*n..`) runs a delta-iteration transitive
     closure: only newly discovered pairs are re-expanded each round
@@ -280,10 +315,15 @@ def _var_length_pairs(edges: DataFrame, lo: int, hi: int | None) -> DataFrame:
     terminates after at most graph-diameter rounds; MAX_CLOSURE_ITERS is
     a hard error, not a silent cap."""
     e = edges.dropDuplicates(["src", "dst"])
+    seed = e
+    if sources is not None:
+        seed = e.join(
+            sources.withColumnRenamed("id", "src"), on="src", how="left_semi"
+        )
     if hi is not None:
         if hi > MAX_VAR_HOPS:
             raise ValueError(f"variable-length upper bound {hi} exceeds cap {MAX_VAR_HOPS}")
-        walks = [e]  # exact-k pair sets, k = 1..hi
+        walks = [seed]  # exact-k pair sets, k = 1..hi
         for _ in range(2, hi + 1):
             prev = walks[-1].select("src", F.col("dst").alias("mid"))
             step = (
@@ -298,35 +338,41 @@ def _var_length_pairs(edges: DataFrame, lo: int, hi: int | None) -> DataFrame:
         return out.dropDuplicates(["src", "dst"])
 
     e = e.cache()
-    # frontier = exact-lo-hop pairs (walk semantics, same as bounded path)
-    frontier = e
-    for _ in range(lo - 1):
-        frontier = (
-            frontier.select("src", F.col("dst").alias("mid"))
-            .join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
-            .select("src", "dst")
-            .dropDuplicates(["src", "dst"])
-        )
-    pairs = frontier.localCheckpoint(eager=True)
-    frontier = pairs
-    e_next = e.select(F.col("src").alias("mid"), "dst")
-    for _ in range(MAX_CLOSURE_ITERS):
-        new = (
-            frontier.select("src", F.col("dst").alias("mid"))
-            .join(e_next, on="mid")
-            .select("src", "dst")
-            .dropDuplicates(["src", "dst"])
-            .join(pairs, on=["src", "dst"], how="left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if new.limit(1).count() == 0:
-            break
-        pairs = pairs.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
-    else:
-        raise RuntimeError(
-            f"transitive closure did not converge within {MAX_CLOSURE_ITERS} iterations"
-        )
+    try:
+        # frontier = exact-lo-hop pairs (walk semantics, same as bounded path)
+        frontier = seed
+        for _ in range(lo - 1):
+            frontier = (
+                frontier.select("src", F.col("dst").alias("mid"))
+                .join(e.select(F.col("src").alias("mid"), "dst"), on="mid")
+                .select("src", "dst")
+                .dropDuplicates(["src", "dst"])
+            )
+        pairs = frontier.localCheckpoint(eager=True)
+        frontier = pairs
+        e_next = e.select(F.col("src").alias("mid"), "dst")
+        for _ in range(MAX_CLOSURE_ITERS):
+            new = (
+                frontier.select("src", F.col("dst").alias("mid"))
+                .join(e_next, on="mid")
+                .select("src", "dst")
+                .dropDuplicates(["src", "dst"])
+                .join(pairs, on=["src", "dst"], how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.limit(1).count() == 0:
+                break
+            pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"transitive closure did not converge within {MAX_CLOSURE_ITERS} iterations"
+            )
+    finally:
+        # every retained round is localCheckpoint'd (lineage truncated), so
+        # the edge cache is not needed after the loop — release it instead
+        # of leaking cached blocks across the session's other queries
+        e.unpersist()
     return pairs
 
 

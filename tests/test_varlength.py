@@ -81,3 +81,49 @@ def test_unbounded_min_hops(chain):
     assert {(0, 3), (0, 4), (1, 4)} <= got
     assert (0, 1) not in got and (0, 2) not in got and (2, 4) not in got
     assert {(5, 5), (5, 6), (6, 5), (6, 6)} <= got
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # A-labeled sources 0,1; B-labeled sinks 3,4; plain chain through 2
+    return PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "A"), (2, "N"), (3, "B"), (4, "B"), (9, "N")],
+        edges=[(0, 2, "X"), (1, 2, "X"), (2, 3, "X"), (3, 4, "X"), (9, 0, "X")],
+    ).cache()
+
+
+def test_closure_seeded_from_source_label(labeled):
+    """The source-label restriction must be pushed INTO the closure: the
+    plan seeds the frontier with the A node set (steps record closure_seed)
+    instead of closing over the whole graph then filtering (VERDICT r1 #1)."""
+    from g4s_spark.plans import plan_match
+
+    planned = plan_match(labeled, parse("MATCH (a:A)-[:X*]->(x) RETURN a, x"))
+    assert ("closure_seed", "a") in planned.steps, planned.steps
+    # no redundant post-closure semi-join on the seeded binding
+    assert not any(s[0] == "semi" and s[1] == "a" for s in planned.steps)
+    got = rows(planned.df)
+    assert got == {(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4)}
+
+
+def test_closure_seeded_from_dst_label_via_transpose(labeled):
+    """Only the destination constrained: the closure runs over the
+    transposed edges seeded from the B set (transpose is a column swap)."""
+    from g4s_spark.plans import plan_match
+
+    planned = plan_match(labeled, parse("MATCH (a)-[:X*]->(x:B) RETURN a, x"))
+    assert ("closure_seed", "x") in planned.steps, planned.steps
+    got = rows(planned.df)
+    assert got == {
+        (0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (9, 3), (9, 4),
+    }
+
+
+def test_bounded_varlength_seeded(labeled):
+    from g4s_spark.plans import plan_match
+
+    planned = plan_match(labeled, parse("MATCH (a:A)-[:X*1..2]->(x) RETURN a, x"))
+    assert ("closure_seed", "a") in planned.steps, planned.steps
+    got = rows(planned.df)
+    assert got == {(0, 2), (0, 3), (1, 2), (1, 3)}
