@@ -207,6 +207,38 @@ def _q_extract_submatrix(spark, sf_dir):
     return sub.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
 
 
+def _q_extract_strided(spark, sf_dir):
+    from g4s_spark.grblas import extract
+
+    _, a, _ = _li_matrices(spark, sf_dir)
+    # GxB_STRIDE: every 3rd orderkey in [100, 499], re-based to 0,1,2,...
+    sub = extract(a, (100, 499, 3), None)
+    return sub.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
+
+
+def _q_vxm_masked(spark, sf_dir):
+    from g4s_spark.grblas import PLUS_TIMES, Matrix, Vector, vxm
+
+    _, a, _ = _li_matrices(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    # x = indicator vector over early orders; y = x ⊕.⊗ A sums quantities
+    # per part across those orders; mask keeps only large parts — the
+    # reference's mask parameter on the vector kernels (MatrixOps.scala)
+    x = Vector(
+        orders.filter(F.col("o_orderdate") < "1997-06-01")
+        .select(F.col("o_orderkey").cast("long").alias("i"), F.lit(1).cast("long").alias("v")),
+        -1,
+    )
+    mask = Vector(
+        part.filter(F.col("p_size") >= 25)
+        .select(F.col("p_partkey").cast("long").alias("i"), F.lit(True).alias("v")),
+        -1,
+    )
+    y = vxm(x, a, PLUS_TIMES, mask=mask)
+    return y.df.select("i", pround(F.col("v"), 2).alias("v"))
+
+
 def _q_rel_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -300,8 +332,10 @@ def _q_ivf_cells(spark, sf_dir):
 
 
 def _q_multimodal_meta(spark, sf_dir):
+    # metadata-only consumers stay on built-in column ops (no Python in
+    # the plan); extract_features (mapInPandas) is only for real decodes
     media = MM.to_media(load_table(spark, sf_dir, "documents"))
-    return MM.extract_features(media).select("doc_id", "n_bytes", "digest")
+    return MM.media_metadata(media)
 
 
 def _q_events_window(spark, sf_dir):
@@ -369,7 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
         "graph_pagerank": _q_graph_pagerank,
-        "graph_components": _q_graph_components,  # rows-only (no SQL oracle)
+        "graph_components": _q_graph_components,
         "graph_triangles": _q_graph_triangles,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
@@ -380,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_rows_plus": _q_reduce_rows,
         "reduce_cols_max": _q_reduce_cols_transpose,
         "extract_submatrix": _q_extract_submatrix,
+        "extract_strided": _q_extract_strided,
+        "vxm_masked": _q_vxm_masked,
         # relational analytics
         "rel_q1_pricing": _q_rel_q1,
         "rel_top_orders": _q_rel_top_orders,
@@ -464,6 +500,44 @@ def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
         pr0 AS (SELECT gn.id, 1.0 / c.n AS pr FROM graph_nodes gn CROSS JOIN cnt c),
         {",".join(its)}
         SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
+
+
+def _components_oracle(iters: int = 10) -> str:
+    """Unrolled HashMin min-id propagation matching
+    operators.connected_components exactly: comp_0 = id;
+    comp_{t+1}(v) = min(comp_t(v), min over undirected neighbors u of
+    comp_t(u)). The Spark loop iterates to fixpoint; the HashMin fixpoint
+    is unique (per-component min id), so any unroll depth ≥ the graph's
+    convergence depth produces identical output."""
+    prev = "c0"
+    its = []
+    # MATERIALIZED: each level references the previous twice; left to the
+    # inliner that doubles per level (2^iters scans of the base tables →
+    # fd exhaustion). Materializing evaluates each level exactly once.
+    for t in range(1, iters + 1):
+        its.append(f"""
+            c{t} AS MATERIALIZED (
+                SELECT n.id,
+                       least(n.comp, COALESCE(m.nmin, n.comp)) AS comp
+                FROM {prev} n
+                LEFT JOIN (
+                    SELECT s.dst AS id, min(c.comp) AS nmin
+                    FROM {prev} c JOIN sym s ON s.src = c.id
+                    GROUP BY s.dst
+                ) m ON m.id = n.id
+            )""")
+        prev = f"c{t}"
+    return f"""
+        WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM graph_edges
+            UNION
+            SELECT dst, src FROM graph_edges
+        ),
+        c0 AS MATERIALIZED (SELECT id, id AS comp FROM graph_nodes),
+        {",".join(its)}
+        SELECT id, comp AS component FROM {prev}
     """
 
 
@@ -604,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "graph_components": _components_oracle(),
         "graph_triangles": """
             WITH pairs AS (
                 SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -674,6 +749,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i - 100 AS BIGINT) AS i, CAST(k AS BIGINT) AS j,
                    floor(v * 100 + 0.5) / 100 AS v
             FROM a WHERE i BETWEEN 100 AND 499
+        """,
+        "extract_strided": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT CAST((i - 100) / 3 AS BIGINT) AS i, CAST(k AS BIGINT) AS j,
+                   floor(v * 100 + 0.5) / 100 AS v
+            FROM a WHERE i BETWEEN 100 AND 499 AND (i - 100) % 3 = 0
+        """,
+        "vxm_masked": """
+            WITH x AS (SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS xv
+                       FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+                 a AS (SELECT l_orderkey AS k, l_partkey AS j, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2),
+                 y AS (SELECT a.j AS i, sum(x.xv * a.v) AS v
+                       FROM a JOIN x USING (k) GROUP BY a.j)
+            SELECT y.i, floor(y.v * 100 + 0.5) / 100 AS v
+            FROM y SEMI JOIN (SELECT p_partkey FROM part WHERE p_size >= 25) m
+              ON y.i = m.p_partkey
         """,
         "rel_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

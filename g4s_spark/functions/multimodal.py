@@ -57,6 +57,19 @@ def to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
+def media_metadata(media_df: DataFrame) -> DataFrame:
+    """Metadata columns over the binary payload — pure built-in column
+    expressions (whole-stage codegen, zero Python): size + content digest.
+    The Python decode path (``extract_features``) is reserved for the one
+    thing built-ins can't do — running an actual codec — so metadata-only
+    consumers never pay the Arrow round-trip."""
+    return media_df.select(
+        "doc_id",
+        F.octet_length(F.col("media")).cast("long").alias("n_bytes"),
+        F.md5(F.col("media")).alias("digest"),
+    )
+
+
 def decode_stub(data: bytes, n_features: int = 8) -> list[float]:
     """Deterministic fake decoder: md5-derived feature vector. Replace with
     a real image/audio decode (PIL/librosa) where available."""

@@ -1,3 +1,4 @@
+from .bfs import bfs_levels
 from .matrix import (
     Matrix,
     Vector,
@@ -6,6 +7,7 @@ from .matrix import (
     ewise_intersect,
     ewise_union,
     extract,
+    is_all,
     is_eq,
     mxm,
     mxv,
@@ -32,7 +34,8 @@ from .semiring import (
 __all__ = [
     "Matrix", "Vector", "mxm", "mxv", "vxm", "ewise_union", "ewise_intersect",
     "reduce_rows", "reduce_cols", "reduce_all", "diag", "extract", "assign",
-    "is_eq", "vector_ewise_union", "vector_ewise_intersect", "vector_reduce",
+    "is_eq", "is_all", "bfs_levels",
+    "vector_ewise_union", "vector_ewise_intersect", "vector_reduce",
     "ANY_PAIR", "LOR_LAND", "MIN_PLUS", "PLUS_TIMES", "SEMIRINGS",
     "BINARY_OPS", "MONOIDS", "Monoid", "Semiring",
 ]

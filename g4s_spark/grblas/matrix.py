@@ -81,6 +81,29 @@ class Matrix:
         self.df = self.df.cache()
         return self
 
+    # -- point element ops (GrBMatrix.scala:32-45,127-128) -----------------
+
+    def get_element(self, i: int, j: int):
+        """Point read; None when (i, j) is structurally empty."""
+        rows = self.df.filter((F.col("i") == i) & (F.col("j") == j)).limit(1).collect()
+        return rows[0].v if rows else None
+
+    def set_element(self, i: int, j: int, v) -> "Matrix":
+        """A[i, j] = v: anti the old cell out, union one new row in.
+        (Bulk loads should go through from_tuples/from_df — point set is
+        the reference's interactive surface, not the ingest path.)"""
+        vtype = dict(self.df.dtypes)["v"]
+        one = self.df.sparkSession.createDataFrame(
+            [(int(i), int(j), v)], f"i long, j long, v {vtype}"
+        )
+        keep = self.df.filter(~((F.col("i") == i) & (F.col("j") == j)))
+        return Matrix(keep.unionByName(one), self.nrows, self.ncols)
+
+    def remove_element(self, i: int, j: int) -> "Matrix":
+        return Matrix(
+            self.df.filter(~((F.col("i") == i) & (F.col("j") == j))), self.nrows, self.ncols
+        )
+
 
 @dataclass
 class Vector:
@@ -100,59 +123,182 @@ class Vector:
     def nvals(self) -> int:
         return self.df.count()
 
-    def extract(self, sel: tuple[int, int] | list[int]) -> "Vector":
+    def extract(self, sel) -> "Vector":
         """Subvector w = v(I) with re-based indices
-        (SparseVectorHandler.scala:7-33 extract surface)."""
-        if isinstance(sel, tuple):
-            lo, hi = sel
-            return Vector(
-                self.df.filter(F.col("i").between(lo, hi)).withColumn("i", F.col("i") - F.lit(lo)),
-                hi - lo + 1,
-            )
-        mapping = {int(old): pos for pos, old in enumerate(sel)}
-        mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-        return Vector(
-            self.df.filter(F.col("i").isin(list(mapping))).withColumn("i", mexpr[F.col("i")]),
-            len(sel),
-        )
+        (SparseVectorHandler.scala:7-33 extract surface). ``sel`` takes
+        every GrBRange form — see ``_apply_selection``."""
+        df, size = _apply_selection(self.df, "i", sel, self.size)
+        return Vector(df.select("i", "v"), size)
 
-    def assign(self, sub: "Vector", sel: tuple[int, int]) -> "Vector":
-        """v(I) = sub: anti out the range, union the re-based values."""
-        lo, hi = sel
-        outside = self.df.filter(~F.col("i").between(lo, hi))
-        shifted = sub.df.select((F.col("i") + F.lit(lo)).alias("i"), "v")
-        return Vector(outside.unionByName(shifted), self.size)
+    def assign(self, sub: "Vector", sel) -> "Vector":
+        """v(I) = sub: anti out the selected region, union the re-mapped
+        values. ``sel`` takes ranges, strides and index lists."""
+        outside = self.df.filter(~_sel_member_pred("i", sel, self.size))
+        shifted = _sel_map_positions(sub.df, "i", sel)
+        return Vector(outside.unionByName(shifted.select("i", "v")), self.size)
+
+    def get_element(self, i: int):
+        """Point read (GrBMatrix.scala point-op analogue on vectors);
+        None when the position is structurally empty."""
+        rows = self.df.filter(F.col("i") == i).limit(1).collect()
+        return rows[0].v if rows else None
+
+    def set_element(self, i: int, v) -> "Vector":
+        """v[i] = value (SparseVectorHandler set surface): anti the old
+        cell out, union one new row in."""
+        vtype = dict(self.df.dtypes)["v"]
+        one = self.df.sparkSession.createDataFrame([(int(i), v)], f"i long, v {vtype}")
+        return Vector(self.df.filter(F.col("i") != i).unionByName(one), self.size)
+
+    def remove_element(self, i: int) -> "Vector":
+        return Vector(self.df.filter(F.col("i") != i), self.size)
 
 
-def vector_ewise_union(a: Vector, b: Vector, op_name: str) -> Vector:
+def vector_ewise_union(
+    a: Vector,
+    b: Vector,
+    op_name: str,
+    mask: Vector | None = None,
+    mask_complement: bool = False,
+    accum_into: Vector | None = None,
+    accum_op: BinOp | None = None,
+) -> Vector:
     op = BINARY_OPS[op_name]
     ad = a.df.withColumnRenamed("v", "va")
     bd = b.df.withColumnRenamed("v", "vb")
     joined = ad.join(bd, on="i", how="full_outer")
-    return Vector(
-        joined.select(
-            "i",
-            F.when(F.col("va").isNull(), F.col("vb"))
-            .when(F.col("vb").isNull(), F.col("va"))
-            .otherwise(op(F.col("va"), F.col("vb")))
-            .alias("v"),
-        ),
-        a.size,
+    out = joined.select(
+        "i",
+        F.when(F.col("va").isNull(), F.col("vb"))
+        .when(F.col("vb").isNull(), F.col("va"))
+        .otherwise(op(F.col("va"), F.col("vb")))
+        .alias("v"),
     )
+    out = _apply_mask_vec(out, mask, mask_complement)
+    if accum_into is not None:
+        out = _accum_vec(accum_into.df, out, accum_op or op)
+    return Vector(out, a.size)
 
 
-def vector_ewise_intersect(a: Vector, b: Vector, op_name: str) -> Vector:
+def vector_ewise_intersect(
+    a: Vector,
+    b: Vector,
+    op_name: str,
+    mask: Vector | None = None,
+    mask_complement: bool = False,
+    accum_into: Vector | None = None,
+    accum_op: BinOp | None = None,
+) -> Vector:
     op = BINARY_OPS[op_name]
     ad = a.df.withColumnRenamed("v", "va")
     bd = b.df.withColumnRenamed("v", "vb")
-    return Vector(
-        ad.join(bd, on="i").select("i", op(F.col("va"), F.col("vb")).alias("v")), a.size
-    )
+    out = ad.join(bd, on="i").select("i", op(F.col("va"), F.col("vb")).alias("v"))
+    out = _apply_mask_vec(out, mask, mask_complement)
+    if accum_into is not None:
+        out = _accum_vec(accum_into.df, out, accum_op or op)
+    return Vector(out, a.size)
 
 
 def vector_reduce(a: Vector, monoid_name: str = "plus"):
     m = MONOIDS[monoid_name]
     return a.df.agg(m.agg(F.col("v")).alias("v")).collect()[0].v
+
+
+# --------------------------------------------------------------------------
+# index selections (GrBRange.scala:20-48)
+# --------------------------------------------------------------------------
+#
+# A selection picks + re-bases positions along one axis:
+#   None            GrB_ALL
+#   (lo, hi)        inclusive range                       [GxB range]
+#   (lo, hi, step)  strided range; step < 0 walks lo down to hi
+#                   (GxB_STRIDE / GxB_BACKWARDS)
+#   [i0, i1, ...]   explicit index list
+#
+# Index lists are applied as a literal map below INDEX_MAP_JOIN_THRESHOLD
+# entries and as a join against a small mapping DataFrame above it — a
+# driver-built create_map over millions of literals would bottleneck plan
+# construction, while the join shape scales.
+
+INDEX_MAP_JOIN_THRESHOLD = 1_000
+
+
+def _stride_of(sel: tuple) -> tuple[int, int, int]:
+    if len(sel) == 2:
+        lo, hi = sel
+        step = 1
+    else:
+        lo, hi, step = sel
+    if step == 0:
+        raise ValueError("selection stride must be nonzero")
+    if (step > 0 and hi < lo) or (step < 0 and hi > lo):
+        raise ValueError(f"empty selection range {sel}")
+    return lo, hi, step
+
+
+def _apply_selection(df: DataFrame, col: str, sel, full_dim: int) -> tuple[DataFrame, int]:
+    """Filter + re-base one coordinate axis by a selection; returns
+    (filtered df, new dimension)."""
+    if sel is None:
+        return df, full_dim
+    if isinstance(sel, tuple):
+        lo, hi, step = _stride_of(sel)
+        if step > 0:
+            pred = F.col(col).between(lo, hi) & (((F.col(col) - F.lit(lo)) % step) == 0)
+            rebase = ((F.col(col) - F.lit(lo)) / F.lit(step)).cast("long")
+            dim = (hi - lo) // step + 1
+        else:
+            pred = F.col(col).between(hi, lo) & (((F.lit(lo) - F.col(col)) % (-step)) == 0)
+            rebase = ((F.lit(lo) - F.col(col)) / F.lit(-step)).cast("long")
+            dim = (lo - hi) // (-step) + 1
+        return df.filter(pred).withColumn(col, rebase), dim
+    mapping = [(int(old), pos) for pos, old in enumerate(sel)]
+    if len(mapping) <= INDEX_MAP_JOIN_THRESHOLD:
+        mexpr = F.create_map(*[F.lit(x) for old, pos in mapping for x in (old, pos)])
+        df = df.filter(F.col(col).isin([old for old, _ in mapping])).withColumn(
+            col, mexpr[F.col(col)].cast("long")
+        )
+    else:
+        mdf = df.sparkSession.createDataFrame(mapping, "_sel_old long, _sel_new long")
+        df = (
+            df.join(mdf, df[col] == mdf["_sel_old"], "inner")
+            .drop(col, "_sel_old")
+            .withColumnRenamed("_sel_new", col)
+        )
+    return df, len(mapping)
+
+
+def _sel_member_pred(col: str, sel, full_dim: int):
+    """Membership predicate for the TARGET positions of a selection (the
+    region an assign overwrites, MatrixSelection.scala:11-45)."""
+    if sel is None:
+        return F.col(col).between(0, full_dim - 1)
+    if isinstance(sel, tuple):
+        lo, hi, step = _stride_of(sel)
+        if step > 0:
+            return F.col(col).between(lo, hi) & (((F.col(col) - F.lit(lo)) % step) == 0)
+        return F.col(col).between(hi, lo) & (((F.lit(lo) - F.col(col)) % (-step)) == 0)
+    return F.col(col).isin([int(x) for x in sel])
+
+
+def _sel_map_positions(df: DataFrame, col: str, sel) -> DataFrame:
+    """Map a sub-object's re-based positions (0..k-1) back to the target
+    coordinates of a selection — the inverse of _apply_selection."""
+    if sel is None:
+        return df
+    if isinstance(sel, tuple):
+        lo, _, step = (*_stride_of(sel),)
+        return df.withColumn(col, (F.lit(lo) + F.col(col) * F.lit(step)).cast("long"))
+    mapping = [(pos, int(old)) for pos, old in enumerate(sel)]
+    if len(mapping) <= INDEX_MAP_JOIN_THRESHOLD:
+        mexpr = F.create_map(*[F.lit(x) for pos, old in mapping for x in (pos, old)])
+        return df.withColumn(col, mexpr[F.col(col)].cast("long"))
+    mdf = df.sparkSession.createDataFrame(mapping, "_sel_pos long, _sel_old long")
+    return (
+        df.join(mdf, df[col] == mdf["_sel_pos"], "inner")
+        .drop(col, "_sel_pos")
+        .withColumnRenamed("_sel_old", col)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -223,8 +369,41 @@ def mxm(
     return Matrix(out, a.nrows, b.ncols)
 
 
-def mxv(a: Matrix, x: Vector, semiring: Semiring) -> Vector:
-    """y = A ⊕.⊗ x — matrix-vector product (vector as n×1 matrix)."""
+def _apply_mask_vec(df: DataFrame, mask: "Vector | None", complement: bool) -> DataFrame:
+    if mask is None:
+        return df
+    how = "left_anti" if complement else "left_semi"
+    return df.join(mask.df.select("i"), on="i", how=how)
+
+
+def _accum_vec(old: DataFrame, new: DataFrame, accum: BinOp | None) -> DataFrame:
+    if accum is None:
+        return new
+    o = old.withColumnRenamed("v", "v_old")
+    n = new.withColumnRenamed("v", "v_new")
+    merged = o.join(n, on="i", how="full_outer")
+    return merged.select(
+        "i",
+        F.when(F.col("v_old").isNull(), F.col("v_new"))
+        .when(F.col("v_new").isNull(), F.col("v_old"))
+        .otherwise(accum(F.col("v_old"), F.col("v_new")))
+        .alias("v"),
+    )
+
+
+def mxv(
+    a: Matrix,
+    x: Vector,
+    semiring: Semiring,
+    mask: Vector | None = None,
+    mask_complement: bool = False,
+    accum_into: Vector | None = None,
+    accum_op: BinOp | None = None,
+) -> Vector:
+    """y = A ⊕.⊗ x — matrix-vector product (vector as n×1 matrix), with
+    the full mask/accum/descriptor parameter set the reference threads
+    through every kernel (MatrixOps.scala:20-106). A complemented mask is
+    a left-anti join — the visited-set exclusion of a scaled BFS."""
     ad = a.df.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
     xd = x.df.select(F.col("i").alias("k"), F.col("v").alias("xv"))
     joined = ad.join(xd, on="k")
@@ -239,16 +418,38 @@ def mxv(a: Matrix, x: Vector, semiring: Semiring) -> Vector:
             .groupBy("i")
             .agg(semiring.plus.agg(F.col("v")).alias("v"))
         )
+    out = _apply_mask_vec(out, mask, mask_complement)
+    if accum_into is not None:
+        out = _accum_vec(accum_into.df, out, accum_op or semiring.plus.binop)
     return Vector(out, a.nrows)
 
 
-def vxm(x: Vector, a: Matrix, semiring: Semiring) -> Vector:
-    """y = xᵀ ⊕.⊗ A — frontier pushed across the adjacency (BFS step)."""
-    return mxv(a.transpose(), x, semiring)
+def vxm(
+    x: Vector,
+    a: Matrix,
+    semiring: Semiring,
+    mask: Vector | None = None,
+    mask_complement: bool = False,
+    accum_into: Vector | None = None,
+    accum_op: BinOp | None = None,
+) -> Vector:
+    """y = xᵀ ⊕.⊗ A — frontier pushed across the adjacency (BFS step).
+    ``vxm(frontier, A, LOR_LAND, mask=visited, mask_complement=True)`` is
+    the reference's masked BFS step."""
+    return mxv(a.transpose(), x, semiring, mask, mask_complement, accum_into, accum_op)
 
 
-def ewise_union(a: Matrix, b: Matrix, op_name: str) -> Matrix:
-    """Element-wise ⊕ over the union of patterns (ElemWise.scala:12-53).
+def ewise_union(
+    a: Matrix,
+    b: Matrix,
+    op_name: str,
+    mask: Matrix | None = None,
+    mask_complement: bool = False,
+    accum_into: Matrix | None = None,
+    accum_op: BinOp | None = None,
+) -> Matrix:
+    """Element-wise ⊕ over the union of patterns (ElemWise.scala:12-53,
+    which threads mask/accum like every reference kernel).
 
     Positions present in only one operand keep that operand's value
     (GraphBLAS union semantics)."""
@@ -256,29 +457,39 @@ def ewise_union(a: Matrix, b: Matrix, op_name: str) -> Matrix:
     ad = a.df.withColumnRenamed("v", "va")
     bd = b.df.withColumnRenamed("v", "vb")
     joined = ad.join(bd, on=["i", "j"], how="full_outer")
-    return Matrix(
-        joined.select(
-            "i",
-            "j",
-            F.when(F.col("va").isNull(), F.col("vb"))
-            .when(F.col("vb").isNull(), F.col("va"))
-            .otherwise(op(F.col("va"), F.col("vb")))
-            .alias("v"),
-        ),
-        a.nrows,
-        a.ncols,
+    out = joined.select(
+        "i",
+        "j",
+        F.when(F.col("va").isNull(), F.col("vb"))
+        .when(F.col("vb").isNull(), F.col("va"))
+        .otherwise(op(F.col("va"), F.col("vb")))
+        .alias("v"),
     )
+    out = _apply_mask(out, mask, mask_complement)
+    if accum_into is not None:
+        out = _accum(accum_into.df, out, accum_op or op)
+    return Matrix(out, a.nrows, a.ncols)
 
 
-def ewise_intersect(a: Matrix, b: Matrix, op_name: str) -> Matrix:
+def ewise_intersect(
+    a: Matrix,
+    b: Matrix,
+    op_name: str,
+    mask: Matrix | None = None,
+    mask_complement: bool = False,
+    accum_into: Matrix | None = None,
+    accum_op: BinOp | None = None,
+) -> Matrix:
     """Element-wise ⊗ over the intersection (ElemWise.scala:55-95)."""
     op = BINARY_OPS[op_name]
     ad = a.df.withColumnRenamed("v", "va")
     bd = b.df.withColumnRenamed("v", "vb")
     joined = ad.join(bd, on=["i", "j"])
-    return Matrix(
-        joined.select("i", "j", op(F.col("va"), F.col("vb")).alias("v")), a.nrows, a.ncols
-    )
+    out = joined.select("i", "j", op(F.col("va"), F.col("vb")).alias("v"))
+    out = _apply_mask(out, mask, mask_complement)
+    if accum_into is not None:
+        out = _accum(accum_into.df, out, accum_op or op)
+    return Matrix(out, a.nrows, a.ncols)
 
 
 def reduce_rows(a: Matrix, monoid_name: str = "plus") -> Vector:
@@ -308,43 +519,28 @@ def diag(x: Vector) -> Matrix:
     return Matrix(x.df.select(F.col("i"), F.col("i").alias("j"), "v"), x.size, x.size)
 
 
-def extract(a: Matrix, rows: tuple[int, int] | list[int] | None, cols: tuple[int, int] | list[int] | None) -> Matrix:
+def extract(a: Matrix, rows, cols) -> Matrix:
     """Submatrix to = from(I, J) (MatrixOps.scala:46-76, GrBRange.scala).
 
-    ``rows``/``cols``: None = All, (lo, hi) = inclusive range, list = index
-    set. Indices are re-based to 0 like GraphBLAS extract."""
-    df = a.df
-    nrows, ncols = a.nrows, a.ncols
-
-    def apply(df, sel, col):
-        if sel is None:
-            return df, (a.nrows if col == "i" else a.ncols)
-        if isinstance(sel, tuple):
-            lo, hi = sel
-            df = df.filter(F.col(col).between(lo, hi)).withColumn(col, F.col(col) - F.lit(lo))
-            return df, hi - lo + 1
-        mapping = {int(old): pos for pos, old in enumerate(sel)}
-        mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-        df = df.filter(F.col(col).isin(list(mapping))).withColumn(col, mexpr[F.col(col)])
-        return df, len(sel)
-
-    df, nrows = apply(df, rows, "i")
-    df, ncols = apply(df, cols, "j")
-    return Matrix(df, nrows, ncols)
+    ``rows``/``cols``: None = All, (lo, hi) = inclusive range,
+    (lo, hi, step) = GxB_STRIDE (negative step = GxB_BACKWARDS,
+    GrBRange.scala:20-48), list = index set. Indices re-base to 0 like
+    GraphBLAS extract."""
+    df, nrows = _apply_selection(a.df, "i", rows, a.nrows)
+    df, ncols = _apply_selection(df, "j", cols, a.ncols)
+    return Matrix(df.select("i", "j", "v"), nrows, ncols)
 
 
-def assign(a: Matrix, sub: Matrix, rows: tuple[int, int] | None, cols: tuple[int, int] | None) -> Matrix:
-    """to(I, J) = from (MatrixOps.scala:78-106): anti-join out the target
-    region, union in the re-based new values."""
-    rlo, rhi = rows if rows is not None else (0, a.nrows - 1)
-    clo, chi = cols if cols is not None else (0, a.ncols - 1)
+def assign(a: Matrix, sub: Matrix, rows, cols) -> Matrix:
+    """to(I, J) = from (MatrixOps.scala:78-106, MatrixSelection.scala:11-45):
+    anti-join out the target region, union in the re-mapped new values.
+    ``rows``/``cols`` take every selection form — ranges, strides, and
+    arbitrary index lists."""
     outside = a.df.filter(
-        ~(F.col("i").between(rlo, rhi) & F.col("j").between(clo, chi))
+        ~(_sel_member_pred("i", rows, a.nrows) & _sel_member_pred("j", cols, a.ncols))
     )
-    shifted = sub.df.select(
-        (F.col("i") + F.lit(rlo)).alias("i"), (F.col("j") + F.lit(clo)).alias("j"), "v"
-    )
-    return Matrix(outside.unionByName(shifted), a.nrows, a.ncols)
+    shifted = _sel_map_positions(_sel_map_positions(sub.df, "i", rows), "j", cols)
+    return Matrix(outside.unionByName(shifted.select("i", "j", "v")), a.nrows, a.ncols)
 
 
 def is_eq(a: Matrix, b: Matrix) -> bool:
@@ -359,3 +555,27 @@ def is_eq(a: Matrix, b: Matrix) -> bool:
         return False
     diff2 = b.df.join(a.df, on=["i", "j", "v"], how="left_anti").limit(1).count()
     return diff2 == 0
+
+
+def is_all(a: Matrix, b: Matrix, op_name: str = "eq") -> bool:
+    """isAll with an arbitrary (A, A) → Boolean comparison op
+    (MatrixOps.scala:108-160): shapes equal, nvals equal, patterns
+    identical, and the op holds on every aligned value pair. ``is_eq`` is
+    the op='eq' specialization (kept separate for its anti-join
+    short-circuit)."""
+    if (a.nrows, a.ncols) != (b.nrows, b.ncols):
+        return False
+    na = a.nvals()
+    if na != b.nvals():
+        return False
+    op = BINARY_OPS[op_name]
+    joined = (
+        a.df.withColumnRenamed("v", "va").join(b.df.withColumnRenamed("v", "vb"), on=["i", "j"])
+    ).cache()
+    try:
+        if joined.count() != na:  # pattern mismatch
+            return False
+        bad = joined.filter(~op(F.col("va"), F.col("vb")).cast("boolean")).limit(1).count()
+        return bad == 0
+    finally:
+        joined.unpersist()

@@ -74,11 +74,18 @@ class Monoid:
 
 MONOIDS: dict[str, Monoid] = {
     "plus": Monoid("plus", F.sum, BINARY_OPS["plus"], 0),
-    "times": Monoid("times", lambda c: F.exp(F.sum(F.log(c))), BINARY_OPS["times"], 1),
+    # exact product aggregate (JVM-side): correct for zeros and negative
+    # values, unlike the exp(sum(log)) trick (GrBMonoid.scala TIMES over
+    # any signed domain). F.product returns double — exact for integer
+    # magnitudes up to 2^53.
+    "times": Monoid("times", F.product, BINARY_OPS["times"], 1),
     "min": Monoid("min", F.min, BINARY_OPS["min"], float("inf")),
     "max": Monoid("max", F.max, BINARY_OPS["max"], float("-inf")),
     "lor": Monoid("lor", lambda c: F.max(c.cast("boolean")), BINARY_OPS["lor"], False),
     "land": Monoid("land", lambda c: F.min(c.cast("boolean")), BINARY_OPS["land"], True),
+    # ANY = "pick either operand": F.first is nondeterministic under
+    # parallel aggregation, which is exactly the GraphBLAS ANY contract
+    # (used only where any present value is acceptable, e.g. existence).
     "any": Monoid("any", F.first, BINARY_OPS["any"], None),
 }
 

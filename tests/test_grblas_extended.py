@@ -1,0 +1,221 @@
+"""Round-2 kernel-parity tests: strided/backwards extract
+(GrBRangeSpec.scala:8-33), index-list assign (AssignSpec.scala:26-81),
+point element ops (GrBMatrix.scala:32-45,127-128), isAll with arbitrary
+ops (MatrixOps.scala:108-160), mask/accum threading through mxv/vxm and
+ewise (MatrixOps.scala:20-106, ElemWise.scala:12-95), exact ``times``
+reductions over zero/negative domains (ReduceSpec.scala:31-137), and BFS
+as complemented-mask vxm (DocSpec.scala:31-53)."""
+
+import math
+
+import pytest
+
+from g4s_spark import grblas as gb
+
+
+def as_dict(tuples):
+    return {(i, j): v for i, j, v in tuples}
+
+
+def vec_dict(v):
+    return dict(v.to_tuples())
+
+
+# --- strided / backwards extract (GrBRange) --------------------------------
+
+def test_extract_stride(spark):
+    # rows 0..9, diagonal values = row index
+    A = gb.Matrix.from_tuples(spark, [(i, i, i) for i in range(10)], 10, 10)
+    # rows 1,4,7 -> re-based 0,1,2
+    sub = gb.extract(A, (1, 8, 3), None)
+    assert sub.nrows == 3
+    assert as_dict(sub.to_tuples()) == {(0, 1): 1, (1, 4): 4, (2, 7): 7}
+
+
+def test_extract_backwards(spark):
+    A = gb.Matrix.from_tuples(spark, [(i, 0, i) for i in range(6)], 6, 1)
+    # rows 5,3,1 (backwards stride -2) -> re-based 0,1,2
+    sub = gb.extract(A, (5, 1, -2), None)
+    assert sub.nrows == 3
+    assert as_dict(sub.to_tuples()) == {(0, 0): 5, (1, 0): 3, (2, 0): 1}
+
+
+def test_extract_stride_roundtrip_assign(spark):
+    """extract(sel) then assign(sel) restores the original (AssignSpec
+    roundtrip property, over a strided selection)."""
+    A = gb.Matrix.from_tuples(spark, [(i, j, 10 * i + j) for i in range(6) for j in range(2)], 6, 2)
+    sel = (0, 5, 2)  # rows 0, 2, 4
+    sub = gb.extract(A, sel, None)
+    back = gb.assign(A, sub, sel, None)
+    assert gb.is_eq(back, A)
+
+
+def test_vector_extract_stride_and_backwards(spark):
+    v = gb.Vector.from_tuples(spark, [(i, i * i) for i in range(8)], 8)
+    assert vec_dict(v.extract((0, 7, 2))) == {0: 0, 1: 4, 2: 16, 3: 36}
+    assert vec_dict(v.extract((7, 0, -2))) == {0: 49, 1: 25, 2: 9, 3: 1}
+
+
+def test_empty_or_zero_stride_rejected(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1)], 2, 2)
+    with pytest.raises(ValueError):
+        gb.extract(A, (0, 1, 0), None)
+    with pytest.raises(ValueError):
+        gb.extract(A, (3, 1, 1), None)
+
+
+# --- index-list assign -----------------------------------------------------
+
+def test_assign_index_lists(spark):
+    A = gb.Matrix.from_tuples(spark, [(i, j, 1) for i in range(4) for j in range(4)], 4, 4)
+    sub = gb.Matrix.from_tuples(spark, [(0, 0, 7), (1, 1, 8)], 2, 2)
+    out = gb.assign(A, sub, [0, 2], [1, 3])
+    got = as_dict(out.to_tuples())
+    # region {0,2}x{1,3} replaced by sub's (sparse!) content
+    assert got[(0, 1)] == 7 and got[(2, 3)] == 8
+    assert (0, 3) not in got and (2, 1) not in got  # overwritten to empty
+    # outside the region untouched
+    assert got[(1, 1)] == 1 and got[(3, 3)] == 1 and got[(0, 0)] == 1
+
+
+def test_assign_index_list_rows_range_cols_roundtrip(spark):
+    A = gb.Matrix.from_tuples(spark, [(i, j, i + j) for i in range(5) for j in range(3)], 5, 3)
+    rows = [4, 1, 3]  # arbitrary order: position k maps to rows[k]
+    sub = gb.extract(A, rows, (0, 1))
+    back = gb.assign(A, sub, rows, (0, 1))
+    assert gb.is_eq(back, A)
+
+
+# --- point element ops -----------------------------------------------------
+
+def test_matrix_point_set_get_remove(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 2)], 3, 3)
+    assert A.get_element(0, 0) == 1
+    assert A.get_element(2, 2) is None
+    B = A.set_element(0, 0, 9).set_element(2, 2, 5)
+    assert B.get_element(0, 0) == 9 and B.get_element(2, 2) == 5
+    assert B.nvals() == 3
+    C = B.remove_element(1, 1)
+    assert C.get_element(1, 1) is None and C.nvals() == 2
+
+
+def test_vector_point_set_get_remove(spark):
+    v = gb.Vector.from_tuples(spark, [(0, 1), (2, 3)], 4)
+    assert v.get_element(2) == 3 and v.get_element(1) is None
+    w = v.set_element(1, 7).remove_element(0)
+    assert vec_dict(w) == {1: 7, 2: 3}
+
+
+# --- isAll with arbitrary ops ---------------------------------------------
+
+def test_is_all_ops(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 5)], 2, 2)
+    B = gb.Matrix.from_tuples(spark, [(0, 0, 2), (1, 1, 6)], 2, 2)
+    assert gb.is_all(A, B, "lt")       # every aligned pair a < b
+    assert gb.is_all(B, A, "gt")
+    assert not gb.is_all(A, B, "eq")
+    assert gb.is_all(A, A, "eq") and gb.is_all(A, A, "ge")
+    # pattern mismatch -> False for any op
+    C = gb.Matrix.from_tuples(spark, [(0, 0, 1), (0, 1, 5)], 2, 2)
+    assert not gb.is_all(A, C, "lt")
+    # shape mismatch
+    D = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 5)], 3, 3)
+    assert not gb.is_all(A, D, "eq")
+
+
+# --- exact times reductions over zero / negative domains -------------------
+
+@pytest.mark.parametrize(
+    "values",
+    [[2, 3, 4], [2, -3, 4], [-2, -3, -4, -5], [2, 0, 4], [0, 0], [-7]],
+)
+def test_reduce_all_times_exact(spark, values):
+    """ReduceSpec.scala:31-137 product oracle — including zeros (product
+    must be 0, not the log-sum artifact) and negatives (sign preserved)."""
+    tuples = [(i, 0, v) for i, v in enumerate(values)]
+    A = gb.Matrix.from_tuples(spark, tuples, len(values), 1)
+    expect = math.prod(values)
+    assert gb.reduce_all(A, "times") == expect
+
+
+def test_reduce_rows_times_with_zero_and_negative(spark):
+    A = gb.Matrix.from_tuples(
+        spark, [(0, 0, 2), (0, 1, -3), (1, 0, 5), (1, 1, 0)], 2, 2
+    )
+    got = vec_dict(gb.reduce_rows(A, "times"))
+    assert got == {0: -6, 1: 0}
+
+
+# --- mask/accum through mxv/vxm/ewise --------------------------------------
+
+def test_mxv_masked_and_accum(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 0, 2), (2, 0, 3)], 3, 3)
+    x = gb.Vector.from_tuples(spark, [(0, 10)], 3)
+    # unmasked: y = {0:10, 1:20, 2:30}
+    mask = gb.Vector.from_tuples(spark, [(1, True)], 3, "boolean")
+    y = gb.mxv(A, x, gb.PLUS_TIMES, mask=mask)
+    assert vec_dict(y) == {1: 20}
+    y2 = gb.mxv(A, x, gb.PLUS_TIMES, mask=mask, mask_complement=True)
+    assert vec_dict(y2) == {0: 10, 2: 30}
+    # accumulate into an existing output with plus
+    acc = gb.Vector.from_tuples(spark, [(1, 100), (2, 100)], 3)
+    y3 = gb.mxv(A, x, gb.PLUS_TIMES, accum_into=acc)
+    assert vec_dict(y3) == {0: 10, 1: 120, 2: 130}
+
+
+def test_vxm_complemented_mask_is_bfs_step(spark):
+    """DocSpec.scala:31-53 idiom: next = frontier vxm A with mask=¬visited."""
+    # path 0 -> 1 -> 2
+    A = gb.Matrix.from_tuples(spark, [(0, 1, True), (1, 2, True)], 3, 3, "boolean")
+    frontier = gb.Vector.from_tuples(spark, [(0, True)], 3, "boolean")
+    visited = gb.Vector.from_tuples(spark, [(0, 0)], 3)
+    nxt = gb.vxm(frontier, A, gb.LOR_LAND, mask=visited, mask_complement=True)
+    assert set(vec_dict(nxt)) == {1}
+
+
+def test_ewise_union_masked_accum(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (0, 1, 2)], 2, 2)
+    B = gb.Matrix.from_tuples(spark, [(0, 1, 10), (1, 1, 20)], 2, 2)
+    mask = gb.Matrix.from_tuples(spark, [(0, 1, True), (1, 1, True)], 2, 2, "boolean")
+    out = gb.ewise_union(A, B, "plus", mask=mask)
+    assert as_dict(out.to_tuples()) == {(0, 1): 12, (1, 1): 20}
+    out2 = gb.ewise_union(A, B, "plus", mask=mask, mask_complement=True)
+    assert as_dict(out2.to_tuples()) == {(0, 0): 1}
+    acc = gb.Matrix.from_tuples(spark, [(0, 0, 100)], 2, 2)
+    out3 = gb.ewise_intersect(A, B, "plus", accum_into=acc)
+    assert as_dict(out3.to_tuples()) == {(0, 0): 100, (0, 1): 12}
+
+
+def test_vector_ewise_masked(spark):
+    a = gb.Vector.from_tuples(spark, [(0, 1), (1, 2)], 3)
+    b = gb.Vector.from_tuples(spark, [(1, 10), (2, 20)], 3)
+    mask = gb.Vector.from_tuples(spark, [(1, True)], 3, "boolean")
+    assert vec_dict(gb.vector_ewise_union(a, b, "plus", mask=mask)) == {1: 12}
+    assert vec_dict(
+        gb.vector_ewise_union(a, b, "plus", mask=mask, mask_complement=True)
+    ) == {0: 1, 2: 20}
+
+
+# --- BFS as kernel calls ---------------------------------------------------
+
+def test_bfs_levels_masked_vxm(spark):
+    # 0 -> 1 -> 2 -> 3, plus shortcut 0 -> 2; node 4 unreachable
+    A = gb.Matrix.from_tuples(
+        spark,
+        [(0, 1, True), (1, 2, True), (2, 3, True), (0, 2, True)],
+        5, 5, "boolean",
+    )
+    levels = gb.bfs_levels(A, [0])
+    assert vec_dict(levels) == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_large_index_list_uses_join_path(spark):
+    """Index lists beyond INDEX_MAP_JOIN_THRESHOLD must still select and
+    re-base correctly (join path instead of a literal map)."""
+    from g4s_spark.grblas import matrix as M
+
+    n = M.INDEX_MAP_JOIN_THRESHOLD + 50
+    v = gb.Vector.from_tuples(spark, [(i, i) for i in range(n + 10)], n + 10)
+    sel = list(range(n))
+    got = vec_dict(v.extract(sel))
+    assert len(got) == n and got[0] == 0 and got[n - 1] == n - 1
