@@ -399,6 +399,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
             "WHERE c.mktsegment = 'BUILDING' AND n.name <> 'NATION_1' RETURN c, n"
         ),
+        "cypher_edge_where": _cypher(
+            "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
+            "WHERE e.weight >= 3 RETURN o, l, e.weight AS w"
+        ),
+        "cypher_optional_where": _cypher(
+            "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.orderpriority = '1-URGENT' RETURN c, o"
+        ),
         # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
@@ -654,6 +662,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT {_CID} AS c, CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE c_mktsegment = 'BUILDING' AND n_name <> 'NATION_1'
+        """,
+        "cypher_edge_where": f"""
+            SELECT DISTINCT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,
+                   {_LID} AS l, CAST(l_linenumber AS BIGINT) AS w
+            FROM lineitem WHERE l_linenumber >= 3
+        """,
+        "cypher_optional_where": f"""
+            SELECT DISTINCT {_CID} AS c, CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS o
+            FROM customer LEFT JOIN orders
+              ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
         """,
         "graph_bfs": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},

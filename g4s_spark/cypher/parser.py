@@ -26,18 +26,27 @@ class PatternEdge:
     # to fixpoint
     min_hops: int = 1
     max_hops: int | None = 1
+    # edge variable (extension): -[e:X]-> binds e for WHERE predicates on
+    # edge properties and RETURN e.prop (the reference parser accepts the
+    # variable, QueryGraph.scala:76-83, but has no predicate surface)
+    name: str | None = None
 
 
 @dataclass(frozen=True)
 class PropFilter:
     """WHERE predicate `binding.prop <op> literal` — an extension beyond
-    the reference surface (which has no WHERE at all, SURVEY §2.7)."""
+    the reference surface (which has no WHERE at all, SURVEY §2.7).
+    ``clause`` records which MATCH clause owns the predicate (0 = the
+    required MATCH, i ≥ 1 = the i-th OPTIONAL MATCH): openCypher scopes a
+    WHERE to its clause, so an optional clause's predicate must only
+    restrict that optional group, never the required matches."""
 
     binding: str
     prop: str
     op: str  # = <> != < <= > >=
     value: str | float
     is_num: bool
+    clause: int = 0
 
 
 @dataclass(frozen=True)
@@ -70,7 +79,12 @@ class QueryGraph:
     # property access in RETURN: (binding, prop, alias); values are strings
     # (the props map is map<string,string>)
     prop_returns: list[tuple[str, str, str]] = field(default_factory=list)
+    # edge-variable property access in RETURN: (edge_name, prop, alias) —
+    # resolved against the typed edge columns (weight), not the props map
+    edge_prop_returns: list[tuple[str, str, str]] = field(default_factory=list)
     filters: list[PropFilter] = field(default_factory=list)
+    # WHERE predicates on edge variables — pushed into the edge scan
+    edge_filters: list[PropFilter] = field(default_factory=list)
     aggregates: list[AggItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     limit: int | None = None
@@ -134,20 +148,21 @@ def parse(query: str) -> QueryGraph:
         elif not target:
             raise CypherParseError("OPTIONAL MATCH needs at least one pattern edge")
         if cm_.group("where"):
+            enames = _edge_names(qg)
             for cond in re.split(r"(?i)\s+AND\s+", cm_.group("where")):
                 wm = _COND.match(cond)
                 if not wm:
                     raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
-                if wm.group("b") not in qg.labels:
-                    raise CypherParseError(f"WHERE references unbound variable: {wm.group('b')!r}")
+                b = wm.group("b")
+                if b not in qg.labels and b not in enames:
+                    raise CypherParseError(f"WHERE references unbound variable: {b!r}")
                 raw = wm.group("val")
                 if raw[0] in "'\"":
                     value, is_num = raw[1:-1], False
                 else:
                     value, is_num = float(raw), True
-                qg.filters.append(
-                    PropFilter(wm.group("b"), wm.group("p"), wm.group("op"), value, is_num)
-                )
+                pf = PropFilter(b, wm.group("p"), wm.group("op"), value, is_num, clause=ci)
+                (qg.edge_filters if b in enames else qg.filters).append(pf)
 
     # RETURN DISTINCT is accepted and is a no-op: match results are
     # already distinct endpoint combinations (ANY_PAIR existence
@@ -187,21 +202,26 @@ def parse(query: str) -> QueryGraph:
         )
         if pm:
             b = pm.group("b")
-            if b not in qg.labels:
+            alias = pm.group("alias") or f"{b}_{pm.group('p')}"
+            if b in qg.labels:
+                qg.prop_returns.append((b, pm.group("p"), alias))
+            elif b in _edge_names(qg):
+                qg.edge_prop_returns.append((b, pm.group("p"), alias))
+            else:
                 raise CypherParseError(f"return of unbound variable: {b!r}")
-            qg.prop_returns.append((b, pm.group("p"), pm.group("alias") or f"{b}_{pm.group('p')}"))
             continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name not in qg.labels:
             raise CypherParseError(f"return of unbound variable: {name!r}")
         qg.returns.append(name)
-    if not qg.returns and not qg.prop_returns and not qg.aggregates:
+    if not (qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates):
         raise CypherParseError("empty RETURN")
 
     out_cols = (
         set(qg.returns)
         | {alias for _, _, alias in qg.prop_returns}
+        | {alias for _, _, alias in qg.edge_prop_returns}
         | {a.alias for a in qg.aggregates}
     )
     if m.group("orderby"):
@@ -215,6 +235,12 @@ def parse(query: str) -> QueryGraph:
     if m.group("limit"):
         qg.limit = int(m.group("limit"))
     return qg
+
+
+def _edge_names(qg: QueryGraph) -> set[str]:
+    return {e.name for e in qg.edges if e.name} | {
+        e.name for g in qg.optionals for e in g if e.name
+    }
 
 
 def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fresh) -> None:
@@ -243,6 +269,9 @@ def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fres
         cur = _bind_node(qg, nm, fresh)
         pos = nm.end()
         types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
+        ename = em.group("name")
+        if ename is not None and ename in qg.labels:
+            raise CypherParseError(f"edge variable collides with node binding: {ename!r}")
         lo, hi = 1, 1
         star = em.group(0).find("*") != -1
         if star:
@@ -257,9 +286,9 @@ def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fres
             if lo < 1 or (hi is not None and hi < lo):
                 raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
         if em.group("right"):  # (prev)-[:T]->(cur)
-            target.append(PatternEdge(prev, cur, types, lo, hi))
+            target.append(PatternEdge(prev, cur, types, lo, hi, ename))
         else:  # (prev)<-[:T]-(cur)
-            target.append(PatternEdge(cur, prev, types, lo, hi))
+            target.append(PatternEdge(cur, prev, types, lo, hi, ename))
         prev = cur
 
 

@@ -62,18 +62,40 @@ def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataF
     return df
 
 
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
 def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     stats = graph.stats
     steps: list[tuple] = []
     total_cost = 0.0
 
-    filters_by_binding: dict[str, list] = {}
+    # WHERE predicates are clause-scoped (openCypher): the required
+    # MATCH's filters constrain the main chain; an OPTIONAL MATCH's
+    # filters only restrict that optional group (unmatched rows keep
+    # NULLs — they are never dropped from the required match set).
+    filters_by_clause: dict[int, dict[str, list]] = {}
     for pf in qg.filters:
-        filters_by_binding.setdefault(pf.binding, []).append(pf)
+        filters_by_clause.setdefault(pf.clause, {}).setdefault(pf.binding, []).append(pf)
+    edge_filters_by_clause: dict[int, dict[str, list]] = {}
+    for pf in qg.edge_filters:
+        edge_filters_by_clause.setdefault(pf.clause, {}).setdefault(pf.binding, []).append(pf)
+    clause_state = {"clause": 0}
+
+    def filters_by_binding() -> dict[str, list]:
+        return filters_by_clause.get(clause_state["clause"], {})
 
     def node_set(binding: str) -> DataFrame:
         label = qg.labels.get(binding)
-        ids = graph.node_set(label, filters_by_binding.get(binding, ()))
+        ids = graph.node_set(label, filters_by_binding().get(binding, ()))
         # prop filters only shrink the set, so the label card is an upper
         # bound; unlabeled-but-filtered sets have no bound -> let AQE pick
         if label is not None and stats.label_card(label) < BROADCAST_MAX_ROWS:
@@ -82,12 +104,28 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     def constrain(df: DataFrame, binding: str) -> DataFrame:
         label = qg.labels.get(binding)
-        if label is None and binding not in filters_by_binding:
+        if label is None and binding not in filters_by_binding():
             return df
-        steps.append(("semi", binding, label, len(filters_by_binding.get(binding, ()))))
+        steps.append(("semi", binding, label, len(filters_by_binding().get(binding, ()))))
         return df.join(
             node_set(binding).withColumnRenamed("id", binding), on=binding, how="left_semi"
         )
+
+    # edge-variable property returns: (edge name) -> [(prop, out alias)]
+    edge_prop_cols: dict[str, list[tuple[str, str]]] = {}
+    for en, p, a in qg.edge_prop_returns:
+        edge_prop_cols.setdefault(en, []).append((p, a))
+    edge_alias_set = {a for _, _, a in qg.edge_prop_returns}
+
+    def edge_prop_col(df: DataFrame, prop: str, cast_num: bool):
+        """Resolve an edge property: typed edge column (weight) first,
+        then the props map if the edge table carries one."""
+        if prop in df.columns:
+            return F.col(prop)
+        if "props" in df.columns:
+            c = F.col("props").getItem(prop)
+            return c.cast("double") if cast_num else c
+        raise ValueError(f"edge property {prop!r} not present on edges")
 
     def edge_est(e: PatternEdge) -> float:
         # unbounded closures have no hop count; assume a deep-ish graph
@@ -99,10 +137,29 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         )
 
     def is_constrained(binding: str) -> bool:
-        return qg.labels.get(binding) is not None or binding in filters_by_binding
+        return qg.labels.get(binding) is not None or binding in filters_by_binding()
 
     def edge_df(e: PatternEdge) -> DataFrame:
-        base = graph.typed_edges(list(e.types)).select("src", "dst")
+        raw = graph.typed_edges(list(e.types))
+        # edge-property WHERE: applied directly on the typed edge scan —
+        # the predicate reaches the source before any join (for
+        # var-length edges it restricts every hop)
+        efs = (
+            edge_filters_by_clause.get(clause_state["clause"], {}).get(e.name, [])
+            if e.name
+            else []
+        )
+        for f in efs:
+            raw = raw.filter(_OPS[f.op](edge_prop_col(raw, f.prop, f.is_num), F.lit(f.value)))
+        if efs:
+            steps.append(("edge_filter", e.name, len(efs)))
+        props = edge_prop_cols.get(e.name, []) if e.name else []
+        if props and (e.min_hops, e.max_hops) != (1, 1):
+            raise ValueError("cannot return properties of a variable-length edge")
+        base = raw.select(
+            "src", "dst", *[edge_prop_col(raw, p, False).alias(a) for p, a in props]
+        )
+        alias_cols = [a for _, a in props]
         seeded: str | None = None
         if (e.min_hops, e.max_hops) != (1, 1):
             # Push the endpoint restriction INTO the iterative expansion:
@@ -128,10 +185,13 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
                 base = _var_length_pairs(base, e.min_hops, e.max_hops)
             if seeded is not None:
                 steps.append(("closure_seed", seeded))
+        extra = [F.col(a) for a in alias_cols]
         if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
-            df = base.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(e.src))
+            df = base.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(e.src), *extra
+            )
         else:
-            df = base.select(F.col("src").alias(e.src), F.col("dst").alias(e.dst))
+            df = base.select(F.col("src").alias(e.src), F.col("dst").alias(e.dst), *extra)
         for b in {e.src, e.dst}:
             if b == seeded:
                 continue  # restriction already applied inside the expansion
@@ -160,8 +220,13 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     def live_bindings() -> set[str]:
         # optional groups left-join on their shared bindings later, so those
-        # must survive the main chain's projections
-        need = set(qg.returns) | set(prop_bindings) | set(agg_bindings) | opt_bindings
+        # must survive the main chain's projections; returned edge-property
+        # columns ride along like bindings (a match with a returned edge
+        # value is distinct per value — openCypher's per-edge semantics)
+        need = (
+            set(qg.returns) | set(prop_bindings) | set(agg_bindings)
+            | opt_bindings | edge_alias_set
+        )
         if star:
             need |= set(qg.labels)
         for e in remaining:
@@ -214,10 +279,15 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
                 "OPTIONAL MATCH pattern must share at least one binding with MATCH"
             )
         later = {b for g2 in qg.optionals[gi + 1:] for e in g2 for b in (e.src, e.dst)}
+        galiases = {
+            a for en2, _, a in qg.edge_prop_returns
+            if en2 in {e.name for e in group if e.name}
+        }
         keep = sorted(
             (gb & (set(qg.returns) | set(prop_bindings) | set(agg_bindings) | later))
-            | set(shared)
+            | set(shared) | galiases
         )
+        clause_state["clause"] = gi + 1  # this group's WHERE scope
         odf: DataFrame | None = None
         obound: set[str] = set()
         for e in _choose_join_order(group, edge_est):
@@ -234,11 +304,17 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         df = df.join(odf, on=shared, how="left")
         bound |= set(keep)
         steps.append(("optional", tuple(shared), tuple(keep)))
+    clause_state["clause"] = 0
 
     # with count(*), every bound binding joins the distinct set, not just
     # the grouped/aggregated ones
     star_extra = [b for b in sorted(bound) if b in df.columns] if star else []
-    needed = list(dict.fromkeys(qg.returns + prop_bindings + agg_bindings + star_extra))
+    needed = list(
+        dict.fromkeys(
+            qg.returns + prop_bindings + agg_bindings
+            + sorted(edge_alias_set) + star_extra
+        )
+    )
     out = df.select(*needed).dropDuplicates(needed)
 
     # Property resolution (extension): one join back to the nodes payload
@@ -259,7 +335,9 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         out = out.drop(f"_props_{b}")
         steps.append(("resolve_props", b, tuple(p for p, _ in cols)))
 
-    group_cols = qg.returns + [a for _, _, a in qg.prop_returns]
+    group_cols = (
+        qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
+    )
     if qg.aggregates:
         # aggregates over distinct matches (existence semantics): rows are
         # already distinct over (returned + aggregated bindings); numeric
@@ -276,7 +354,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
                 )
         out = out.groupBy(*group_cols).agg(*aggs) if group_cols else out.agg(*aggs)
         steps.append(("aggregate", tuple(ag.alias for ag in qg.aggregates)))
-    elif qg.prop_returns:
+    elif qg.prop_returns or qg.edge_prop_returns:
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is
         # what's distinct)

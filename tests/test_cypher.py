@@ -36,9 +36,9 @@ def test_multi_type():
     assert qg.edges[0].types == ("X", "Y")
 
 
-def test_edge_variable_allowed():
+def test_edge_variable_captured():
     qg = parse("MATCH (a)-[e:X]->(b) RETURN b")
-    assert qg.edges == [PatternEdge("a", "b", ("X",))]
+    assert qg.edges == [PatternEdge("a", "b", ("X",), name="e")]
 
 
 def test_where_filters():
