@@ -77,25 +77,33 @@ def ngram_jaccard_pairs(
 
     inverted index self-join on shingle -> |A∩B| per pair; sizes joined
     back for |A∪B| = |A|+|B|−|A∩B|. Candidate pairs only exist where at
-    least one shingle is shared (required for any t > 0)."""
+    least one shingle is shared (required for any t > 0).
+
+    The shingle table is cached for its three uses (sizes + both join
+    sides), the small pair result is materialized (localCheckpoint), and
+    the cache is released before returning — no cached blocks leak across
+    the session's other queries."""
     sh = shingle_docs(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), on="a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), on="b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", pround(F.col("jaccard"), 4).alias("jaccard"))
-    )
-    return out
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        out = (
+            inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), on="a")
+            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), on="b")
+            .withColumn("jaccard", F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", pround(F.col("jaccard"), 4).alias("jaccard"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def minhash_signatures(
@@ -134,20 +142,26 @@ def minhash_lsh_pairs(
     ]
     # cache before the self-join: both join sides share the whole
     # load->shingle->12xmd5-agg lineage, which would otherwise execute
-    # twice; the bucket table is k/bands rows per doc (tiny vs corpus)
+    # twice; the bucket table is k/bands rows per doc (tiny vs corpus).
+    # The small pair result is materialized and the cache released before
+    # returning (no leaked blocks across queries).
     bucketed = (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .cache()
     )
-    l = bucketed.select(F.col(id_col).alias("a"), "band", "key")
-    r = bucketed.select(F.col(id_col).alias("b"), "band", "key")
-    return (
-        l.join(r, on=["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    try:
+        l = bucketed.select(F.col(id_col).alias("a"), "band", "key")
+        r = bucketed.select(F.col(id_col).alias("b"), "band", "key")
+        out = (
+            l.join(r, on=["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

@@ -139,6 +139,17 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     def is_constrained(binding: str) -> bool:
         return qg.labels.get(binding) is not None or binding in filters_by_binding()
 
+    def node_sig(binding: str) -> tuple:
+        """Constraint identity of a binding (label + predicate set) — what
+        makes two seeded scans interchangeable."""
+        nfs = filters_by_binding().get(binding, ())
+        return (
+            qg.labels.get(binding),
+            tuple(sorted((f.prop, f.op, str(f.value)) for f in nfs)),
+        )
+
+    scan_memo: dict[tuple, DataFrame] = {}
+
     def edge_df(e: PatternEdge) -> DataFrame:
         raw = graph.typed_edges(list(e.types))
         # edge-property WHERE: applied directly on the typed edge scan —
@@ -149,42 +160,67 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             if e.name
             else []
         )
-        for f in efs:
-            raw = raw.filter(_OPS[f.op](edge_prop_col(raw, f.prop, f.is_num), F.lit(f.value)))
-        if efs:
-            steps.append(("edge_filter", e.name, len(efs)))
         props = edge_prop_cols.get(e.name, []) if e.name else []
         if props and (e.min_hops, e.max_hops) != (1, 1):
             raise ValueError("cannot return properties of a variable-length edge")
-        base = raw.select(
-            "src", "dst", *[edge_prop_col(raw, p, False).alias(a) for p, a in props]
-        )
         alias_cols = [a for _, a in props]
+        # seeding decision first — it is part of the scan's memo identity
         seeded: str | None = None
+        seed_key = None
         if (e.min_hops, e.max_hops) != (1, 1):
-            # Push the endpoint restriction INTO the iterative expansion:
-            # closing over the whole graph and filtering afterwards is the
-            # classic scale-killer (full-graph transitive closure at 100 TB).
-            # Seed the frontier with the constrained source node set — or,
-            # when only the destination is constrained, run the closure over
-            # the transposed edges seeded from the destination set (transpose
-            # is a column swap, store.py:117-132).
             if is_constrained(e.src):
-                seeded = e.src
-                base = _var_length_pairs(
-                    base, e.min_hops, e.max_hops, sources=node_set(e.src)
-                )
+                seeded, seed_key = e.src, ("src", *node_sig(e.src))
             elif is_constrained(e.dst):
-                seeded = e.dst
-                t = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                closed = _var_length_pairs(
-                    t, e.min_hops, e.max_hops, sources=node_set(e.dst)
+                seeded, seed_key = e.dst, ("dst", *node_sig(e.dst))
+        # Shared sub-pattern memo (the reference's order-insensitive plan
+        # signatures, LogicNode.scala:20-31, applied to scans): two pattern
+        # edges with the same type set / hop bounds / filters / seed share
+        # ONE DataFrame — for var-length edges that is a materialized
+        # (checkpointed) closure computed once, not per branch.
+        key = (
+            tuple(e.types), e.min_hops, e.max_hops,
+            tuple(sorted((f.prop, f.op, str(f.value)) for f in efs)),
+            tuple(props), seed_key, clause_state["clause"],
+        )
+        if key in scan_memo:
+            base = scan_memo[key]
+            steps.append(("scan_reuse", tuple(e.types), e.min_hops, e.max_hops))
+        else:
+            for f in efs:
+                raw = raw.filter(
+                    _OPS[f.op](edge_prop_col(raw, f.prop, f.is_num), F.lit(f.value))
                 )
-                base = closed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            else:
-                base = _var_length_pairs(base, e.min_hops, e.max_hops)
-            if seeded is not None:
-                steps.append(("closure_seed", seeded))
+            if efs:
+                steps.append(("edge_filter", e.name, len(efs)))
+            base = raw.select(
+                "src", "dst", *[edge_prop_col(raw, p, False).alias(a) for p, a in props]
+            )
+            if (e.min_hops, e.max_hops) != (1, 1):
+                # Push the endpoint restriction INTO the iterative
+                # expansion: closing over the whole graph and filtering
+                # afterwards is the classic scale-killer (full-graph
+                # transitive closure at 100 TB). Seed the frontier with the
+                # constrained source node set — or, when only the
+                # destination is constrained, run the closure over the
+                # transposed edges seeded from the destination set
+                # (transpose is a column swap, store.py:117-132).
+                if seeded == e.src:
+                    base = _var_length_pairs(
+                        base, e.min_hops, e.max_hops, sources=node_set(e.src)
+                    )
+                elif seeded == e.dst:
+                    t = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                    closed = _var_length_pairs(
+                        t, e.min_hops, e.max_hops, sources=node_set(e.dst)
+                    )
+                    base = closed.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                else:
+                    base = _var_length_pairs(base, e.min_hops, e.max_hops)
+                if seeded is not None:
+                    steps.append(("closure_seed", seeded))
+            scan_memo[key] = base
         extra = [F.col(a) for a in alias_cols]
         if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
             df = base.filter(F.col("src") == F.col("dst")).select(

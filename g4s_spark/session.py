@@ -22,6 +22,15 @@ def get_spark(app_name: str = "g4s_spark", shuffle_partitions: int | None = None
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # hub vertices skew the expand join's shuffle keys (power-law
+        # degree); AQE splits oversized partitions at runtime instead of
+        # one straggler task owning the hub (SCALE.md skew strategy)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            os.environ.get("G4S_SKEW_THRESHOLD_BYTES", "16m"),
+        )
         # 64MB advisory partitions over-coalesce the small-but-CPU-heavy
         # shuffles of a 32-thread local node (mxm join stages ran 3-wide);
         # 8m keeps them parallel. Cluster deployments should raise this.

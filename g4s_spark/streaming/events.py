@@ -189,5 +189,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     if dict(raw.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div` keeps epoch-nanos exact (see sources/tables.py)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream

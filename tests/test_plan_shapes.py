@@ -89,3 +89,54 @@ def test_cost_model_formulas():
     assert expand_card(1, 1, 0.0001) == 1  # floor at 1
     assert filter_card(10, 20, 0.5) == 10  # capped at lCard
     assert step_cost(100) == 120.0  # 1.2 factor
+
+
+def test_shared_scan_memo_for_repeated_edge_type(spark):
+    """Two pattern edges over the same type share one scan DataFrame
+    (order-insensitive plan signatures, LogicNode.scala:20-31): the second
+    occurrence records a scan_reuse step."""
+    nodes = [(i, "A") for i in range(10)]
+    edges = [(i, (i + 1) % 10, "X") for i in range(10)]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:A)-[:X]->(c:A) RETURN a, c"))
+    assert steps_of(planned, "scan_reuse"), planned.steps
+    got = {tuple(r) for r in planned.df.collect()}
+    assert got == {(i, (i + 2) % 10) for i in range(10)}
+
+
+def test_shared_closure_memo_two_branches(spark):
+    """Fork with two var-length branches over the same type: the closure
+    is computed once (checkpointed) and reused for the second branch."""
+    nodes = [(0, "A"), (1, "B"), (2, "B"), (3, "B")]
+    edges = [(0, 1, "X"), (1, 2, "X"), (0, 3, "X")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(
+        g, parse("MATCH (a:A)-[:X*]->(x:B), (a)-[:X*]->(y:B) RETURN a, x, y")
+    )
+    assert steps_of(planned, "scan_reuse"), planned.steps
+    # only ONE closure_seed step: second branch reused the memoized closure
+    assert len(steps_of(planned, "closure_seed")) == 1, planned.steps
+    got = {tuple(r) for r in planned.df.collect()}
+    reach = {1, 2, 3}
+    assert got == {(0, x, y) for x in reach for y in reach}
+
+
+def test_skewed_hub_expand_correct_under_aqe(spark):
+    """Hub-heavy graph (one vertex owns ~90% of edges — the power-law
+    worst case for the expand join's shuffle keys): AQE skew-join is
+    enabled session-wide and the 2-hop expand over the hub stays exact."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    n = 500
+    nodes = [(i, "U") for i in range(n)] + [(1000, "H")]
+    # hub 1000 receives an edge from every U, and fans out to every U
+    edges = (
+        [(i, 1000, "F") for i in range(n)]
+        + [(1000, i, "F") for i in range(n)]
+        + [(0, 1, "F")]  # one non-hub edge
+    )
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(g, parse("MATCH (a:U)-[:F]->(h)-[:F]->(b:U) RETURN a, b"))
+    # every (a, b) pair routes through the hub; the 0->1 edge contributes
+    # nothing (no F edge leaves 1 toward a U node)
+    assert planned.df.count() == n * n
