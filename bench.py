@@ -55,6 +55,10 @@ def main():
     from g4s_spark.session import get_spark
 
     spark = get_spark("g4s_bench")
+    # one trivial job outside the timed region: JVM/JIT + scheduler warmup
+    # (otherwise the first query is charged several seconds of first-job
+    # session overhead that has nothing to do with its plan)
+    spark.range(1000).count()
     qs = entrymod.queries()
 
     timings: dict[str, float] = {}

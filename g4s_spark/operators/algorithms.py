@@ -155,37 +155,50 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
         pr_0(v)   = 1/N
         pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u)/outdeg(u)
 
-    Returns (id long, pr double). Each iteration is one join + one
+    Returns (id long, pr double). Each iteration is ONE join + one
     aggregation shuffled on dst — the Pregel message-passing pattern as
-    plain DataFrames; contributions combine map-side before the shuffle."""
-    nodes = graph.nodes.select("id")
-    edges = graph.edges.select("src", "dst").cache()
-    n = nodes.count()
-    # distinct key name: deg shares src's attribute lineage with edges,
-    # a second join on it would be ambiguous
+    plain DataFrames; contributions combine map-side before the shuffle.
+
+    The degree normalization is folded into the edge table once up front
+    (src, dst, 1/outdeg), cached: the loop never re-joins the degree
+    table — each iteration moves only the rank vector. (Deliberately NOT
+    pre-repartitioned: the rank side is small enough that AQE broadcasts
+    it, so forcing a co-partitioning shuffle of the big edge table costs
+    more than it saves.)"""
+    nodes = graph.nodes.select("id").cache()
+    edges = graph.edges.select("src", "dst")
     deg = (
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("src", "deg_src").cache()
+        .withColumnRenamed("src", "deg_src")
     )
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iters):
-        contribs = (
-            pr.join(edges, pr.id == edges.src)
-            .join(deg, pr.id == F.col("deg_src"))
-            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("mass"))
-        )
-        pr = (
-            nodes.join(contribs, on="id", how="left")
-            .select(
-                "id",
-                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+    # deg (not 1/deg) rides along: pr/deg stays bit-identical to the
+    # oracle's division — a fused reciprocal multiply is not
+    e2 = (
+        edges.join(deg, edges.src == F.col("deg_src"))
+        .select("src", "dst", "deg")
+        .cache()
+    )
+    try:
+        n = nodes.count()
+        pr = nodes.withColumn("pr", F.lit(1.0 / n))
+        for _ in range(iters):
+            contribs = (
+                pr.join(e2, pr.id == e2.src)
+                .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-    edges.unpersist()
-    deg.unpersist()
+            pr = (
+                nodes.join(contribs, on="id", how="left")
+                .select(
+                    "id",
+                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e2.unpersist()
+        nodes.unpersist()
     return pr
 
 
