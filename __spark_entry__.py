@@ -281,6 +281,40 @@ def _q_rel_supplier_rank(spark, sf_dir):
     )
 
 
+def _q_rel_q3_shipping(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1996-06-30")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1996-06-30")
+        .groupBy("l_orderkey", "o_shippriority")
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_rel_q5_local_volume(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    # customer and supplier in the SAME nation (TPC-H Q5 shape); nation is
+    # a broadcast dim, the big joins shuffle on the fact keys
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
 def _q_text_tokens(spark, sf_dir):
     return TX.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -315,6 +349,10 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_dedup_embedding(spark, sf_dir):
     return D.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    return D.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -428,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q1_pricing": _q_rel_q1,
         "rel_top_orders": _q_rel_top_orders,
         "rel_supplier_rank": _q_rel_supplier_rank,
+        "rel_q3_shipping": _q_rel_q3_shipping,
+        "rel_q5_local_volume": _q_rel_q5_local_volume,
         # text analysis
         "text_token_count": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -439,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -817,6 +858,29 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY revenue DESC, s_suppkey ASC) AS BIGINT) AS rnk
             FROM rev
         """,
+        "rel_q3_shipping": """
+            SELECT l_orderkey, o_shippriority,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30'
+              AND l_shipdate > TIMESTAMP '1996-06-30'
+            GROUP BY l_orderkey, o_shippriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "rel_q5_local_volume": """
+            SELECT n_name,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
         """,
@@ -896,6 +960,22 @@ def oracle_sql() -> dict[str, str]:
                    floor(({_COS.format(a='a.embedding', b='b.embedding')}) * 10000 + 0.5) / 10000 AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH bk AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                FROM embeddings
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   floor(({_COS.format(a='l.embedding', b='r.embedding')}) * 10000 + 0.5) / 10000 AS cos
+            FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.4
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -217,3 +217,38 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", pround(F.col("cos"), 4).alias("cos"))
     )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    dims: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ t, candidates restricted to a shared
+    sign-LSH bucket — the SCALE path for embedding dedup: the join
+    shuffles on bucket id, never enumerating the O(n²) pair space.
+    Random-hyperplane LSH guarantees near-identical vectors share sign
+    bits with high probability; with the deterministic degenerate
+    projection here (sign of leading coordinates) the same property holds
+    for high-cosine pairs whose leading coordinates are away from zero —
+    candidates found are exact-cosine verified, so precision is 1.0 and
+    only recall depends on the projection."""
+    from .similarity import cosine_expr, sign_lsh_bucket
+
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        l.join(r, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", pround(F.col("cos"), 4).alias("cos"))
+    )
