@@ -289,7 +289,7 @@ def _q_rel_q3_shipping(spark, sf_dir):
         .filter(F.col("o_orderdate") < "1996-06-30")
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > "1996-06-30")
-        .groupBy("l_orderkey", "o_shippriority")
+        .groupBy("l_orderkey", "o_orderpriority")
         .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -859,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rev
         """,
         "rel_q3_shipping": """
-            SELECT l_orderkey, o_shippriority,
+            SELECT l_orderkey, o_orderpriority,
                    floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -867,7 +867,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
               AND o_orderdate < TIMESTAMP '1996-06-30'
               AND l_shipdate > TIMESTAMP '1996-06-30'
-            GROUP BY l_orderkey, o_shippriority
+            GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
