@@ -20,26 +20,41 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# testdata parquet stores these as TIMESTAMP(NANOS,false), which Spark reads
-# as long only under spark.sql.legacy.parquet.nanosAsLong — convert to
-# TimestampType (microsecond) on load so downstream date logic is native.
-_NANO_TS_COLS = {
+# Timestamp columns the testdata has shipped under several parquet logical
+# types across regenerations: TIMESTAMP(NANOS) (readable only as long under
+# spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] with
+# isAdjustedToUTC=false (which Spark 4 reads as TIMESTAMP_NTZ). Normalize
+# every variant to TimestampType on load — the session TZ is pinned UTC
+# (g4s_spark/session.py), so NTZ->TZ cast is a pure type relabel — so that
+# downstream event-time logic (unix_millis, window(), withWatermark) always
+# sees a native TIMESTAMP.
+TS_COLS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
     "events": ["ts"],
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize declared timestamp columns to TimestampType regardless of
+    the parquet logical type they arrived as."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
             # integer `div`, not float `/`: epoch-nanos ≈ 2^60 exceed double's
             # exact range, so a float divide can land on a different
             # microsecond than DuckDB's native nanos read
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ts(df, TS_COLS.get(name, []))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -176,9 +176,12 @@ def stream_edges_into_graph(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
-    raw batch read — ts arrives as nanos-long under nanosAsLong and is
-    converted here, matching sources.load_table). With
-    Trigger.availableNow a test drains it exactly once."""
+    raw batch read; ts is normalized to TimestampType whatever parquet
+    logical type it arrived as — nanos-long or timestamp_ntz — matching
+    sources.load_table). With Trigger.availableNow a test drains it
+    exactly once."""
+    from ..sources.tables import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -188,7 +191,4 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        # integer `div` keeps epoch-nanos exact (see sources/tables.py)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ts(stream, ["ts"])
