@@ -336,11 +336,11 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3, materialize=True)
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), materialize=True)
 
 
 def _q_dedup_simhash(spark, sf_dir):

@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ t.
 
@@ -79,11 +80,15 @@ def ngram_jaccard_pairs(
     back for |A∪B| = |A|+|B|−|A∩B|. Candidate pairs only exist where at
     least one shingle is shared (required for any t > 0).
 
-    The shingle table is cached for its three uses (sizes + both join
-    sides), the small pair result is materialized (localCheckpoint), and
-    the cache is released before returning — no cached blocks leak across
-    the session's other queries."""
-    sh = shingle_docs(df, text_col, id_col, n).cache()
+    By default this is a pure plan builder: no cache, no jobs — downstream
+    filters compose and push into the pair computation. With
+    materialize=True the shingle table is cached for its three uses
+    (sizes + both join sides), the small pair result is pinned
+    (localCheckpoint) and the cache released before returning — for
+    callers that iterate over the pairs repeatedly."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    if materialize:
+        sh = sh.cache()
     try:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -101,9 +106,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", pround(F.col("jaccard"), 4).alias("jaccard"))
         )
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        sh.unpersist()
+        if materialize:
+            sh.unpersist()
 
 
 def minhash_signatures(
@@ -127,10 +133,17 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (a < b): docs agreeing on all rows of ≥1 band.
     Band key = md5(concat of the band's minhashes); bucket equality join
-    keyed on (band_idx, key) — the scale path never enumerates pairs."""
+    keyed on (band_idx, key) — the scale path never enumerates pairs.
+
+    By default a pure plan builder (no cache, no jobs). With
+    materialize=True the bucket table is cached before the self-join —
+    both sides share the whole load->shingle->k×md5-agg lineage, which
+    would otherwise execute twice — the small pair result pinned
+    (localCheckpoint) and the cache released before returning."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k)
     band_cols = [
@@ -140,16 +153,12 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    # cache before the self-join: both join sides share the whole
-    # load->shingle->12xmd5-agg lineage, which would otherwise execute
-    # twice; the bucket table is k/bands rows per doc (tiny vs corpus).
-    # The small pair result is materialized and the cache released before
-    # returning (no leaked blocks across queries).
     bucketed = (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .cache()
     )
+    if materialize:
+        bucketed = bucketed.cache()
     try:
         l = bucketed.select(F.col(id_col).alias("a"), "band", "key")
         r = bucketed.select(F.col(id_col).alias("b"), "band", "key")
@@ -159,9 +168,10 @@ def minhash_lsh_pairs(
             .select("a", "b")
             .dropDuplicates(["a", "b"])
         )
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True) if materialize else out
     finally:
-        bucketed.unpersist()
+        if materialize:
+            bucketed.unpersist()
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

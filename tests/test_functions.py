@@ -139,3 +139,24 @@ def test_frame_sample(docs, spark):
     media = MM.to_media(docs.filter(F.col("doc_id") == 1))
     frames = MM.frame_sample_stub(media, every_n=1).collect()
     assert len(frames) >= 1 and frames[0].frame_no == 0
+
+
+def test_dedup_builders_are_lazy(spark, docs):
+    # plan builders must not run Spark jobs at construction time — the
+    # DAGScheduler job counter must not advance until an action fires
+    def n_jobs():
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    before = n_jobs()
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.3)
+    lsh = D.minhash_lsh_pairs(docs)
+    assert n_jobs() == before
+    # downstream composition still executes correctly
+    assert jac.filter("a = 1").count() >= 1
+    assert lsh.count() >= 1
+
+
+def test_dedup_materialize_matches_lazy(docs):
+    lazy = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs).collect()}
+    mat = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs, materialize=True).collect()}
+    assert lazy == mat
