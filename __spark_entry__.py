@@ -369,6 +369,33 @@ def _q_ivf_cells(spark, sf_dir):
     return S.ivf_assign(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_cypher_multilabel(spark, sf_dir):
+    """Multi-label pattern (c:Customer:Premium): multi-labeled nodes are
+    several (id, label) rows; the planner intersects the label id sets.
+    Premium = customers with acctbal > 5000."""
+    from g4s_spark.graph import PropertyGraph
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cid = (F.lit(CUSTOMER_OFF) + F.col("c_custkey")).cast("long")
+    oid = (F.lit(ORDER_OFF) + F.col("o_orderkey")).cast("long")
+    nodes = (
+        customer.select(cid.alias("id"), F.lit("Customer").alias("label"))
+        .unionByName(
+            customer.filter(F.col("c_acctbal") > 5000)
+            .select(cid.alias("id"), F.lit("Premium").alias("label"))
+        )
+        .unionByName(orders.select(oid.alias("id"), F.lit("Order").alias("label")))
+    )
+    edges = orders.select(
+        (F.lit(CUSTOMER_OFF) + F.col("o_custkey")).cast("long").alias("src"),
+        oid.alias("dst"),
+        F.lit("PLACED").alias("type"),
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    return run_cypher(g, "MATCH (c:Customer:Premium)-[:PLACED]->(o:Order) RETURN c, o")
+
+
 def _q_multimodal_meta(spark, sf_dir):
     # metadata-only consumers stay on built-in column ops (no Python in
     # the plan); extract_features (mapInPandas) is only for real decodes
@@ -445,6 +472,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
             "WHERE o.orderpriority = '1-URGENT' RETURN c, o"
         ),
+        "cypher_where_or": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.acctbal >= 5000 OR c.mktsegment = 'BUILDING' RETURN o"
+        ),
+        "cypher_where_cross": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.acctbal >= 9000 OR o.totalprice >= 200000 RETURN c, o"
+        ),
+        "cypher_multilabel": _q_cypher_multilabel,
         # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
@@ -552,13 +588,15 @@ def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
     """
 
 
-def _components_oracle(iters: int = 10) -> str:
+def _components_oracle(iters: int = 30) -> str:
     """Unrolled HashMin min-id propagation matching
     operators.connected_components exactly: comp_0 = id;
     comp_{t+1}(v) = min(comp_t(v), min over undirected neighbors u of
     comp_t(u)). The Spark loop iterates to fixpoint; the HashMin fixpoint
     is unique (per-component min id), so any unroll depth ≥ the graph's
-    convergence depth produces identical output."""
+    convergence depth produces identical output. Depth 30 matches the
+    Spark side's max_iters=30 bound — a component deeper than the old
+    10-level unroll no longer makes the oracle spuriously wrong."""
     prev = "c0"
     its = []
     # MATERIALIZED: each level references the previous twice; left to the
@@ -713,6 +751,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT {_CID} AS c, CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS o
             FROM customer LEFT JOIN orders
               ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        """,
+        "cypher_where_or": f"""
+            SELECT DISTINCT {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal >= 5000 OR c_mktsegment = 'BUILDING'
+        """,
+        "cypher_where_cross": f"""
+            SELECT DISTINCT {_CID} AS c, {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal >= 9000 OR o_totalprice >= 200000
+        """,
+        "cypher_multilabel": f"""
+            SELECT DISTINCT {_CID} AS c, {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 5000
         """,
         "graph_bfs": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
@@ -962,20 +1015,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
         """,
         "dedup_embedding_lsh": f"""
-            WITH bk AS (
-                SELECT vec_id, embedding,
-                       (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
-                      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-                      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
-                FROM embeddings
+            WITH bk AS {S.sign_lsh_bands_sql()},
+            cand AS (
+                SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                     AND l.vec_id < r.vec_id
             )
-            SELECT l.vec_id AS a, r.vec_id AS b,
-                   floor(({_COS.format(a='l.embedding', b='r.embedding')}) * 10000 + 0.5) / 10000 AS cos
-            FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-            WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.4
+            SELECT c.a, c.b,
+                   floor(({_COS.format(a='ea.embedding', b='eb.embedding')}) * 10000 + 0.5) / 10000 AS cos
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a
+            JOIN embeddings eb ON eb.vec_id = c.b
+            WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.4
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -993,21 +1044,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ann_lsh_topk": f"""
-            WITH b AS (
-                SELECT vec_id, embedding,
-                       (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-                      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-                      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-                      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
-                      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-                      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
-                FROM embeddings
+            WITH bk AS {S.sign_lsh_bands_sql()},
+            q AS (SELECT vec_id AS q_id, band, key FROM bk WHERE vec_id < 10),
+            cand AS (
+                SELECT DISTINCT q.q_id, e.vec_id AS n_id
+                FROM q JOIN bk e USING (band, key) WHERE e.vec_id != q.q_id
             ),
-            q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
             scored AS (
-                SELECT q.q_id, e.vec_id AS n_id,
-                       {_COS.format(a='q.qv', b='e.embedding')} AS cos
-                FROM q JOIN b e USING (bucket) WHERE e.vec_id != q.q_id
+                SELECT c.q_id, c.n_id,
+                       {_COS.format(a='qe.embedding', b='ne.embedding')} AS cos
+                FROM cand c
+                JOIN embeddings qe ON qe.vec_id = c.q_id
+                JOIN embeddings ne ON ne.vec_id = c.n_id
             ),
             ranked AS (
                 SELECT q_id, n_id, cos,
@@ -1017,19 +1065,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, floor(cos * 10000 + 0.5) / 10000 AS cos
             FROM ranked WHERE rank <= 5
         """,
-        "ann_ivf_cells": """
-            WITH ex AS (
-                SELECT vec_id, unnest(embedding[1:8]) AS val,
-                       generate_subscripts(embedding[1:8], 1) AS idx
-                FROM embeddings
-            ),
-            ranked AS (
-                SELECT vec_id, idx,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY val DESC, idx ASC) AS rn
-                FROM ex
-            )
-            SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell FROM ranked WHERE rn = 1
-        """,
+        "ann_ivf_cells": S.ivf_assign_sql(),
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest

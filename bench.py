@@ -46,10 +46,15 @@ HEADLINE = [
 ]
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    import statistics
 
     import __spark_entry__ as entrymod
     from g4s_spark.session import get_spark
@@ -61,23 +66,31 @@ def main():
     spark.range(1000).count()
     qs = entrymod.queries()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+    # median-of-REPEATS: single runs in this environment carry ±50% noise
+    # (NOTES.md) — per-query medians separate plan changes from protocol
+    # jitter. Passes alternate over queries (run 1 of all, then run 2 ...)
+    # so cross-run cache/GC drift spreads evenly instead of biasing one run.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(REPEATS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            print(f"# [{rep + 1}/{REPEATS}] {name}: {dt:.2f}s", file=sys.stderr)
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    total = round(sum(timings.values()), 3)
 
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "repeats": REPEATS,
         "sf": sf,
     }))
 

@@ -68,6 +68,11 @@ class QueryGraph:
     (count/sum/avg/min/max), ORDER BY, LIMIT."""
 
     labels: dict[str, str | None] = field(default_factory=dict)  # binding -> label
+    # multi-label nodes (extension): ``(n:A:B)`` binds the FIRST label in
+    # ``labels`` (drives cardinality estimates) and the rest here; the
+    # planner intersects the label sets (a node with several labels is
+    # several (id, label) rows in the store)
+    extra_labels: dict[str, tuple[str, ...]] = field(default_factory=dict)
     edges: list[PatternEdge] = field(default_factory=list)
     # OPTIONAL MATCH groups (extension): each group is left-joined to the
     # required match on its shared bindings; unmatched rows keep NULLs
@@ -85,12 +90,22 @@ class QueryGraph:
     filters: list[PropFilter] = field(default_factory=list)
     # WHERE predicates on edge variables — pushed into the edge scan
     edge_filters: list[PropFilter] = field(default_factory=list)
+    # WHERE disjunctions (extension): CNF conjuncts with >1 atom.
+    # or_filters: every atom on the SAME node binding — pushed into that
+    # binding's scan as one OR-combined predicate. cross_filters: atoms
+    # span bindings — applied after the join that binds them all
+    # (required MATCH only).
+    or_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
+    cross_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
     aggregates: list[AggItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     limit: int | None = None
 
 
-_NODE = re.compile(r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*(?P<label>[A-Za-z_][A-Za-z0-9_]*))?\s*\)")
+_NODE = re.compile(
+    r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
+    r"(?P<labels>(?::\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)"
+)
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
     r"(?::\s*(?P<types>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*"
@@ -141,28 +156,72 @@ def parse(query: str) -> QueryGraph:
         if ci > 0:
             target = []
             qg.optionals.append(target)
+        clause_bound: set[str] = set()
         for pattern in _split_patterns(cm_.group("patterns")):
-            _parse_pattern(pattern, qg, target, fresh)
+            _parse_pattern(pattern, qg, target, fresh, clause_bound)
         if ci == 0:
             qg.match_bindings = set(qg.labels)
         elif not target:
             raise CypherParseError("OPTIONAL MATCH needs at least one pattern edge")
         if cm_.group("where"):
             enames = _edge_names(qg)
-            for cond in re.split(r"(?i)\s+AND\s+", cm_.group("where")):
+            clause_enames = {e.name for e in target if e.name}
+
+            def atom_of(cond: str) -> PropFilter:
                 wm = _COND.match(cond)
                 if not wm:
                     raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
                 b = wm.group("b")
                 if b not in qg.labels and b not in enames:
                     raise CypherParseError(f"WHERE references unbound variable: {b!r}")
+                # clause scoping: the planner applies a clause's predicates
+                # to that clause's own pattern only, so a predicate on a
+                # binding outside the clause would be silently dropped —
+                # reject it instead (correlated optional WHERE unsupported)
+                if b not in clause_bound and b not in clause_enames:
+                    raise CypherParseError(
+                        f"WHERE in clause {ci} references {b!r}, which is not part of "
+                        "that clause's pattern (correlated clause predicates unsupported)"
+                    )
                 raw = wm.group("val")
                 if raw[0] in "'\"":
                     value, is_num = raw[1:-1], False
                 else:
                     value, is_num = float(raw), True
-                pf = PropFilter(b, wm.group("p"), wm.group("op"), value, is_num, clause=ci)
-                (qg.edge_filters if b in enames else qg.filters).append(pf)
+                return PropFilter(b, wm.group("p"), wm.group("op"), value, is_num, clause=ci)
+
+            # WHERE is CNF: conjuncts split on top-level AND, each conjunct
+            # an optionally-parenthesized disjunction. SQL precedence makes
+            # a bare `a AND b OR c` mean `(a AND b) OR c`, which CNF-first
+            # splitting would silently mis-read — so OR groups must be
+            # parenthesized whenever ANDs are present.
+            conjuncts = _split_bool(cm_.group("where"), "AND")
+            for conj in conjuncts:
+                c, parenthesized = _strip_outer_parens(conj)
+                disjuncts = _split_bool(c, "OR")
+                if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:
+                    raise CypherParseError(
+                        "parenthesize OR groups when mixing AND and OR: "
+                        f"ambiguous conjunct {conj!r}"
+                    )
+                atoms = [atom_of(d) for d in disjuncts]
+                if len(atoms) == 1:
+                    pf = atoms[0]
+                    (qg.edge_filters if pf.binding in enames else qg.filters).append(pf)
+                    continue
+                if any(a.binding in enames for a in atoms):
+                    raise CypherParseError(
+                        "OR over edge-variable predicates is unsupported"
+                    )
+                bindings = {a.binding for a in atoms}
+                if len(bindings) == 1:
+                    qg.or_filters.append(tuple(atoms))
+                else:
+                    if ci > 0:
+                        raise CypherParseError(
+                            "cross-binding OR in OPTIONAL MATCH WHERE is unsupported"
+                        )
+                    qg.cross_filters.append(tuple(atoms))
 
     # RETURN DISTINCT is accepted and is a no-op: match results are
     # already distinct endpoint combinations (ANY_PAIR existence
@@ -237,21 +296,88 @@ def parse(query: str) -> QueryGraph:
     return qg
 
 
+def _split_bool(s: str, word: str) -> list[str]:
+    """Split on a top-level boolean keyword (AND/OR), respecting
+    parentheses and quoted strings."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i, n, q = 0, 0, len(s), None
+    w = len(word)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and s[i : i + w].upper() == word
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + w >= n or not (s[i + w].isalnum() or s[i + w] == "_"))
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += w
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    out = [p.strip() for p in parts]
+    if any(not p for p in out):
+        raise CypherParseError(f"dangling {word} in WHERE: {s!r}")
+    return out
+
+
+def _strip_outer_parens(s: str) -> tuple[str, bool]:
+    """Remove one pair of parens if they wrap the whole conjunct; returns
+    (stripped, was_parenthesized)."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s, False
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return s, False  # e.g. "(a) OR (b)" — parens don't wrap all
+    return s[1:-1].strip(), True
+
+
 def _edge_names(qg: QueryGraph) -> set[str]:
     return {e.name for e in qg.edges if e.name} | {
         e.name for g in qg.optionals for e in g if e.name
     }
 
 
-def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fresh) -> None:
+def _parse_pattern(
+    pattern: str, qg: QueryGraph, target: list[PatternEdge], fresh,
+    clause_bound: set[str] | None = None,
+) -> None:
     """Parse one node-edge-node chain, appending edges to `target`
-    (qg.edges for MATCH, a group list for OPTIONAL MATCH)."""
+    (qg.edges for MATCH, a group list for OPTIONAL MATCH). Node bindings
+    named in this pattern are added to `clause_bound` (WHERE scoping)."""
+    if clause_bound is None:
+        clause_bound = set()
     pos = 0
     pattern = pattern.strip()
     nm = _NODE.match(pattern, pos)
     if not nm:
         raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
     prev = _bind_node(qg, nm, fresh)
+    clause_bound.add(prev)
     pos = nm.end()
     while pos < len(pattern):
         em = _EDGE.match(pattern, pos)
@@ -267,11 +393,16 @@ def _parse_pattern(pattern: str, qg: QueryGraph, target: list[PatternEdge], fres
         if not nm:
             raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
         cur = _bind_node(qg, nm, fresh)
+        clause_bound.add(cur)
         pos = nm.end()
         types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
         ename = em.group("name")
         if ename is not None and ename in qg.labels:
             raise CypherParseError(f"edge variable collides with node binding: {ename!r}")
+        if ename is not None and ename in _edge_names(qg):
+            # each edge variable binds one pattern edge; reuse would need
+            # same-edge identity semantics the planner doesn't implement
+            raise CypherParseError(f"edge variable reused across pattern edges: {ename!r}")
         lo, hi = 1, 1
         star = em.group(0).find("*") != -1
         if star:
@@ -312,7 +443,10 @@ def _split_patterns(s: str) -> list[str]:
 
 def _bind_node(qg: QueryGraph, nm: re.Match, fresh) -> str:
     name = nm.group("name") or fresh()
-    label = nm.group("label")
+    raw = nm.group("labels") or ""
+    lbls = [l.strip() for l in raw.split(":") if l.strip()]
+    label = lbls[0] if lbls else None
+    extra = tuple(dict.fromkeys(lbls[1:]))  # dedup, keep order
     if name in qg.labels:
         if label is not None and qg.labels[name] is not None and qg.labels[name] != label:
             raise CypherParseError(f"conflicting labels for {name}")
@@ -320,4 +454,7 @@ def _bind_node(qg: QueryGraph, nm: re.Match, fresh) -> str:
             qg.labels[name] = label
     else:
         qg.labels[name] = label
+    if extra:
+        prev = qg.extra_labels.get(name, ())
+        qg.extra_labels[name] = tuple(dict.fromkeys(prev + extra))
     return name

@@ -232,33 +232,41 @@ def embedding_near_dups(
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.98,
-    dims: int = 6,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs with cosine ≥ t, candidates restricted to a shared
-    sign-LSH bucket — the SCALE path for embedding dedup: the join
-    shuffles on bucket id, never enumerating the O(n²) pair space.
-    Random-hyperplane LSH guarantees near-identical vectors share sign
-    bits with high probability; with the deterministic degenerate
-    projection here (sign of leading coordinates) the same property holds
-    for high-cosine pairs whose leading coordinates are away from zero —
-    candidates found are exact-cosine verified, so precision is 1.0 and
-    only recall depends on the projection."""
-    from .similarity import cosine_expr, sign_lsh_bucket
+    """Near-dup pairs with cosine ≥ t, candidates restricted to pairs
+    sharing ≥1 banded sign-LSH key — the SCALE path for embedding dedup:
+    the join shuffles on (band, key), never enumerating the O(n²) pair
+    space. Banded seeded random-hyperplane projections (see
+    similarity.sign_lsh_bands) give a pair at angle θ a 1 − (1 − p^n)^L
+    chance of ≥1 shared band (p = 1 − θ/π) — near 1.0 for true near-dups.
+    Candidates are exact-cosine verified, so precision is 1.0 and only
+    recall depends on the projection."""
+    from .similarity import LSH_BAND_PLANES, LSH_BANDS, cosine_expr, sign_lsh_bands
 
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    n_planes = LSH_BAND_PLANES if n_planes is None else n_planes
+    n_bands = LSH_BANDS if n_bands is None else n_bands
+    b = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+        )
+        .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "key")
+    r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "key")
+    cand = (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
-        l.join(r, on="bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cos)
+        cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("a", "b", pround(F.col("cos"), 4).alias("cos"))
     )

@@ -59,40 +59,134 @@ def brute_force_topk(
     )
 
 
-def sign_lsh_bucket(vec: Column, dims: int = 6) -> Column:
-    """Random-hyperplane LSH degenerate form: bucket = sign bits of the
-    first `dims` coordinates. Deterministic, oracle-expressible; at scale
-    replace coordinates with stored random projections."""
+LSH_SEED = 0x9E3779B1
+EMB_DIM = 64
+
+
+def projection_matrix(n_rows: int, dim: int = EMB_DIM, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic seeded ±1 projection matrix (Rademacher random
+    hyperplanes). Seeded Python PRNG -> the same literal weights are
+    embedded in the Spark plan and the DuckDB oracle SQL, so buckets are
+    engine-independent. ±1 weights are exact in float/double, and both
+    engines sum the dot product left-to-right, so the sign test is
+    bit-comparable."""
+    import random
+
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_rows)]
+
+
+def sign_lsh_bucket(vec: Column, n_planes: int = 6, dim: int = EMB_DIM, seed: int = LSH_SEED) -> Column:
+    """Random-hyperplane sign-LSH: bit h of the bucket = (vec · P_h) > 0
+    for the h-th seeded hyperplane. High-cosine pairs agree on each bit
+    with probability 1 − θ/π — the real SimHash guarantee, independent of
+    which coordinates carry the signal (unlike the leading-coordinate
+    degenerate form this replaces)."""
+    P = projection_matrix(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
-    for d in range(dims):
-        bucket = bucket + F.when(vec[d] > 0, F.lit(1 << d).cast("long")).otherwise(F.lit(0))
+    for h, row in enumerate(P):
+        dot = dot_expr(vec, F.array(*[F.lit(w) for w in row]))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << h).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def sign_lsh_bucket_sql(emb_expr: str, n_planes: int = 6, dim: int = EMB_DIM, seed: int = LSH_SEED) -> str:
+    """DuckDB expression computing the same bucket as sign_lsh_bucket —
+    the identical seeded weights as SQL list literals."""
+    P = projection_matrix(n_planes, dim, seed)
+    terms = []
+    for h, row in enumerate(P):
+        arr = "[" + ",".join(f"{w:.1f}" for w in row) + "]"
+        terms.append(f"CASE WHEN list_dot_product({emb_expr}, {arr}) > 0 THEN {1 << h} ELSE 0 END")
+    return "(" + "\n                     + ".join(terms) + ")"
+
+
+# Banded (multi-table) sign-LSH: a pair at angle θ matches one band of n
+# planes with probability p^n (p = 1 − θ/π) and ≥1 of L bands with
+# probability 1 − (1 − p^n)^L — the same amplification MinHash banding
+# gives Jaccard. 4×8 puts recall ≈ 0.75 at cos 0.4 and ≈ 1.0 for true
+# near-dups, while every join still shuffles on (band, key), never pairs.
+LSH_BAND_PLANES = 4
+LSH_BANDS = 8
+
+
+def sign_lsh_bands(
+    vec: Column, n_planes: int = LSH_BAND_PLANES, n_bands: int = LSH_BANDS,
+    dim: int = EMB_DIM, seed: int = LSH_SEED,
+) -> Column:
+    """Array of (band, key) structs — one sign-LSH key per band, all bands
+    drawn from one seeded projection matrix. Explode and equality-join on
+    (band, key) for candidate generation."""
+    P = projection_matrix(n_planes * n_bands, dim, seed)
+    bands = []
+    for t in range(n_bands):
+        key = F.lit(0).cast("long")
+        for h in range(n_planes):
+            dot = dot_expr(vec, F.array(*[F.lit(w) for w in P[t * n_planes + h]]))
+            key = key + F.when(dot > 0, F.lit(1 << h).cast("long")).otherwise(F.lit(0))
+        bands.append(F.struct(F.lit(t).alias("band"), key.alias("key")))
+    return F.array(*bands)
+
+
+def sign_lsh_bands_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = LSH_BAND_PLANES, n_bands: int = LSH_BANDS,
+    dim: int = EMB_DIM, seed: int = LSH_SEED,
+) -> str:
+    """DuckDB subquery producing (id, embedding, band, key) rows matching
+    sign_lsh_bands — identical seeded weights as list literals."""
+    P = projection_matrix(n_planes * n_bands, dim, seed)
+    selects = []
+    for t in range(n_bands):
+        terms = []
+        for h in range(n_planes):
+            arr = "[" + ",".join(f"{w:.1f}" for w in P[t * n_planes + h]) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({vec_col}, {arr}) > 0 THEN {1 << h} ELSE 0 END"
+            )
+        key = "(" + " + ".join(terms) + ")"
+        selects.append(
+            f"SELECT {id_col}, {vec_col}, {t} AS band, {key} AS key FROM {table}"
+        )
+    return "(" + "\n            UNION ALL ".join(selects) + ")"
 
 
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    dims: int = 6,
+    n_planes: int = LSH_BAND_PLANES,
+    n_bands: int = LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    then exact cosine rank within the bucket. The bucket equality join is
-    the scale path — shuffle on bucket id, never the full pair space."""
-    c = emb.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
-        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 LSH band
+    key with the query, then exact cosine rank within the candidates.
+    The (band, key) equality join is the scale path — shuffle on band
+    keys, never the full pair space; banding keeps recall high (see
+    sign_lsh_bands)."""
+    c = (
+        emb.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
+            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+        )
+        .select("n_id", "nv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+        )
+        .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
+    cand = (
+        c.join(F.broadcast(q), on=["band", "key"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
+        # a pair matching several bands is one candidate; same ids carry
+        # identical vectors, so any surviving row works
+        .dropDuplicates(["q_id", "n_id"])
     )
+    scored = cand.withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -101,15 +195,51 @@ def lsh_topk(
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids_dims: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-style coarse partition assignment: cell = argmax coordinate
-    among the first n dims (a deterministic stand-in for learned
-    centroids; the Spark plumbing — assign, partition, search-within-cell
-    — is the real artifact)."""
+IVF_SEED = 0x51ED270B
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = EMB_DIM, seed: int = IVF_SEED,
+) -> DataFrame:
+    """IVF-style coarse partition assignment: cell = argmax_c (vec · C_c)
+    over seeded ±1 pseudo-centroids (the deterministic, oracle-expressible
+    stand-in for k-means centroids — swap projection_matrix for learned
+    centroid literals in production; the Spark plumbing — assign,
+    partition, search-within-cell — is unchanged). Per-row expressions
+    only: shuffle-free. First maximum wins on ties (strict >), matching
+    the oracle's (score DESC, idx ASC) ranking."""
+    C = projection_matrix(n_centroids, dim, seed)
     vec = F.col(vec_col)
-    best_d, best_v = F.lit(0), vec[0]
-    for d in range(1, n_centroids_dims):
-        is_better = vec[d] > best_v
-        best_d = F.when(is_better, F.lit(d)).otherwise(best_d)
-        best_v = F.when(is_better, vec[d]).otherwise(best_v)
+    dots = [dot_expr(vec, F.array(*[F.lit(w) for w in row])) for row in C]
+    best_d, best_v = F.lit(0), dots[0]
+    for c in range(1, n_centroids):
+        is_better = dots[c] > best_v
+        best_d = F.when(is_better, F.lit(c)).otherwise(best_d)
+        best_v = F.when(is_better, dots[c]).otherwise(best_v)
     return emb.select(F.col(id_col), best_d.cast("long").alias("cell"))
+
+
+def ivf_assign_sql(n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED) -> str:
+    """DuckDB query over `embeddings` computing the same cell assignment
+    as ivf_assign (same seeded centroid literals, same tie-break)."""
+    C = projection_matrix(n_centroids, dim, seed)
+    dot_list = ",\n                ".join(
+        "list_dot_product(embedding, [" + ",".join(f"{w:.1f}" for w in row) + "])"
+        for row in C
+    )
+    return f"""
+        WITH d AS (
+            SELECT vec_id, [{dot_list}] AS dots
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, unnest(dots) AS val, generate_subscripts(dots, 1) AS idx FROM d
+        ),
+        ranked AS (
+            SELECT vec_id, idx,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY val DESC, idx ASC) AS rn
+            FROM ex
+        )
+        SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell FROM ranked WHERE rn = 1
+    """

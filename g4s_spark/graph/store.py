@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 
 from .stats import GraphStats
 
+_PRED_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
 
 class PropertyGraph:
     def __init__(self, nodes: DataFrame, edges: DataFrame, spark: SparkSession | None = None):
@@ -86,32 +96,47 @@ class PropertyGraph:
             df = df.filter(F.col("label") == label)
         return df.select("id")
 
-    def node_set(self, label: str | None, prop_filters=()) -> DataFrame:
+    def node_set(self, label: str | None, prop_filters=(), or_groups=(), extra_labels=()) -> DataFrame:
         """Node-id set for a label + WHERE prop predicates (extension —
         the reference has no property predicates, SURVEY §2.7). Predicates
         evaluate against the props map; numeric values compare as doubles
-        (string round-trip through Double.toString is exact)."""
-        if not prop_filters:
-            return self.label_nodes(label)  # slim-cache path
+        (string round-trip through Double.toString is exact).
+
+        ``or_groups``: tuples of predicates on THIS binding, each applied
+        as one OR-combined filter (a CNF conjunct) — still a plain column
+        predicate on the scan, so pushdown is preserved.
+
+        ``extra_labels``: multi-label intersection (``(n:A:B)``) — a node
+        carrying several labels is several (id, label) rows, so each extra
+        label is one more semi-join against that label's id set."""
+        if prop_filters or or_groups:
+            ids = self._node_set_filtered(label, prop_filters, or_groups)
+        else:
+            ids = self.label_nodes(label)  # slim-cache path
+        for xl in extra_labels:
+            ids = ids.join(self.label_nodes(xl), on="id", how="left_semi")
+        return ids
+
+    def _node_set_filtered(self, label: str | None, prop_filters=(), or_groups=()) -> DataFrame:
         df = self.nodes
         if label is not None:
             df = df.filter(F.col("label") == label)
-        if prop_filters and "props" not in df.columns:
+        if "props" not in df.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
-        ops = {
-            "=": lambda c, v: c == v,
-            "<>": lambda c, v: c != v,
-            "!=": lambda c, v: c != v,
-            "<": lambda c, v: c < v,
-            "<=": lambda c, v: c <= v,
-            ">": lambda c, v: c > v,
-            ">=": lambda c, v: c >= v,
-        }
-        for f in prop_filters:
+
+        def cond(f):
             c = F.col("props").getItem(f.prop)
             if f.is_num:
                 c = c.cast("double")
-            df = df.filter(ops[f.op](c, F.lit(f.value)))
+            return _PRED_OPS[f.op](c, F.lit(f.value))
+
+        for f in prop_filters:
+            df = df.filter(cond(f))
+        for grp in or_groups:
+            acc = None
+            for f in grp:
+                acc = cond(f) if acc is None else (acc | cond(f))
+            df = df.filter(acc)
         return df.select("id")
 
     def typed_edges(self, types: list[str] | None, transpose: bool = False) -> DataFrame:

@@ -147,8 +147,21 @@ def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, Da
         "OF_PART": counts["lineitem"],
         "BY_SUPP": counts["lineitem"],
     }
+    # (srcLabel, type, dstLabel) triplet counters (StatsStore.scala:
+    # 141-170) — static from the schema, so FROM_NATION's two label pairs
+    # estimate exactly instead of via independent selectivities
+    triplet_counts = {
+        ("Nation", "IN_REGION", "Region"): counts["nation"],
+        ("Customer", "FROM_NATION", "Nation"): counts["customer"],
+        ("Supplier", "FROM_NATION", "Nation"): counts["supplier"],
+        ("Customer", "PLACED", "Order"): counts["orders"],
+        ("Order", "HAS_ITEM", "Lineitem"): counts["lineitem"],
+        ("Lineitem", "OF_PART", "Part"): counts["lineitem"],
+        ("Lineitem", "BY_SUPP", "Supplier"): counts["lineitem"],
+    }
     g._stats = GraphStats(
-        sum(label_counts.values()), sum(type_counts.values()), label_counts, type_counts
+        sum(label_counts.values()), sum(type_counts.values()), label_counts, type_counts,
+        triplet_counts,
     )
     return g
 

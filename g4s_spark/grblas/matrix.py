@@ -17,11 +17,14 @@ cluster scale the joins shuffle on (i/j) keys — a 100 TB matrix is just a
 big DataFrame.
 
 Masks and accumulators are expressed as join modifiers:
-- mask          -> left-semi join with the mask's (i,j) pattern
-- complemented  -> left-anti join
-- accum(op)     -> full-outer merge of old output with the new values
+- mask            -> left-semi join with the mask's (i,j) pattern
+- valued mask     -> pattern restricted to truthy cells (mask_valued=True)
+- complemented    -> left-anti join
+- accum(op)       -> full-outer merge of old output with the new values
+- replace=True    -> old output cleared outside the effective mask first
+  (replace=False, the GraphBLAS default, keeps unmasked old cells)
 which mirrors the descriptor/mask/accum parameters threaded through every
-reference kernel (MatrixOps.scala / ElemWise.scala).
+reference kernel (MatrixOps.scala / ElemWise.scala / Descriptor.scala:50-94).
 """
 
 from __future__ import annotations
@@ -162,6 +165,8 @@ def vector_ewise_union(
     mask_complement: bool = False,
     accum_into: Vector | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Vector:
     op = BINARY_OPS[op_name]
     ad = a.df.withColumnRenamed("v", "va")
@@ -174,9 +179,10 @@ def vector_ewise_union(
         .otherwise(op(F.col("va"), F.col("vb")))
         .alias("v"),
     )
-    out = _apply_mask_vec(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum_vec(accum_into.df, out, accum_op or op)
+    out = _mask_accum_vec(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or op) if accum_into else None,
+    )
     return Vector(out, a.size)
 
 
@@ -188,14 +194,17 @@ def vector_ewise_intersect(
     mask_complement: bool = False,
     accum_into: Vector | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Vector:
     op = BINARY_OPS[op_name]
     ad = a.df.withColumnRenamed("v", "va")
     bd = b.df.withColumnRenamed("v", "vb")
     out = ad.join(bd, on="i").select("i", op(F.col("va"), F.col("vb")).alias("v"))
-    out = _apply_mask_vec(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum_vec(accum_into.df, out, accum_op or op)
+    out = _mask_accum_vec(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or op) if accum_into else None,
+    )
     return Vector(out, a.size)
 
 
@@ -215,10 +224,11 @@ def vector_reduce(a: Vector, monoid_name: str = "plus"):
 #                   (GxB_STRIDE / GxB_BACKWARDS)
 #   [i0, i1, ...]   explicit index list
 #
-# Index lists are applied as a literal map below INDEX_MAP_JOIN_THRESHOLD
-# entries and as a join against a small mapping DataFrame above it — a
-# driver-built create_map over millions of literals would bottleneck plan
-# construction, while the join shape scales.
+# Index lists are always applied as a join against a mapping DataFrame
+# (duplicate indices must replicate rows/columns — extract semantics);
+# lists at or below INDEX_MAP_JOIN_THRESHOLD broadcast the mapping so the
+# small case stays shuffle-free while the join shape scales to millions
+# of indices.
 
 INDEX_MAP_JOIN_THRESHOLD = 1_000
 
@@ -243,28 +253,32 @@ def _apply_selection(df: DataFrame, col: str, sel, full_dim: int) -> tuple[DataF
         return df, full_dim
     if isinstance(sel, tuple):
         lo, hi, step = _stride_of(sel)
+        # integer `div`, not float `/`: indices are longs and a float
+        # divide is only exact below 2^53 — same bug class as the nanos
+        # conversion in sources/tables.py
         if step > 0:
             pred = F.col(col).between(lo, hi) & (((F.col(col) - F.lit(lo)) % step) == 0)
-            rebase = ((F.col(col) - F.lit(lo)) / F.lit(step)).cast("long")
+            rebase = F.expr(f"(`{col}` - {lo}) div {step}")
             dim = (hi - lo) // step + 1
         else:
             pred = F.col(col).between(hi, lo) & (((F.lit(lo) - F.col(col)) % (-step)) == 0)
-            rebase = ((F.lit(lo) - F.col(col)) / F.lit(-step)).cast("long")
+            rebase = F.expr(f"({lo} - `{col}`) div {-step}")
             dim = (lo - hi) // (-step) + 1
         return df.filter(pred).withColumn(col, rebase), dim
+    # index-list selection: always a mapping-table join so duplicate
+    # indices replicate rows/columns (GraphBLAS extract semantics) —
+    # a literal-map projection would keep only one target position per
+    # source index. Small lists broadcast: no shuffle, same plan cost as
+    # the old map projection.
     mapping = [(int(old), pos) for pos, old in enumerate(sel)]
+    mdf = df.sparkSession.createDataFrame(mapping, "_sel_old long, _sel_new long")
     if len(mapping) <= INDEX_MAP_JOIN_THRESHOLD:
-        mexpr = F.create_map(*[F.lit(x) for old, pos in mapping for x in (old, pos)])
-        df = df.filter(F.col(col).isin([old for old, _ in mapping])).withColumn(
-            col, mexpr[F.col(col)].cast("long")
-        )
-    else:
-        mdf = df.sparkSession.createDataFrame(mapping, "_sel_old long, _sel_new long")
-        df = (
-            df.join(mdf, df[col] == mdf["_sel_old"], "inner")
-            .drop(col, "_sel_old")
-            .withColumnRenamed("_sel_new", col)
-        )
+        mdf = F.broadcast(mdf)
+    df = (
+        df.join(mdf, df[col] == mdf["_sel_old"], "inner")
+        .drop(col, "_sel_old")
+        .withColumnRenamed("_sel_new", col)
+    )
     return df, len(mapping)
 
 
@@ -305,11 +319,19 @@ def _sel_map_positions(df: DataFrame, col: str, sel) -> DataFrame:
 # kernels
 # --------------------------------------------------------------------------
 
-def _apply_mask(df: DataFrame, mask: Matrix | None, complement: bool) -> DataFrame:
+def _apply_mask(
+    df: DataFrame, mask: Matrix | None, complement: bool, valued: bool = False
+) -> DataFrame:
+    """Restrict df to the mask's effective cell set: its structure by
+    default, or its truthy-valued cells (GraphBLAS valued mask,
+    Descriptor.scala:50-94) with valued=True; complement flips the set."""
     if mask is None:
         return df
+    m = mask.df
+    if valued:
+        m = m.filter(F.col("v").cast("boolean"))
     how = "left_anti" if complement else "left_semi"
-    return df.join(mask.df.select("i", "j"), on=["i", "j"], how=how)
+    return df.join(m.select("i", "j"), on=["i", "j"], how=how)
 
 
 def _accum(old: DataFrame, new: DataFrame, accum: BinOp | None) -> DataFrame:
@@ -329,6 +351,47 @@ def _accum(old: DataFrame, new: DataFrame, accum: BinOp | None) -> DataFrame:
     )
 
 
+def _mask_accum(
+    out: DataFrame,
+    mask: "Matrix | None",
+    complement: bool,
+    valued: bool,
+    replace: bool,
+    accum_into: "Matrix | None",
+    accum: BinOp | None,
+) -> DataFrame:
+    """Shared descriptor tail of every matrix kernel: Z is restricted to
+    the effective mask; with a C operand (accum_into), inside the mask
+    C ⊕ Z merges, while outside the mask C's old cells are KEPT when
+    replace=False (the GraphBLAS default) and CLEARED when replace=True
+    (Descriptor.scala:50-94; mask/accum threading MatrixOps.scala:20-106)."""
+    out = _apply_mask(out, mask, complement, valued)
+    if accum_into is not None:
+        old = accum_into.df
+        if replace and mask is not None:
+            old = _apply_mask(old, mask, complement, valued)
+        out = _accum(old, out, accum)
+    return out
+
+
+def _mask_accum_vec(
+    out: DataFrame,
+    mask: "Vector | None",
+    complement: bool,
+    valued: bool,
+    replace: bool,
+    accum_into: "Vector | None",
+    accum: BinOp | None,
+) -> DataFrame:
+    out = _apply_mask_vec(out, mask, complement, valued)
+    if accum_into is not None:
+        old = accum_into.df
+        if replace and mask is not None:
+            old = _apply_mask_vec(old, mask, complement, valued)
+        out = _accum_vec(old, out, accum)
+    return out
+
+
 def mxm(
     a: Matrix,
     b: Matrix,
@@ -337,6 +400,8 @@ def mxm(
     mask_complement: bool = False,
     accum_into: Matrix | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Matrix:
     """C = A ⊕.⊗ B (MatrixOps.scala:162-210).
 
@@ -363,17 +428,23 @@ def mxm(
             .groupBy("i", "j")
             .agg(semiring.plus.agg(F.col("v")).alias("v"))
         )
-    out = _apply_mask(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum(accum_into.df, out, accum_op or semiring.plus.binop)
+    out = _mask_accum(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or semiring.plus.binop) if accum_into else None,
+    )
     return Matrix(out, a.nrows, b.ncols)
 
 
-def _apply_mask_vec(df: DataFrame, mask: "Vector | None", complement: bool) -> DataFrame:
+def _apply_mask_vec(
+    df: DataFrame, mask: "Vector | None", complement: bool, valued: bool = False
+) -> DataFrame:
     if mask is None:
         return df
+    m = mask.df
+    if valued:
+        m = m.filter(F.col("v").cast("boolean"))
     how = "left_anti" if complement else "left_semi"
-    return df.join(mask.df.select("i"), on="i", how=how)
+    return df.join(m.select("i"), on="i", how=how)
 
 
 def _accum_vec(old: DataFrame, new: DataFrame, accum: BinOp | None) -> DataFrame:
@@ -399,6 +470,8 @@ def mxv(
     mask_complement: bool = False,
     accum_into: Vector | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Vector:
     """y = A ⊕.⊗ x — matrix-vector product (vector as n×1 matrix), with
     the full mask/accum/descriptor parameter set the reference threads
@@ -418,9 +491,10 @@ def mxv(
             .groupBy("i")
             .agg(semiring.plus.agg(F.col("v")).alias("v"))
         )
-    out = _apply_mask_vec(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum_vec(accum_into.df, out, accum_op or semiring.plus.binop)
+    out = _mask_accum_vec(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or semiring.plus.binop) if accum_into else None,
+    )
     return Vector(out, a.nrows)
 
 
@@ -432,11 +506,16 @@ def vxm(
     mask_complement: bool = False,
     accum_into: Vector | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Vector:
     """y = xᵀ ⊕.⊗ A — frontier pushed across the adjacency (BFS step).
     ``vxm(frontier, A, LOR_LAND, mask=visited, mask_complement=True)`` is
     the reference's masked BFS step."""
-    return mxv(a.transpose(), x, semiring, mask, mask_complement, accum_into, accum_op)
+    return mxv(
+        a.transpose(), x, semiring, mask, mask_complement, accum_into, accum_op,
+        mask_valued, replace,
+    )
 
 
 def ewise_union(
@@ -447,6 +526,8 @@ def ewise_union(
     mask_complement: bool = False,
     accum_into: Matrix | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Matrix:
     """Element-wise ⊕ over the union of patterns (ElemWise.scala:12-53,
     which threads mask/accum like every reference kernel).
@@ -465,9 +546,10 @@ def ewise_union(
         .otherwise(op(F.col("va"), F.col("vb")))
         .alias("v"),
     )
-    out = _apply_mask(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum(accum_into.df, out, accum_op or op)
+    out = _mask_accum(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or op) if accum_into else None,
+    )
     return Matrix(out, a.nrows, a.ncols)
 
 
@@ -479,6 +561,8 @@ def ewise_intersect(
     mask_complement: bool = False,
     accum_into: Matrix | None = None,
     accum_op: BinOp | None = None,
+    mask_valued: bool = False,
+    replace: bool = False,
 ) -> Matrix:
     """Element-wise ⊗ over the intersection (ElemWise.scala:55-95)."""
     op = BINARY_OPS[op_name]
@@ -486,9 +570,10 @@ def ewise_intersect(
     bd = b.df.withColumnRenamed("v", "vb")
     joined = ad.join(bd, on=["i", "j"])
     out = joined.select("i", "j", op(F.col("va"), F.col("vb")).alias("v"))
-    out = _apply_mask(out, mask, mask_complement)
-    if accum_into is not None:
-        out = _accum(accum_into.df, out, accum_op or op)
+    out = _mask_accum(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, (accum_op or op) if accum_into else None,
+    )
     return Matrix(out, a.nrows, a.ncols)
 
 

@@ -88,14 +88,26 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     edge_filters_by_clause: dict[int, dict[str, list]] = {}
     for pf in qg.edge_filters:
         edge_filters_by_clause.setdefault(pf.clause, {}).setdefault(pf.binding, []).append(pf)
+    # same-binding OR groups, scan-pushed like conjunctive filters
+    or_by_clause: dict[int, dict[str, list[tuple]]] = {}
+    for grp in qg.or_filters:
+        or_by_clause.setdefault(grp[0].clause, {}).setdefault(grp[0].binding, []).append(grp)
     clause_state = {"clause": 0}
 
     def filters_by_binding() -> dict[str, list]:
         return filters_by_clause.get(clause_state["clause"], {})
 
+    def or_filters_by_binding() -> dict[str, list[tuple]]:
+        return or_by_clause.get(clause_state["clause"], {})
+
     def node_set(binding: str) -> DataFrame:
         label = qg.labels.get(binding)
-        ids = graph.node_set(label, filters_by_binding().get(binding, ()))
+        ids = graph.node_set(
+            label,
+            filters_by_binding().get(binding, ()),
+            or_filters_by_binding().get(binding, ()),
+            qg.extra_labels.get(binding, ()),
+        )
         # prop filters only shrink the set, so the label card is an upper
         # bound; unlabeled-but-filtered sets have no bound -> let AQE pick
         if label is not None and stats.label_card(label) < BROADCAST_MAX_ROWS:
@@ -104,9 +116,12 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     def constrain(df: DataFrame, binding: str) -> DataFrame:
         label = qg.labels.get(binding)
-        if label is None and binding not in filters_by_binding():
+        nfs = filters_by_binding().get(binding, ())
+        ors = or_filters_by_binding().get(binding, ())
+        extra = qg.extra_labels.get(binding, ())
+        if label is None and not nfs and not ors and not extra:
             return df
-        steps.append(("semi", binding, label, len(filters_by_binding().get(binding, ()))))
+        steps.append(("semi", binding, label, len(nfs) + len(ors) + len(extra)))
         return df.join(
             node_set(binding).withColumnRenamed("id", binding), on=binding, how="left_semi"
         )
@@ -130,6 +145,13 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     def edge_est(e: PatternEdge) -> float:
         # unbounded closures have no hop count; assume a deep-ish graph
         hops = e.max_hops if e.max_hops is not None else 8
+        # exact directional triplet count when a label constrains the hop
+        # (StatsStore.scala:141-170,210-253); independence fallback
+        tc = stats.triplet_card(
+            qg.labels.get(e.src), list(e.types), qg.labels.get(e.dst)
+        )
+        if tc is not None:
+            return expand_card(float(tc) * hops, 1.0, 1.0)
         return expand_card(
             (stats.type_card(list(e.types)) or 1) * hops,
             1.0,
@@ -137,15 +159,25 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         )
 
     def is_constrained(binding: str) -> bool:
-        return qg.labels.get(binding) is not None or binding in filters_by_binding()
+        return (
+            qg.labels.get(binding) is not None
+            or binding in filters_by_binding()
+            or binding in or_filters_by_binding()
+            or binding in qg.extra_labels
+        )
 
     def node_sig(binding: str) -> tuple:
-        """Constraint identity of a binding (label + predicate set) — what
-        makes two seeded scans interchangeable."""
+        """Constraint identity of a binding (labels + predicate set +
+        OR-group set) — what makes two seeded scans interchangeable."""
         nfs = filters_by_binding().get(binding, ())
+        ors = or_filters_by_binding().get(binding, ())
         return (
             qg.labels.get(binding),
+            tuple(sorted(qg.extra_labels.get(binding, ()))),
             tuple(sorted((f.prop, f.op, str(f.value)) for f in nfs)),
+            tuple(sorted(
+                tuple(sorted((f.prop, f.op, str(f.value)) for f in grp)) for grp in ors
+            )),
         )
 
     scan_memo: dict[tuple, DataFrame] = {}
@@ -262,6 +294,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         need = (
             set(qg.returns) | set(prop_bindings) | set(agg_bindings)
             | opt_bindings | edge_alias_set
+            | {a.binding for grp in qg.cross_filters for a in grp}
         )
         if star:
             need |= set(qg.labels)
@@ -299,6 +332,28 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         bound.add(b)
 
     assert df is not None, "empty pattern"
+
+    # Cross-binding WHERE disjunctions (extension): cannot push to any one
+    # scan, so they apply once the owning joins have bound every referenced
+    # binding — i.e. right after the required chain. Props resolve via one
+    # slim join per referenced binding; the filter then drops the temp
+    # columns, so only match-surviving rows ever fetch props.
+    for grp in qg.cross_filters:
+        bs = sorted({a.binding for a in grp})
+        if "props" not in graph.nodes.columns:
+            raise ValueError("graph nodes carry no props column; WHERE unsupported")
+        for b in bs:
+            n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_cf_{b}"))
+            df = df.join(n, on=b, how="left")
+        acc = None
+        for a in grp:
+            c = F.col(f"_cf_{a.binding}").getItem(a.prop)
+            if a.is_num:
+                c = c.cast("double")
+            cc = _OPS[a.op](c, F.lit(a.value))
+            acc = cc if acc is None else (acc | cc)
+        df = df.filter(acc).drop(*[f"_cf_{b}" for b in bs])
+        steps.append(("cross_filter", tuple(bs), len(grp)))
 
     # OPTIONAL MATCH (extension): each group becomes its own distinct
     # match set, left-joined to the required matches on the shared

@@ -73,7 +73,6 @@ def test_count_default_alias():
         "MATCH (a)-[:X]-(b) RETURN a",  # undirected
         "SELECT 1",
         "MATCH (a) RETURN z",  # unbound return
-        "MATCH (a:A:B) RETURN a",  # multi-label
         "MATCH (a) WHERE z.x = 1 RETURN a",  # WHERE on unbound variable
         "MATCH (a) WHERE a.x LIKE 'y' RETURN a",  # unsupported operator
     ],
@@ -94,3 +93,35 @@ def test_count_star():
     assert (ag.func, ag.binding, ag.prop, ag.alias) == ("count", "*", None, "n")
     qg2 = parse("MATCH (a:A)-[:X]->(b) RETURN count(*)")
     assert qg2.aggregates[0].alias == "count_star"
+
+
+def test_rejects_edge_variable_reuse():
+    with pytest.raises(CypherParseError, match="reused"):
+        parse("MATCH (a)-[e:X]->(b)-[e:Y]->(c) RETURN a")
+    with pytest.raises(CypherParseError, match="reused"):
+        parse("MATCH (a)-[e:X]->(b) OPTIONAL MATCH (b)-[e:Y]->(c) RETURN a")
+
+
+def test_rejects_correlated_clause_where():
+    # a is bound by the required MATCH but is not part of the OPTIONAL
+    # MATCH pattern — the planner would silently drop the predicate
+    with pytest.raises(CypherParseError, match="not part of"):
+        parse(
+            "MATCH (a:Customer)-[:PLACED]->(o:Order) "
+            "OPTIONAL MATCH (o)-[:CONTAINS]->(p:Part) WHERE a.name = 'x' "
+            "RETURN a"
+        )
+    # same-clause references stay legal, including shared bindings
+    qg = parse(
+        "MATCH (a:Customer)-[:PLACED]->(o:Order) "
+        "OPTIONAL MATCH (o)-[:CONTAINS]->(p:Part) WHERE p.size > 3 "
+        "RETURN a"
+    )
+    assert qg.filters[0].clause == 1
+
+
+def test_multilabel_parse():
+    qg = parse("MATCH (n:A:B:C)-[:T]->(m) RETURN n")
+    assert qg.labels["n"] == "A"
+    assert qg.extra_labels["n"] == ("B", "C")
+    assert "m" not in qg.extra_labels

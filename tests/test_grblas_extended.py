@@ -219,3 +219,81 @@ def test_large_index_list_uses_join_path(spark):
     sel = list(range(n))
     got = vec_dict(v.extract(sel))
     assert len(got) == n and got[0] == 0 and got[n - 1] == n - 1
+
+
+# --- index-list selections: duplicates + big-list parity --------------------
+
+def test_extract_duplicate_indices_replicate_rows(spark):
+    A = gb.Matrix.from_tuples(spark, [(i, i, i) for i in range(5)], 5, 5)
+    # row list [1, 1, 3]: row 1 must appear at BOTH target positions 0 and 1
+    sub = gb.extract(A, [1, 1, 3], None)
+    got = as_dict(sub.to_tuples())
+    assert got == {(0, 1): 1, (1, 1): 1, (2, 3): 3}
+
+
+def test_extract_index_list_same_semantics_across_threshold(spark, monkeypatch):
+    from g4s_spark.grblas import matrix as mx
+
+    A = gb.Matrix.from_tuples(spark, [(i, i, i) for i in range(6)], 6, 6)
+    sel = [4, 0, 4]
+    big = as_dict(gb.extract(A, sel, None).to_tuples())
+    monkeypatch.setattr(mx, "INDEX_MAP_JOIN_THRESHOLD", 0)
+    small = as_dict(gb.extract(A, sel, None).to_tuples())
+    assert big == small == {(0, 4): 4, (1, 0): 0, (2, 4): 4}
+
+
+def test_stride_rebase_exact_above_float53(spark):
+    # indices above 2^53 are not exactly representable as doubles — the
+    # re-base must use integer division
+    base = 1 << 55
+    A = gb.Matrix.from_tuples(
+        spark, [(base + k, 0, 1) for k in (1, 4, 7)], base + 10, 1
+    )
+    sub = gb.extract(A, (base + 1, base + 8, 3), None)
+    assert sorted(i for i, _, _ in sub.to_tuples()) == [0, 1, 2]
+
+
+# --- valued masks + replace descriptor (Descriptor.scala:50-94) -------------
+
+def test_valued_mask_false_cells_mask_out(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 2)], 2, 2)
+    I = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 1)], 2, 2)
+    M = gb.Matrix.from_tuples(spark, [(0, 0, True), (1, 1, False)], 2, 2, vtype="boolean")
+    # structural mask (default): presence of a cell masks in, value ignored
+    structural = gb.mxm(A, I, gb.PLUS_TIMES, mask=M)
+    assert as_dict(structural.to_tuples()) == {(0, 0): 1, (1, 1): 2}
+    # valued mask: only truthy cells mask in
+    valued = gb.mxm(A, I, gb.PLUS_TIMES, mask=M, mask_valued=True)
+    assert as_dict(valued.to_tuples()) == {(0, 0): 1}
+    # complemented valued mask: false-valued and absent cells mask in
+    comp = gb.mxm(A, I, gb.PLUS_TIMES, mask=M, mask_valued=True, mask_complement=True)
+    assert as_dict(comp.to_tuples()) == {(1, 1): 2}
+
+
+def test_replace_descriptor_on_accum(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 2)], 2, 2)
+    I = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 1)], 2, 2)
+    C = gb.Matrix.from_tuples(spark, [(0, 1, 10), (1, 1, 20)], 2, 2)
+    M = gb.Matrix.from_tuples(spark, [(0, 0, 1)], 2, 2)
+    plus = lambda x, y: x + y
+    # replace=False (GraphBLAS default): C cells outside the mask survive
+    keep = gb.mxm(A, I, gb.PLUS_TIMES, mask=M, accum_into=C, accum_op=plus)
+    assert as_dict(keep.to_tuples()) == {(0, 0): 1, (0, 1): 10, (1, 1): 20}
+    # replace=True: C is cleared outside the mask before the merge
+    clear = gb.mxm(A, I, gb.PLUS_TIMES, mask=M, accum_into=C, accum_op=plus, replace=True)
+    assert as_dict(clear.to_tuples()) == {(0, 0): 1}
+
+
+def test_vector_valued_mask_and_replace(spark):
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (1, 1, 1)], 2, 2)
+    x = gb.Vector.from_tuples(spark, [(0, 5), (1, 7)], 2)
+    m = gb.Vector.from_tuples(spark, [(0, True), (1, False)], 2, vtype="boolean")
+    got = vec_dict(gb.mxv(A, x, gb.PLUS_TIMES, mask=m, mask_valued=True))
+    assert got == {0: 5}
+    c = gb.Vector.from_tuples(spark, [(1, 100)], 2)
+    kept = vec_dict(gb.mxv(A, x, gb.PLUS_TIMES, mask=m, mask_valued=True,
+                           accum_into=c, accum_op=lambda a, b: a + b))
+    assert kept == {0: 5, 1: 100}
+    cleared = vec_dict(gb.mxv(A, x, gb.PLUS_TIMES, mask=m, mask_valued=True,
+                              accum_into=c, accum_op=lambda a, b: a + b, replace=True))
+    assert cleared == {0: 5}

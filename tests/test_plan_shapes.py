@@ -140,3 +140,30 @@ def test_skewed_hub_expand_correct_under_aqe(spark):
     # every (a, b) pair routes through the hub; the 0->1 edge contributes
     # nothing (no F edge leaves 1 toward a U node)
     assert planned.df.count() == n * n
+
+
+def test_triplet_stats_flip_join_order(spark):
+    """One edge type whose volume lives on an unrelated label pair: the
+    independence estimate (type_card x label selectivities) charges the
+    A->B hop for all 1000 D->D edges of type T and anchors elsewhere;
+    the (srcLabel, type, dstLabel) triplet count knows A-[:T]->B holds
+    exactly one edge and anchors there (StatsStore.scala:141-170)."""
+    nodes = (
+        [(i, "A") for i in range(10)]
+        + [(100 + i, "B") for i in range(10)]
+        + [(200 + i, "C") for i in range(10)]
+        + [(1000 + i, "D") for i in range(270)]
+    )
+    edges = (
+        [(0, 100, "T")]
+        + [(1000 + a, 1000 + b, "T") for a in range(40) for b in range(25)]
+        + [(100 + i % 10, 200 + i // 10, "U") for i in range(50)]
+    )
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    q = "MATCH (a:A)-[:T]->(b:B)-[:U]->(c:C) RETURN c"
+    planned = plan_match(g, parse(q))
+    assert steps_of(planned, "scan")[0][1] == ("a", "b"), planned.steps
+    # without triplet stats the independence estimate anchors at the U edge
+    g.stats.triplet_counts.clear()
+    planned2 = plan_match(g, parse(q))
+    assert steps_of(planned2, "scan")[0][1] == ("b", "c"), planned2.steps

@@ -74,3 +74,69 @@ def test_missing_prop_filters_out(props_graph):
     # Items have no 'age' -> NULL comparison -> filtered (SQL semantics)
     got = rows(run_cypher(props_graph, "MATCH (i:Item) WHERE i.age > 0 RETURN i"))
     assert got == set()
+
+# --- WHERE disjunctions (OR) ------------------------------------------------
+
+def test_same_binding_or_pushed_to_scan(props_graph):
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+        "WHERE p.age >= 40 OR p.city = 'paris' RETURN p",
+    ))
+    assert got == {(1,), (2,)}
+
+
+def test_cross_binding_or_after_join(props_graph):
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+        "WHERE p.age >= 40 OR i.price < 10 RETURN p, i",
+    ))
+    assert got == {(0, 3), (1, 3), (2, 4)}
+
+
+def test_and_of_parenthesized_or(props_graph):
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+        "WHERE p.age >= 18 AND (p.city = 'paris' OR i.price > 100) RETURN p",
+    ))
+    assert got == {(2,)}
+
+
+def test_unparenthesized_and_or_rejected(props_graph):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="parenthesize"):
+        run_cypher(
+            props_graph,
+            "MATCH (p:Person) WHERE p.age >= 18 AND p.city = 'paris' OR p.city = 'berlin' RETURN p",
+        )
+
+
+def test_cross_binding_or_in_optional_rejected(props_graph):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="cross-binding OR"):
+        run_cypher(
+            props_graph,
+            "MATCH (p:Person) OPTIONAL MATCH (p)-[:BOUGHT]->(i:Item) "
+            "WHERE p.age >= 40 OR i.price < 10 RETURN p, i",
+        )
+
+
+def test_multilabel_intersection(spark):
+    nodes = spark.createDataFrame(
+        [(0, "Person"), (0, "Admin"), (1, "Person"), (2, "Admin"), (3, "Thing")],
+        "id long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 3, "OWNS"), (1, 3, "OWNS"), (2, 3, "OWNS")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = rows(run_cypher(g, "MATCH (p:Person:Admin)-[:OWNS]->(t:Thing) RETURN p"))
+    assert got == {(0,)}  # only node 0 carries both labels
+    # single-label still matches the union of rows
+    got = rows(run_cypher(g, "MATCH (p:Person)-[:OWNS]->(t:Thing) RETURN p"))
+    assert got == {(0,), (1,)}
