@@ -396,6 +396,36 @@ def _q_cypher_multilabel(spark, sf_dir):
     return run_cypher(g, "MATCH (c:Customer:Premium)-[:PLACED]->(o:Order) RETURN c, o")
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_rel_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + aggregate,
+    the pushdown-everything baseline — every predicate reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    media = MM.to_media(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_sample_stub(media, every_n=2)
+    # digest over the hex encoding: DuckDB has no BLOB substring, so the
+    # oracle slices hex(media) instead — hex is byte-aligned, so the two
+    # framings are identical
+    return frames.select(
+        "doc_id", "frame_no", F.md5(F.hex(F.col("frame"))).alias("frame_digest")
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     # metadata-only consumers stay on built-in column ops (no Python in
     # the plan); extract_features (mapInPandas) is only for real decodes
@@ -481,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WHERE c.acctbal >= 9000 OR o.totalprice >= 200000 RETURN c, o"
         ),
         "cypher_multilabel": _q_cypher_multilabel,
+        "cypher_path_length": _cypher(
+            "MATCH p = (c:Customer)-[*]->(x) RETURN c, x, length(p) AS len"
+        ),
         # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
@@ -504,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_supplier_rank": _q_rel_supplier_rank,
         "rel_q3_shipping": _q_rel_q3_shipping,
         "rel_q5_local_volume": _q_rel_q5_local_volume,
+        "rel_q6_forecast": _q_rel_q6,
         # text analysis
         "text_token_count": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -520,8 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_cells": _q_ivf_cells,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         # multimodal plumbing
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
         # streaming (batch shape; streaming variants in g4s_spark.streaming)
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
@@ -766,6 +802,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT {_CID} AS c, {_OID} AS o
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_acctbal > 5000
+        """,
+        "cypher_path_length": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            walk(src, dst, d) AS (
+                SELECT e.src, e.dst, 1 FROM graph_edges e
+                JOIN customer ON e.src = {_CID}
+                UNION
+                SELECT w.src, e.dst, w.d + 1
+                FROM walk w JOIN graph_edges e ON e.src = w.dst
+            )
+            SELECT src AS c, dst AS x, CAST(min(d) AS BIGINT) AS len
+            FROM walk GROUP BY src, dst
         """,
         "graph_bfs": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
@@ -1066,6 +1114,53 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ann_ivf_cells": S.ivf_assign_sql(),
+        "ann_ivf_topk": f"""
+            WITH cells AS ({S.ivf_assign_sql()}),
+            q AS (
+                SELECT c.vec_id AS q_id, e.embedding AS qv, c.cell
+                FROM cells c JOIN embeddings e USING (vec_id)
+                WHERE c.vec_id < 10
+            ),
+            scored AS (
+                SELECT q.q_id, c2.vec_id AS n_id,
+                       {_COS.format(a='q.qv', b='ne.embedding')} AS cos
+                FROM q
+                JOIN cells c2 ON c2.cell = q.cell
+                JOIN embeddings ne ON ne.vec_id = c2.vec_id
+                WHERE c2.vec_id != q.q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM scored
+            )
+            SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, floor(cos * 10000 + 0.5) / 10000 AS cos
+            FROM ranked WHERE rank <= 5
+        """,
+        "rel_q6_forecast": """
+            SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+                SELECT doc_id, encode(text) AS media, octet_length(encode(text)) AS n_bytes
+                FROM documents
+            ),
+            ix AS (
+                SELECT doc_id, hex(media) AS mhex,
+                       unnest(generate_series(0, CAST(floor(n_bytes / 64) AS BIGINT))) AS frame_no
+                FROM m
+            ),
+            fr AS (
+                SELECT doc_id, frame_no,
+                       substring(mhex, CAST(frame_no * 128 + 1 AS INTEGER), 128) AS fhex
+                FROM ix
+            )
+            SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, md5(fhex) AS frame_digest
+            FROM fr WHERE frame_no % 2 = 0
+        """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest

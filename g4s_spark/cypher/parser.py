@@ -97,6 +97,15 @@ class QueryGraph:
     # (required MATCH only).
     or_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
     cross_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
+    # path bindings (extension): ``p = (a)-[:T*]->(b)`` names the pattern;
+    # value = indices into ``edges``. Only ``length(p)`` is consumable:
+    # per distinct endpoint match it is the MINIMUM total hop count
+    # (fixed edges contribute their hop count, var-length edges the
+    # shortest walk) — the deterministic reading consistent with
+    # ANY_PAIR existence semantics (openCypher's per-path multiplicity
+    # contradicts the engine's distinct-match model).
+    paths: dict[str, tuple[int, ...]] = field(default_factory=dict)
+    path_lengths: list[tuple[str, str]] = field(default_factory=list)  # (path, alias)
     aggregates: list[AggItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     limit: int | None = None
@@ -158,7 +167,18 @@ def parse(query: str) -> QueryGraph:
             qg.optionals.append(target)
         clause_bound: set[str] = set()
         for pattern in _split_patterns(cm_.group("patterns")):
+            pm_ = re.match(r"^(?P<pname>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<rest>\(.*)$", pattern)
+            pname = None
+            if pm_:
+                pname, pattern = pm_.group("pname"), pm_.group("rest")
+                if ci > 0:
+                    raise CypherParseError("path binding in OPTIONAL MATCH is unsupported")
+                if pname in qg.paths or pname in qg.labels or pname in _edge_names(qg):
+                    raise CypherParseError(f"path name collides with another binding: {pname!r}")
+            start = len(target)
             _parse_pattern(pattern, qg, target, fresh, clause_bound)
+            if pname is not None:
+                qg.paths[pname] = tuple(range(start, len(target)))
         if ci == 0:
             qg.match_bindings = set(qg.labels)
         elif not target:
@@ -234,6 +254,17 @@ def parse(query: str) -> QueryGraph:
             # count(*) counts the distinct matches themselves
             qg.aggregates.append(AggItem("count", "*", None, sm.group("alias") or "count_star"))
             continue
+        lm = re.fullmatch(
+            r"(?i)length\s*\(\s*(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if lm:
+            pn = lm.group("p")
+            if pn not in qg.paths:
+                raise CypherParseError(f"length() of unknown path: {pn!r}")
+            qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
+            continue
         cm = re.fullmatch(
             r"(?i)(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
@@ -271,10 +302,17 @@ def parse(query: str) -> QueryGraph:
             continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
+        if name in qg.paths:
+            raise CypherParseError(
+                f"cannot return path {name!r} itself; only length({name}) is supported"
+            )
         if name not in qg.labels:
             raise CypherParseError(f"return of unbound variable: {name!r}")
         qg.returns.append(name)
-    if not (qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates):
+    if not (
+        qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
+        or qg.path_lengths
+    ):
         raise CypherParseError("empty RETURN")
 
     out_cols = (
@@ -282,6 +320,7 @@ def parse(query: str) -> QueryGraph:
         | {alias for _, _, alias in qg.prop_returns}
         | {alias for _, _, alias in qg.edge_prop_returns}
         | {a.alias for a in qg.aggregates}
+        | {alias for _, alias in qg.path_lengths}
     )
     if m.group("orderby"):
         for part in m.group("orderby").split(","):

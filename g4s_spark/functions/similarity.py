@@ -104,10 +104,40 @@ def sign_lsh_bucket_sql(emb_expr: str, n_planes: int = 6, dim: int = EMB_DIM, se
 # Banded (multi-table) sign-LSH: a pair at angle θ matches one band of n
 # planes with probability p^n (p = 1 − θ/π) and ≥1 of L bands with
 # probability 1 − (1 − p^n)^L — the same amplification MinHash banding
-# gives Jaccard. 4×8 puts recall ≈ 0.75 at cos 0.4 and ≈ 1.0 for true
-# near-dups, while every join still shuffles on (band, key), never pairs.
-LSH_BAND_PLANES = 4
+# gives Jaccard. 3×8 measures recall ≈ 0.93 at cos 0.4 on the testdata
+# embeddings (≈ 1.0 for true near-dups), while every join still shuffles
+# on (band, key), never pairs.
+LSH_BAND_PLANES = 3
 LSH_BANDS = 8
+
+
+def _masked_dots(vec: Column, P: list[list[float]], dim: int) -> Column:
+    """All |P| projections of ``vec`` as one array column.
+
+    Each ±1 plane packs into two bigint sign bitmasks (bits 0-31 / 32-63),
+    so the whole matrix is 2·|P| literals and the expression is ONE
+    transform+aggregate nest instead of |P| separate lambdas with
+    |P|·dim literal leaves — Janino codegen of that tree dominated the
+    query (≈2× the whole job for 32 planes). Summation stays strictly
+    left-to-right over d with w ∈ {−1.0, +1.0} (multiplication by ±1.0
+    is exact), so the result is bit-identical to the DuckDB oracle's
+    list_dot_product over the same literal weights."""
+    los = F.array(*[
+        F.lit(sum(1 << d for d in range(min(32, dim)) if row[d] > 0)) for row in P
+    ])
+    his = F.array(*[
+        F.lit(sum(1 << (d - 32) for d in range(32, dim) if row[d] > 0)) for row in P
+    ])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(P) - 1)),
+        lambda h: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc + vec[d].cast("double") *
+                ((F.when(d < 32, F.getbit(los[h], d))
+                   .otherwise(F.getbit(his[h], d - 32))) * 2 - 1).cast("double"),
+        ),
+    )
 
 
 def sign_lsh_bands(
@@ -118,14 +148,23 @@ def sign_lsh_bands(
     drawn from one seeded projection matrix. Explode and equality-join on
     (band, key) for candidate generation."""
     P = projection_matrix(n_planes * n_bands, dim, seed)
-    bands = []
-    for t in range(n_bands):
-        key = F.lit(0).cast("long")
-        for h in range(n_planes):
-            dot = dot_expr(vec, F.array(*[F.lit(w) for w in P[t * n_planes + h]]))
-            key = key + F.when(dot > 0, F.lit(1 << h).cast("long")).otherwise(F.lit(0))
-        bands.append(F.struct(F.lit(t).alias("band"), key.alias("key")))
-    return F.array(*bands)
+
+    def keys(ds: Column) -> Column:
+        bands = []
+        for t in range(n_bands):
+            key = F.lit(0).cast("long")
+            for h in range(n_planes):
+                key = key + (
+                    F.when(ds[t * n_planes + h] > 0, F.lit(1 << h).cast("long"))
+                    .otherwise(F.lit(0))
+                )
+            bands.append(F.struct(F.lit(t).alias("band"), key.alias("key")))
+        return F.array(*bands)
+
+    # bind the dots array ONCE via a single-element transform — each of
+    # the n_planes·n_bands key references would otherwise inline its own
+    # copy of the whole projection expression
+    return F.transform(F.array(_masked_dots(vec, P, dim)), keys)[0]
 
 
 def sign_lsh_bands_sql(
@@ -209,15 +248,57 @@ def ivf_assign(
     partition, search-within-cell — is unchanged). Per-row expressions
     only: shuffle-free. First maximum wins on ties (strict >), matching
     the oracle's (score DESC, idx ASC) ranking."""
+    cell = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed)
+    return emb.select(F.col(id_col), cell.alias("cell"))
+
+
+def ivf_cell_expr(vec: Column, n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED) -> Column:
+    """Cell id of one vector (argmax over seeded centroid dots); shared by
+    ivf_assign and ivf_topk."""
     C = projection_matrix(n_centroids, dim, seed)
-    vec = F.col(vec_col)
-    dots = [dot_expr(vec, F.array(*[F.lit(w) for w in row])) for row in C]
-    best_d, best_v = F.lit(0), dots[0]
-    for c in range(1, n_centroids):
-        is_better = dots[c] > best_v
-        best_d = F.when(is_better, F.lit(c)).otherwise(best_d)
-        best_v = F.when(is_better, dots[c]).otherwise(best_v)
-    return emb.select(F.col(id_col), best_d.cast("long").alias("cell"))
+
+    def argmax(ds: Column) -> Column:
+        best_d, best_v = F.lit(0), ds[0]
+        for c in range(1, n_centroids):
+            is_better = ds[c] > best_v
+            best_d = F.when(is_better, F.lit(c)).otherwise(best_d)
+            best_v = F.when(is_better, ds[c]).otherwise(best_v)
+        return best_d
+
+    # dots bound once (see sign_lsh_bands) — the argmax chain references
+    # each dot up to n_centroids times
+    return F.transform(F.array(_masked_dots(vec, C, dim)), argmax)[0].cast("long")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+    seed: int = IVF_SEED,
+) -> DataFrame:
+    """IVF search: candidates restricted to the query's coarse cell, then
+    exact cosine rank within the cell — the classic two-stage ANN index.
+    At scale the corpus is PARTITIONED by cell (writers bucket on the
+    cell id), so a query touches one partition: the cell equality join
+    here is that partition pruning expressed relationally."""
+    cell_c = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed)
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), cell_c.alias("cell"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), cell_c.alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), pround(F.col("cos"), 4).alias("cos"))
+    )
 
 
 def ivf_assign_sql(n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED) -> str:

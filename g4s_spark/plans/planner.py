@@ -132,6 +132,19 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         edge_prop_cols.setdefault(en, []).append((p, a))
     edge_alias_set = {a for _, _, a in qg.edge_prop_returns}
 
+    # length(p): var-length edges on a measured path carry a min-hop dist
+    # column (computed inside the closure, see _var_length_pairs); fixed
+    # edges contribute compile-time constants
+    measured = {i for pn, _ in qg.path_lengths for i in qg.paths[pn]}
+    dist_alias_by_idx: dict[int, str] = {}
+    dist_alias_by_id: dict[int, str] = {}
+    for i in sorted(measured):
+        e = qg.edges[i]
+        if e.min_hops != (e.max_hops if e.max_hops is not None else -1):
+            a = f"_pdist_{i}"
+            dist_alias_by_idx[i] = a
+            dist_alias_by_id[id(e)] = a
+
     def edge_prop_col(df: DataFrame, prop: str, cast_num: bool):
         """Resolve an edge property: typed edge column (weight) first,
         then the props map if the edge table carries one."""
@@ -196,6 +209,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         if props and (e.min_hops, e.max_hops) != (1, 1):
             raise ValueError("cannot return properties of a variable-length edge")
         alias_cols = [a for _, a in props]
+        dist_alias = dist_alias_by_id.get(id(e))
         # seeding decision first — it is part of the scan's memo identity
         seeded: str | None = None
         seed_key = None
@@ -212,7 +226,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         key = (
             tuple(e.types), e.min_hops, e.max_hops,
             tuple(sorted((f.prop, f.op, str(f.value)) for f in efs)),
-            tuple(props), seed_key, clause_state["clause"],
+            tuple(props), seed_key, clause_state["clause"], dist_alias is not None,
         )
         if key in scan_memo:
             base = scan_memo[key]
@@ -236,24 +250,30 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
                 # destination is constrained, run the closure over the
                 # transposed edges seeded from the destination set
                 # (transpose is a column swap, store.py:117-132).
+                wd = dist_alias is not None
                 if seeded == e.src:
                     base = _var_length_pairs(
-                        base, e.min_hops, e.max_hops, sources=node_set(e.src)
+                        base, e.min_hops, e.max_hops, sources=node_set(e.src),
+                        with_dist=wd,
                     )
                 elif seeded == e.dst:
                     t = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
                     closed = _var_length_pairs(
-                        t, e.min_hops, e.max_hops, sources=node_set(e.dst)
+                        t, e.min_hops, e.max_hops, sources=node_set(e.dst),
+                        with_dist=wd,
                     )
                     base = closed.select(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                        F.col("dst").alias("src"), F.col("src").alias("dst"),
+                        *([F.col("dist")] if wd else []),
                     )
                 else:
-                    base = _var_length_pairs(base, e.min_hops, e.max_hops)
+                    base = _var_length_pairs(base, e.min_hops, e.max_hops, with_dist=wd)
                 if seeded is not None:
                     steps.append(("closure_seed", seeded))
             scan_memo[key] = base
         extra = [F.col(a) for a in alias_cols]
+        if dist_alias is not None:
+            extra.append(F.col("dist").alias(dist_alias))
         if e.src == e.dst:  # self-loop pattern (a)-[:X]->(a)
             df = base.filter(F.col("src") == F.col("dst")).select(
                 F.col("src").alias(e.src), *extra
@@ -295,6 +315,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             set(qg.returns) | set(prop_bindings) | set(agg_bindings)
             | opt_bindings | edge_alias_set
             | {a.binding for grp in qg.cross_filters for a in grp}
+            | set(dist_alias_by_idx.values())
         )
         if star:
             need |= set(qg.labels)
@@ -397,13 +418,32 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         steps.append(("optional", tuple(shared), tuple(keep)))
     clause_state["clause"] = 0
 
+    # length(p) materializes once every referenced dist column is bound:
+    # constants for fixed-hop edges + the min-hop dist of each var edge
+    path_len_aliases: list[str] = []
+    for pname, alias in qg.path_lengths:
+        const = 0
+        parts: list = []
+        for i in qg.paths[pname]:
+            e = qg.edges[i]
+            if i in dist_alias_by_idx:
+                parts.append(F.col(dist_alias_by_idx[i]))
+            else:
+                const += e.min_hops
+        expr = F.lit(const).cast("long")
+        for p in parts:
+            expr = expr + p
+        df = df.withColumn(alias, expr)
+        path_len_aliases.append(alias)
+        steps.append(("path_length", pname, alias))
+
     # with count(*), every bound binding joins the distinct set, not just
     # the grouped/aggregated ones
     star_extra = [b for b in sorted(bound) if b in df.columns] if star else []
     needed = list(
         dict.fromkeys(
             qg.returns + prop_bindings + agg_bindings
-            + sorted(edge_alias_set) + star_extra
+            + sorted(edge_alias_set) + path_len_aliases + star_extra
         )
     )
     out = df.select(*needed).dropDuplicates(needed)
@@ -428,6 +468,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
+        + path_len_aliases
     )
     if qg.aggregates:
         # aggregates over distinct matches (existence semantics): rows are
@@ -464,7 +505,8 @@ MAX_CLOSURE_ITERS = 64
 
 
 def _var_length_pairs(
-    edges: DataFrame, lo: int, hi: int | None, sources: DataFrame | None = None
+    edges: DataFrame, lo: int, hi: int | None, sources: DataFrame | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Distinct (src,dst) pairs connected by a directed walk of length in
     [lo, hi] — the variable-length path operator `-[:T*lo..hi]->`
@@ -476,6 +518,11 @@ def _var_length_pairs(
     the FIRST hop is semi-joined to the source set, so every later
     intermediate is bounded by |reachable-from-sources|, not |graph| —
     the pushed-down form of `(a:Label)-[*]->(x)`.
+
+    ``with_dist`` adds a ``dist`` column = MINIMUM walk length per pair
+    (functionally dependent on (src,dst), so it never multiplies rows) —
+    the value behind ``length(p)``. In the closure it is free: semi-naive
+    delta iteration discovers each pair first at its BFS depth.
 
     hi=None (bare `*` / `*n..`) runs a delta-iteration transitive
     closure: only newly discovered pairs are re-expanded each round
@@ -501,6 +548,11 @@ def _var_length_pairs(
                 .dropDuplicates(["src", "dst"])
             )
             walks.append(step)
+        if with_dist:
+            out = walks[lo - 1].withColumn("dist", F.lit(lo).cast("long"))
+            for k, w in enumerate(walks[lo:], start=lo + 1):
+                out = out.unionByName(w.withColumn("dist", F.lit(k).cast("long")))
+            return out.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
         out = walks[lo - 1]
         for w in walks[lo:]:
             out = out.unionByName(w)
@@ -517,18 +569,25 @@ def _var_length_pairs(
                 .select("src", "dst")
                 .dropDuplicates(["src", "dst"])
             )
+        if with_dist:
+            frontier = frontier.withColumn("dist", F.lit(lo).cast("long"))
         pairs = frontier.localCheckpoint(eager=True)
         frontier = pairs
         e_next = e.select(F.col("src").alias("mid"), "dst")
+        depth = lo
         for _ in range(MAX_CLOSURE_ITERS):
+            depth += 1
             new = (
                 frontier.select("src", F.col("dst").alias("mid"))
                 .join(e_next, on="mid")
                 .select("src", "dst")
                 .dropDuplicates(["src", "dst"])
-                .join(pairs, on=["src", "dst"], how="left_anti")
-                .localCheckpoint(eager=True)
+                .join(pairs.select("src", "dst"), on=["src", "dst"], how="left_anti")
             )
+            if with_dist:
+                # first discovery == BFS depth == minimum walk length
+                new = new.withColumn("dist", F.lit(depth).cast("long"))
+            new = new.localCheckpoint(eager=True)
             if new.limit(1).count() == 0:
                 break
             pairs = pairs.unionByName(new).localCheckpoint(eager=True)

@@ -127,3 +127,44 @@ def test_bounded_varlength_seeded(labeled):
     assert ("closure_seed", "a") in planned.steps, planned.steps
     got = rows(planned.df)
     assert got == {(0, 2), (0, 3), (1, 2), (1, 3)}
+
+
+# --- path binding + length(p) -----------------------------------------------
+
+def test_path_length_parse():
+    qg = parse("MATCH p = (a)-[:X*]->(b) RETURN a, b, length(p) AS d")
+    assert qg.paths["p"] == (0,)
+    assert qg.path_lengths == [("p", "d")]
+    with pytest.raises(CypherParseError, match="unknown path"):
+        parse("MATCH (a)-[:X]->(b) RETURN length(q)")
+    with pytest.raises(CypherParseError, match="only length"):
+        parse("MATCH p = (a)-[:X]->(b) RETURN p")
+
+
+def test_path_length_closure_min_hops(chain):
+    got = rows(run_cypher(chain, "MATCH p = (a)-[:X*]->(b) RETURN a, b, length(p) AS d"))
+    # chain part: distance = b - a for 0..4
+    for a in range(5):
+        for b in range(a + 1, 5):
+            assert (a, b, b - a) in got
+    # cycle part: 5->6 = 1, 5->5 = 2 (min over the infinite walk family)
+    assert (5, 6, 1) in got and (5, 5, 2) in got and (6, 5, 1) in got
+
+
+def test_path_length_bounded(chain):
+    got = rows(run_cypher(chain, "MATCH p = (a)-[:X*2..3]->(b) RETURN a, b, length(p) AS d"))
+    assert (0, 2, 2) in got and (0, 3, 3) in got
+    assert not any(x[0] == 0 and x[1] == 1 for x in got)  # 1 hop below lo
+
+
+def test_path_length_fixed_edges_constant(chain):
+    got = rows(run_cypher(chain, "MATCH p = (a)-[:X]->(b)-[:X]->(c) RETURN a, c, length(p) AS d"))
+    assert got and all(d == 2 for _, _, d in got)
+
+
+def test_path_length_mixed_fixed_and_var(chain):
+    got = rows(run_cypher(
+        chain, "MATCH p = (a)-[:X]->(b)-[:X*]->(c) RETURN a, c, length(p) AS d"
+    ))
+    # 0->1 fixed (1) then 1->4 min 3 hops: total 4
+    assert (0, 4, 4) in got
