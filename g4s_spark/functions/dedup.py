@@ -174,6 +174,51 @@ def minhash_lsh_pairs(
             bucketed.unpersist()
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Duplicate-cluster assignment — the step a training pipeline runs
+    AFTER candidate generation: MinHash-LSH pairs form an undirected
+    near-dup graph; connected components over it give each document a
+    cluster id (the minimum doc id in its component, so `keep rep_id`
+    is a deterministic keep-first policy). Returns (doc_id, cluster).
+
+    Scale shape: pair generation is the bucketed LSH join (never O(n²));
+    the component loop is HashMin label propagation, one shuffle join per
+    round over the PAIR graph only — documents without any near-dup
+    never enter the loop and are appended back as singletons."""
+    from ..graph import PropertyGraph
+    from ..operators import connected_components
+
+    ids = df.select(F.col(id_col).cast("long").alias("id")).dropDuplicates(["id"])
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, materialize=True)
+    touched = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    g = PropertyGraph(
+        touched.withColumn("label", F.lit("Doc")),
+        pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit("DUP").alias("type")
+        ),
+        df.sparkSession,
+    )
+    comp = connected_components(g, max_iters=max_iters)
+    singles = ids.join(touched, on="id", how="left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return (
+        comp.unionByName(singles)
+        .select(F.col("id").alias(id_col), F.col("component").alias("cluster"))
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """16-bit SimHash over the distinct token set: bit p of md5(token)
     (hex-digit decode via strpos — portable to the SQL oracle), summed as

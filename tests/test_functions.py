@@ -190,3 +190,11 @@ def test_banded_lsh_recall_vs_brute_force(spark):
     # cos 0.4; assert a floor with margin for the draw
     assert brute, "test data must contain near-dup pairs"
     assert len(lsh) / len(brute) >= 0.6
+
+
+def test_dedup_clusters(docs):
+    got = {r.doc_id: r.cluster for r in D.dedup_clusters(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # every doc gets a cluster
+    assert got[1] == got[4] == 1        # exact dups share the min-id cluster
+    assert got[3] not in (got[1],)      # unrelated doc stays apart
+    assert got[5] == 5                  # empty doc is a singleton
