@@ -101,3 +101,74 @@ def test_transpose_involution_property(spark, t):
     A = gb.Matrix.from_tuples(spark, t, 6, 6)
     assert gb.is_eq(A.transpose().transpose(), A)
     assert as_dict(A.transpose().to_tuples()) == {(j, i): v for i, j, v in t}
+
+
+@st.composite
+def bool_coo(draw, n=6):
+    ncoords = draw(st.integers(1, n * n // 2))
+    coords = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=ncoords, max_size=ncoords, unique=True,
+        )
+    )
+    return [(i, j, draw(st.booleans())) for i, j in coords]
+
+
+def _py_mxm(ta, tb):
+    out = {}
+    for (i, k1, va) in ta:
+        for (k2, j, vb) in tb:
+            if k1 == k2:
+                out[(i, j)] = out.get((i, j), 0) + va * vb
+    return out
+
+
+@given(ta=coo(), tb=coo(), tm=bool_coo(), comp=st.booleans(), valued=st.booleans())
+@settings(**SETTINGS)
+def test_mask_descriptor_model(spark, ta, tb, tm, comp, valued):
+    """mxm under every mask descriptor combination vs a pure-python model
+    (DescriptorSpec analogue): effective mask = structure or truthy cells,
+    complement flips, result = Z restricted to the effective set."""
+    n = 6
+    A = gb.Matrix.from_tuples(spark, ta, n, n)
+    B = gb.Matrix.from_tuples(spark, tb, n, n)
+    M = gb.Matrix.from_tuples(spark, tm, n, n, vtype="boolean")
+    z = _py_mxm(ta, tb)
+    eff = {(i, j) for i, j, v in tm if (v if valued else True)}
+    keep = {c for c in z if (c not in eff) == comp}
+    expect = {c: z[c] for c in keep}
+    got = gb.mxm(A, B, gb.PLUS_TIMES, mask=M, mask_complement=comp, mask_valued=valued)
+    assert {(i, j): v for i, j, v in got.to_tuples()} == expect
+
+
+@given(ta=coo(), tb=coo(), tm=bool_coo(), tc=coo(), replace=st.booleans())
+@settings(**SETTINGS)
+def test_replace_descriptor_model(spark, ta, tb, tm, tc, replace):
+    """C<M> += Z with replace on/off vs the model: inside the mask old and
+    new merge with the accumulator; outside, old survives iff not replace."""
+    n = 6
+    A = gb.Matrix.from_tuples(spark, ta, n, n)
+    B = gb.Matrix.from_tuples(spark, tb, n, n)
+    M = gb.Matrix.from_tuples(spark, tm, n, n, vtype="boolean")
+    C = gb.Matrix.from_tuples(spark, tc, n, n)
+    z = _py_mxm(ta, tb)
+    old = {(i, j): v for i, j, v in tc}
+    eff = {(i, j) for i, j, _ in tm}  # structural mask
+    expect = {}
+    for c in set(z) | set(old):
+        in_mask = c in eff
+        if in_mask:
+            if c in z and c in old:
+                expect[c] = old[c] + z[c]
+            elif c in z:
+                expect[c] = z[c]
+            else:
+                expect[c] = old[c]
+        elif c in old and not replace:
+            expect[c] = old[c]
+    got = gb.mxm(
+        A, B, gb.PLUS_TIMES, mask=M,
+        accum_into=C, accum_op=lambda x, y: x + y, replace=replace,
+    )
+    assert {(i, j): v for i, j, v in got.to_tuples()} == expect
