@@ -547,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang,
         "text_fingerprint": _q_text_fp,
+        "text_doc_freq": lambda spark, sf_dir: TX.doc_frequency(
+            load_table(spark, sf_dir, "documents")
+        ),
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -1057,6 +1060,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
             FROM documents
+        """,
+        "text_doc_freq": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+            SELECT token, count(*) AS df,
+                   floor(count(*) * 1.0 / n.n * 1000000 + 0.5) / 1000000 AS df_ratio
+            FROM tok, n
+            GROUP BY token, n.n
+            HAVING count(*) >= 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS n_dups

@@ -115,3 +115,30 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def doc_frequency(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
+) -> DataFrame:
+    """Corpus document-frequency table: (token, df, df_ratio) for tokens
+    appearing in ≥ min_df documents — the input to stopword/boilerplate
+    detection and IDF weighting in a training-data pipeline (tokens with
+    df_ratio near 1.0 are boilerplate candidates).
+
+    Scale shape: one explode + distinct + groupBy on token (map-side
+    combine), with the corpus size joined in as a broadcast single-row
+    aggregate — no driver-side count, the builder stays lazy. df_ratio
+    stays rational (df / N, one IEEE division, engine-identical) — no
+    transcendentals, so the DuckDB oracle matches bit-for-bit."""
+    tot = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .dropDuplicates([id_col, "token"])
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(tot))
+        .select("token", "df", pround(F.col("df") / F.col("_n"), 6).alias("df_ratio"))
+    )

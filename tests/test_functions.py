@@ -198,3 +198,10 @@ def test_dedup_clusters(docs):
     assert got[1] == got[4] == 1        # exact dups share the min-id cluster
     assert got[3] not in (got[1],)      # unrelated doc stays apart
     assert got[5] == 5                  # empty doc is a singleton
+
+
+def test_doc_frequency(docs):
+    got = {r.token: (r.df, r.df_ratio) for r in TX.doc_frequency(docs).collect()}
+    # 'the' appears in docs 1,2,4 of the 5-doc corpus
+    assert got["the"] == (3, 0.6)
+    assert "completely" not in got  # df=1 < min_df

@@ -140,3 +140,24 @@ def test_multilabel_intersection(spark):
     # single-label still matches the union of rows
     got = rows(run_cypher(g, "MATCH (p:Person)-[:OWNS]->(t:Thing) RETURN p"))
     assert got == {(0,), (1,)}
+
+
+def test_features_compose(spark):
+    # multi-label + same-binding OR + path length in one query
+    nodes = spark.createDataFrame(
+        [(0, "Person", {"age": "30.0"}), (0, "Admin", {"age": "30.0"}),
+         (1, "Person", {"age": "55.0"}), (2, "Thing", {}), (3, "Thing", {})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, "OWNS"), (2, 3, "OWNS"), (1, 2, "OWNS")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = rows(run_cypher(
+        g,
+        "MATCH p = (u:Person:Admin)-[:OWNS*]->(t:Thing) "
+        "WHERE u.age >= 50 OR u.age <= 40 "
+        "RETURN u, t, length(p) AS d",
+    ))
+    assert got == {(0, 2, 1), (0, 3, 2)}  # only node 0 is Person+Admin
