@@ -45,7 +45,7 @@ from g4s_spark.graph.tpch import (
 from g4s_spark.operators import bfs, connected_components, pagerank, sssp, triangle_count
 from g4s_spark.plans import run_cypher
 from g4s_spark.sources import load_table, load_tables
-from g4s_spark.streaming import session_counts, windowed_counts
+from g4s_spark.streaming import session_counts, session_window_counts, windowed_counts
 
 BFS_START = CUSTOMER_OFF + 1  # customer c_custkey=1
 
@@ -445,6 +445,10 @@ def _q_events_sessions(spark, sf_dir):
     return session_counts(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_session_window(spark, sf_dir):
+    return session_window_counts(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # cypher pattern matching (SURVEY §2.1/2.2)
@@ -571,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch shape; streaming variants in g4s_spark.streaming)
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
+        "events_session_window": _q_events_session_window,
     }
 
 
@@ -1231,6 +1236,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_session_window": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                                 OVER (PARTITION BY user_id ORDER BY ts) > 30 * 60000
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, min(ts) AS t_start, count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "events_sessionize": """
             WITH g AS (

@@ -2,6 +2,7 @@ from .events import (
     read_events_stream,
     stream_edges_into_graph,
     session_counts,
+    session_window_counts,
     sessionize,
     sessionize_stream,
     windowed_counts,
@@ -10,6 +11,6 @@ from .events import (
 
 __all__ = [
     "windowed_counts", "windowed_counts_stream", "sessionize",
-    "session_counts", "sessionize_stream", "read_events_stream",
-    "stream_edges_into_graph",
+    "session_counts", "session_window_counts", "sessionize_stream",
+    "read_events_stream", "stream_edges_into_graph",
 ]

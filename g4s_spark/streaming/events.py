@@ -47,6 +47,21 @@ def windowed_counts_stream(events_stream: DataFrame, width: str = "1 hour", wate
     )
 
 
+def session_window_counts(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregation — the
+    JVM-side merging-interval operator (no window functions, no Python):
+    per user, events within gap_min of each other merge into one session.
+    Returns (user_id, t_start, n_events). Same session boundaries as the
+    gaps-and-islands ``sessionize`` (t_start = first event's ts), so the
+    two implementations cross-check each other; in streaming this exact
+    expression runs under a watermark with mergeable session state."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", f"{gap_min} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("t_start"), "n_events")
+    )
+
+
 def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization (gaps-and-islands): a new session starts when
     the gap to the previous event of the same user exceeds gap_min.

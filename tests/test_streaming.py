@@ -168,3 +168,23 @@ def test_sessionize_stream_state(spark, events):
         per_user_stream[r.user_id] = per_user_stream.get(r.user_id, 0) + 1
     for u in users:
         assert per_user_stream[u] == per_user_batch[u] - 1  # last session still open
+
+
+def test_session_window_matches_gaps_and_islands(spark):
+    from pyspark.sql import functions as F
+
+    from g4s_spark.streaming import session_window_counts, sessionize
+
+    rows = [(1, 0.0), (1, 120.0), (1, 30 * 60 + 120.0), (2, 5.0)]
+    ev = spark.createDataFrame(rows, "user_id long, sec double").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    via_window_fn = {
+        (r.user_id, r.t_start): r.n_events
+        for r in sessionize(ev).select("user_id", "t_start", "n_events").collect()
+    }
+    via_session_window = {
+        (r.user_id, r.t_start): r.n_events for r in session_window_counts(ev).collect()
+    }
+    assert via_window_fn == via_session_window
+    assert sum(via_session_window.values()) == len(rows)
