@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from g4s_spark.functions import dedup as D
+from g4s_spark.functions import pipeline as PL
 from g4s_spark.functions.rounding import pround
 from g4s_spark.functions import multimodal as MM
 from g4s_spark.functions import similarity as S
@@ -554,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_freq": lambda spark, sf_dir: TX.doc_frequency(
             load_table(spark, sf_dir, "documents")
         ),
+        "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
+            load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
+        ),
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -1065,6 +1069,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
             FROM documents
+        """,
+        "pipeline_curate": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       floor((0.4 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * (1.0 - CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END)
+                           + 0.3 * least((CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END) / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+                FROM (
+                    SELECT doc_id,
+                           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                           CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop,
+                           CAST(list_aggregate(list_transform({_TOKS}, x -> len(x)), 'sum') AS BIGINT) AS tok_chars
+                    FROM documents
+                ) t
+            ),
+            l AS (
+                SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_cases} END AS pred_lang
+                FROM (SELECT doc_id, text, {lang_best} AS best FROM documents) s
+            ),
+            reps AS (
+                SELECT doc_id FROM ({_dedup_clusters_oracle(minhash_aggs, band_rows)}) c
+                WHERE c.cluster = c.doc_id
+            )
+            SELECT d.doc_id, l.pred_lang, q.quality
+            FROM documents d
+            JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN reps USING (doc_id)
+            WHERE q.quality >= 0.5 AND l.pred_lang IN ('en', 'und')
         """,
         "text_doc_freq": f"""
             WITH tok AS (

@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "pipeline"]

@@ -205,3 +205,13 @@ def test_doc_frequency(docs):
     # 'the' appears in docs 1,2,4 of the 5-doc corpus
     assert got["the"] == (3, 0.6)
     assert "completely" not in got  # df=1 < min_df
+
+
+def test_curate_corpus(docs):
+    from g4s_spark.functions import pipeline as PL
+
+    kept = {r.doc_id for r in PL.curate_corpus(docs, min_quality=0.0, langs=("en", "und")).collect()}
+    assert 4 not in kept  # doc 4 is an exact dup of doc 1 -> not its cluster rep
+    assert 1 in kept      # the representative survives
+    strict = {r.doc_id for r in PL.curate_corpus(docs, min_quality=0.99).collect()}
+    assert strict == set()  # threshold filters everything in this tiny corpus
