@@ -172,3 +172,50 @@ def test_replace_descriptor_model(spark, ta, tb, tm, tc, replace):
         accum_into=C, accum_op=lambda x, y: x + y, replace=replace,
     )
     assert {(i, j): v for i, j, v in got.to_tuples()} == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=14, unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_path_length_matches_bfs_model(spark, edges):
+    """length(p) over an unbounded closure == min directed walk length
+    from a pure-python BFS, on random digraphs (cycles included)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = sorted({v for e in edges for v in e})
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(v, "N") for v in nodes],
+        edges=[(a, b, "X") for a, b in edges],
+    )
+    got = {
+        (r.a, r.b): r.d
+        for r in run_cypher(g, "MATCH p = (a)-[:X*]->(b) RETURN a, b, length(p) AS d").collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expect = {}
+    for s0 in nodes:
+        # BFS from s0 over directed edges; distance to s0 itself only via a
+        # real cycle (min walk >= 1), matching the closure's semantics
+        from collections import deque
+
+        dist = {}
+        dq = deque((n, 1) for n in adj.get(s0, []))
+        while dq:
+            v, d = dq.popleft()
+            if v in dist:
+                continue
+            dist[v] = d
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dq.append((w, d + 1))
+        for v, d in dist.items():
+            expect[(s0, v)] = d
+    assert got == expect
