@@ -320,6 +320,37 @@ def _q_rel_q5_local_volume(spark, sf_dir):
     )
 
 
+def _q_rel_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Facts shuffle on their join keys; nation broadcasts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"), F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"), "revenue",
+        )
+    )
+
+
+def _q_events_sliding(spark, sf_dir):
+    """Sliding windows: each event lands in two 1-hour windows 30 min
+    apart — the streaming-native overlap shape; batch twin here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def _q_text_tokens(spark, sf_dir):
     return TX.token_count(load_table(spark, sf_dir, "documents"))
 
@@ -547,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping": _q_rel_q3_shipping,
         "rel_q5_local_volume": _q_rel_q5_local_volume,
         "rel_q6_forecast": _q_rel_q6,
+        "rel_q10_returns": _q_rel_q10_returns,
         # text analysis
         "text_token_count": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -580,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
         "events_session_window": _q_events_session_window,
+        "events_sliding_window": _q_events_sliding,
     }
 
 
@@ -1239,6 +1272,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "rel_q10_returns": """
+            SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name,
+                   n_name AS nation,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, custkey ASC
+            LIMIT 20
+        """,
+        "events_sliding_window": """
+            WITH w AS (
+                SELECT ts, event_type,
+                       unnest([
+                           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT),
+                           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                       ]) AS window_start
+                FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n
+            FROM w
+            WHERE epoch(ts) - epoch(window_start) < 3600
+            GROUP BY window_start, event_type
         """,
         "multimodal_frames": """
             WITH m AS (
