@@ -483,6 +483,33 @@ def _q_events_session_window(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver-window rotation -------------------------------------
+        # The correctness driver checks the FIRST 50 dict entries only.
+        # Least-recently-driver-verified gates go first (VERDICT r4 #1):
+        # never-checked + stale-after-change, then the rest of the
+        # dedup/ann/multimodal/events block, then the long-stable
+        # cypher/graph/grblas/rel/text block. Rotate per round until all
+        # entries have a driver row.
+        "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
+            load_table(spark, sf_dir, "documents")
+        ),
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_frames": _q_multimodal_frames,
+        "events_session_window": _q_events_session_window,
+        "events_sliding_window": _q_events_sliding,
+        "ann_lsh_topk": _q_ann_lsh,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # rest of the round-4 additions / LLM-pipeline block
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_cells": _q_ivf_cells,
+        "multimodal_meta": _q_multimodal_meta,
+        "events_window_agg": _q_events_window,
+        "events_sessionize": _q_events_sessions,
         # cypher pattern matching (SURVEY §2.1/2.2)
         "cypher_1hop": _cypher("MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN o"),
         "cypher_2hop_reverse": _cypher(
@@ -590,29 +617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
             load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
         ),
-        # dedup
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
-            load_table(spark, sf_dir, "documents")
-        ),
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        # similarity search
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_cells": _q_ivf_cells,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        # multimodal plumbing
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frames": _q_multimodal_frames,
-        # streaming (batch shape; streaming variants in g4s_spark.streaming)
-        "events_window_agg": _q_events_window,
-        "events_sessionize": _q_events_sessions,
-        "events_session_window": _q_events_session_window,
-        "events_sliding_window": _q_events_sliding,
     }
 
 
