@@ -195,7 +195,12 @@ def dedup_clusters(
     from ..graph import PropertyGraph
     from ..operators import connected_components
 
-    ids = df.select(F.col(id_col).cast("long").alias("id")).dropDuplicates(["id"])
+    # normalize the id dtype once up front so the pair graph, the
+    # component loop, and the singleton branch all agree on bigint —
+    # otherwise the final unionByName relies on implicit set-op coercion
+    # and errors (or silently widens) for non-bigint id columns.
+    df = df.withColumn(id_col, F.col(id_col).cast("long"))
+    ids = df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands, materialize=True)
     touched = (
         pairs.select(F.col("a").alias("id"))

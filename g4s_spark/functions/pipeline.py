@@ -2,8 +2,11 @@
 pipeline runs over a raw document table: quality scoring x language
 filter x duplicate-cluster representative selection, producing the kept
 training set. Each stage is one of this package's oracle-checked
-operators; the composition is pure DataFrame joins, so Catalyst plans
-the whole flow as one job and every stage's predicates stay pushable.
+operators. The scoring/filter stages compose lazily (pure DataFrame
+joins, predicates stay pushable); the dedup stage materializes eagerly —
+dedup_clusters runs the LSH pair join and the iterative component loop
+as jobs at build time, since iterative connected components cannot be
+expressed as one Catalyst plan.
 
 Scale shape: quality/lang are per-row expressions (no shuffle beyond the
 joins); dedup representatives come from the bucketed LSH + pair-graph

@@ -280,7 +280,10 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             )
         else:
             df = base.select(F.col("src").alias(e.src), F.col("dst").alias(e.dst), *extra)
-        for b in {e.src, e.dst}:
+        # dict.fromkeys: deduped like a set but iteration order is fixed
+        # (src first), so the two commuting semi-joins land in a stable
+        # order across runs instead of varying with hash randomization.
+        for b in dict.fromkeys((e.src, e.dst)):
             if b == seeded:
                 continue  # restriction already applied inside the expansion
             df = constrain(df, b)

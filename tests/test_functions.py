@@ -186,7 +186,7 @@ def test_banded_lsh_recall_vs_brute_force(spark):
     emb.unpersist()
     # exact-cosine verification makes precision 1.0 by construction
     assert lsh <= brute
-    # banded projections (4 planes x 8 bands): recall >= ~0.75 expected at
+    # banded projections (3 planes x 8 bands): recall >= ~0.75 expected at
     # cos 0.4; assert a floor with margin for the draw
     assert brute, "test data must contain near-dup pairs"
     assert len(lsh) / len(brute) >= 0.6
@@ -198,6 +198,17 @@ def test_dedup_clusters(docs):
     assert got[1] == got[4] == 1        # exact dups share the min-id cluster
     assert got[3] not in (got[1],)      # unrelated doc stays apart
     assert got[5] == 5                  # empty doc is a singleton
+
+
+def test_dedup_clusters_int_ids(docs):
+    # non-bigint id columns are normalized up front; both union branches
+    # (component loop output and singleton anti-join) must agree on long
+    narrow = docs.withColumn("doc_id", F.col("doc_id").cast("int"))
+    out = D.dedup_clusters(narrow)
+    assert dict(out.dtypes)["cluster"] == "bigint"
+    got = {r.doc_id: r.cluster for r in out.collect()}
+    assert got[1] == got[4] == 1
+    assert got[5] == 5
 
 
 def test_doc_frequency(docs):
