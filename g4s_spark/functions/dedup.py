@@ -295,18 +295,14 @@ def embedding_near_dups_lsh(
     chance of ≥1 shared band (p = 1 − θ/π) — near 1.0 for true near-dups.
     Candidates are exact-cosine verified, so precision is 1.0 and only
     recall depends on the projection."""
-    from .similarity import LSH_BAND_PLANES, LSH_BANDS, cosine_expr, sign_lsh_bands
+    from .similarity import LSH_BAND_PLANES, LSH_BANDS, cosine_expr, lsh_bucketed_corpus
 
     n_planes = LSH_BAND_PLANES if n_planes is None else n_planes
     n_bands = LSH_BANDS if n_bands is None else n_bands
-    b = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
-        )
-        .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    # shared session-cached index table — one banded projection of the
+    # corpus serves lsh_topk, near-dup mining, and the self-join's two
+    # sides alike (similarity._LSH_CORPUS_CACHE)
+    b = lsh_bucketed_corpus(emb, n_planes, n_bands, id_col, vec_col)
     l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "key")
     r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "key")
     cand = (
