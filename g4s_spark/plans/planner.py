@@ -289,15 +289,12 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             df = constrain(df, b)
         return df
 
-    remaining = list(qg.edges)
     # bindings that appear in no pattern edge: plain label scans, joined in
     # at the end (cartesian across disconnected components is Cypher
     # semantics; the reference only emits connected patterns)
     edge_bindings = {b for e in qg.edges for b in (e.src, e.dst)}
     required = qg.match_bindings or set(qg.labels)
     isolated = [b for b in qg.labels if b in required and b not in edge_bindings]
-
-    order = _choose_join_order(qg.edges, edge_est)
 
     df: DataFrame | None = None
     bound: set[str] = set()
@@ -309,7 +306,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     # count(*) counts distinct full-pattern matches — no binding is ever dead
     star = any(a.binding == "*" for a in qg.aggregates)
 
-    def live_bindings() -> set[str]:
+    def base_need() -> set[str]:
         # optional groups left-join on their shared bindings later, so those
         # must survive the main chain's projections; returned edge-property
         # columns ride along like bindings (a match with a returned edge
@@ -322,32 +319,67 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         )
         if star:
             need |= set(qg.labels)
-        for e in remaining:
-            need.update((e.src, e.dst))
         return need
 
-    for nxt in order:
-        remaining.remove(nxt)
-        est = edge_est(nxt)
-        total_cost += step_cost(est)
-        ndf = edge_df(nxt)
-        if df is None:
-            df = ndf
-            bound = set(ndf.columns)
-            steps.append(("scan", (nxt.src, nxt.dst), nxt.types, est))
-        else:
-            shared = [c for c in ndf.columns if c in bound]
-            if shared:
-                df = df.join(ndf, on=shared, how="inner")
-                steps.append(("expand", (nxt.src, nxt.dst), tuple(shared), est))
-            else:
-                df = df.crossJoin(ndf)
-                steps.append(("cartesian", (nxt.src, nxt.dst), est))
+    def build_tree(tree, outer: set[str]) -> DataFrame:
+        """Execute a join tree from _choose_join_tree. ``outer`` =
+        bindings the rest of the plan (sibling subtrees, later clauses)
+        still needs — the tree-shaped generalization of the old loop's
+        'bindings of edges not yet joined'. After every node the frame is
+        projected to the live bindings and deduplicated (ANY_PAIR
+        semantics, see module doc)."""
+        nonlocal total_cost, bound
+        is_join = isinstance(tree, tuple) and len(tree) == 3 and tree[0] == "J"
+        if not is_join:
+            e = tree
+            est = edge_est(e)
+            total_cost += step_cost(est)
+            ndf = edge_df(e)
             bound |= set(ndf.columns)
-        # ANY_PAIR projection: drop dead bindings, dedup (see module doc)
-        live = sorted(live_bindings() & bound)
-        df = df.select(*live).dropDuplicates(live)
+            steps.append(("scan", (e.src, e.dst), e.types, est))
+            live = sorted((base_need() | outer) & set(ndf.columns))
+            ndf = ndf.select(*live).dropDuplicates(live)
+            steps.append(("project_distinct", tuple(live)))
+            return ndf
+        _, lt, rt = tree
+        lbind = {b for x in _subtree_edges(lt) for b in (x.src, x.dst)}
+        rbind = {b for x in _subtree_edges(rt) for b in (x.src, x.dst)}
+        ldf = build_tree(lt, outer | rbind)
+        right_is_leaf = not (isinstance(rt, tuple) and len(rt) == 3 and rt[0] == "J")
+        if right_is_leaf:
+            # left-deep extension: join the raw edge frame, project after —
+            # byte-identical steps to the pre-bushy planner for chain plans
+            e = rt
+            est = edge_est(e)
+            total_cost += step_cost(est)
+            ndf = edge_df(e)
+            bound |= set(ndf.columns)
+            shared = [c for c in ndf.columns if c in ldf.columns]
+            if shared:
+                out = ldf.join(ndf, on=shared, how="inner")
+                steps.append(("expand", (e.src, e.dst), tuple(shared), est))
+            else:
+                out = ldf.crossJoin(ndf)
+                steps.append(("cartesian", (e.src, e.dst), est))
+        else:
+            # bushy: the right arm is built (and projected) independently,
+            # then the two sub-results join on their shared bindings
+            rdf = build_tree(rt, outer | lbind)
+            shared = [c for c in rdf.columns if c in ldf.columns]
+            if shared:
+                out = ldf.join(rdf, on=shared, how="inner")
+                steps.append(("bushy_join", tuple(shared)))
+            else:
+                out = ldf.crossJoin(rdf)
+                steps.append(("bushy_cartesian", tuple(sorted(rbind))))
+        live = sorted((base_need() | outer) & set(out.columns))
+        out = out.select(*live).dropDuplicates(live)
         steps.append(("project_distinct", tuple(live)))
+        return out
+
+    if qg.edges:
+        tree, _ = _choose_join_tree(list(qg.edges), edge_est)
+        df = build_tree(tree, set())
 
     for b in isolated:
         scan = constrain(graph.nodes.select(F.col("id").alias(b)), b).dropDuplicates([b])
@@ -605,6 +637,127 @@ def _var_length_pairs(
         # of leaking cached blocks across the session's other queries
         e.unpersist()
     return pairs
+
+
+def _subtree_edges(tree) -> list:
+    """Leaves of a join tree in build order (left-to-right)."""
+    if isinstance(tree, tuple) and len(tree) == 3 and tree[0] == "J":
+        return _subtree_edges(tree[1]) + _subtree_edges(tree[2])
+    return [tree]
+
+
+def _choose_join_tree(edges, edge_est) -> tuple:
+    """Join-SHAPE search under the reference cost model: DP over connected
+    edge subsets exploring both left-deep extensions and bushy
+    two-subtree joins — the reference memo's plan space, where groups are
+    keyed by edge set and FilterExpandCommutative re-associates
+    (L·R)·F ≡ L·(R·F) (Memo.scala:65-106,
+    rules/trans/FilterExpandCommutative.scala:10-36).
+
+    Returns (tree, cost). A tree is a PatternEdge leaf or ("J", l, r);
+    cost = Σ 1.2·card over every join output plus the leaf scans
+    (Operator.scala:116-148). For fork patterns (two multi-hop arms
+    meeting at one binding) building each arm independently then joining
+    beats hanging the second arm's edges off the first arm's running
+    cardinality — the case a left-deep-only search cannot reach.
+
+    Beyond MAX_EXHAUSTIVE edges: greedy cheapest-connected-first
+    left-deep chain (same fallback as _choose_join_order). Disconnected
+    patterns plan each connected component's tree, then fold with
+    cartesian joins (Cypher comma semantics).
+    """
+    MAX_EXHAUSTIVE = 7
+    if not edges:
+        return None, 0.0
+    if len(edges) == 1:
+        return edges[0], step_cost(max(edge_est(edges[0]), 1e-9))
+
+    # connected components over shared bindings: DP needs a connected set
+    comps: list[list] = []
+    for e in edges:
+        eb = {e.src, e.dst}
+        hit = [c for c in comps if any(eb & {x.src, x.dst} for x in c)]
+        merged = [e]
+        for c in hit:
+            merged.extend(c)
+            comps.remove(c)
+        comps.append(merged)
+    if len(comps) > 1:
+        # preserve input edge order inside each component for stability;
+        # cheapest component anchors the cartesian fold (smallest first,
+        # matching the connected case's anchor rule)
+        trees = sorted(
+            (_choose_join_tree([e for e in edges if e in c], edge_est) for c in comps),
+            key=lambda tc: tc[1],
+        )
+        tree, cost = trees[0]
+        for t, c in trees[1:]:
+            tree, cost = ("J", tree, t), cost + c  # executor renders crossJoin
+        return tree, cost
+
+    if len(edges) > MAX_EXHAUSTIVE:
+        order = _choose_join_order(edges, edge_est)
+        tree, cost = order[0], step_cost(max(edge_est(order[0]), 1e-9))
+        card = max(edge_est(order[0]), 1e-9)
+        for e in order[1:]:
+            card = max(card * max(edge_est(e), 1e-9), 1.0)
+            tree, cost = ("J", tree, e), cost + step_cost(card)
+        return tree, cost
+
+    n = len(edges)
+    ests = [max(edge_est(e), 1e-9) for e in edges]
+    full = (1 << n) - 1
+    # bindings per subset, built from the subset's lowest bit + the rest
+    binds: dict[int, frozenset] = {}
+    for i in range(n):
+        binds[1 << i] = frozenset((edges[i].src, edges[i].dst))
+    for subset in range(1, full + 1):
+        if subset not in binds:
+            binds[subset] = binds[subset & -subset] | binds[subset & (subset - 1)]
+
+    # memo: subset -> (cost, output_card, tree); only connected subsets
+    # (joinable splits) ever get an entry, mirroring the reference memo's
+    # group-per-edge-set identity
+    best: dict[int, tuple[float, float, object]] = {
+        1 << i: (step_cost(ests[i]), ests[i], edges[i]) for i in range(n)
+    }
+    for subset in sorted(range(1, full + 1), key=int.bit_count):
+        if subset.bit_count() < 2:
+            continue
+        lowest = subset & -subset
+        entry = None
+        # canonical split enumeration: A always contains the lowest bit,
+        # so each {A, B} partition is scored exactly once (B = subset\A
+        # may be a single edge — that transition IS the left-deep step)
+        a_mask = (subset - 1) & subset
+        while a_mask:
+            if a_mask & lowest:
+                b_mask = subset ^ a_mask
+                a, b = best.get(a_mask), best.get(b_mask)
+                if a and b and (binds[a_mask] & binds[b_mask]):
+                    card = max(a[1] * b[1], 1.0)
+                    cost = a[0] + b[0] + step_cost(card)
+                    if entry is None or cost < entry[0]:
+                        # left = the side built (and projected) first.
+                        # Two leaves: cheaper edge anchors, matching the
+                        # old order's smallest-first chain start. A
+                        # subtree joins a leaf: subtree left — that IS
+                        # the left-deep extension step. Two subtrees:
+                        # larger left, small side joins in.
+                        a_leaf = not (isinstance(a[2], tuple) and a[2] and a[2][0] == "J")
+                        b_leaf = not (isinstance(b[2], tuple) and b[2] and b[2][0] == "J")
+                        if a_leaf and b_leaf:
+                            l, r = (a, b) if a[1] <= b[1] else (b, a)
+                        elif a_leaf != b_leaf:
+                            l, r = (a, b) if b_leaf else (b, a)
+                        else:
+                            l, r = (a, b) if a[1] >= b[1] else (b, a)
+                        entry = (cost, card, ("J", l[2], r[2]))
+            a_mask = (a_mask - 1) & subset
+        if entry is not None:
+            best[subset] = entry
+    cost, _, tree = best[full]
+    return tree, cost
 
 
 def _choose_join_order(edges, edge_est) -> list:

@@ -167,3 +167,79 @@ def test_triplet_stats_flip_join_order(spark):
     g.stats.triplet_counts.clear()
     planned2 = plan_match(g, parse(q))
     assert steps_of(planned2, "scan")[0][1] == ("b", "c"), planned2.steps
+
+
+def test_bushy_fork_beats_left_deep_cost():
+    """Two 2-hop arms meeting at one binding: the DP must build each arm
+    independently and join them (the reference memo's re-association
+    space, FilterExpandCommutative.scala:10-36) — strictly cheaper under
+    the cost model than any left-deep order, whose running cardinality
+    carries the first arm through the second arm's joins."""
+    from itertools import permutations
+
+    from g4s_spark.cypher.parser import PatternEdge
+    from g4s_spark.plans.cost import step_cost
+    from g4s_spark.plans.planner import _choose_join_tree, _subtree_edges
+
+    arms = [
+        PatternEdge("a", "m1", ("X",)), PatternEdge("m1", "z", ("Y",)),
+        PatternEdge("b", "m2", ("W",)), PatternEdge("m2", "z", ("V",)),
+    ]
+    est = lambda e: 10.0
+    tree, cost = _choose_join_tree(arms, est)
+
+    # exhaustive left-deep reference: every connected linear order
+    def left_deep_cost(order):
+        c, card, bound = 0.0, None, set()
+        for e in order:
+            if card is None:
+                card = 10.0
+            else:
+                if not ({e.src, e.dst} & bound):
+                    return None  # cartesian step — old planner avoided these
+                card = max(card * 10.0, 1.0)
+            c += step_cost(card)
+            bound |= {e.src, e.dst}
+        return c
+    ld_costs = [c for p in permutations(arms) if (c := left_deep_cost(p)) is not None]
+    assert cost < min(ld_costs), (cost, min(ld_costs))
+
+    # shape: root joins the two arms (2 edges each side), arm-by-arm
+    assert isinstance(tree, tuple) and tree[0] == "J"
+    sides = {frozenset((e.src, e.dst) for e in _subtree_edges(t)) for t in tree[1:]}
+    assert sides == {
+        frozenset({("a", "m1"), ("m1", "z")}),
+        frozenset({("b", "m2"), ("m2", "z")}),
+    }, tree
+
+
+def test_bushy_fork_executes_correctly(spark):
+    """The bushy plan's DataFrame program returns the same matches as the
+    pattern's semantics demand (two arms ANDed on the shared endpoint)."""
+    nodes = (
+        [(i, "A") for i in range(10)] + [(10 + i, "M") for i in range(10)]
+        + [(20 + i, "B") for i in range(10)] + [(30 + i, "N") for i in range(10)]
+        + [(40, "Z"), (41, "Z")]
+    )
+    edges = (
+        [(i, 10 + i, "X") for i in range(10)]          # a -> m
+        + [(10 + i, 40 + i % 2, "Y") for i in range(10)]  # m -> z
+        + [(20 + i, 30 + i, "W") for i in range(10)]   # b -> n
+        + [(30 + i, 40 + (i + 1) % 2, "V") for i in range(10)]  # n -> z
+    )
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(
+        g,
+        parse(
+            "MATCH (a:A)-[:X]->(m:M)-[:Y]->(z:Z), (b:B)-[:W]->(n:N)-[:V]->(z) "
+            "RETURN a, b, z"
+        ),
+    )
+    assert steps_of(planned, "bushy_join"), planned.steps
+    got = {(r.a, r.b, r.z) for r in planned.df.collect()}
+    want = {
+        (a, 20 + b, 40 + a % 2)
+        for a in range(10) for b in range(10)
+        if a % 2 == (b + 1) % 2
+    }
+    assert got == want
