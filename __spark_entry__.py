@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup/ann/multimodal/events block, then the long-stable
         # cypher/graph/grblas/rel/text block. Rotate per round until all
         # entries have a driver row.
+        "cypher_undirected": _cypher(
+            "MATCH (x)-[:IN_REGION|FROM_NATION]-(n:Nation) RETURN x, n"
+        ),
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
@@ -796,6 +799,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
+        """,
+        # undirected hop = symmetrized edge set around the labeled endpoint
+        "cypher_undirected": f"""
+            WITH {EDGES_SQL_CTE.strip()},
+            sym AS (
+                SELECT src, dst, type FROM graph_edges
+                UNION ALL
+                SELECT dst, src, type FROM graph_edges
+            )
+            SELECT DISTINCT s.src AS x, s.dst AS n
+            FROM sym s
+            JOIN nation ni ON s.dst = CAST({NATION_OFF} + ni.n_nationkey AS BIGINT)
+            WHERE s.type IN ('IN_REGION', 'FROM_NATION')
         """,
         "cypher_multitype": f"""
             SELECT DISTINCT n FROM (

@@ -4,9 +4,10 @@ Reference front-end: the openCypher parser feeding QueryGraph.fromAST
 (g4s-optimizer/.../optim/QueryGraph.scala:26-99). The supported surface is
 exactly the reference's (SURVEY §2.7): pattern chains with single optional
 label per node, optional edge variable, one-or-more edge types
-(``:X|Y``), directed edges only (OUT `->` / IN `<-`), multiple
-comma-separated paths, multi-binding RETURN. Anything else raises, like
-the reference's MatchError.
+(``:X|Y``), directed (OUT `->` / IN `<-`) and undirected (`-[]-`,
+the reference's declared-but-unwired Direction.Both, Direction.scala:6)
+edges, multiple comma-separated paths, multi-binding RETURN. Anything
+else raises, like the reference's MatchError.
 """
 
 from __future__ import annotations
@@ -30,6 +31,10 @@ class PatternEdge:
     # edge properties and RETURN e.prop (the reference parser accepts the
     # variable, QueryGraph.scala:76-83, but has no predicate surface)
     name: str | None = None
+    # undirected -[]- (the reference's Direction.Both, Direction.scala:6 —
+    # declared there but never produced by its front-end): matches the
+    # edge in either orientation; the planner scans the symmetrized set
+    undirected: bool = False
 
 
 @dataclass(frozen=True)
@@ -422,9 +427,9 @@ def _parse_pattern(
         em = _EDGE.match(pattern, pos)
         if not em:
             raise CypherParseError(f"expected edge at: {pattern[pos:]!r}")
-        if bool(em.group("left")) == bool(em.group("right")):
+        if em.group("left") and em.group("right"):
             raise CypherParseError(
-                "undirected/bidirected edges unsupported (reference is directed-only, "
+                "bidirected edges <-[]-> unsupported (reference is directed-only, "
                 "QueryGraph.scala:76-83)"
             )
         pos = em.end()
@@ -457,8 +462,10 @@ def _parse_pattern(
                 raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
         if em.group("right"):  # (prev)-[:T]->(cur)
             target.append(PatternEdge(prev, cur, types, lo, hi, ename))
-        else:  # (prev)<-[:T]-(cur)
+        elif em.group("left"):  # (prev)<-[:T]-(cur)
             target.append(PatternEdge(cur, prev, types, lo, hi, ename))
+        else:  # (prev)-[:T]-(cur) — undirected, Direction.Both
+            target.append(PatternEdge(prev, cur, types, lo, hi, ename, True))
         prev = cur
 
 

@@ -158,6 +158,14 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
     def edge_est(e: PatternEdge) -> float:
         # unbounded closures have no hop count; assume a deep-ish graph
         hops = e.max_hops if e.max_hops is not None else 8
+        if e.undirected:
+            # symmetrized scan: twice the stored rows; directional triplet
+            # counts don't apply (both orientations contribute)
+            return expand_card(
+                (stats.type_card(list(e.types)) or 1) * 2 * hops,
+                1.0,
+                stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
+            )
         # exact directional triplet count when a label constrains the hop
         # (StatsStore.scala:141-170,210-253); independence fallback
         tc = stats.triplet_card(
@@ -227,6 +235,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             tuple(e.types), e.min_hops, e.max_hops,
             tuple(sorted((f.prop, f.op, str(f.value)) for f in efs)),
             tuple(props), seed_key, clause_state["clause"], dist_alias is not None,
+            e.undirected,
         )
         if key in scan_memo:
             base = scan_memo[key]
@@ -241,6 +250,17 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
             base = raw.select(
                 "src", "dst", *[edge_prop_col(raw, p, False).alias(a) for p, a in props]
             )
+            if e.undirected:
+                # Direction.Both (-[]-): the scan is the symmetrized edge
+                # set — each stored edge matches in both orientations.
+                # Symmetrizing BEFORE a var-length expansion makes the
+                # closure walk the undirected graph, hop by hop.
+                base = base.unionByName(
+                    base.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst"),
+                        *[F.col(a) for a in alias_cols],
+                    )
+                )
             if (e.min_hops, e.max_hops) != (1, 1):
                 # Push the endpoint restriction INTO the iterative
                 # expansion: closing over the whole graph and filtering

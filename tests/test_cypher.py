@@ -70,7 +70,7 @@ def test_count_default_alias():
 @pytest.mark.parametrize(
     "bad",
     [
-        "MATCH (a)-[:X]-(b) RETURN a",  # undirected
+        "MATCH (a)<-[:X]->(b) RETURN a",  # bidirected
         "SELECT 1",
         "MATCH (a) RETURN z",  # unbound return
         "MATCH (a) WHERE z.x = 1 RETURN a",  # WHERE on unbound variable
@@ -125,3 +125,34 @@ def test_multilabel_parse():
     assert qg.labels["n"] == "A"
     assert qg.extra_labels["n"] == ("B", "C")
     assert "m" not in qg.extra_labels
+
+
+def test_undirected_parse():
+    qg = parse("MATCH (a:A)-[:X]-(b:B) RETURN a, b")
+    (e,) = qg.edges
+    assert e.undirected and e.src == "a" and e.dst == "b"
+    # directed forms stay directed
+    assert not parse("MATCH (a)-[:X]->(b) RETURN a").edges[0].undirected
+    assert not parse("MATCH (a)<-[:X]-(b) RETURN a").edges[0].undirected
+    # var-length undirected closure parses
+    e2 = parse("MATCH (a)-[:X*1..3]-(b) RETURN a").edges[0]
+    assert e2.undirected and (e2.min_hops, e2.max_hops) == (1, 3)
+
+
+def test_rejects_bidirected():
+    with pytest.raises(CypherParseError, match="bidirected"):
+        parse("MATCH (a)<-[:X]->(b) RETURN a")
+
+
+def test_undirected_matches_both_orientations(spark):
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = [(1, "A"), (2, "B"), (3, "B"), (4, "A")]
+    edges = [(1, 2, "X"), (3, 4, "X")]  # one out of A, one into A
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    got = sorted((r.a, r.b) for r in run_cypher(g, "MATCH (a:A)-[:X]-(b:B) RETURN a, b").collect())
+    assert got == [(1, 2), (4, 3)]
+    # undirected var-length walks the symmetrized graph: 2 hops returns home
+    got2 = sorted((r.a, r.x) for r in run_cypher(g, "MATCH (a:A)-[:X*1..2]-(x) RETURN a, x").collect())
+    assert got2 == [(1, 1), (1, 2), (4, 3), (4, 4)]
