@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import iter_checkpoint
 from .rounding import pround
 from .text import tokens, word_ngrams
 
@@ -84,7 +85,7 @@ def ngram_jaccard_pairs(
     filters compose and push into the pair computation. With
     materialize=True the shingle table is cached for its three uses
     (sizes + both join sides), the small pair result is pinned
-    (localCheckpoint) and the cache released before returning — for
+    (iter_checkpoint) and the cache released before returning — for
     callers that iterate over the pairs repeatedly."""
     sh = shingle_docs(df, text_col, id_col, n)
     if materialize:
@@ -106,7 +107,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", pround(F.col("jaccard"), 4).alias("jaccard"))
         )
-        return out.localCheckpoint(eager=True) if materialize else out
+        return iter_checkpoint(out) if materialize else out
     finally:
         if materialize:
             sh.unpersist()
@@ -143,7 +144,7 @@ def minhash_lsh_pairs(
     materialize=True the bucket table is cached before the self-join —
     both sides share the whole load->shingle->k×md5-agg lineage, which
     would otherwise execute twice — the small pair result pinned
-    (localCheckpoint) and the cache released before returning."""
+    (iter_checkpoint) and the cache released before returning."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k)
     band_cols = [
@@ -168,7 +169,7 @@ def minhash_lsh_pairs(
             .select("a", "b")
             .dropDuplicates(["a", "b"])
         )
-        return out.localCheckpoint(eager=True) if materialize else out
+        return iter_checkpoint(out) if materialize else out
     finally:
         if materialize:
             bucketed.unpersist()

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..checkpointing import iter_checkpoint
+
 from .matrix import Matrix, Vector, vxm
 from .semiring import LOR_LAND
 
@@ -38,13 +40,13 @@ def bfs_levels(adj: Matrix, start_ids: list[int]) -> Vector:
     )
     for level in range(1, MAX_BFS_ITERS + 1):
         nxt = vxm(frontier, adj, LOR_LAND, mask=levels, mask_complement=True)
-        nxt.df = nxt.df.localCheckpoint(eager=True)
+        nxt.df = iter_checkpoint(nxt.df)
         if nxt.df.limit(1).count() == 0:
             return levels
         levels = Vector(
-            levels.df.unionByName(
+            iter_checkpoint(levels.df.unionByName(
                 nxt.df.select("i", F.lit(level).cast("long").alias("v"))
-            ).localCheckpoint(eager=True),
+            )),
             levels.size,
         )
         frontier = nxt

@@ -7,8 +7,9 @@ fixpoint, convergence via isEq (DocSpec.scala:55-101).
 Scale notes:
 - each iteration is one shuffle join keyed on the frontier ids; the
   frontier/visited sets are distinct-keyed DataFrames, never collected,
-- ``localCheckpoint()`` every iteration truncates lineage so plan size
-  stays O(1) across iterations (SURVEY §7.3),
+- ``iter_checkpoint()`` every iteration truncates lineage so plan size
+  stays O(1) across iterations (SURVEY §7.3); set G4S_CHECKPOINT_DIR for
+  reliable checkpoints on a cluster (see g4s_spark.checkpointing),
 - convergence tests are anti-join counts (limit-1), not full equality
   scans.
 """
@@ -18,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import iter_checkpoint
 from ..graph.store import PropertyGraph
 
 # frontier/visited sets below this row count are broadcast into the expand
@@ -67,12 +69,12 @@ def bfs(
                 .select(F.col("dst").alias("id"))
                 .dropDuplicates(["id"])
                 .join(_bc(visited.select("id"), n_visited, broadcast_frontier), on="id", how="left_anti")
-                .localCheckpoint(eager=True)
             )
+            nxt = iter_checkpoint(nxt)
             n_new = nxt.count()  # nxt is checkpointed: count is a cheap re-scan
             if n_new == 0:
                 break
-            visited = visited.unionByName(nxt.withColumn("dist", F.lit(dist))).localCheckpoint(eager=True)
+            visited = iter_checkpoint(visited.unionByName(nxt.withColumn("dist", F.lit(dist))))
             frontier = nxt
             n_frontier = n_new
             n_visited += n_new
@@ -120,15 +122,13 @@ def sssp(
                 .join(_bc(dist, n_dist, broadcast_frontier).alias("d"), on="id", how="left")
                 .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
                 .select("id", F.col("c.dist").alias("dist"))
-                .localCheckpoint(eager=True)
             )
+            improved = iter_checkpoint(improved)
             n_improved = improved.count()
             if n_improved == 0:
                 break
-            dist = (
-                dist.join(improved.select("id"), on="id", how="left_anti")
-                .unionByName(improved)
-                .localCheckpoint(eager=True)
+            dist = iter_checkpoint(
+                dist.join(improved.select("id"), on="id", how="left_anti").unionByName(improved)
             )
             frontier = improved
             n_frontier = n_improved
@@ -194,8 +194,8 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
                     "id",
                     (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
                 )
-                .localCheckpoint(eager=True)
             )
+            pr = iter_checkpoint(pr)
     finally:
         e2.unpersist()
         nodes.unpersist()
@@ -227,8 +227,8 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
             new_comp = (
                 comp.join(neighbor_min, on="id", how="left")
                 .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
-                .localCheckpoint(eager=True)
             )
+            new_comp = iter_checkpoint(new_comp)
             changed = (
                 new_comp.alias("n")
                 .join(comp.alias("o"), on="id")

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import iter_checkpoint
 from ..cypher.parser import PatternEdge, QueryGraph, parse
 from ..graph.store import PropertyGraph
 from .cost import expand_card, step_cost
@@ -582,7 +583,8 @@ def _var_length_pairs(
     hi=None (bare `*` / `*n..`) runs a delta-iteration transitive
     closure: only newly discovered pairs are re-expanded each round
     (semi-naive evaluation), lineage truncated per iteration with
-    localCheckpoint (reliable checkpoint dir at cluster scale). The loop
+    iter_checkpoint (G4S_CHECKPOINT_DIR switches every loop in the
+    package to reliable checkpoints for cluster mode). The loop
     terminates after at most graph-diameter rounds; MAX_CLOSURE_ITERS is
     a hard error, not a silent cap."""
     e = edges.dropDuplicates(["src", "dst"])
@@ -626,7 +628,7 @@ def _var_length_pairs(
             )
         if with_dist:
             frontier = frontier.withColumn("dist", F.lit(lo).cast("long"))
-        pairs = frontier.localCheckpoint(eager=True)
+        pairs = iter_checkpoint(frontier)
         frontier = pairs
         e_next = e.select(F.col("src").alias("mid"), "dst")
         depth = lo
@@ -642,17 +644,17 @@ def _var_length_pairs(
             if with_dist:
                 # first discovery == BFS depth == minimum walk length
                 new = new.withColumn("dist", F.lit(depth).cast("long"))
-            new = new.localCheckpoint(eager=True)
+            new = iter_checkpoint(new)
             if new.limit(1).count() == 0:
                 break
-            pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+            pairs = iter_checkpoint(pairs.unionByName(new))
             frontier = new
         else:
             raise RuntimeError(
                 f"transitive closure did not converge within {MAX_CLOSURE_ITERS} iterations"
             )
     finally:
-        # every retained round is localCheckpoint'd (lineage truncated), so
+        # every retained round is checkpointed (lineage truncated), so
         # the edge cache is not needed after the loop — release it instead
         # of leaking cached blocks across the session's other queries
         e.unpersist()

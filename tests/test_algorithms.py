@@ -100,3 +100,28 @@ def test_sssp_integer_weights(spark):
     )
     got = {r.id: r.dist for r in sssp(g, [0]).collect()}
     assert got == {0: 0, 1: 3, 2: 5}  # min-plus picks the 2-hop path
+
+
+def test_reliable_checkpoint_mode(unweighted, weighted, tmp_path, monkeypatch):
+    """G4S_CHECKPOINT_DIR switches every iterative loop from
+    localCheckpoint to reliable checkpoint() (lost-executor safety on a
+    cluster); results must be identical in both modes and checkpoint
+    files must actually land in the directory."""
+    import os
+
+    from g4s_spark.operators import connected_components, pagerank
+
+    base_bfs = {(r.id, r.dist) for r in bfs(unweighted, [0]).collect()}
+    base_sssp = {(r.id, round(r.dist, 6)) for r in sssp(weighted, [0]).collect()}
+    base_cc = {(r.id, r.component) for r in connected_components(unweighted).collect()}
+    base_pr = {(r.id, round(r.pr, 9)) for r in pagerank(unweighted).collect()}
+
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("G4S_CHECKPOINT_DIR", ckdir)
+    assert {(r.id, r.dist) for r in bfs(unweighted, [0]).collect()} == base_bfs
+    assert {(r.id, round(r.dist, 6)) for r in sssp(weighted, [0]).collect()} == base_sssp
+    assert {(r.id, r.component) for r in connected_components(unweighted).collect()} == base_cc
+    assert {(r.id, round(r.pr, 9)) for r in pagerank(unweighted).collect()} == base_pr
+    # reliable checkpoints were written under the configured dir
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no checkpoint files written in reliable mode"
