@@ -109,8 +109,11 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, session_id long, n_events long, t_start timestamp, t_end timestamp"
+    # t_start/t_end state epochs are MILLISECONDS — the same resolution the
+    # batch twin compares (unix_millis in sessionize), so an event landing
+    # exactly at a sub-second gap boundary sessionizes identically in both
     state_schema = "session_id long, n_events long, t_start long, t_end long"
-    gap_sec = gap_min * 60
+    gap_ms = gap_min * 60_000
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -119,32 +122,32 @@ def sessionize_stream(
             state.remove()
             yield pd.DataFrame(
                 {"user_id": [user_id], "session_id": [sid], "n_events": [n],
-                 "t_start": [pd.Timestamp(t0, unit="s")], "t_end": [pd.Timestamp(t1, unit="s")]}
+                 "t_start": [pd.Timestamp(t0, unit="ms")], "t_end": [pd.Timestamp(t1, unit="ms")]}
             )
             return
         rows = pd.concat(list(pdf_iter)).sort_values("ts")
         closed = []
-        cur = state.get if state.exists else None  # (sid, n, t0, t1) epochs
+        cur = state.get if state.exists else None  # (sid, n, t0, t1) ms epochs
         for ts in rows["ts"]:
-            t = int(ts.timestamp())
+            t = ts.value // 1_000_000  # ns -> ms, truncation matches unix_millis
             if cur is None:
                 cur = (1, 1, t, t)
-            elif t - cur[3] > gap_sec:
+            elif t - cur[3] > gap_ms:
                 closed.append(cur)
                 cur = (cur[0] + 1, 1, t, t)
             else:
                 cur = (cur[0], cur[1] + 1, cur[2], t)
         state.update(cur)
         if timeout == "processing":
-            state.setTimeoutDuration(gap_sec * 1000)
+            state.setTimeoutDuration(gap_ms)
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
                     "session_id": [c[0] for c in closed],
                     "n_events": [c[1] for c in closed],
-                    "t_start": [pd.Timestamp(c[2], unit="s") for c in closed],
-                    "t_end": [pd.Timestamp(c[3], unit="s") for c in closed],
+                    "t_start": [pd.Timestamp(c[2], unit="ms") for c in closed],
+                    "t_end": [pd.Timestamp(c[3], unit="ms") for c in closed],
                 }
             )
 

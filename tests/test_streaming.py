@@ -188,3 +188,61 @@ def test_session_window_matches_gaps_and_islands(spark):
     }
     assert via_window_fn == via_session_window
     assert sum(via_session_window.values()) == len(rows)
+
+
+def test_sessionize_stream_subsecond_boundary(spark):
+    """Stream/batch twins must agree at sub-second gap edges: with
+    gap=1min, an event 60.000s after the last is the SAME session
+    (strict >) while 60.001s and 60.5s start new ones. The stream state
+    now carries millisecond epochs like the batch twin's unix_millis."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: gaps of exactly 60.000s (same session), then 60.001s (new)
+        (1, base),
+        (1, base + dt.timedelta(seconds=60)),
+        (1, base + dt.timedelta(seconds=120, milliseconds=1)),
+        # user 2: gap of 60.5s (new session under ms precision; the old
+        # second-truncated state called this 60s = same session)
+        (2, base),
+        (2, base + dt.timedelta(seconds=60, milliseconds=500)),
+        # trailing events so every earlier session closes in append mode
+        (1, base + dt.timedelta(hours=2)),
+        (2, base + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    batch = {
+        (r.user_id, r.session_id, r.n_events, r.t_start, r.t_end)
+        for r in sessionize(df, gap_min=1).collect()
+    }
+    # batch truth: user 1 -> sessions (2 events), (1 event), (1 trailing);
+    # user 2 -> (1), (1), (1 trailing)
+    assert {(u, s, n) for u, s, n, _, _ in batch if u == 1} == {(1, 1, 2), (1, 2, 1), (1, 3, 1)}
+    assert {(u, s, n) for u, s, n, _, _ in batch if u == 2} == {(2, 1, 1), (2, 2, 1), (2, 3, 1)}
+
+    # drive the stateful fn over a real micro-batch source: write fixture
+    # to parquet and stream it back
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ck:
+        df.write.mode("overwrite").parquet(src + "/ev")
+        s = spark.readStream.schema("user_id long, ts timestamp").parquet(src + "/ev")
+        q = (
+            sessionize_stream(s, gap_min=1, timeout="none")
+            .writeStream.format("memory")
+            .queryName("sess_ms")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        got = {
+            (r.user_id, r.session_id, r.n_events, r.t_start, r.t_end)
+            for r in spark.sql("SELECT * FROM sess_ms").collect()
+        }
+    # append mode: each user's final (open) session stays in state;
+    # everything emitted must match the batch twin exactly, ms-for-ms
+    open_sessions = {(1, 3), (2, 3)}
+    expect = {t for t in batch if (t[0], t[1]) not in open_sessions}
+    assert got == expect
