@@ -79,6 +79,42 @@ class PropertyGraph:
     def insert_edges(self, rows: DataFrame) -> "PropertyGraph":
         return PropertyGraph(self.nodes, self.edges.unionByName(rows, allowMissingColumns=True), self.spark)
 
+    def remove_vertices(self, ids: DataFrame) -> "PropertyGraph":
+        """Delete nodes (all label rows) AND their incident edges — the
+        graph-level delete the reference declares but leaves
+        unimplemented (removeNode = ???, StatsStore.scala:172-177);
+        kernel-level point removal exists as Matrix.remove_element.
+
+        ``ids``: one ``id`` column. Relational rewrite: three anti-joins
+        (nodes on id, edges on src and on dst) — each a broadcastable
+        semi-difference, no shuffle of the big side beyond the join. At
+        cluster scale this is a Delta MERGE/DELETE (parquet upsert); the
+        anti-join IS that delete's logical plan."""
+        ids = ids.select("id").dropDuplicates(["id"])
+        nodes = self.nodes.join(F.broadcast(ids), on="id", how="left_anti")
+        edges = (
+            self.edges.join(
+                F.broadcast(ids.select(F.col("id").alias("src"))), on="src", how="left_anti"
+            ).join(
+                F.broadcast(ids.select(F.col("id").alias("dst"))), on="dst", how="left_anti"
+            )
+        )
+        return PropertyGraph(nodes, edges, self.spark)
+
+    def remove_edges(self, rows: DataFrame) -> "PropertyGraph":
+        """Delete edges by (src, dst[, type]) anti-join (removeEdge = ???
+        in the reference, StatsStore.scala:172-177). Omitting ``type``
+        deletes every parallel edge between the endpoints."""
+        on = [c for c in ("src", "dst", "type") if c in rows.columns]
+        if not {"src", "dst"} <= set(on):
+            raise ValueError("remove_edges needs src and dst columns")
+        sel = rows.select(*on).dropDuplicates(on)
+        return PropertyGraph(
+            self.nodes,
+            self.edges.join(F.broadcast(sel), on=on, how="left_anti"),
+            self.spark,
+        )
+
     def next_id(self) -> int:
         """Driver-side id counter analogue (DataStore.scala:44-49). At
         cluster scale use max(id)+monotonically_increasing_id per batch."""

@@ -57,3 +57,35 @@ def test_empty_graph(spark):
     assert g.next_id() == 0
     assert g.stats.node_count == 0
     assert run_cypher(g, "MATCH (a:A) RETURN a").count() == 0
+
+
+def test_remove_vertices_cascades_edges(spark):
+    """Delete-then-query visibility: removed nodes disappear from label
+    scans AND their incident edges vanish from pattern matches (beyond
+    the reference's unimplemented removeNode, StatsStore.scala:172-177)."""
+    nodes = [(0, "A"), (1, "B"), (2, "B"), (3, "C")]
+    edges = [(0, 1, "X"), (0, 2, "X"), (2, 3, "Y"), (1, 3, "Y")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    g2 = g.remove_vertices(spark.createDataFrame([(2,)], "id long"))
+    assert {r.id for r in g2.nodes.select("id").collect()} == {0, 1, 3}
+    # edges touching node 2 cascaded away, others survive
+    assert {(r.src, r.dst) for r in g2.edges.select("src", "dst").collect()} == {(0, 1), (1, 3)}
+    got = run_cypher(g2, "MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN a, b, c")
+    assert [(r.a, r.b, r.c) for r in got.collect()] == [(0, 1, 3)]
+    # original graph untouched (immutable rewrite)
+    assert g.edges.count() == 4
+
+
+def test_remove_edges_by_endpoints_and_type(spark):
+    nodes = [(0, "A"), (1, "B")]
+    edges = [(0, 1, "X"), (0, 1, "Y"), (1, 0, "X")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    # typed delete removes only the (src,dst,type) row
+    g2 = g.remove_edges(spark.createDataFrame([(0, 1, "X")], "src long, dst long, type string"))
+    assert {(r.src, r.dst, r.type) for r in g2.edges.collect()} == {(0, 1, "Y"), (1, 0, "X")}
+    # untyped delete drops every parallel edge between the endpoints
+    g3 = g.remove_edges(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    assert {(r.src, r.dst, r.type) for r in g3.edges.collect()} == {(1, 0, "X")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="src and dst"):
+        g.remove_edges(spark.createDataFrame([(1,)], "src long"))
