@@ -150,6 +150,24 @@ def parse(query: str) -> QueryGraph:
     if not m:
         raise CypherParseError(f"unsupported query (expected MATCH ... RETURN ...): {query!r}")
     qg = QueryGraph()
+    _parse_clauses(m.group("body"), qg)
+    _parse_returns(qg, m.group("returns"))
+    _parse_order_limit(qg, m.group("orderby"), m.group("limit"))
+    return qg
+
+
+def split_with(query: str) -> list[str] | None:
+    """Split a query on top-level WITH keywords (the stage separators of a
+    Cypher pipeline — an extension beyond the reference surface, which has
+    no WITH). Returns None when the query has no top-level WITH; quoted
+    strings and parenthesized groups never split."""
+    parts = _split_bool(query.strip(), "WITH")
+    return parts if len(parts) > 1 else None
+
+
+def _parse_clauses(body: str, qg: QueryGraph) -> None:
+    """Parse `pattern [WHERE ...] (OPTIONAL MATCH pattern [WHERE ...])*`
+    into qg's bindings/edges/filters (everything left of RETURN)."""
     anon = 0
 
     def fresh() -> str:
@@ -161,11 +179,11 @@ def parse(query: str) -> QueryGraph:
     # each clause is `patterns [WHERE conds]` and WHERE scoping follows
     # clause order (a clause's WHERE may only reference bindings bound so
     # far, like openCypher)
-    clauses = re.split(r"(?i)\s+OPTIONAL\s+MATCH\s+", m.group("body"))
+    clauses = re.split(r"(?i)\s+OPTIONAL\s+MATCH\s+", body)
     for ci, clause in enumerate(clauses):
         cm_ = re.match(r"(?is)^(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+))?$", clause.strip())
         if not cm_:
-            raise CypherParseError(f"empty MATCH clause in: {query!r}")
+            raise CypherParseError(f"empty MATCH clause in: {body!r}")
         target = qg.edges
         if ci > 0:
             target = []
@@ -248,10 +266,13 @@ def parse(query: str) -> QueryGraph:
                         )
                     qg.cross_filters.append(tuple(atoms))
 
+
+def _parse_returns(qg: QueryGraph, returns: str) -> None:
+    """Parse a RETURN / WITH item list into qg's return fields."""
     # RETURN DISTINCT is accepted and is a no-op: match results are
     # already distinct endpoint combinations (ANY_PAIR existence
     # semantics, Readme.md:66-70 returns a Set)
-    returns_src = re.sub(r"(?is)^\s*DISTINCT\s+", "", m.group("returns"))
+    returns_src = re.sub(r"(?is)^\s*DISTINCT\s+", "", returns)
     for item in returns_src.split(","):
         name = item.strip()
         sm = re.fullmatch(r"(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?", name)
@@ -320,24 +341,30 @@ def parse(query: str) -> QueryGraph:
     ):
         raise CypherParseError("empty RETURN")
 
-    out_cols = (
+
+def out_columns(qg: QueryGraph) -> set[str]:
+    """Names of the columns a planned qg emits (bindings + aliases)."""
+    return (
         set(qg.returns)
         | {alias for _, _, alias in qg.prop_returns}
         | {alias for _, _, alias in qg.edge_prop_returns}
         | {a.alias for a in qg.aggregates}
         | {alias for _, alias in qg.path_lengths}
     )
-    if m.group("orderby"):
-        for part in m.group("orderby").split(","):
+
+
+def _parse_order_limit(qg: QueryGraph, orderby: str | None, limit: str | None) -> None:
+    out_cols = out_columns(qg)
+    if orderby:
+        for part in orderby.split(","):
             om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
             if not om:
                 raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
             if om.group("col") not in out_cols:
                 raise CypherParseError(f"ORDER BY of non-returned column: {om.group('col')!r}")
             qg.order_by.append((om.group("col"), (om.group("dir") or "").upper() == "DESC"))
-    if m.group("limit"):
-        qg.limit = int(m.group("limit"))
-    return qg
+    if limit:
+        qg.limit = int(limit)
 
 
 def _split_bool(s: str, word: str) -> list[str]:

@@ -33,8 +33,19 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
 from ..checkpointing import iter_checkpoint
-from ..cypher.parser import PatternEdge, QueryGraph, parse
+from ..cypher.parser import (
+    CypherParseError,
+    PatternEdge,
+    QueryGraph,
+    _parse_clauses,
+    _parse_returns,
+    _split_bool,
+    parse,
+    split_with,
+)
 from ..graph.store import PropertyGraph
 from .cost import expand_card, step_cost
 
@@ -51,11 +62,19 @@ class PlannedQuery:
 def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataFrame:
     """Parse + plan + emit. Result: one column per returned binding holding
     node ids; with resolve=True, payload rows (id + label per binding,
-    Readme.md:66-70 result semantics)."""
-    planned = plan_match(graph, parse(query))
-    df = planned.df
+    Readme.md:66-70 result semantics). Queries with top-level WITH run as
+    a stage pipeline (extension beyond the reference surface)."""
+    parts = split_with(query)
+    if parts is not None:
+        df, bindings = _run_with_pipeline(graph, parts)
+    else:
+        qg = parse(query)
+        df = plan_match(graph, qg).df
+        bindings = set(qg.labels)
     if resolve:
         for b in df.columns:
+            if b not in bindings:
+                continue
             n = graph.nodes.select(
                 F.col("id").alias(b), F.col("label").alias(f"{b}_label")
             )
@@ -74,7 +93,229 @@ _OPS = {
 }
 
 
-def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
+# --------------------------------------------------------------------------
+# WITH pipelines (extension beyond the reference surface, which has no WITH)
+#
+# `MATCH p0 WITH items0 [WHERE w0] MATCH p1 ... RETURN r` runs as staged
+# plans: each stage is planned by plan_match with the previous stage's
+# output as `carry` (inner-joined on shared bindings BEFORE the stage's
+# aggregation — openCypher row piping). A WITH's WHERE filters the stage
+# output (HAVING when the stage aggregated). Deviations, consistent with
+# the engine's ANY_PAIR existence semantics: intermediate WITH stages are
+# implicitly DISTINCT, and aggregates count distinct matches.
+# --------------------------------------------------------------------------
+
+_SEG = re.compile(
+    r"(?is)^(?P<items>.+?)"
+    r"(?:\s+WHERE\s+(?P<w>.+?))?"
+    r"\s+(?:MATCH\s+(?P<next>.+)|RETURN\s+(?P<ret>.+))$"
+)
+_TAIL = re.compile(
+    r"(?is)^(?P<body>.+?)\s+RETURN\s+(?P<returns>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*$"
+)
+_RET_TAIL = re.compile(
+    r"(?is)^(?P<returns>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*$"
+)
+_NAME_ITEM = re.compile(
+    r"(?is)^(?P<n>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+AS\s+(?P<a>[A-Za-z_][A-Za-z0-9_]*))?$"
+)
+_CARRY_COND = re.compile(
+    r"^\s*(?P<c>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op><>|!=|<=|>=|=|<|>)\s*"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
+    """WITH ... WHERE over the carried columns: `col <op> literal`
+    conjunctions (HAVING when the stage aggregated)."""
+    for conj in _split_bool(where_text, "AND"):
+        m = _CARRY_COND.match(conj)
+        if not m:
+            raise CypherParseError(f"unsupported WITH WHERE condition: {conj!r}")
+        col = m.group("c")
+        if col not in df.columns:
+            raise CypherParseError(f"WITH WHERE references unknown column: {col!r}")
+        raw = m.group("val")
+        if raw[0] in "'\"":
+            c, v = F.col(col), raw[1:-1]
+        else:
+            c, v = F.col(col).cast("double"), float(raw)
+        df = df.filter(_OPS[m.group("op")](c, F.lit(v)))
+    return df
+
+
+def _new_out_col(qg: QueryGraph, marks: tuple[int, ...]) -> str:
+    """Alias of the single item _parse_returns just appended."""
+    lists = (
+        [a.alias for a in qg.aggregates],
+        [a for _, _, a in qg.prop_returns],
+        [a for _, _, a in qg.edge_prop_returns],
+        [a for _, a in qg.path_lengths],
+        list(qg.returns),
+    )
+    for prev_len, cur in zip(marks, lists):
+        if len(cur) > prev_len:
+            return cur[-1]
+    raise CypherParseError("WITH item produced no output column")
+
+
+def _run_stage(
+    graph: PropertyGraph,
+    match_body: str,
+    items_text: str,
+    carried: DataFrame | None,
+    dedup: bool,
+) -> tuple[DataFrame, QueryGraph, list[str]]:
+    """Plan one pipeline stage: MATCH `match_body` carrying `carried`,
+    projecting the WITH/RETURN `items_text`. Returns (df, qg, out cols)."""
+    from ..cypher.parser import _split_patterns  # top-level comma split
+
+    qg = QueryGraph()
+    _parse_clauses(match_body, qg)
+    items = _split_patterns(re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text))
+    if not items:
+        raise CypherParseError("empty WITH/RETURN item list")
+    sel: list[tuple[str, str]] = []  # (source col, output alias)
+    carry_srcs: list[str] = []
+    for it in items:
+        nm = _NAME_ITEM.match(it)
+        if nm:
+            n, a = nm.group("n"), nm.group("a")
+            if n in qg.paths:
+                raise CypherParseError(f"cannot carry path {n!r}; use length({n})")
+            if n in qg.labels:
+                qg.returns.append(n)
+                sel.append((n, a or n))
+                continue
+            if carried is not None and n in carried.columns:
+                carry_srcs.append(n)
+                sel.append((n, a or n))
+                continue
+            raise CypherParseError(f"WITH/RETURN references unknown name: {n!r}")
+        marks = (
+            len(qg.aggregates), len(qg.prop_returns),
+            len(qg.edge_prop_returns), len(qg.path_lengths), len(qg.returns),
+        )
+        _parse_returns(qg, it)
+        out = _new_out_col(qg, marks)
+        sel.append((out, out))
+    dummy_added = False
+    if not (
+        qg.returns or qg.prop_returns or qg.edge_prop_returns
+        or qg.aggregates or qg.path_lengths
+    ):
+        # carried-only projection over a new pattern = existence check;
+        # plan needs at least one emitted binding, then it is dropped
+        # (the post-select dedup below restores distinctness)
+        keys = [c for c in (carried.columns if carried is not None else [])
+                if c in qg.labels]
+        dummy = keys[0] if keys else next(iter(qg.labels))
+        qg.returns.append(dummy)
+        dummy_added = True
+    carry_df = None
+    if carried is not None:
+        keys = [c for c in carried.columns if c in qg.labels]
+        proj = list(dict.fromkeys(keys + carry_srcs))
+        if not proj:
+            raise CypherParseError(
+                "WITH stage shares no binding with the carried columns and "
+                "carries none of them forward"
+            )
+        carry_df = carried.select(*proj)
+        if len(proj) < len(carried.columns):
+            carry_df = carry_df.dropDuplicates()
+    df = plan_match(graph, qg, carry=carry_df).df
+    df = df.select(*[F.col(src).alias(dst) for src, dst in sel])
+    if dedup or dummy_added:
+        df = df.dropDuplicates()
+    return df, qg, [dst for _, dst in sel]
+
+
+def _order_limit(df: DataFrame, cols: list[str], ob: str | None, lim: str | None) -> DataFrame:
+    if ob:
+        exprs = []
+        for part in ob.split(","):
+            om = re.fullmatch(
+                r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part
+            )
+            if not om or om.group("col") not in cols:
+                raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
+            c = F.col(om.group("col"))
+            exprs.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
+        df = df.orderBy(*exprs)
+    if lim:
+        df = df.limit(int(lim))
+    return df
+
+
+def _run_with_pipeline(
+    graph: PropertyGraph, parts: list[str]
+) -> tuple[DataFrame, set[str]]:
+    m0 = re.match(r"(?is)^\s*MATCH\s+(?P<body>.+)$", parts[0].strip())
+    if not m0:
+        raise CypherParseError("WITH pipeline must start with MATCH")
+    pending_match = m0.group("body")
+    carried: DataFrame | None = None
+    for seg in parts[1:]:
+        sm = _SEG.match(seg.strip())
+        if not sm:
+            raise CypherParseError(f"unsupported WITH stage: {seg!r}")
+        items, w = sm.group("items"), sm.group("w")
+        if re.search(r"(?is)\bOPTIONAL\s*$", items):
+            raise CypherParseError(
+                "a WITH stage must start with MATCH, not OPTIONAL MATCH"
+            )
+        if sm.group("ret") is not None:
+            # items WHERE w RETURN r — the WITH projects, then RETURN
+            # selects from the carried columns only
+            carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
+            if w:
+                carried = _carry_filter(carried, w)
+            rm = _RET_TAIL.match(sm.group("ret"))
+            sel = []
+            for it in re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns")).split(","):
+                nm = _NAME_ITEM.match(it.strip())
+                if not nm or nm.group("n") not in carried.columns:
+                    raise CypherParseError(
+                        f"final RETURN after WITH may only reference carried "
+                        f"columns, got: {it.strip()!r}"
+                    )
+                sel.append((nm.group("n"), nm.group("a") or nm.group("n")))
+            df = carried.select(*[F.col(s).alias(a) for s, a in sel])
+            cols = [a for _, a in sel]
+            return _order_limit(df, cols, rm.group("ob"), rm.group("lim")), set()
+        nxt = sm.group("next")
+        tm = _TAIL.match(nxt)
+        if tm:
+            # final stage: items pipe into MATCH body RETURN returns
+            carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
+            if w:
+                carried = _carry_filter(carried, w)
+            df, qg, cols = _run_stage(
+                graph, tm.group("body"), tm.group("returns"), carried, dedup=False
+            )
+            bindings = {c for c in cols if c in qg.labels}
+            return _order_limit(df, cols, tm.group("ob"), tm.group("lim")), bindings
+        carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
+        if w:
+            carried = _carry_filter(carried, w)
+        pending_match = nxt
+    raise CypherParseError("WITH pipeline has no RETURN")
+
+
+def plan_match(
+    graph: PropertyGraph, qg: QueryGraph, carry: DataFrame | None = None
+) -> PlannedQuery:
+    """Plan one MATCH...RETURN stage. ``carry`` (WITH-pipeline extension)
+    is the previous stage's output: its columns that name bindings of
+    this stage become inner-join keys (openCypher row piping — carried
+    rows restrict the new match), the rest ride along into the output
+    and, when this stage aggregates, into the grouping keys."""
     stats = graph.stats
     steps: list[tuple] = []
     total_cost = 0.0
@@ -410,6 +651,21 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     assert df is not None, "empty pattern"
 
+    # WITH-pipeline carry (extension): inner-join the previous stage's
+    # rows on the shared bindings BEFORE aggregation/optionals, so this
+    # stage's aggregates only count matches that survived the carried
+    # WHERE — openCypher's row-piping semantics. No shared binding means
+    # an explicit cartesian product, as in openCypher.
+    carry_extras: list[str] = []
+    if carry is not None:
+        shared = [c for c in carry.columns if c in df.columns]
+        carry_extras = [c for c in carry.columns if c not in shared]
+        if shared:
+            df = df.join(carry, on=shared, how="inner")
+        else:
+            df = df.crossJoin(carry)
+        steps.append(("carry_join", tuple(shared), tuple(carry_extras)))
+
     # Cross-binding WHERE disjunctions (extension): cannot push to any one
     # scan, so they apply once the owning joins have bound every referenced
     # binding — i.e. right after the required chain. Props resolve via one
@@ -500,6 +756,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
         dict.fromkeys(
             qg.returns + prop_bindings + agg_bindings
             + sorted(edge_alias_set) + path_len_aliases + star_extra
+            + carry_extras
         )
     )
     out = df.select(*needed).dropDuplicates(needed)
@@ -524,7 +781,7 @@ def plan_match(graph: PropertyGraph, qg: QueryGraph) -> PlannedQuery:
 
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
-        + path_len_aliases
+        + path_len_aliases + carry_extras
     )
     if qg.aggregates:
         # aggregates over distinct matches (existence semantics): rows are
