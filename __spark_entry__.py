@@ -29,6 +29,7 @@ from g4s_spark.functions import dedup as D
 from g4s_spark.functions import pipeline as PL
 from g4s_spark.functions.rounding import pround
 from g4s_spark.functions import multimodal as MM
+from g4s_spark.functions import sampling as SM
 from g4s_spark.functions import similarity as S
 from g4s_spark.functions import text as TX
 from g4s_spark.graph import build_graph
@@ -493,6 +494,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_undirected": _cypher(
             "MATCH (x)-[:IN_REGION|FROM_NATION]-(n:Nation) RETURN x, n"
         ),
+        # WITH pipelines (round-5 extension): aggregate -> HAVING -> re-match
+        "cypher_with_having": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WITH c, count(o) AS n_orders WHERE n_orders >= 20 "
+            "MATCH (c)-[:FROM_NATION]->(n:Nation) "
+            "RETURN n, count(c) AS big_customers"
+        ),
+        "cypher_with_chain": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
+            "RETURN c, n_orders"
+        ),
+        # training-data selection/layout (round-5 extension)
+        "sample_deterministic": lambda spark, sf_dir: SM.deterministic_sample(
+            load_table(spark, sf_dir, "documents"), 0.25, seed=3
+        ).select("doc_id", "lang", "source"),
+        "sample_stratified": lambda spark, sf_dir: SM.stratified_sample(
+            load_table(spark, sf_dir, "documents"),
+            {"src0": 0.8, "src1": 0.2},
+            strata_col="source",
+            default_rate=0.5,
+            seed=3,
+        ).select("doc_id", "source"),
+        "pack_sequences": lambda spark, sf_dir: SM.pack_sequences(
+            load_table(spark, sf_dir, "documents"), budget_tokens=512, n_shards=4
+        ),
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
@@ -812,6 +839,61 @@ def oracle_sql() -> dict[str, str]:
             FROM sym s
             JOIN nation ni ON s.dst = CAST({NATION_OFF} + ni.n_nationkey AS BIGINT)
             WHERE s.type IN ('IN_REGION', 'FROM_NATION')
+        """,
+        # WITH pipeline: per-customer order count -> HAVING >= 20 -> the
+        # surviving customers regrouped by nation (distinct-match counts,
+        # the engine's existence semantics)
+        "cypher_with_having": f"""
+            SELECT CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS big_customers
+            FROM customer
+            JOIN (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey
+                HAVING count(DISTINCT o_orderkey) >= 20
+            ) b ON c_custkey = b.o_custkey
+            GROUP BY c_nationkey
+        """,
+        "cypher_with_chain": f"""
+            SELECT {_CID} AS c,
+                   CAST(count(DISTINCT {_OID}) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY {_CID}
+            HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # deterministic md5-prefix sampling — bit-identical across engines
+        "sample_deterministic": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) < {SM.sample_threshold(0.25)}
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT)
+                < CASE source
+                    WHEN 'src0' THEN {SM.sample_threshold(0.8)}
+                    WHEN 'src1' THEN {SM.sample_threshold(0.2)}
+                    ELSE {SM.sample_threshold(0.5)}
+                  END
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 4 AS shard,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512) AS BIGINT)
+                       AS seq_id,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) % 512 AS BIGINT)
+                       AS seq_offset
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "cypher_multitype": f"""
             SELECT DISTINCT n FROM (

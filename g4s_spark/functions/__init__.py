@@ -1,3 +1,3 @@
-from . import dedup, multimodal, pipeline, similarity, text
+from . import dedup, multimodal, pipeline, sampling, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "pipeline"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "pipeline", "sampling"]

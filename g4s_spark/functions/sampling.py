@@ -1,0 +1,114 @@
+"""Corpus sampling and sequence packing for training-data pipelines.
+
+These are the selection/layout steps between curation and training:
+down-sample a corpus deterministically (exact reproducibility across
+reruns and engines beats `df.sample`'s RNG), re-weight sources/languages
+(stratified rates), and pack documents into fixed-token-budget training
+sequences.
+
+All three are pure JVM-side column expressions — sampling is a
+shuffle-free narrow filter however large the corpus; packing shuffles
+once on the shard key and runs one window per shard partition. The
+sampling hash is an md5 prefix (not xxhash64) so a SQL oracle on any
+engine reproduces the exact row set bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+# 8 hex digits = 32 bits of md5 prefix; rates resolve to 1/2^32
+SAMPLE_HEX_DIGITS = 8
+_SAMPLE_SPACE = 16 ** SAMPLE_HEX_DIGITS
+
+
+def _md5_bucket(key: Column, seed: int) -> Column:
+    """Deterministic uniform value in [0, 16^8) from a seeded md5 prefix.
+
+    md5 (not xxhash64/hash) so DuckDB/Trino/Spark all agree:
+    CAST('0x' || substr(md5(seed || ':' || key), 1, 8) AS BIGINT).
+    """
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    return F.conv(F.substring(h, 1, SAMPLE_HEX_DIGITS), 16, 10).cast("long")
+
+
+def sample_threshold(rate: float) -> int:
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"sample rate must be in [0,1], got {rate}")
+    return int(rate * _SAMPLE_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows, keyed on `key_col`.
+
+    Unlike df.sample(), the kept set is a pure function of (key, seed):
+    stable across reruns, engines, partitionings, and cluster sizes —
+    the property a 100 TB corpus snapshot needs for reproducible
+    training mixes. Narrow (no shuffle); the filter pushes to the scan.
+    """
+    return df.where(_md5_bucket(F.col(key_col), seed) < F.lit(sample_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: re-weight a corpus by source /
+    language with exact, reproducible rates (e.g. up-weight books,
+    down-weight web crawl). One CASE expression — still narrow."""
+    thresh: Column = F.lit(sample_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(strata_col) == F.lit(value), F.lit(sample_threshold(rate)))
+            .otherwise(thresh)
+        )
+    return df.where(_md5_bucket(F.col(key_col), seed) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    Contiguous-fill packing per shard: documents are sharded by a
+    deterministic hash of their id, ordered by id within the shard, and
+    cut into sequences every `budget_tokens` of cumulative token count.
+    Output: (doc_id, shard, n_tokens, seq_id, seq_offset) where seq_id
+    is the sequence ordinal within the shard and seq_offset the token
+    position at which the document starts in its sequence.
+
+    Scale: ONE hash-partitioned shuffle on `shard`, then a per-partition
+    window — no global sort. n_shards should be >= the cluster's
+    parallelism at the target corpus size; packing quality (tail waste)
+    is unaffected by shard count. A document longer than the budget
+    spills over sequence boundaries, as in real sequence packing where
+    long documents are split across contexts.
+    """
+    toks = F.size(TX.tokens(F.col(text_col))).cast("long")
+    shard = F.pmod(_md5_bucket(F.col(id_col), seed), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(budget_tokens)).cast("long").alias("seq_id"),
+        F.pmod(cum_before, F.lit(budget_tokens)).cast("long").alias("seq_offset"),
+    )

@@ -1,0 +1,66 @@
+"""Deterministic sampling + sequence packing (functions.sampling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from g4s_spark.functions import sampling as S
+from g4s_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_deterministic_sample_stable_and_close_to_rate(docs):
+    a = S.deterministic_sample(docs, 0.3, seed=7)
+    b = S.deterministic_sample(docs, 0.3, seed=7)
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b
+    n = docs.count()
+    assert 0.2 * n <= len(ids_a) <= 0.4 * n
+    # nested property: a lower rate with the same seed keeps a subset
+    ids_small = {
+        r.doc_id
+        for r in S.deterministic_sample(docs, 0.1, seed=7).select("doc_id").collect()
+    }
+    assert ids_small <= ids_a
+
+
+def test_deterministic_sample_is_narrow(docs):
+    plan = S.deterministic_sample(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure filter
+
+
+def test_stratified_sample_respects_rates(docs):
+    out = S.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, strata_col="source", default_rate=0.5
+    )
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    all_counts = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["src0"] == all_counts["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in got  # rate 0.0 drops everything
+    rest_all = sum(v for k, v in all_counts.items() if k not in ("src0", "src1"))
+    rest_got = sum(v for k, v in got.items() if k != "src0")
+    assert 0.3 * rest_all <= rest_got <= 0.7 * rest_all
+
+
+def test_pack_sequences_invariants(docs):
+    packed = S.pack_sequences(docs, budget_tokens=256, n_shards=4).collect()
+    assert len(packed) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // 256
+            assert r.seq_offset == cum % 256
+            cum += r.n_tokens
