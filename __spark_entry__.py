@@ -506,6 +506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
             "RETURN c, n_orders"
         ),
+        "cypher_shortest_path": _cypher(
+            "MATCH p = shortestPath((s:Supplier)-[*]->(x)) "
+            "RETURN s, x, length(p) AS len"
+        ),
         # training-data selection/layout (round-5 extension)
         "sample_deterministic": lambda spark, sf_dir: SM.deterministic_sample(
             load_table(spark, sf_dir, "documents"), 0.25, seed=3
@@ -860,6 +864,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # shortestPath == min-hop reachability under distinct-match
+        # semantics (same walk CTE as cypher_path_length, Supplier seeds)
+        "cypher_shortest_path": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            walk(src, dst, d) AS (
+                SELECT e.src, e.dst, 1 FROM graph_edges e
+                JOIN supplier ON e.src = CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT)
+                UNION
+                SELECT w.src, e.dst, w.d + 1
+                FROM walk w JOIN graph_edges e ON e.src = w.dst
+            )
+            SELECT src AS s, dst AS x, CAST(min(d) AS BIGINT) AS len
+            FROM walk GROUP BY src, dst
         """,
         # deterministic md5-prefix sampling — bit-identical across engines
         "sample_deterministic": f"""

@@ -190,10 +190,20 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
             qg.optionals.append(target)
         clause_bound: set[str] = set()
         for pattern in _split_patterns(cm_.group("patterns")):
-            pm_ = re.match(r"^(?P<pname>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<rest>\(.*)$", pattern)
+            pm_ = re.match(r"^(?P<pname>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<rest>.+)$", pattern)
             pname = None
             if pm_:
                 pname, pattern = pm_.group("pname"), pm_.group("rest")
+                # shortestPath((a)-[*]->(b)) (extension): under ANY_PAIR
+                # distinct-match semantics the match set of shortestPath
+                # equals plain reachability (every connected pair has a
+                # shortest path), and length(p) is ALREADY the minimum
+                # hop count — so the wrapper only needs stripping
+                sp = re.match(r"(?is)^shortestPath\s*\(\s*(?P<inner>\(.+)\)\s*$", pattern)
+                if sp:
+                    pattern = sp.group("inner")
+                if not pattern.startswith("("):
+                    raise CypherParseError(f"unsupported path expression: {pm_.group('rest')!r}")
                 if ci > 0:
                     raise CypherParseError("path binding in OPTIONAL MATCH is unsupported")
                 if pname in qg.paths or pname in qg.labels or pname in _edge_names(qg):

@@ -168,3 +168,22 @@ def test_path_length_mixed_fixed_and_var(chain):
     ))
     # 0->1 fixed (1) then 1->4 min 3 hops: total 4
     assert (0, 4, 4) in got
+
+
+# --- shortestPath() ----------------------------------------------------------
+
+def test_shortest_path_equals_min_hop_reachability(chain):
+    sp = rows(run_cypher(
+        chain, "MATCH p = shortestPath((a)-[:X*]->(b)) RETURN a, b, length(p) AS d"
+    ))
+    plain = rows(run_cypher(
+        chain, "MATCH p = (a)-[:X*]->(b) RETURN a, b, length(p) AS d"
+    ))
+    # distinct-match semantics: shortestPath == reachability with min dist
+    assert sp == plain
+    assert (0, 4, 4) in sp and (5, 5, 2) in sp
+
+
+def test_shortest_path_parse_errors():
+    with pytest.raises(CypherParseError, match="path expression"):
+        parse("MATCH p = shortestpath b RETURN p")
