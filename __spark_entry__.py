@@ -524,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf_dir: SM.pack_sequences(
             load_table(spark, sf_dir, "documents"), budget_tokens=512, n_shards=4
         ),
+        "knn_join": lambda spark, sf_dir: S.knn_join_lsh(
+            load_table(spark, sf_dir, "embeddings"), k=3
+        ),
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
@@ -673,6 +676,19 @@ _SHINGLES = """
            FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
            WHERE len(t) >= 3)
 """
+
+def _cos_explicit(a: str, b: str, dim: int = 64) -> str:
+    """Cosine as an explicit left-assoc double sum — bit-identical to
+    similarity.cosine_expr's sequential F.aggregate fold (list_dot_product
+    on FLOAT[] would accumulate in float32)."""
+    def dot(x: str, y: str) -> str:
+        return " + ".join(
+            f"CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+    return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -878,6 +894,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS s, dst AS x, CAST(min(d) AS BIGINT) AS len
             FROM walk GROUP BY src, dst
+        """,
+        # k-NN self-join over the LSH band buckets (knn_join_lsh).
+        # Cosine via an explicit left-to-right double sum: DuckDB's
+        # list_dot_product on FLOAT[] accumulates in float32, which
+        # disagrees with Spark's double fold at rounding boundaries
+        "knn_join": f"""
+            WITH bk AS {S.sign_lsh_bands_sql()},
+            cand AS (
+                SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+                FROM bk q JOIN bk e USING (band, key) WHERE e.vec_id != q.vec_id
+            ),
+            scored AS (
+                SELECT c.q_id, c.n_id,
+                       {_cos_explicit('qe.embedding', 'ne.embedding')} AS cos
+                FROM cand c
+                JOIN embeddings qe ON qe.vec_id = c.q_id
+                JOIN embeddings ne ON ne.vec_id = c.n_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM scored
+            )
+            SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+                   floor(cos * 10000 + 0.5) / 10000 AS cos
+            FROM ranked WHERE rank <= 3
         """,
         # deterministic md5-prefix sampling — bit-identical across engines
         "sample_deterministic": f"""

@@ -296,6 +296,34 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def knn_join_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = LSH_BAND_PLANES,
+    n_bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN SELF-join: every corpus vector's top-k neighbors
+    among its LSH band-bucket candidates — the batch k-NN-graph
+    constructor behind near-dup clustering and diversity-aware sampling.
+
+    Scale: the candidate join is a (band, key) equi-join of the bucketed
+    index with itself — pair space is bounded by Σ bucket², never
+    |corpus|²; both sides shuffle on the band keys (the index table is
+    built once per session, lsh_bucketed_corpus). Hot buckets (a dense
+    embedding cluster) are the skew hazard — AQE skew-split handles the
+    join stage, and raising n_planes shrinks buckets geometrically."""
+    b = lsh_bucketed_corpus(emb, n_planes, n_bands, id_col, vec_col)
+    left = b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "band", "key")
+    right = b.select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "band", "key")
+    cand = left.join(right, on=["band", "key"]).filter(F.col("q_id") != F.col("n_id"))
+    # repeated multi-band pairs carry bit-identical cos; _rank_topk's
+    # set semantics absorb them (no separate dedup shuffle)
+    scored = cand.withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
+    return _rank_topk(scored, k)
+
+
 IVF_SEED = 0x51ED270B
 
 

@@ -1,3 +1,4 @@
+from .dedup import dedup_docs_batch, dedup_docs_stream
 from .events import (
     read_events_stream,
     stream_edges_into_graph,
@@ -13,4 +14,5 @@ __all__ = [
     "windowed_counts", "windowed_counts_stream", "sessionize",
     "session_counts", "session_window_counts", "sessionize_stream",
     "read_events_stream", "stream_edges_into_graph",
+    "dedup_docs_stream", "dedup_docs_batch",
 ]

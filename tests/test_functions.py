@@ -226,3 +226,39 @@ def test_curate_corpus(docs):
     assert 1 in kept      # the representative survives
     strict = {r.doc_id for r in PL.curate_corpus(docs, min_quality=0.99).collect()}
     assert strict == set()  # threshold filters everything in this tiny corpus
+
+
+def test_knn_join_lsh_invariants_and_exact_cos(spark):
+    from g4s_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    got = S.knn_join_lsh(emb, k=3).collect()
+    assert got, "knn join must produce neighbor rows"
+    per_q: dict[int, list] = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))  # contiguous 1..<=k
+        assert len({r.n_id for r in rows}) == len(rows)  # distinct neighbors
+        assert all(r.n_id != q for r in rows)
+        # ranks ordered by descending cosine
+        by_rank = sorted(rows, key=lambda r: r.rank)
+        assert all(a.cos >= b.cos for a, b in zip(by_rank, by_rank[1:]))
+    # neighbor cosines match the brute-force values exactly (LSH only
+    # prunes candidates, never changes scores)
+    queries = emb.limit(0).sparkSession.createDataFrame(
+        [(q,) for q in list(per_q)[:5]], "vec_id long"
+    ).join(emb, on="vec_id")
+    brute = {
+        (r.q_id, r.n_id): r.cos
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    checked = 0
+    for q in list(per_q)[:5]:
+        for r in per_q[q]:
+            if (q, r.n_id) in brute:
+                assert r.cos == brute[(q, r.n_id)]
+                checked += 1
+    assert checked > 0
+    emb.unpersist()

@@ -246,3 +246,71 @@ def test_sessionize_stream_subsecond_boundary(spark):
     open_sessions = {(1, 3), (2, 3)}
     expect = {t for t in batch if (t[0], t[1]) not in open_sessions}
     assert got == expect
+
+
+def test_dedup_docs_stream_first_arrival_and_state_eviction(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark are dropped
+    (first arrival wins); once the digest's state is evicted by the
+    watermark, the same content is emitted again — the documented
+    bounded-state trade."""
+    import os
+
+    from g4s_spark.streaming import dedup_docs_batch, dedup_docs_stream
+
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    chk, out = str(tmp_path / "chk"), str(tmp_path / "out")
+    schema = "doc_id long, text string, ts string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha", "2024-01-01 10:00:00"),
+            (2, "alpha", "2024-01-01 10:05:00"),   # dup within watermark
+            (3, "beta", "2024-01-01 10:10:00"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.write.mode("overwrite").parquet(str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema(batch1.schema).parquet(str(src) + "/*")
+    deduped = dedup_docs_stream(stream, watermark="30 minutes")
+
+    def run_once():
+        q = (
+            deduped.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.parquet(out).collect()
+    assert {r.text for r in got1} == {"alpha", "beta"}
+    assert len(got1) == 2  # one survivor per digest
+
+    # batch 2: a dup of alpha 3h later. The watermark only advances at
+    # the END of a micro-batch, so alpha's state (expiry 10:30) is still
+    # live DURING this batch — the dup is dropped; the fresh text passes
+    batch2 = spark.createDataFrame(
+        [(4, "alpha", "2024-01-01 13:00:00"), (5, "gamma", "2024-01-01 13:01:00")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2.write.mode("overwrite").parquet(str(src / "b2.parquet"))
+    run_once()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in got2) == [1, 3, 5]
+
+    # batch 3: after batch 2 the watermark moved to 12:31 > 10:30, so
+    # alpha's digest state WAS evicted — the same content is emitted
+    # again (the bounded-state trade)
+    batch3 = spark.createDataFrame(
+        [(6, "alpha", "2024-01-01 13:30:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch3.write.mode("overwrite").parquet(str(src / "b3.parquet"))
+    run_once()
+    got3 = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in got3) == [1, 3, 5, 6]
+
+    # batch twin keeps min-id per digest over the full corpus
+    allb = batch1.unionByName(batch2).unionByName(batch3)
+    twin = dedup_docs_batch(allb)
+    assert sorted(r.doc_id for r in twin.collect()) == [1, 3, 5]
