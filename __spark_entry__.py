@@ -341,6 +341,54 @@ def _q_rel_q10_returns(spark, sf_dir):
     )
 
 
+def _q_rel_q4_priority(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS rewritten as a left-semi join: orders
+    counted per priority when at least one of their items was returned.
+    The semi-join keeps the orders side un-multiplied (no distinct needed)
+    and the flagged item set is projected to the join key only before the
+    shuffle. (Adapted predicate: this dataset has no commit/receipt
+    dates, so 'returned item' plays Q4's late-delivery role.)"""
+    t = load_tables(spark, sf_dir)
+    flagged = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(flagged, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(F.col("o_orderpriority").alias("priority"), "n_orders")
+    )
+
+
+def _q_rel_q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape — CASE-bucketed aggregation: per line status, how
+    many 1995-shipped items belong to urgent/high orders vs the rest.
+    The CASE folds into the partial aggregate (map-side combine), so the
+    shuffle carries two longs per group. (Adapted: l_linestatus stands in
+    for the missing l_shipmode.)"""
+    t = load_tables(spark, sf_dir)
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+        .select(F.col("l_linestatus").alias("linestatus"), "high_line_count", "low_line_count")
+    )
+
+
 def _q_events_sliding(spark, sf_dir):
     """Sliding windows: each event lands in two 1-hour windows 30 min
     apart — the streaming-native overlap shape; batch twin here."""
@@ -527,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": lambda spark, sf_dir: S.knn_join_lsh(
             load_table(spark, sf_dir, "embeddings"), k=3
         ),
+        "rel_q4_priority": _q_rel_q4_priority,
+        "rel_q12_priority_class": _q_rel_q12_priority_class,
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
@@ -894,6 +944,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS s, dst AS x, CAST(min(d) AS BIGINT) AS len
             FROM walk GROUP BY src, dst
+        """,
+        "rel_q4_priority": """
+            SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "rel_q12_priority_class": """
+            SELECT l_linestatus AS linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_linestatus
         """,
         # k-NN self-join over the LSH band buckets (knn_join_lsh).
         # Cosine via an explicit left-to-right double sum: DuckDB's

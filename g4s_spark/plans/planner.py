@@ -108,6 +108,8 @@ _OPS = {
 _SEG = re.compile(
     r"(?is)^(?P<items>.+?)"
     r"(?:\s+WHERE\s+(?P<w>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
     r"\s+(?:MATCH\s+(?P<next>.+)|RETURN\s+(?P<ret>.+))$"
 )
 _TAIL = re.compile(
@@ -270,12 +272,19 @@ def _run_with_pipeline(
             raise CypherParseError(
                 "a WITH stage must start with MATCH, not OPTIONAL MATCH"
             )
+
+        def run_head(carried_df):
+            # WITH head = items [WHERE] [ORDER BY] [LIMIT] — the
+            # ORDER BY/LIMIT pair makes the stage a top-N selector
+            out, _, _ = _run_stage(graph, pending_match, items, carried_df, dedup=True)
+            if w:
+                out = _carry_filter(out, w)
+            return _order_limit(out, out.columns, sm.group("ob"), sm.group("lim"))
+
         if sm.group("ret") is not None:
             # items WHERE w RETURN r — the WITH projects, then RETURN
             # selects from the carried columns only
-            carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
-            if w:
-                carried = _carry_filter(carried, w)
+            carried = run_head(carried)
             rm = _RET_TAIL.match(sm.group("ret"))
             sel = []
             for it in re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns")).split(","):
@@ -293,17 +302,13 @@ def _run_with_pipeline(
         tm = _TAIL.match(nxt)
         if tm:
             # final stage: items pipe into MATCH body RETURN returns
-            carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
-            if w:
-                carried = _carry_filter(carried, w)
+            carried = run_head(carried)
             df, qg, cols = _run_stage(
                 graph, tm.group("body"), tm.group("returns"), carried, dedup=False
             )
             bindings = {c for c in cols if c in qg.labels}
             return _order_limit(df, cols, tm.group("ob"), tm.group("lim")), bindings
-        carried, _, _ = _run_stage(graph, pending_match, items, carried, dedup=True)
-        if w:
-            carried = _carry_filter(carried, w)
+        carried = run_head(carried)
         pending_match = nxt
     raise CypherParseError("WITH pipeline has no RETURN")
 

@@ -100,3 +100,23 @@ def test_with_errors(g):
     with pytest.raises(CypherParseError):
         # WITH WHERE over a non-carried column
         run_cypher(g, "MATCH (a:A)-[:X]->(b:B) WITH a WHERE b > 1 RETURN a")
+
+
+def test_with_top_n_stage(g):
+    got = rows(run_cypher(
+        g,
+        "MATCH (a:A)-[:X]->(b:B) "
+        "WITH b, count(a) AS na ORDER BY na DESC, b ASC LIMIT 1 "
+        "MATCH (b)-[:Y]->(c:C) RETURN b, c, na",
+    ))
+    # top-1 B by incoming A count: b=1 (na=2) beats b=2 (na=1)
+    assert got == [(1, 3, 2), (1, 4, 2)]
+
+
+def test_with_top_n_then_direct_return(g):
+    got = [tuple(r) for r in run_cypher(
+        g,
+        "MATCH (a:A)-[:X]->(b:B) "
+        "WITH a, count(b) AS nb ORDER BY nb DESC, a ASC LIMIT 1 RETURN a, nb",
+    ).collect()]
+    assert got == [(0, 2)]
