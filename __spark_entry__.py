@@ -577,6 +577,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rel_q4_priority": _q_rel_q4_priority,
         "rel_q12_priority_class": _q_rel_q12_priority_class,
+        "pipeline_pretrain_mix": lambda spark, sf_dir: PL.pretrain_mix(
+            load_table(spark, sf_dir, "documents"),
+            min_quality=0.5,
+            langs=("en", "und"),
+            rates={"src0": 1.0, "src1": 0.3},
+            default_rate=0.7,
+            budget_tokens=512,
+            n_shards=4,
+            sample_seed=7,
+        ),
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
@@ -872,6 +882,34 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {_lang_score(w)} = best THEN '{lang}'" for lang, w in TX.LANG_MARKERS.items()
     )
     lang_best = "greatest(" + ", ".join(_lang_score(w) for w in TX.LANG_MARKERS.values()) + ")"
+
+    curate_sql = f"""
+            WITH q AS (
+                SELECT doc_id,
+                       floor((0.4 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * (1.0 - CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END)
+                           + 0.3 * least((CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END) / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+                FROM (
+                    SELECT doc_id,
+                           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                           CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop,
+                           CAST(list_aggregate(list_transform({_TOKS}, x -> len(x)), 'sum') AS BIGINT) AS tok_chars
+                    FROM documents
+                ) t
+            ),
+            l AS (
+                SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_cases} END AS pred_lang
+                FROM (SELECT doc_id, text, {lang_best} AS best FROM documents) s
+            ),
+            reps AS (
+                SELECT doc_id FROM ({_dedup_clusters_oracle(minhash_aggs, band_rows)}) c
+                WHERE c.cluster = c.doc_id
+            )
+            SELECT d.doc_id, l.pred_lang, q.quality
+            FROM documents d
+            JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN reps USING (doc_id)
+            WHERE q.quality >= 0.5 AND l.pred_lang IN ('en', 'und')
+        """
 
     return {
         "cypher_1hop": f"""
@@ -1334,32 +1372,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
             FROM documents
         """,
-        "pipeline_curate": f"""
-            WITH q AS (
+        "pipeline_curate": curate_sql,
+        # curate -> stratified sample -> pack: the training-mix manifest
+        "pipeline_pretrain_mix": f"""
+            WITH kept AS (
+                SELECT doc_id FROM ({curate_sql})
+            ),
+            sampled AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN kept USING (doc_id)
+                WHERE CAST('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT)
+                    < CASE d.source
+                        WHEN 'src0' THEN {SM.sample_threshold(1.0)}
+                        WHEN 'src1' THEN {SM.sample_threshold(0.3)}
+                        ELSE {SM.sample_threshold(0.7)}
+                      END
+            ),
+            t AS (
                 SELECT doc_id,
-                       floor((0.4 * least(n_tokens / 100.0, 1.0)
-                           + 0.3 * (1.0 - CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END)
-                           + 0.3 * least((CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END) / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
-                FROM (
-                    SELECT doc_id,
-                           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-                           CAST(len(list_filter({_TOKS}, x -> list_contains({_STOPLIST}, x))) AS BIGINT) AS n_stop,
-                           CAST(list_aggregate(list_transform({_TOKS}, x -> len(x)), 'sum') AS BIGINT) AS tok_chars
-                    FROM documents
-                ) t
-            ),
-            l AS (
-                SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {lang_cases} END AS pred_lang
-                FROM (SELECT doc_id, text, {lang_best} AS best FROM documents) s
-            ),
-            reps AS (
-                SELECT doc_id FROM ({_dedup_clusters_oracle(minhash_aggs, band_rows)}) c
-                WHERE c.cluster = c.doc_id
+                       CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 4 AS shard,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS BIGINT) AS n_tokens
+                FROM sampled
             )
-            SELECT d.doc_id, l.pred_lang, q.quality
-            FROM documents d
-            JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN reps USING (doc_id)
-            WHERE q.quality >= 0.5 AND l.pred_lang IN ('en', 'und')
+            SELECT doc_id, shard, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 512) AS BIGINT)
+                       AS seq_id,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) % 512 AS BIGINT)
+                       AS seq_offset
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "text_doc_freq": f"""
             WITH tok AS (

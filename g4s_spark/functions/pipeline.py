@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters
+from .sampling import pack_sequences, stratified_sample
 from .text import lang_id, quality_score
 
 
@@ -48,3 +49,34 @@ def curate_corpus(
         .join(reps, on=id_col)
         .select(id_col, "pred_lang", "quality")
     )
+
+
+def pretrain_mix(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    rates: dict[str, float] | None = None,
+    strata_col: str = "source",
+    default_rate: float = 1.0,
+    budget_tokens: int = 2048,
+    n_shards: int = 8,
+    sample_seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full selection/layout pipeline from raw documents to training
+    sequences: curate (quality x language x dedup representative) ->
+    stratified source re-weighting -> token-budget sequence packing.
+    Output: (doc_id, shard, n_tokens, seq_id, seq_offset) — a
+    deterministic training-mix manifest.
+
+    Scale: curation's dedup stage is the only eager step (iterative
+    components); sampling is a narrow filter; packing adds exactly one
+    shuffle on the shard key. Nothing here is keyed on pairs or requires
+    a global sort."""
+    kept = curate_corpus(df, min_quality, langs, text_col, id_col).select(id_col)
+    kept_docs = df.join(kept, on=id_col)
+    sampled = stratified_sample(
+        kept_docs, rates or {}, strata_col, default_rate, id_col, sample_seed
+    )
+    return pack_sequences(sampled, budget_tokens, n_shards, text_col, id_col)

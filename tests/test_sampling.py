@@ -64,3 +64,30 @@ def test_pack_sequences_invariants(docs):
             assert r.seq_id == cum // 256
             assert r.seq_offset == cum % 256
             cum += r.n_tokens
+
+
+def test_pretrain_mix_composition(docs):
+    from g4s_spark.functions import pipeline as PL
+
+    out = PL.pretrain_mix(
+        docs, min_quality=0.5, langs=("en", "und"),
+        rates={"src0": 1.0}, default_rate=0.6,
+        budget_tokens=256, n_shards=2, sample_seed=5,
+    ).collect()
+    assert out
+    kept = PL.curate_corpus(docs, 0.5, ("en", "und"))
+    kept_ids = {r.doc_id for r in kept.collect()}
+    got_ids = {r.doc_id for r in out}
+    # every packed doc survived curation; sampling only removes
+    assert got_ids <= kept_ids
+    assert len(got_ids) < len(kept_ids)  # default rate 0.6 drops some
+    # packing invariants hold on the sampled set
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows_:
+            assert r.seq_id == cum // 256 and r.seq_offset == cum % 256
+            cum += r.n_tokens
