@@ -558,6 +558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH p = shortestPath((s:Supplier)-[*]->(x)) "
             "RETURN s, x, length(p) AS len"
         ),
+        # pattern predicates: existence semi-join / negation anti-join
+        "cypher_exists": _cypher(
+            "MATCH (p:Part) WHERE (p)<-[:OF_PART]-(:Lineitem) RETURN p"
+        ),
+        "cypher_not_exists": _cypher(
+            "MATCH (x) WHERE NOT (x)-[]->() RETURN x"
+        ),
         # training-data selection/layout (round-5 extension)
         "sample_deterministic": lambda spark, sf_dir: SM.deterministic_sample(
             load_table(spark, sf_dir, "documents"), 0.25, seed=3
@@ -968,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        "cypher_exists": f"""
+            SELECT CAST({PART_OFF} + p_partkey AS BIGINT) AS p FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        # graph sinks: the region nodes are the only ones with no out-edges
+        "cypher_not_exists": f"""
+            WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()}
+            SELECT id AS x FROM graph_nodes
+            WHERE id NOT IN (SELECT src FROM graph_edges)
         """,
         # shortestPath == min-hop reachability under distinct-match
         # semantics (same walk CTE as cypher_path_length, Supplier seeds)

@@ -102,6 +102,15 @@ class QueryGraph:
     # (required MATCH only).
     or_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
     cross_filters: list[tuple[PropFilter, ...]] = field(default_factory=list)
+    # pattern predicates (extension): WHERE [NOT] (a)-[:T]->(b) chains —
+    # existence as a semi-join, negation as an anti-join of the probe
+    # pattern projected to its bindings shared with the MATCH. The
+    # pattern's own (possibly anonymous, possibly labeled) bindings live
+    # in ``labels`` but never in ``match_bindings``, so the planner
+    # neither returns nor scans them standalone.
+    pattern_filters: list[tuple[tuple[PatternEdge, ...], bool]] = field(
+        default_factory=list
+    )
     # path bindings (extension): ``p = (a)-[:T*]->(b)`` names the pattern;
     # value = indices into ``edges``. Only ``length(p)`` is consumable:
     # per distinct endpoint match it is the MINIMUM total hop count
@@ -251,6 +260,25 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
             conjuncts = _split_bool(cm_.group("where"), "AND")
             for conj in conjuncts:
                 c, parenthesized = _strip_outer_parens(conj)
+                # pattern predicate conjunct: [NOT] (..)-[..]-(..) — the
+                # leading paren plus an edge bracket distinguishes it from
+                # a parenthesized OR group (already stripped above)
+                pm = re.match(r"(?is)^(?P<neg>NOT\s+)?(?P<pat>\(.*)$", c)
+                if pm and re.search(r"-\s*\[", pm.group("pat")):
+                    if ci > 0:
+                        raise CypherParseError(
+                            "pattern predicates in OPTIONAL MATCH WHERE are unsupported"
+                        )
+                    tmp: list[PatternEdge] = []
+                    _parse_pattern(pm.group("pat"), qg, tmp, fresh, set())
+                    if not any(
+                        b in clause_bound for e2 in tmp for b in (e2.src, e2.dst)
+                    ):
+                        raise CypherParseError(
+                            "pattern predicate must reference a bound binding"
+                        )
+                    qg.pattern_filters.append((tuple(tmp), bool(pm.group("neg"))))
+                    continue
                 disjuncts = _split_bool(c, "OR")
                 if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:
                     raise CypherParseError(

@@ -223,14 +223,16 @@ def _run_stage(
     if carried is not None:
         keys = [c for c in carried.columns if c in qg.labels]
         proj = list(dict.fromkeys(keys + carry_srcs))
-        if not proj:
-            raise CypherParseError(
-                "WITH stage shares no binding with the carried columns and "
-                "carries none of them forward"
-            )
-        carry_df = carried.select(*proj)
-        if len(proj) < len(carried.columns):
-            carry_df = carry_df.dropDuplicates()
+        if proj:
+            carry_df = carried.select(*proj)
+            if len(proj) < len(carried.columns):
+                carry_df = carry_df.dropDuplicates()
+        else:
+            # no shared binding and nothing carried forward: the carry
+            # acts as a pure existence guard — empty carried rows must
+            # still empty the result (openCypher row piping), so cross
+            # join a single constant-probe row
+            carry_df = carried.limit(1).select(F.lit(1).alias("_g4s_probe"))
     df = plan_match(graph, qg, carry=carry_df).df
     df = df.select(*[F.col(src).alias(dst) for src, dst in sel])
     if dedup or dummy_added:
@@ -670,6 +672,37 @@ def plan_match(
         else:
             df = df.crossJoin(carry)
         steps.append(("carry_join", tuple(shared), tuple(carry_extras)))
+
+    # Pattern predicates (extension): WHERE (a)-[:T]->(b) is a left-semi
+    # join of the match set against the probe pattern projected to the
+    # shared bindings; NOT (...) is the left-anti twin. The probe chain
+    # reuses edge_df (label constraints, var-length closures, scan memo)
+    # and never joins the full probe result into the match — only its
+    # distinct shared-binding projection crosses the join.
+    for pf_edges, negated in qg.pattern_filters:
+        pdf: DataFrame | None = None
+        pbound: set[str] = set()
+        for e in _choose_join_order(list(pf_edges), edge_est):
+            ndf = edge_df(e)
+            if pdf is None:
+                pdf = ndf
+            else:
+                shared_p = [c for c in ndf.columns if c in pbound]
+                pdf = (
+                    pdf.join(ndf, on=shared_p, how="inner")
+                    if shared_p else pdf.crossJoin(ndf)
+                )
+            pbound |= set(ndf.columns)
+        shared_pf = sorted(pbound & bound & set(df.columns))
+        if not shared_pf:
+            raise ValueError("pattern predicate shares no binding with the match")
+        probe = pdf.select(*shared_pf).dropDuplicates(shared_pf)
+        df = df.join(
+            probe, on=shared_pf, how="left_anti" if negated else "left_semi"
+        )
+        steps.append(
+            ("pattern_filter", "anti" if negated else "semi", tuple(shared_pf))
+        )
 
     # Cross-binding WHERE disjunctions (extension): cannot push to any one
     # scan, so they apply once the owning joins have bound every referenced

@@ -161,3 +161,37 @@ def test_features_compose(spark):
         "RETURN u, t, length(p) AS d",
     ))
     assert got == {(0, 2, 1), (0, 3, 2)}  # only node 0 is Person+Admin
+
+
+# --- pattern predicates (WHERE [NOT] pattern) --------------------------------
+
+def test_pattern_predicate_exists_and_not(spark):
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "B"), (2, "B"), (3, "C")],
+        edges=[(0, 1, "X"), (0, 2, "X"), (1, 3, "Y")],
+    ).cache()
+    r = lambda q: sorted(tuple(x) for x in run_cypher(g, q).collect())
+    # b=1 has Y -> C; b=2 does not
+    assert r("MATCH (a:A)-[:X]->(b:B) WHERE (b)-[:Y]->(:C) RETURN b") == [(1,)]
+    assert r("MATCH (a:A)-[:X]->(b:B) WHERE NOT (b)-[:Y]->(:C) RETURN b") == [(2,)]
+    # sink check: nodes 2 (B, no outgoing) and 3 (C) have no out-edges
+    assert r("MATCH (n) WHERE NOT (n)-[]->() RETURN n") == [(2,), (3,)]
+    # var-length probe: nodes that reach nothing transitively
+    assert r("MATCH (n:C) WHERE NOT (n)-[*]->() RETURN n") == [(3,)]
+    g.nodes.unpersist()
+
+
+def test_pattern_predicate_parse_errors(spark):
+    from g4s_spark.cypher import CypherParseError, parse
+
+    with pytest.raises(CypherParseError, match="bound binding"):
+        parse("MATCH (a:A) WHERE (x)-[:Y]->(z) RETURN a")
+    with pytest.raises(CypherParseError, match="OPTIONAL MATCH WHERE"):
+        parse(
+            "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) "
+            "WHERE (b)-[:Y]->(:C) RETURN a, b"
+        )

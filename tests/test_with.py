@@ -120,3 +120,25 @@ def test_with_top_n_then_direct_return(g):
         "WITH a, count(b) AS nb ORDER BY nb DESC, a ASC LIMIT 1 RETURN a, nb",
     ).collect()]
     assert got == [(0, 2)]
+
+
+def test_with_then_optional_match_in_final_stage(g):
+    got = rows(run_cypher(
+        g,
+        "MATCH (a:A)-[:X]->(b:B) WITH b, count(a) AS na "
+        "MATCH (b2:B) OPTIONAL MATCH (b2)-[:Y]->(c:C) RETURN b2, c",
+    ))
+    # no shared binding and nothing carried into RETURN: the carry is a
+    # pure existence guard; the optional rows come through deduplicated
+    assert (1, 3) in got and (1, 4) in got and (2, 3) in got
+
+
+def test_with_varlength_stage(g):
+    got = rows(run_cypher(
+        g,
+        "MATCH (a:A)-[*1..2]->(x) WITH a, count(x) AS nx WHERE nx >= 4 "
+        "RETURN a, nx",
+    ))
+    # a=0 reaches {1,2} in 1 hop and {3,4} in 2 hops -> nx=4; a=5 reaches
+    # {1,3,4} -> 3 (filtered)
+    assert got == [(0, 4)]
