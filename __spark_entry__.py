@@ -558,6 +558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH p = shortestPath((s:Supplier)-[*]->(x)) "
             "RETURN s, x, length(p) AS len"
         ),
+        "cypher_collect": _cypher(
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "RETURN r, collect(n) AS nations"
+        ),
         # pattern predicates: existence semi-join / negation anti-join
         "cypher_exists": _cypher(
             "MATCH (p:Part) WHERE (p)<-[:OF_PART]-(:Lineitem) RETURN p"
@@ -975,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # collect() = sorted distinct value list (deterministic reading)
+        "cypher_collect": f"""
+            SELECT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r,
+                   list_sort(list(DISTINCT CAST({NATION_OFF} + n_nationkey AS BIGINT)))
+                       AS nations
+            FROM nation GROUP BY n_regionkey
         """,
         "cypher_exists": f"""
             SELECT CAST({PART_OFF} + p_partkey AS BIGINT) AS p FROM part

@@ -330,7 +330,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
             continue
         cm = re.fullmatch(
-            r"(?i)(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?i)(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
@@ -343,6 +343,15 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 if prop is not None:
                     raise CypherParseError("count(b.prop) unsupported; use count(b)")
                 alias = cm.group("alias") or f"count_{arg}"
+            elif fn == "collect":
+                # collect(b) / collect(b.prop): the SORTED DISTINCT value
+                # list — openCypher's collect() with the deterministic
+                # reading existence semantics imply (a bag ordered by
+                # arrival would be nondeterministic under distinct-match
+                # evaluation)
+                alias = cm.group("alias") or (
+                    f"collect_{arg}" if prop is None else f"collect_{arg}_{prop}"
+                )
             else:
                 if prop is None:
                     raise CypherParseError(f"{fn}() needs a property: {fn}({arg}.<prop>)")

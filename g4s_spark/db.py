@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .cypher.parser import parse
+from .cypher.parser import parse, split_with
 from .graph.store import PropertyGraph
 from .plans.planner import PlannedQuery, plan_match, run_cypher
 
@@ -29,6 +29,12 @@ class GraphDB:
         return run_cypher(self.graph, cypher, resolve=resolve)
 
     def plan(self, cypher: str) -> PlannedQuery:
+        if split_with(cypher) is not None:
+            raise ValueError(
+                "plan()/explain() cover single-stage queries; WITH pipelines "
+                "execute stage-by-stage via query() (each stage is a "
+                "plan_match call with the previous stage's output as carry)"
+            )
         return plan_match(self.graph, parse(cypher))
 
     def explain(self, cypher: str) -> str:

@@ -831,6 +831,13 @@ def plan_match(
             if ag.func == "count":
                 cnt = F.count(F.lit(1)) if ag.binding == "*" else F.count(F.col(ag.binding))
                 aggs.append(cnt.alias(ag.alias))
+            elif ag.func == "collect":
+                src = (
+                    F.col(ag.binding) if ag.prop is None
+                    else F.col(f"_agg_{ag.alias}")
+                )
+                # sorted distinct values: collect() made deterministic
+                aggs.append(F.sort_array(F.collect_set(src)).alias(ag.alias))
             else:
                 aggs.append(
                     _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias)

@@ -87,3 +87,16 @@ def test_orderby_prop_alias(shop):
         "ORDER BY buyers DESC, n LIMIT 2",
     )
     assert [tuple(r) for r in df.collect()] == [("cap", 2), ("hat", 2)]
+
+
+def test_collect_aggregate(shop):
+    got = {r.a: r.items for r in run_cypher(
+        shop, "MATCH (a:Person)-[:BOUGHT]->(b:Item) RETURN a, collect(b) AS items"
+    ).collect()}
+    assert got == {1: [3, 4], 2: [4, 5]}
+    # collect over props: sorted DISTINCT values (2 buys the 'cap' and a
+    # 'hat'; 1 buys 'hat' and 'cap')
+    got2 = {r.a: r.names for r in run_cypher(
+        shop, "MATCH (a:Person)-[:BOUGHT]->(b:Item) RETURN a, collect(b.name) AS names"
+    ).collect()}
+    assert got2 == {1: ["cap", "hat"], 2: ["cap", "hat"]}
