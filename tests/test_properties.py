@@ -219,3 +219,47 @@ def test_path_length_matches_bfs_model(spark, edges):
         for v, d in dist.items():
             expect[(s0, v)] = d
     assert got == expect
+
+
+# --- WITH pipeline vs a pure-python model ------------------------------------
+
+@st.composite
+def typed_digraph(draw, n=5):
+    pairs = st.tuples(
+        st.integers(0, n - 1), st.integers(0, n - 1), st.sampled_from(["X", "Y"])
+    )
+    edges = draw(st.sets(pairs, min_size=1, max_size=14))
+    return sorted(edges)
+
+
+@given(edges=typed_digraph(), k=st.integers(1, 2))
+@settings(**SETTINGS)
+def test_with_pipeline_matches_model(spark, edges, k):
+    """MATCH-WITH-MATCH over random typed digraphs == the set-algebra
+    model: stage1 counts distinct X-successors per node, HAVING >= k,
+    stage2 counts distinct Y-successors of the survivors."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = sorted({v for e in edges for v in e[:2]})
+    g = PropertyGraph.from_tuples(
+        spark, nodes=[(i, "N") for i in nodes], edges=list(edges)
+    )
+    got = {
+        (r.a, r.nx, r.ny)
+        for r in run_cypher(
+            g,
+            f"MATCH (a:N)-[:X]->(b:N) WITH a, count(b) AS nx WHERE nx >= {k} "
+            "MATCH (a)-[:Y]->(c:N) RETURN a, nx, count(c) AS ny",
+        ).collect()
+    }
+    out_x: dict[int, set] = {}
+    out_y: dict[int, set] = {}
+    for s, d, t in edges:
+        (out_x if t == "X" else out_y).setdefault(s, set()).add(d)
+    want = {
+        (a, len(out_x[a]), len(out_y.get(a, ())))
+        for a in out_x
+        if len(out_x[a]) >= k and out_y.get(a)
+    }
+    assert got == want
