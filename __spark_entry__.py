@@ -562,6 +562,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
             "RETURN r, collect(n) AS nations"
         ),
+        "cypher_where_in": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name IN ['NATION_4', 'NATION_13'] RETURN c, n"
+        ),
+        "cypher_where_string_fns": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.mktsegment STARTS WITH 'BUI' AND c.name ENDS WITH '1' "
+            "AND o.orderpriority CONTAINS 'URG' RETURN c, o"
+        ),
         # pattern predicates: existence semi-join / negation anti-join
         "cypher_exists": _cypher(
             "MATCH (p:Part) WHERE (p)<-[:OF_PART]-(:Lineitem) RETURN p"
@@ -979,6 +988,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        "cypher_where_in": f"""
+            SELECT DISTINCT {_CID} AS c,
+                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_4', 'NATION_13')
+        """,
+        "cypher_where_string_fns": f"""
+            SELECT DISTINCT {_CID} AS c, {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment LIKE 'BUI%' AND c_name LIKE '%1'
+              AND o_orderpriority LIKE '%URG%'
         """,
         # collect() = sorted distinct value list (deterministic reading)
         "cypher_collect": f"""

@@ -145,6 +145,19 @@ _COND = re.compile(
     r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
 )
+# string predicates + IN lists (extension): STARTS WITH / ENDS WITH /
+# CONTAINS take one quoted string; IN takes a bracket list of literals
+# and expands to an equality OR-group (reusing the scan-pushdown path)
+_COND_STR = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?P<op>STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+"
+    r"(?P<val>'[^']*'|\"[^\"]*\")\s*$"
+)
+_COND_IN = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"IN\s*\[(?P<list>[^\]]*)\]\s*$"
+)
+_IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
 
 
 def parse(query: str) -> QueryGraph:
@@ -169,9 +182,18 @@ def split_with(query: str) -> list[str] | None:
     """Split a query on top-level WITH keywords (the stage separators of a
     Cypher pipeline — an extension beyond the reference surface, which has
     no WITH). Returns None when the query has no top-level WITH; quoted
-    strings and parenthesized groups never split."""
+    strings, parenthesized groups, and the WITH inside a STARTS WITH /
+    ENDS WITH string predicate never split."""
     parts = _split_bool(query.strip(), "WITH")
-    return parts if len(parts) > 1 else None
+    if len(parts) <= 1:
+        return None
+    merged = [parts[0]]
+    for p in parts[1:]:
+        if re.search(r"(?is)\b(?:STARTS|ENDS)\s*$", merged[-1]):
+            merged[-1] = merged[-1] + " WITH " + p
+        else:
+            merged.append(p)
+    return merged if len(merged) > 1 else None
 
 
 def _parse_clauses(body: str, qg: QueryGraph) -> None:
@@ -229,11 +251,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
             enames = _edge_names(qg)
             clause_enames = {e.name for e in target if e.name}
 
-            def atom_of(cond: str) -> PropFilter:
-                wm = _COND.match(cond)
-                if not wm:
-                    raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
-                b = wm.group("b")
+            def check_binding(b: str, cond: str) -> None:
                 if b not in qg.labels and b not in enames:
                     raise CypherParseError(f"WHERE references unbound variable: {b!r}")
                 # clause scoping: the planner applies a clause's predicates
@@ -245,12 +263,49 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                         f"WHERE in clause {ci} references {b!r}, which is not part of "
                         "that clause's pattern (correlated clause predicates unsupported)"
                     )
-                raw = wm.group("val")
-                if raw[0] in "'\"":
-                    value, is_num = raw[1:-1], False
-                else:
-                    value, is_num = float(raw), True
-                return PropFilter(b, wm.group("p"), wm.group("op"), value, is_num, clause=ci)
+
+            def atoms_of(cond: str) -> list[PropFilter]:
+                wm = _COND.match(cond)
+                if wm:
+                    check_binding(wm.group("b"), cond)
+                    raw = wm.group("val")
+                    if raw[0] in "'\"":
+                        value, is_num = raw[1:-1], False
+                    else:
+                        value, is_num = float(raw), True
+                    return [PropFilter(
+                        wm.group("b"), wm.group("p"), wm.group("op"),
+                        value, is_num, clause=ci,
+                    )]
+                sm = _COND_STR.match(cond)
+                if sm:
+                    check_binding(sm.group("b"), cond)
+                    op = re.sub(r"\s+", "_", sm.group("op").lower())  # starts_with etc.
+                    return [PropFilter(
+                        sm.group("b"), sm.group("p"), op,
+                        sm.group("val")[1:-1], False, clause=ci,
+                    )]
+                im = _COND_IN.match(cond)
+                if im:
+                    check_binding(im.group("b"), cond)
+                    atoms = []
+                    items = [x for x in im.group("list").split(",")]
+                    if not im.group("list").strip():
+                        raise CypherParseError(f"empty IN list: {cond!r}")
+                    for item in items:
+                        vm = _IN_ITEM.match(item)
+                        if not vm:
+                            raise CypherParseError(f"unsupported IN list item: {item!r}")
+                        raw = vm.group(1)
+                        if raw[0] in "'\"":
+                            value, is_num = raw[1:-1], False
+                        else:
+                            value, is_num = float(raw), True
+                        atoms.append(PropFilter(
+                            im.group("b"), im.group("p"), "=", value, is_num, clause=ci
+                        ))
+                    return atoms
+                raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
 
             # WHERE is CNF: conjuncts split on top-level AND, each conjunct
             # an optionally-parenthesized disjunction. SQL precedence makes
@@ -285,7 +340,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                         "parenthesize OR groups when mixing AND and OR: "
                         f"ambiguous conjunct {conj!r}"
                     )
-                atoms = [atom_of(d) for d in disjuncts]
+                atoms = [a for d in disjuncts for a in atoms_of(d)]
                 if len(atoms) == 1:
                     pf = atoms[0]
                     (qg.edge_filters if pf.binding in enames else qg.filters).append(pf)

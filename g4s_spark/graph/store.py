@@ -35,6 +35,10 @@ _PRED_OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # openCypher string predicates (extension)
+    "starts_with": lambda c, v: c.startswith(v),
+    "ends_with": lambda c, v: c.endswith(v),
+    "contains": lambda c, v: c.contains(v),
 }
 
 

@@ -195,3 +195,44 @@ def test_pattern_predicate_parse_errors(spark):
             "MATCH (a:A) OPTIONAL MATCH (a)-[:X]->(b:B) "
             "WHERE (b)-[:Y]->(:C) RETURN a, b"
         )
+
+
+# --- IN lists and string predicates ------------------------------------------
+
+def test_where_in_and_string_predicates(spark):
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "P", {"name": "alpha", "city": "rome"}),
+            (2, "P", {"name": "beta", "city": "oslo"}),
+            (3, "P", {"name": "gamma", "city": "romea"}),
+            (4, "Q", {"name": "x"}),
+        ],
+        schema="id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 4, "E"), (2, 4, "E"), (3, 4, "E")],
+        schema="src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges)
+    r = lambda q: sorted(tuple(x) for x in run_cypher(g, q).collect())
+    assert r("MATCH (p:P)-[:E]->(q:Q) WHERE p.name IN ['alpha', 'gamma'] RETURN p") == [(1,), (3,)]
+    assert r("MATCH (p:P)-[:E]->(q:Q) WHERE p.city STARTS WITH 'rom' RETURN p") == [(1,), (3,)]
+    assert r("MATCH (p:P)-[:E]->(q:Q) WHERE p.city ENDS WITH 'me' RETURN p") == [(1,)]
+    assert r("MATCH (p:P)-[:E]->(q:Q) WHERE p.name CONTAINS 'mm' RETURN p") == [(3,)]
+    # IN inside a conjunction lands as a pushed OR-group
+    assert r(
+        "MATCH (p:P)-[:E]->(q:Q) WHERE p.city STARTS WITH 'rom' "
+        "AND p.name IN ['gamma', 'beta'] RETURN p"
+    ) == [(3,)]
+
+
+def test_where_in_parse_errors():
+    from g4s_spark.cypher import CypherParseError, parse
+
+    with pytest.raises(CypherParseError, match="empty IN list"):
+        parse("MATCH (a:A) WHERE a.x IN [] RETURN a")
+    with pytest.raises(CypherParseError, match="IN list item"):
+        parse("MATCH (a:A) WHERE a.x IN [foo] RETURN a")
