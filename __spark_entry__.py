@@ -562,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
             "RETURN r, collect(n) AS nations"
         ),
+        "cypher_skip_limit": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
+            "RETURN o ORDER BY o DESC SKIP 10 LIMIT 20"
+        ),
         "cypher_where_in": _cypher(
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
             "WHERE n.name IN ['NATION_4', 'NATION_13'] RETURN c, n"
@@ -988,6 +992,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        "cypher_skip_limit": f"""
+            SELECT DISTINCT {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal >= 5000
+            ORDER BY o DESC
+            LIMIT 20 OFFSET 10
         """,
         "cypher_where_in": f"""
             SELECT DISTINCT {_CID} AS c,

@@ -122,6 +122,7 @@ class QueryGraph:
     path_lengths: list[tuple[str, str]] = field(default_factory=list)  # (path, alias)
     aggregates: list[AggItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
+    skip: int | None = None  # SKIP n (extension): row offset after ORDER BY
     limit: int | None = None
 
 
@@ -166,6 +167,7 @@ def parse(query: str) -> QueryGraph:
         r"(?is)^\s*MATCH\s+(?P<body>.+?)"
         r"\s+RETURN\s+(?P<returns>.+?)"
         r"(?:\s+ORDER\s+BY\s+(?P<orderby>.+?))?"
+        r"(?:\s+SKIP\s+(?P<skip>\d+))?"
         r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
         q,
     )
@@ -174,7 +176,7 @@ def parse(query: str) -> QueryGraph:
     qg = QueryGraph()
     _parse_clauses(m.group("body"), qg)
     _parse_returns(qg, m.group("returns"))
-    _parse_order_limit(qg, m.group("orderby"), m.group("limit"))
+    _parse_order_limit(qg, m.group("orderby"), m.group("limit"), m.group("skip"))
     return qg
 
 
@@ -385,7 +387,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
             continue
         cm = re.fullmatch(
-            r"(?i)(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?i)(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*(?:DISTINCT\s+)?(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
@@ -455,7 +457,9 @@ def out_columns(qg: QueryGraph) -> set[str]:
     )
 
 
-def _parse_order_limit(qg: QueryGraph, orderby: str | None, limit: str | None) -> None:
+def _parse_order_limit(
+    qg: QueryGraph, orderby: str | None, limit: str | None, skip: str | None = None
+) -> None:
     out_cols = out_columns(qg)
     if orderby:
         for part in orderby.split(","):
@@ -465,6 +469,8 @@ def _parse_order_limit(qg: QueryGraph, orderby: str | None, limit: str | None) -
             if om.group("col") not in out_cols:
                 raise CypherParseError(f"ORDER BY of non-returned column: {om.group('col')!r}")
             qg.order_by.append((om.group("col"), (om.group("dir") or "").upper() == "DESC"))
+    if skip:
+        qg.skip = int(skip)
     if limit:
         qg.limit = int(limit)
 

@@ -113,17 +113,20 @@ _SEG = re.compile(
     r"(?is)^(?P<items>.+?)"
     r"(?:\s+WHERE\s+(?P<w>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skipn>\d+))?"
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
     r"\s+(?:MATCH\s+(?P<next>.+)|RETURN\s+(?P<ret>.+))$"
 )
 _TAIL = re.compile(
     r"(?is)^(?P<body>.+?)\s+RETURN\s+(?P<returns>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skip>\d+))?"
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*$"
 )
 _RET_TAIL = re.compile(
     r"(?is)^(?P<returns>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skip>\d+))?"
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*$"
 )
 _NAME_ITEM = re.compile(
@@ -244,7 +247,10 @@ def _run_stage(
     return df, qg, [dst for _, dst in sel]
 
 
-def _order_limit(df: DataFrame, cols: list[str], ob: str | None, lim: str | None) -> DataFrame:
+def _order_limit(
+    df: DataFrame, cols: list[str], ob: str | None, lim: str | None,
+    skip: str | None = None,
+) -> DataFrame:
     if ob:
         exprs = []
         for part in ob.split(","):
@@ -256,6 +262,8 @@ def _order_limit(df: DataFrame, cols: list[str], ob: str | None, lim: str | None
             c = F.col(om.group("col"))
             exprs.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
         df = df.orderBy(*exprs)
+    if skip:
+        df = df.offset(int(skip))
     if lim:
         df = df.limit(int(lim))
     return df
@@ -285,7 +293,9 @@ def _run_with_pipeline(
             out, _, _ = _run_stage(graph, pending_match, items, carried_df, dedup=True)
             if w:
                 out = _carry_filter(out, w)
-            return _order_limit(out, out.columns, sm.group("ob"), sm.group("lim"))
+            return _order_limit(
+                out, out.columns, sm.group("ob"), sm.group("lim"), sm.group("skipn")
+            )
 
         if sm.group("ret") is not None:
             # items WHERE w RETURN r — the WITH projects, then RETURN
@@ -303,7 +313,9 @@ def _run_with_pipeline(
                 sel.append((nm.group("n"), nm.group("a") or nm.group("n")))
             df = carried.select(*[F.col(s).alias(a) for s, a in sel])
             cols = [a for _, a in sel]
-            return _order_limit(df, cols, rm.group("ob"), rm.group("lim")), set()
+            return _order_limit(
+                df, cols, rm.group("ob"), rm.group("lim"), rm.group("skip")
+            ), set()
         nxt = sm.group("next")
         tm = _TAIL.match(nxt)
         if tm:
@@ -313,7 +325,9 @@ def _run_with_pipeline(
                 graph, tm.group("body"), tm.group("returns"), carried, dedup=False
             )
             bindings = {c for c in cols if c in qg.labels}
-            return _order_limit(df, cols, tm.group("ob"), tm.group("lim")), bindings
+            return _order_limit(
+                df, cols, tm.group("ob"), tm.group("lim"), tm.group("skip")
+            ), bindings
         carried = run_head(carried)
         pending_match = nxt
     raise CypherParseError("WITH pipeline has no RETURN")
@@ -856,6 +870,9 @@ def plan_match(
     if qg.order_by:
         out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc() for c, d in qg.order_by])
         steps.append(("order_by", tuple(qg.order_by)))
+    if qg.skip is not None:
+        out = out.offset(qg.skip)
+        steps.append(("skip", qg.skip))
     if qg.limit is not None:
         out = out.limit(qg.limit)
         steps.append(("limit", qg.limit))

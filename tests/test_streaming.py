@@ -286,6 +286,11 @@ def test_dedup_docs_stream_first_arrival_and_state_eviction(spark, tmp_path):
     got1 = spark.read.parquet(out).collect()
     assert {r.text for r in got1} == {"alpha", "beta"}
     assert len(got1) == 2  # one survivor per digest
+    # WITHIN one micro-batch the surviving duplicate is partition-order
+    # dependent (doc 1 or doc 2) — only cross-batch "first arrival" is
+    # defined; track whichever alpha survived
+    alpha_id = next(r.doc_id for r in got1 if r.text == "alpha")
+    assert alpha_id in (1, 2)
 
     # batch 2: a dup of alpha 3h later. The watermark only advances at
     # the END of a micro-batch, so alpha's state (expiry 10:30) is still
@@ -297,7 +302,7 @@ def test_dedup_docs_stream_first_arrival_and_state_eviction(spark, tmp_path):
     batch2.write.mode("overwrite").parquet(str(src / "b2.parquet"))
     run_once()
     got2 = spark.read.parquet(out).collect()
-    assert sorted(r.doc_id for r in got2) == [1, 3, 5]
+    assert sorted(r.doc_id for r in got2) == sorted([alpha_id, 3, 5])
 
     # batch 3: after batch 2 the watermark moved to 12:31 > 10:30, so
     # alpha's digest state WAS evicted — the same content is emitted
@@ -308,7 +313,7 @@ def test_dedup_docs_stream_first_arrival_and_state_eviction(spark, tmp_path):
     batch3.write.mode("overwrite").parquet(str(src / "b3.parquet"))
     run_once()
     got3 = spark.read.parquet(out).collect()
-    assert sorted(r.doc_id for r in got3) == [1, 3, 5, 6]
+    assert sorted(r.doc_id for r in got3) == sorted([alpha_id, 3, 5, 6])
 
     # batch twin keeps min-id per digest over the full corpus
     allb = batch1.unionByName(batch2).unionByName(batch3)

@@ -187,3 +187,13 @@ def test_shortest_path_equals_min_hop_reachability(chain):
 def test_shortest_path_parse_errors():
     with pytest.raises(CypherParseError, match="path expression"):
         parse("MATCH p = shortestpath b RETURN p")
+
+
+def test_skip_offset(chain):
+    full = [tuple(r) for r in run_cypher(
+        chain, "MATCH (a)-[:X]->(b) RETURN a, b ORDER BY a, b"
+    ).collect()]
+    skipped = [tuple(r) for r in run_cypher(
+        chain, "MATCH (a)-[:X]->(b) RETURN a, b ORDER BY a, b SKIP 2 LIMIT 3"
+    ).collect()]
+    assert skipped == full[2:5]
