@@ -47,6 +47,7 @@ from g4s_spark.graph.tpch import (
 from g4s_spark.operators import bfs, connected_components, pagerank, sssp, triangle_count
 from g4s_spark.plans import run_cypher
 from g4s_spark.sources import load_table, load_tables
+from g4s_spark import streaming as EV
 from g4s_spark.streaming import session_counts, session_window_counts, windowed_counts
 
 BFS_START = CUSTOMER_OFF + 1  # customer c_custkey=1
@@ -599,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": lambda spark, sf_dir: S.knn_join_lsh(
             load_table(spark, sf_dir, "embeddings"), k=3
         ),
+        "events_followups": lambda spark, sf_dir: EV.event_followups(
+            load_table(spark, sf_dir, "events"), within_min=10
+        ),
         "rel_q4_priority": _q_rel_q4_priority,
         "rel_q12_priority_class": _q_rel_q12_priority_class,
         "pipeline_pretrain_mix": lambda spark, sf_dir: PL.pretrain_mix(
@@ -1042,6 +1046,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS s, dst AS x, CAST(min(d) AS BIGINT) AS len
             FROM walk GROUP BY src, dst
+        """,
+        # per-user follow-up pairs within 10 minutes (stream-stream join twin)
+        "events_followups": """
+            SELECT e1.user_id, e1.event_id AS a, e2.event_id AS b
+            FROM events e1 JOIN events e2
+            ON e1.user_id = e2.user_id
+               AND e2.ts > e1.ts
+               AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
         """,
         "rel_q4_priority": """
             SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders

@@ -1,5 +1,7 @@
 from .dedup import dedup_docs_batch, dedup_docs_stream
 from .events import (
+    event_followups,
+    event_followups_stream,
     read_events_stream,
     stream_edges_into_graph,
     session_counts,
@@ -15,4 +17,5 @@ __all__ = [
     "session_counts", "session_window_counts", "sessionize_stream",
     "read_events_stream", "stream_edges_into_graph",
     "dedup_docs_stream", "dedup_docs_batch",
+    "event_followups", "event_followups_stream",
 ]

@@ -165,6 +165,61 @@ def sessionize_stream(
     )
 
 
+def event_followups(events: DataFrame, within_min: int = 10) -> DataFrame:
+    """Per-user event pairs within a time horizon: each event joined to
+    the same user's LATER events at most `within_min` minutes after it —
+    the correlation primitive behind funnel / attribution analyses.
+    Batch shape; `event_followups_stream` is the streaming twin.
+
+    Scale: equi-join on user_id with the range condition applied inside
+    the join — shuffles key on user_id only; per-user pair space is
+    bounded by event density × horizon, never |events|²."""
+    a = events.select(
+        F.col("event_id").alias("a"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    b = events.select(
+        F.col("event_id").alias("b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {within_min} MINUTES")),
+        )
+        .select("user_id", "a", "b")
+    )
+
+
+def event_followups_stream(
+    events_stream: DataFrame, within_min: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join twin of `event_followups`: both sides
+    carry event-time watermarks and the join has the time-range bound
+    Structured Streaming requires, so each side's buffered state is
+    evicted once the other side's watermark passes the horizon — state
+    is (rate × (watermark + horizon)), not the whole stream."""
+    a = events_stream.select(
+        F.col("event_id").alias("a"), F.col("user_id"), F.col("ts").alias("ts_a")
+    ).withWatermark("ts_a", watermark)
+    b = events_stream.select(
+        F.col("event_id").alias("b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {within_min} MINUTES")),
+        )
+        .select("user_id", "a", "b")
+    )
+
+
 def stream_edges_into_graph(
     events_stream: DataFrame, out_path: str, checkpoint: str
 ):

@@ -319,3 +319,29 @@ def test_dedup_docs_stream_first_arrival_and_state_eviction(spark, tmp_path):
     allb = batch1.unionByName(batch2).unionByName(batch3)
     twin = dedup_docs_batch(allb)
     assert sorted(r.doc_id for r in twin.collect()) == [1, 3, 5]
+
+
+def test_event_followups_stream_batch_equivalence(spark, events):
+    """Stream-stream inner join (watermarks + time-range bound) produces
+    exactly the batch twin's pair set when the stream drains once."""
+    from g4s_spark.streaming import event_followups, event_followups_stream
+
+    batch_pairs = {
+        (r.user_id, r.a, r.b) for r in event_followups(events, within_min=10).collect()
+    }
+    stream = read_events_stream(spark, SF)
+    joined = event_followups_stream(stream, within_min=10, watermark="1 hour")
+    with tempfile.TemporaryDirectory() as d:
+        q = (
+            joined.writeStream.format("memory").queryName("followups")
+            .outputMode("append").option("checkpointLocation", d)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    got = {
+        (r.user_id, r.a, r.b)
+        for r in spark.sql("SELECT * FROM followups").collect()
+    }
+    assert got == batch_pairs
+    assert batch_pairs, "fixture must contain follow-up pairs"
