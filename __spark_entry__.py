@@ -577,6 +577,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND o.orderpriority CONTAINS 'URG' RETURN c, o"
         ),
         # pattern predicates: existence semi-join / negation anti-join
+        "cypher_where_string": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE c.mktsegment = 'BUILDING' AND n.name <> 'NATION_1' RETURN c, n"
+        ),
+        "cypher_edge_where": _cypher(
+            "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
+            "WHERE e.weight >= 3 RETURN o, l, e.weight AS w"
+        ),
+        "cypher_optional_where": _cypher(
+            "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.orderpriority = '1-URGENT' RETURN c, o"
+        ),
+        "cypher_where_or": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.acctbal >= 5000 OR c.mktsegment = 'BUILDING' RETURN o"
+        ),
+        "cypher_where_cross": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE c.acctbal >= 9000 OR o.totalprice >= 200000 RETURN c, o"
+        ),
+        "cypher_multilabel": _q_cypher_multilabel,
+        "cypher_path_length": _cypher(
+            "MATCH p = (c:Customer)-[*]->(x) RETURN c, x, length(p) AS len"
+        ),
+        # iterative algorithms (SURVEY §2.6)
         "cypher_exists": _cypher(
             "MATCH (p:Part) WHERE (p)<-[:OF_PART]-(:Lineitem) RETURN p"
         ),
@@ -625,13 +650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # rest of the round-4 additions / LLM-pipeline block
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf_cells": _q_ivf_cells,
         "multimodal_meta": _q_multimodal_meta,
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
@@ -682,31 +700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_where_numeric": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
         ),
-        "cypher_where_string": _cypher(
-            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
-            "WHERE c.mktsegment = 'BUILDING' AND n.name <> 'NATION_1' RETURN c, n"
-        ),
-        "cypher_edge_where": _cypher(
-            "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
-            "WHERE e.weight >= 3 RETURN o, l, e.weight AS w"
-        ),
-        "cypher_optional_where": _cypher(
-            "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
-            "WHERE o.orderpriority = '1-URGENT' RETURN c, o"
-        ),
-        "cypher_where_or": _cypher(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
-            "WHERE c.acctbal >= 5000 OR c.mktsegment = 'BUILDING' RETURN o"
-        ),
-        "cypher_where_cross": _cypher(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
-            "WHERE c.acctbal >= 9000 OR o.totalprice >= 200000 RETURN c, o"
-        ),
-        "cypher_multilabel": _q_cypher_multilabel,
-        "cypher_path_length": _cypher(
-            "MATCH p = (c:Customer)-[*]->(x) RETURN c, x, length(p) AS len"
-        ),
-        # iterative algorithms (SURVEY §2.6)
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
         "graph_pagerank": _q_graph_pagerank,
@@ -739,6 +732,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_freq": lambda spark, sf_dir: TX.doc_frequency(
             load_table(spark, sf_dir, "documents")
         ),
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_cells": _q_ivf_cells,
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
             load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
         ),
