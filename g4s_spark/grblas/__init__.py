@@ -1,6 +1,9 @@
 from .bfs import bfs_levels
 from .matrix import (
     Matrix,
+    UNARY_OPS,
+    apply,
+    select,
     Vector,
     assign,
     diag,
@@ -34,7 +37,7 @@ from .semiring import (
 __all__ = [
     "Matrix", "Vector", "mxm", "mxv", "vxm", "ewise_union", "ewise_intersect",
     "reduce_rows", "reduce_cols", "reduce_all", "diag", "extract", "assign",
-    "is_eq", "is_all", "bfs_levels",
+    "is_eq", "is_all", "bfs_levels", "apply", "select", "UNARY_OPS",
     "vector_ewise_union", "vector_ewise_intersect", "vector_reduce",
     "ANY_PAIR", "LOR_LAND", "MIN_PLUS", "PLUS_TIMES", "SEMIRINGS",
     "BINARY_OPS", "MONOIDS", "Monoid", "Semiring",

@@ -664,3 +664,71 @@ def is_all(a: Matrix, b: Matrix, op_name: str = "eq") -> bool:
         return bad == 0
     finally:
         joined.unpersist()
+
+
+# GraphBLAS unary-op catalog for apply() — all JVM-side column
+# expressions (extension rounding out the standard surface; the
+# reference's catalog is binary-only, BuiltInBinaryOps.scala)
+UNARY_OPS = {
+    "identity": lambda c: c,
+    "ainv": lambda c: -c,                      # additive inverse
+    "minv": lambda c: F.lit(1.0) / c,          # multiplicative inverse
+    "abs": F.abs,
+    "lnot": lambda c: ~c.cast("boolean"),
+    "one": lambda c: F.lit(1.0),
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "log": F.log,
+}
+
+
+def apply(
+    a: Matrix,
+    op_name: str = "identity",
+    mask: Matrix | None = None,
+    mask_complement: bool = False,
+    mask_valued: bool = False,
+    accum_into: Matrix | None = None,
+    accum_op: BinOp | None = None,
+    replace: bool = False,
+) -> Matrix:
+    """GrB_apply: elementwise unary op over the stored values — a pure
+    projection (no shuffle), with the full descriptor set threaded the
+    same way as every other kernel."""
+    if op_name not in UNARY_OPS:
+        raise ValueError(f"unknown unary op: {op_name!r}")
+    out = a.df.select("i", "j", UNARY_OPS[op_name](F.col("v")).alias("v"))
+    out = _mask_accum(
+        out, mask, mask_complement, mask_valued, replace,
+        accum_into, accum_op if accum_into is not None else None,
+    )
+    return Matrix(out, a.nrows, a.ncols)
+
+
+def select(
+    a: Matrix,
+    predicate: str,
+    threshold=None,
+) -> Matrix:
+    """GrB_select: keep entries satisfying a structural/value predicate —
+    a pure filter (no shuffle). Predicates: tril/triu (below/on / above/on
+    the diagonal), diag/offdiag, nonzero, and value comparisons
+    (gt/ge/lt/le/eq/ne against ``threshold``)."""
+    c = {
+        "tril": F.col("i") >= F.col("j"),
+        "triu": F.col("i") <= F.col("j"),
+        "diag": F.col("i") == F.col("j"),
+        "offdiag": F.col("i") != F.col("j"),
+        "nonzero": F.col("v") != 0,
+        "gt": F.col("v") > F.lit(threshold),
+        "ge": F.col("v") >= F.lit(threshold),
+        "lt": F.col("v") < F.lit(threshold),
+        "le": F.col("v") <= F.lit(threshold),
+        "eq": F.col("v") == F.lit(threshold),
+        "ne": F.col("v") != F.lit(threshold),
+    }.get(predicate)
+    if c is None:
+        raise ValueError(f"unknown select predicate: {predicate!r}")
+    if predicate in ("gt", "ge", "lt", "le", "eq", "ne") and threshold is None:
+        raise ValueError(f"select({predicate!r}) needs a threshold")
+    return Matrix(a.df.filter(c), a.nrows, a.ncols)

@@ -297,3 +297,56 @@ def test_vector_valued_mask_and_replace(spark):
     cleared = vec_dict(gb.mxv(A, x, gb.PLUS_TIMES, mask=m, mask_valued=True,
                               accum_into=c, accum_op=lambda a, b: a + b, replace=True))
     assert cleared == {0: 5}
+
+
+# --- apply / select ----------------------------------------------------------
+
+def test_apply_unary_catalog(spark):
+    a = gb.Matrix.from_tuples(spark, [(0, 0, 4.0), (0, 1, -9.0), (1, 1, 1.0)], 2, 2, vtype="double")
+    got = dict(((i, j), v) for i, j, v in gb.apply(a, "abs").to_tuples())
+    assert got == {(0, 0): 4.0, (0, 1): 9.0, (1, 1): 1.0}
+    got = dict(((i, j), v) for i, j, v in gb.apply(a, "ainv").to_tuples())
+    assert got == {(0, 0): -4.0, (0, 1): 9.0, (1, 1): -1.0}
+    got = dict(((i, j), v) for i, j, v in gb.apply(a, "one").to_tuples())
+    assert set(got.values()) == {1.0}
+    import math
+    got = dict(((i, j), v) for i, j, v in gb.apply(a, "sqrt").to_tuples())
+    assert got[(0, 0)] == 2.0 and math.isnan(got[(0, 1)])
+    with pytest.raises(ValueError, match="unknown unary"):
+        gb.apply(a, "nope")
+
+
+def test_apply_with_mask_and_accum(spark):
+    a = gb.Matrix.from_tuples(spark, [(0, 0, 4.0), (0, 1, 9.0)], 2, 2, vtype="double")
+    mask = gb.Matrix.from_tuples(spark, [(0, 0, True)], 2, 2, vtype="boolean")
+    got = dict(((i, j), v) for i, j, v in gb.apply(a, "ainv", mask=mask).to_tuples())
+    assert got == {(0, 0): -4.0}
+    c = gb.Matrix.from_tuples(spark, [(0, 0, 100.0), (1, 1, 7.0)], 2, 2, vtype="double")
+    from g4s_spark.grblas.semiring import BINARY_OPS
+    got = dict(
+        ((i, j), v)
+        for i, j, v in gb.apply(
+            a, "ainv", mask=mask, accum_into=c, accum_op=BINARY_OPS["plus"]
+        ).to_tuples()
+    )
+    # inside mask: 100 + (-4); outside mask: C kept (replace=False default)
+    assert got == {(0, 0): 96.0, (1, 1): 7.0}
+
+
+def test_select_predicates(spark):
+    a = gb.Matrix.from_tuples(
+        spark, [(0, 0, 5.0), (0, 1, -2.0), (1, 0, 3.0), (1, 1, 0.0)], 2, 2,
+        vtype="double",
+    )
+    t = lambda m: {(i, j) for i, j, _ in m.to_tuples()}
+    assert t(gb.select(a, "tril")) == {(0, 0), (1, 0), (1, 1)}
+    assert t(gb.select(a, "triu")) == {(0, 0), (0, 1), (1, 1)}
+    assert t(gb.select(a, "diag")) == {(0, 0), (1, 1)}
+    assert t(gb.select(a, "offdiag")) == {(0, 1), (1, 0)}
+    assert t(gb.select(a, "nonzero")) == {(0, 0), (0, 1), (1, 0)}
+    assert t(gb.select(a, "gt", 0.0)) == {(0, 0), (1, 0)}
+    assert t(gb.select(a, "le", 0.0)) == {(0, 1), (1, 1)}
+    with pytest.raises(ValueError, match="threshold"):
+        gb.select(a, "gt")
+    with pytest.raises(ValueError, match="unknown select"):
+        gb.select(a, "wat", 1)
