@@ -330,6 +330,7 @@ IVF_SEED = 0x51ED270B
 def ivf_assign(
     emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = EMB_DIM, seed: int = IVF_SEED,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style coarse partition assignment: cell = argmax_c (vec · C_c)
     over seeded ±1 pseudo-centroids (the deterministic, oracle-expressible
@@ -338,14 +339,20 @@ def ivf_assign(
     partition, search-within-cell — is unchanged). Per-row expressions
     only: shuffle-free. First maximum wins on ties (strict >), matching
     the oracle's (score DESC, idx ASC) ranking."""
-    cell = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed)
+    cell = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed, centroids=centroids)
     return emb.select(F.col(id_col), cell.alias("cell"))
 
 
-def ivf_cell_expr(vec: Column, n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED) -> Column:
-    """Cell id of one vector (argmax over seeded centroid dots); shared by
-    ivf_assign and ivf_topk."""
-    C = projection_matrix(n_centroids, dim, seed)
+def ivf_cell_expr(
+    vec: Column, n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED,
+    centroids: list[list[float]] | None = None,
+) -> Column:
+    """Cell id of one vector (argmax over centroid dots); shared by
+    ivf_assign and ivf_topk. ``centroids`` overrides the seeded ±1
+    pseudo-centroids (e.g. kmeans_centroids output)."""
+    C = centroids if centroids is not None else projection_matrix(n_centroids, dim, seed)
+    n_centroids = len(C)
+    general = centroids is not None  # arbitrary floats: no ±1 bit-packing
 
     def argmax(ds: Column) -> Column:
         best_d, best_v = F.lit(0), ds[0]
@@ -356,8 +363,18 @@ def ivf_cell_expr(vec: Column, n_centroids: int = 8, dim: int = EMB_DIM, seed: i
         return best_d
 
     # dots bound once (see sign_lsh_bands) — the argmax chain references
-    # each dot up to n_centroids times
-    return F.transform(F.array(_masked_dots(vec, C, dim)), argmax)[0].cast("long")
+    # each dot up to n_centroids times. ±1 pseudo-centroids pack into
+    # sign bitmasks; trained (arbitrary-float) centroids use explicit
+    # literal arrays (k×dim literals — fine at coarse-quantizer k)
+    dots = _dots_general(vec, C) if general else _masked_dots(vec, C, dim)
+    return F.transform(F.array(dots), argmax)[0].cast("long")
+
+
+def _dots_general(vec: Column, C: list[list[float]]) -> Column:
+    """vec · C_c for arbitrary float centroids, as one array column."""
+    return F.array(*[
+        dot_expr(vec, F.array(*[F.lit(float(w)) for w in row])) for row in C
+    ])
 
 
 # Cell-assigned corpus memo — same rationale as _LSH_CORPUS_CACHE: the
@@ -448,3 +465,63 @@ def ivf_assign_sql(n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEE
         )
         SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell FROM ranked WHERE rn = 1
     """
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+    seed: int = IVF_SEED,
+) -> list[list[float]]:
+    """Lloyd refinement of the seeded pseudo-centroids — the trained-IVF
+    path (`ivf_cell_expr(..., centroids=...)` consumes the result).
+
+    Spherical k-means: centroids are L2-normalized after every mean
+    update (and at init), so the argmax-dot assignment ranks by cosine
+    and both steps maximize Σ v·ĉ — assignment by definition, update by
+    Cauchy-Schwarz (ĉ = mean/||mean|| maximizes Σ_{v∈cell} v·ĉ over unit
+    vectors). kmeans_objective is therefore non-decreasing per iteration.
+
+    Each iteration is ONE distributed job: per-row argmax assignment
+    (pure column expressions), then per-(cell, position) means via
+    posexplode + hash aggregate — shuffle keyed on (cell, pos), k×dim
+    groups. The centroid table is always driver-sized (k×dim floats) and
+    re-embeds as plan literals, so iterations never grow lineage and no
+    UDF or broadcast state is involved. Empty cells keep their previous
+    centroid (standard Lloyd degenerate-cell handling)."""
+    def norm_rows(M):
+        out = []
+        for row in M:
+            n = sum(x * x for x in row) ** 0.5
+            out.append([x / n for x in row] if n > 0 else list(row))
+        return out
+
+    C = norm_rows(projection_matrix(k, dim, seed))
+    for _ in range(iters):
+        cell = ivf_cell_expr(F.col(vec_col), dim=dim, centroids=C)
+        assigned = emb.select(
+            cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        newC = [list(c) for c in C]
+        for r in rows:
+            newC[r.cell][r.pos] = r.m
+        C = norm_rows(newC)
+    return C
+
+
+def kmeans_objective(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding",
+    dim: int = EMB_DIM,
+) -> float:
+    """Mean best-centroid dot product over the corpus — the spherical
+    k-means objective (centroids unit-normalized), non-decreasing under
+    kmeans_centroids iterations."""
+    best = F.array_max(_dots_general(F.col(vec_col), centroids))
+    return emb.select(F.avg(best).alias("o")).collect()[0].o

@@ -262,3 +262,23 @@ def test_knn_join_lsh_invariants_and_exact_cos(spark):
                 checked += 1
     assert checked > 0
     emb.unpersist()
+
+
+def test_kmeans_centroids_improve_objective(spark):
+    from g4s_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    C0 = S.kmeans_centroids(emb, k=4, iters=0)  # normalized seeded init
+    o0 = S.kmeans_objective(emb, C0)
+    C1 = S.kmeans_centroids(emb, k=4, iters=1)
+    C3 = S.kmeans_centroids(emb, k=4, iters=3)
+    o1, o3 = S.kmeans_objective(emb, C1), S.kmeans_objective(emb, C3)
+    # Lloyd steps never decrease the mean best-centroid dot
+    assert o1 >= o0 - 1e-9
+    assert o3 >= o1 - 1e-9
+    # trained assignment covers every vector in one of k cells
+    cells = {r.cell for r in S.ivf_assign(emb, centroids=C3).collect()}
+    assert cells <= set(range(4)) and len(cells) >= 2
+    n = S.ivf_assign(emb, centroids=C3).count()
+    assert n == emb.count()
+    emb.unpersist()
