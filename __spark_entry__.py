@@ -563,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
             "RETURN r, collect(n) AS nations"
         ),
+        "cypher_edge_agg": _cypher(
+            "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
+            "RETURN o, sum(e.weight) AS total_w, max(e.weight) AS max_w"
+        ),
         "cypher_skip_limit": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
             "RETURN o ORDER BY o DESC SKIP 10 LIMIT 20"
@@ -996,6 +1000,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # edge-property aggregates over HAS_ITEM weight (= l_linenumber).
+        # DISTINCT first: the synthetic lineitem carries duplicate
+        # (orderkey, linenumber) rows, which collapse to ONE graph edge —
+        # aggregates run over the distinct match set
+        "cypher_edge_agg": f"""
+            SELECT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,
+                   CAST(sum(l_linenumber) AS DOUBLE) AS total_w,
+                   CAST(max(l_linenumber) AS DOUBLE) AS max_w
+            FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+            GROUP BY l_orderkey
         """,
         "cypher_skip_limit": f"""
             SELECT DISTINCT {_OID} AS o

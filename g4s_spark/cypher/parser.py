@@ -56,13 +56,15 @@ class PropFilter:
 
 @dataclass(frozen=True)
 class AggItem:
-    """RETURN aggregate (extension): count(b), or sum/avg/min/max(b.prop)
-    evaluated as a double over the distinct matches."""
+    """RETURN aggregate (extension): count(b), sum/avg/min/max(b.prop)
+    evaluated as a double over the distinct matches, or the same over an
+    edge variable's typed property (on_edge=True, e.g. sum(e.weight))."""
 
-    func: str  # count | sum | avg | min | max
+    func: str  # count | sum | avg | min | max | collect
     binding: str
     prop: str | None  # None for count
     alias: str
+    on_edge: bool = False
 
 
 @dataclass
@@ -395,6 +397,16 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         if cm:
             fn, arg, prop = cm.group("fn").lower(), cm.group("arg"), cm.group("p")
             if arg not in qg.labels:
+                # edge-variable property aggregate: sum/avg/min/max/
+                # collect(e.prop) over the typed edge columns
+                if arg in _edge_names(qg) and fn != "count":
+                    if prop is None:
+                        raise CypherParseError(
+                            f"{fn}() needs a property: {fn}({arg}.<prop>)"
+                        )
+                    alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
+                    qg.aggregates.append(AggItem(fn, arg, prop, alias, on_edge=True))
+                    continue
                 raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
             if fn == "count":
                 if prop is not None:

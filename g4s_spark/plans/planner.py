@@ -397,7 +397,16 @@ def plan_match(
     edge_prop_cols: dict[str, list[tuple[str, str]]] = {}
     for en, p, a in qg.edge_prop_returns:
         edge_prop_cols.setdefault(en, []).append((p, a))
+    # edge-property aggregates materialize their value column on the edge
+    # scan like returned edge props, under the _agg_ alias the aggregate
+    # emitter consumes
+    for ag in qg.aggregates:
+        if ag.on_edge:
+            edge_prop_cols.setdefault(ag.binding, []).append(
+                (ag.prop, f"_agg_{ag.alias}")
+            )
     edge_alias_set = {a for _, _, a in qg.edge_prop_returns}
+    edge_agg_aliases = [f"_agg_{a.alias}" for a in qg.aggregates if a.on_edge]
 
     # length(p): var-length edges on a measured path carry a min-hop dist
     # column (computed inside the closure, see _var_length_pairs); fixed
@@ -587,7 +596,9 @@ def plan_match(
     bound: set[str] = set()
 
     prop_bindings = [b for b, _, _ in qg.prop_returns]
-    agg_bindings = [a.binding for a in qg.aggregates if a.binding != "*"]
+    agg_bindings = [
+        a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
+    ]
 
     opt_bindings = {b for g in qg.optionals for e in g for b in (e.src, e.dst)}
     # count(*) counts distinct full-pattern matches — no binding is ever dead
@@ -600,7 +611,7 @@ def plan_match(
         # value is distinct per value — openCypher's per-edge semantics)
         need = (
             set(qg.returns) | set(prop_bindings) | set(agg_bindings)
-            | opt_bindings | edge_alias_set
+            | opt_bindings | edge_alias_set | set(edge_agg_aliases)
             | {a.binding for grp in qg.cross_filters for a in grp}
             | set(dist_alias_by_idx.values())
         )
@@ -811,8 +822,8 @@ def plan_match(
     needed = list(
         dict.fromkeys(
             qg.returns + prop_bindings + agg_bindings
-            + sorted(edge_alias_set) + path_len_aliases + star_extra
-            + carry_extras
+            + sorted(edge_alias_set) + edge_agg_aliases
+            + path_len_aliases + star_extra + carry_extras
         )
     )
     out = df.select(*needed).dropDuplicates(needed)
@@ -825,7 +836,7 @@ def plan_match(
     for b, p, a in qg.prop_returns:
         prop_cols.setdefault(b, []).append((p, a))
     for ag in qg.aggregates:
-        if ag.prop is not None:
+        if ag.prop is not None and not ag.on_edge:
             prop_cols.setdefault(ag.binding, []).append((ag.prop, f"_agg_{ag.alias}"))
     for b, cols in prop_cols.items():
         n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))

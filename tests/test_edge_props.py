@@ -128,3 +128,36 @@ def test_required_where_still_constrains_main_chain(spark):
     g = PropertyGraph(nodes_df, edges_df, spark)
     got = rows(run_cypher(g, "MATCH (a:A)-[:X]->(b:B) WHERE a.v > 5 RETURN a, b"))
     assert got == {(1, 10)}
+
+
+# --- aggregates over edge properties -----------------------------------------
+
+def test_edge_prop_aggregates(weighted):
+    got = rows(run_cypher(
+        weighted,
+        "MATCH (a:A)-[e:X]->(b:B) "
+        "RETURN a, sum(e.weight) AS total, max(e.weight) AS mx, "
+        "min(e.weight) AS mn, avg(e.weight) AS av",
+    ))
+    assert got == {(0, 6.0, 5.0, 1.0, 3.0), (1, 11.0, 9.0, 2.0, 5.5)}
+
+
+def test_edge_prop_collect(weighted):
+    got = {r.a: r.ws for r in run_cypher(
+        weighted, "MATCH (a:A)-[e:X]->(b:B) RETURN a, collect(e.weight) AS ws"
+    ).collect()}
+    assert got == {0: [1.0, 5.0], 1: [2.0, 9.0]}
+
+
+def test_edge_agg_global(weighted):
+    got = run_cypher(
+        weighted, "MATCH (a:A)-[e:X]->(b:B) RETURN sum(e.weight) AS total"
+    ).collect()
+    assert got[0].total == 17.0
+
+
+def test_edge_agg_parse_errors():
+    with pytest.raises(CypherParseError, match="unbound"):
+        parse("MATCH (a:A)-[:X]->(b:B) RETURN sum(e.weight)")
+    with pytest.raises(CypherParseError, match="needs a property"):
+        parse("MATCH (a:A)-[e:X]->(b:B) RETURN sum(e)")
