@@ -44,7 +44,14 @@ from g4s_spark.graph.tpch import (
     REGION_OFF,
     SUPPLIER_OFF,
 )
-from g4s_spark.operators import bfs, connected_components, pagerank, sssp, triangle_count
+from g4s_spark.operators import (
+    bfs,
+    connected_components,
+    pagerank,
+    personalized_pagerank,
+    sssp,
+    triangle_count,
+)
 from g4s_spark.plans import run_cypher
 from g4s_spark.sources import load_table, load_tables
 from g4s_spark import streaming as EV
@@ -87,6 +94,14 @@ def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(build_graph(spark, sf_dir), iters=3)
+    return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
+
+
+def _q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the Supplier nodes."""
+    g = build_graph(spark, sf_dir)
+    seeds = g.nodes.filter(F.col("label") == "Supplier").select("id")
+    pr = personalized_pagerank(g, seeds, iters=3)
     return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
 
 
@@ -567,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
             "RETURN o, sum(e.weight) AS total_w, max(e.weight) AS max_w"
         ),
+        "graph_ppr": _q_graph_ppr,
         "cypher_skip_limit": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
             "RETURN o ORDER BY o DESC SKIP 10 LIMIT 20"
@@ -791,6 +807,42 @@ _COS = (
 def _lang_score(words: list[str]) -> str:
     lst = "['" + "','".join(words) + "']"
     return f"len(list_filter({_TOKS}, x -> list_contains({lst}, x)))"
+
+
+def _ppr_oracle(seed_sql: str, iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank matching operators.
+    personalized_pagerank exactly: pr0 = ind/|S|;
+    pr_{t+1} = (1-d)·ind/|S| + d·Σ pr_t(u)/outdeg(u)."""
+    prev = "pr0"
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+            it{t} AS (
+                SELECT r.id, (1 - {d}) * r.ind / c.n + {d} * COALESCE(s.mass, 0) AS pr
+                FROM r CROSS JOIN cnt c
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(p.pr / dg.deg) AS mass
+                    FROM {prev} p
+                    JOIN graph_edges e ON p.id = e.src
+                    JOIN deg dg ON dg.src = p.id
+                    GROUP BY e.dst
+                ) s ON s.id = r.id
+            )""")
+        prev = f"it{t}"
+    return f"""
+        WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()},
+        seeds AS ({seed_sql}),
+        cnt AS (SELECT count(*) AS n FROM seeds),
+        deg AS (SELECT src, count(*) AS deg FROM graph_edges GROUP BY src),
+        r AS (
+            SELECT gn.id,
+                   CASE WHEN gn.id IN (SELECT id FROM seeds) THEN 1.0 ELSE 0.0 END AS ind
+            FROM graph_nodes gn
+        ),
+        pr0 AS (SELECT r.id, r.ind / c.n AS pr FROM r CROSS JOIN cnt c),
+        {",".join(its)}
+        SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
 
 
 def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
@@ -1285,6 +1337,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "graph_ppr": _ppr_oracle(
+            f"SELECT CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT) AS id FROM supplier"
+        ),
         "graph_components": _components_oracle(),
         "graph_triangles": """
             WITH pairs AS (

@@ -1,3 +1,14 @@
-from .algorithms import bfs, connected_components, pagerank, reachable, sssp, triangle_count
+from .algorithms import (
+    bfs,
+    connected_components,
+    pagerank,
+    personalized_pagerank,
+    reachable,
+    sssp,
+    triangle_count,
+)
 
-__all__ = ["bfs", "sssp", "reachable", "pagerank", "connected_components", "triangle_count"]
+__all__ = [
+    "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
+    "connected_components", "triangle_count",
+]

@@ -202,6 +202,67 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
     return pr
 
 
+def personalized_pagerank(
+    graph: PropertyGraph, seeds: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the (1-d) reset mass
+    returns to the seed set instead of all nodes —
+
+        pr_0(v)     = 1_{v∈S}/|S|
+        pr_{t+1}(v) = (1-d)·1_{v∈S}/|S| + d · Σ_{u→v} pr_t(u)/outdeg(u)
+
+    ``seeds``: one ``id`` column. Same Pregel shape and scale profile as
+    pagerank (degree folded into the cached edge table once; one join +
+    one dst-keyed aggregation per iteration; lineage truncated); the
+    reset vector is a cached per-node column joined in place of the
+    uniform constant."""
+    nodes = graph.nodes.select("id").cache()
+    s = seeds.select("id").dropDuplicates()
+    edges = graph.edges.select("src", "dst")
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "deg_src")
+    )
+    e2 = (
+        edges.join(deg, edges.src == F.col("deg_src"))
+        .select("src", "dst", "deg")
+        .cache()
+    )
+    reset = (
+        nodes.join(s.withColumn("_is", F.lit(1.0)), on="id", how="left")
+        .select("id", F.coalesce(F.col("_is"), F.lit(0.0)).alias("ind"))
+        .cache()
+    )
+    try:
+        ns = s.count()
+        if ns == 0:
+            raise ValueError("personalized_pagerank needs a non-empty seed set")
+        pr = reset.select("id", (F.col("ind") / F.lit(float(ns))).alias("pr"))
+        for _ in range(iters):
+            contribs = (
+                pr.join(e2, pr.id == e2.src)
+                .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("mass"))
+            )
+            pr = (
+                reset.join(contribs, on="id", how="left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) * (F.col("ind") / F.lit(float(ns)))
+                        + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+            )
+            pr = iter_checkpoint(pr)
+    finally:
+        e2.unpersist()
+        reset.unpersist()
+        nodes.unpersist()
+    return pr
+
+
 def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame:
     """Undirected connected components by iterative min-id label
     propagation (HashMin / Pregel style): each node adopts the smallest

@@ -125,3 +125,29 @@ def test_reliable_checkpoint_mode(unweighted, weighted, tmp_path, monkeypatch):
     # reliable checkpoints were written under the configured dir
     found = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert found, "no checkpoint files written in reliable mode"
+
+
+def test_personalized_pagerank_mass_at_seeds(spark):
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import pagerank, personalized_pagerank
+
+    # star: 0 -> 1..4; seed at the center only
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(i, "N") for i in range(5)],
+        edges=[(0, i, "E") for i in range(1, 5)],
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    pr = {r.id: r.pr for r in personalized_pagerank(g, seeds, iters=3).collect()}
+    # reset mass only returns to the seed; leaves receive only walk mass
+    assert pr[0] == pytest.approx(0.15, abs=1e-9)
+    for leaf in range(1, 5):
+        assert pr[leaf] == pytest.approx(0.85 * 0.15 / 4, abs=1e-9)
+    # uniform seeds == plain pagerank
+    all_seeds = g.nodes.select("id")
+    ppr_all = {r.id: r.pr for r in personalized_pagerank(g, all_seeds, iters=3).collect()}
+    plain = {r.id: r.pr for r in pagerank(g, iters=3).collect()}
+    for k in plain:
+        assert ppr_all[k] == pytest.approx(plain[k], abs=1e-12)
+    with pytest.raises(ValueError, match="non-empty seed"):
+        personalized_pagerank(g, spark.createDataFrame([], "id long"), iters=1).collect()
