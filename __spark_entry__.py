@@ -671,6 +671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # rest of the round-4 additions / LLM-pipeline block
         "multimodal_meta": _q_multimodal_meta,
+        "cypher_count_star": _cypher(
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "RETURN DISTINCT r, count(*) AS n_nations"
+        ),
+        "cypher_where_numeric": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
+        ),
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
         # cypher pattern matching (SURVEY §2.1/2.2)
@@ -713,13 +720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) RETURN c, o"
         ),
         "cypher_closure": _cypher("MATCH (c:Customer)-[*]->(x) RETURN c, x"),
-        "cypher_count_star": _cypher(
-            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
-            "RETURN DISTINCT r, count(*) AS n_nations"
-        ),
-        "cypher_where_numeric": _cypher(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
-        ),
         "graph_bfs": _q_graph_bfs,
         "graph_sssp": _q_graph_sssp,
         "graph_pagerank": _q_graph_pagerank,
