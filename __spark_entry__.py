@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from g4s_spark.functions import dedup as D
 from g4s_spark.functions import pipeline as PL
+from g4s_spark.functions import relational as REL
 from g4s_spark.functions.rounding import pround
 from g4s_spark.functions import multimodal as MM
 from g4s_spark.functions import sampling as SM
@@ -546,8 +547,33 @@ def _q_events_session_window(spark, sf_dir):
     return session_window_counts(load_table(spark, sf_dir, "events"))
 
 
+def _rel(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return REL.run(name, spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # TPC-H operator-matrix completion (round 5): each keeps its
+        # namesake's execution shape on the adapted schema — see
+        # g4s_spark/functions/relational.py docstrings.
+        "rel_q2_min_cost": _rel("rel_q2_min_cost"),
+        "rel_q7_volume": _rel("rel_q7_volume"),
+        "rel_q8_market_share": _rel("rel_q8_market_share"),
+        "rel_q9_profit": _rel("rel_q9_profit"),
+        "rel_q11_important_stock": _rel("rel_q11_important_stock"),
+        "rel_q13_order_dist": _rel("rel_q13_order_dist"),
+        "rel_q14_promo": _rel("rel_q14_promo"),
+        "rel_q15_top_supplier": _rel("rel_q15_top_supplier"),
+        "rel_q16_supplier_cnt": _rel("rel_q16_supplier_cnt"),
+        "rel_q17_small_qty": _rel("rel_q17_small_qty"),
+        "rel_q18_large_orders": _rel("rel_q18_large_orders"),
+        "rel_q19_disjunctive": _rel("rel_q19_disjunctive"),
+        "rel_q20_part_share": _rel("rel_q20_part_share"),
+        "rel_q21_waiting": _rel("rel_q21_waiting"),
+        "rel_q22_idle_cust": _rel("rel_q22_idle_cust"),
         # --- driver-window rotation -------------------------------------
         # The correctness driver checks the FIRST 50 dict entries only.
         # Least-recently-driver-verified gates go first (VERDICT r4 #1):
@@ -1483,6 +1509,230 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "rel_q2_min_cost": """
+            WITH supp_eu AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            ),
+            cost AS (
+                SELECT l_partkey AS partkey, p_type AS ptype,
+                       s_suppkey AS suppkey, s_name AS sname, n_name AS nname,
+                       avg(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_size >= 30
+                JOIN supp_eu ON l_suppkey = s_suppkey
+                WHERE l_quantity > 0
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT partkey, ptype, suppkey, sname, nname,
+                   floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
+            FROM (SELECT *, min(unit_cost) OVER (PARTITION BY partkey) AS mc FROM cost)
+            WHERE unit_cost = mc
+        """,
+        "rel_q7_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "rel_q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   floor(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+                       / 1000000 AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            SEMI JOIN (
+                SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+            ) ac ON o_custkey = ac.c_custkey
+            GROUP BY 1
+        """,
+        "rel_q9_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   floor(sum(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity) * 1 + 0.5) / 1
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "rel_q11_important_stock": """
+            WITH value AS (
+                SELECT l_partkey AS partkey, sum(l_extendedprice) AS val
+                FROM lineitem
+                SEMI JOIN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_0'
+                ) s ON l_suppkey = s.s_suppkey
+                GROUP BY 1
+            )
+            SELECT partkey, floor(val * 100 + 0.5) / 100 AS val
+            FROM value
+            WHERE val > (SELECT sum(val) * 0.001 FROM value)
+        """,
+        "rel_q13_order_dist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                           WHERE o_orderpriority <> '1-URGENT') o
+                  ON c_custkey = o.o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "rel_q14_promo": """
+            SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+                       / 1000000 AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "rel_q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT l_suppkey AS suppkey, s_name AS sname, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "rel_q16_supplier_cnt": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "rel_q17_small_qty": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                SEMI JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3') p
+                  ON l_partkey = p.p_partkey
+            ),
+            avg_q AS (
+                SELECT l_partkey AS ak, avg(l_quantity) * 0.5 AS cutoff
+                FROM li GROUP BY 1
+            )
+            SELECT floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+            FROM li JOIN avg_q ON l_partkey = ak
+            WHERE l_quantity < cutoff
+        """,
+        "rel_q18_large_orders": """
+            SELECT c_name AS cname, c_custkey AS custkey, o_orderkey AS orderkey,
+                   o_totalprice AS totalprice,
+                   floor(sum_qty * 100 + 0.5) / 100 AS sum_qty
+            FROM (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+            ) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, orderkey ASC
+            LIMIT 100
+        """,
+        "rel_q19_disjunctive": """
+            SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "rel_q20_part_share": """
+            WITH li96 AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem
+                SEMI JOIN (SELECT p_partkey FROM part WHERE p_size = 1) p
+                  ON l_partkey = p.p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+            ),
+            per_part AS (
+                SELECT l_partkey AS tk, sum(l_quantity) * 0.5 AS half_qty
+                FROM li96 GROUP BY 1
+            ),
+            heavy AS (
+                SELECT DISTINCT s.l_suppkey
+                FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                      FROM li96 GROUP BY 1, 2) s
+                JOIN per_part ON s.l_partkey = tk
+                WHERE supp_qty > half_qty
+            )
+            SELECT s_suppkey AS suppkey, s_name AS sname
+            FROM supplier
+            SEMI JOIN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_0') n
+              ON s_nationkey = n.n_nationkey
+            SEMI JOIN heavy ON s_suppkey = heavy.l_suppkey
+        """,
+        "rel_q21_waiting": """
+            WITH os AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+                FROM lineitem GROUP BY 1, 2
+            ),
+            multi AS (
+                SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+                FROM os GROUP BY 1
+            )
+            SELECT s_suppkey AS suppkey, s_name AS sname,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM os
+            SEMI JOIN (SELECT l_orderkey FROM multi
+                       WHERE n_supp >= 2 AND n_ret = 1) m
+              ON os.l_orderkey = m.l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            SEMI JOIN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_0') n
+              ON s_nationkey = n.n_nationkey
+            WHERE ret = 1
+            GROUP BY 1, 2
+        """,
+        "rel_q22_idle_cust": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+            FROM customer
+            ANTI JOIN (SELECT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+              ON c_custkey = o.o_custkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+            GROUP BY 1
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents

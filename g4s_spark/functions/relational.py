@@ -1,0 +1,456 @@
+"""TPC-H-shape relational analytics beyond the reference surface.
+
+The reference is a graph engine, but its users run the classic relational
+shapes over the same tables; this module completes the TPC-H operator
+matrix the earlier rounds started (Q1/Q3/Q4/Q5/Q6/Q10/Q12 live in
+``__spark_entry__``): min-per-group join-back (Q2), nation-pair volume
+(Q7), conditional-aggregate market share (Q8), profit rollup (Q9),
+HAVING-above-scalar (Q11), outer-join histogram (Q13), promo-revenue
+ratio (Q14), max-revenue equality (Q15), distinct-count with NOT IN
+(Q16), correlated-average filter (Q17), HAVING-IN large orders (Q18),
+disjunctive pushdown (Q19), nested semi-joins (Q20), semi+anti exists
+combo (Q21), and anti-join over a scalar-average cutoff (Q22).
+
+The testdata schema diverges from canonical TPC-H (no partsupp, no
+commit/receipt dates, no shipmode/shipinstruct/comment columns), so each
+query keeps the *execution shape* of its namesake and documents the
+predicate it adapts. Scale notes: every dimension join (nation, region,
+part aggregate under ~1M rows) broadcasts; fact-fact joins shuffle on
+their keys; scalar subqueries become broadcast 1-row cross joins; all
+conditional aggregates fold into map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from g4s_spark.functions.rounding import pround
+from g4s_spark.sources import load_tables
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q2_min_cost_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q2 shape: min-per-group + join-back. For each EUROPE-supplied part
+    of size >= 30, the supplier(s) offering the minimum average unit price
+    (avg l_extendedprice/l_quantity stands in for ps_supplycost). The
+    min is computed per part and re-joined by equality — the correlated
+    scalar subquery of canonical Q2, expressed as a window min so the
+    per-part group never leaves its shuffle partition."""
+    nation = F.broadcast(t["nation"])
+    region = F.broadcast(t["region"])
+    supp_eu = (
+        t["supplier"]
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region.filter(F.col("r_name") == "EUROPE"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(t["part"].filter(F.col("p_size") >= 30)
+                          .select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.col("p_partkey").cast("long").alias("partkey"),
+            F.col("p_type").alias("ptype"),
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nname"),
+            pround(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+    )
+
+
+def q7_volume_shipping(t: dict[str, DataFrame]) -> DataFrame:
+    """Q7 shape: revenue flow between two nations by year, both
+    directions (supplier nation != customer nation). Two broadcast nation
+    lookups tag each lineitem with (supp_nation, cust_nation); the only
+    big shuffles are the fact joins on orderkey/custkey."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = t["nation"].select("n_nationkey", "n_name")
+    supp_n = F.broadcast(
+        t["supplier"].join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        t["customer"].join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(pround(F.sum(_rev()), 2).alias("revenue"))
+        .select("supp_nation", "cust_nation", F.col("l_year").cast("long").alias("l_year"), "revenue")
+    )
+
+
+def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Q8 shape: NATION_3's share of PROMO-part revenue sold to ASIA
+    customers, per order year. The share is a conditional aggregate
+    (sum(case)/sum) — one pass, folded map-side; no self-join."""
+    nation = F.broadcast(t["nation"])
+    region = F.broadcast(t["region"])
+    asia_cust = (
+        t["customer"]
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region.filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = F.broadcast(
+        t["supplier"].join(nation.select("n_nationkey", "n_name"),
+                           F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = _rev()
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .select(F.col("o_year").cast("long").alias("o_year"), "mkt_share")
+    )
+
+
+def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year for parts whose
+    name contains '1'. Profit = rev - 0.5*p_retailprice*l_quantity
+    (retailprice stands in for ps_supplycost). Part and nation broadcast;
+    the orders join shuffles on orderkey."""
+    nation = F.broadcast(t["nation"].select("n_nationkey", "n_name"))
+    supp_n = F.broadcast(
+        t["supplier"].join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").contains("widget"))
+                          .select("p_partkey", "p_retailprice")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        # whole-dollar rounding: the profit term subtracts two ~1e2 values
+        # per row, so the ~1e6 group sums carry enough accumulation-order
+        # noise to flip a cent across engines; dollars have 100x margin
+        .agg(pround(F.sum(profit), 0).alias("sum_profit"))
+        .select("nation", F.col("o_year").cast("long").alias("o_year"), "sum_profit")
+    )
+
+
+def q11_important_stock(t: dict[str, DataFrame], nation_name: str = "NATION_0") -> DataFrame:
+    """Q11 shape: per-part inventory value (sum of extendedprice supplied
+    by one nation's suppliers), keeping parts above 1/1000 of the total —
+    the HAVING-above-scalar-subquery shape. The scalar total is a
+    broadcast 1-row cross join, never a driver collect."""
+    nation = F.broadcast(t["nation"].filter(F.col("n_name") == nation_name))
+    supp = F.broadcast(
+        t["supplier"].join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    total = value.agg((F.sum("val") * 0.001).alias("cutoff"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("cutoff"))
+        .select(F.col("l_partkey").cast("long").alias("partkey"),
+                pround(F.col("val"), 2).alias("val"))
+    )
+
+
+def q13_order_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Q13 shape: distribution of customers by order count — LEFT OUTER
+    join (customers with zero orders keep count 0) then a second
+    aggregation over the counts. Orders not in '1-URGENT' priority play
+    the 'special comment' exclusion."""
+    orders = (
+        t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"),
+                F.col("custdist").cast("long").alias("custdist"))
+    )
+
+
+def q14_promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Q14 shape: PROMO revenue share for one ship month — conditional
+    aggregate ratio over a date-pruned scan; part broadcast."""
+    return (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            pround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
+                / F.sum(_rev()),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    revenue view aggregated once, its max taken as a broadcast scalar,
+    selection by equality (canonical Q15's view + scalar subquery)."""
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(pround(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"),
+                F.col("s_name").alias("sname"), "total_revenue")
+    )
+
+
+def q16_supplier_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size) for parts
+    NOT of excluded brands, from the observed lineitem part-supplier
+    pairs (partsupp stand-in). NOT IN folds to a pushed filter; the
+    distinct count shuffles once on the group keys."""
+    parts = F.broadcast(
+        t["part"]
+        .filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .filter(F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey").dropDuplicates()
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"),
+                F.col("supplier_cnt").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity(t: dict[str, DataFrame]) -> DataFrame:
+    """Q17 shape: revenue loss from small orders — rows with quantity
+    under 20% of their part's average. The correlated per-part average is
+    a groupBy re-joined by AQE-broadcast (canonical Q17's correlated
+    scalar subquery), restricted to one brand so the probe side prunes."""
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.5).alias("cutoff")
+    )
+    return (
+        li.join(avg_q, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("cutoff"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 250 — the HAVING
+    group feeds a semi-join back onto orders+customer (canonical Q18's
+    IN subquery), then re-aggregates for the report. Top 100 by price."""
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(F.col("l_orderkey").alias("bk"), "sum_qty")
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("bk"))
+        .join(t["customer"].select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("cname"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            pround(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_disjunctive(t: dict[str, DataFrame]) -> DataFrame:
+    """Q19 shape: three OR'd brand/size/quantity windows in one pass —
+    the disjunction is a single pushed filter over the broadcast part
+    join (no union of three scans)."""
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#10") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(pround(F.sum(_rev()), 2).alias("revenue"))
+
+
+def q20_part_share_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q20 shape: nested semi-joins — suppliers in NATION_0 who supplied
+    more than half of some size-1 part's 1996 shipped quantity. The
+    inner threshold is a per-part aggregate joined back; the outer level
+    semi-joins suppliers (canonical Q20's IN(IN(...)) nesting)."""
+    li96 = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(t["part"].filter(F.col("p_size") == 1).select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_part = li96.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (F.sum("l_quantity") * 0.5).alias("half_qty")
+    )
+    heavy_supp = (
+        li96.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .join(per_part, F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("supp_qty") > F.col("half_qty"))
+        .select("l_suppkey")
+    )
+    nation = F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_0"))
+    return (
+        t["supplier"]
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(heavy_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"),
+                F.col("s_name").alias("sname"))
+    )
+
+
+def q21_waiting_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS over the same fact — suppliers in
+    NATION_0 who returned an item in a multi-supplier order where no
+    other supplier returned one. The order-supplier incidence aggregates
+    once; both existence probes are semi/anti joins on it."""
+    os = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
+    )
+    multi = (
+        os.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
+        )
+    )
+    # my return is the ONLY return in an order served by >= 2 suppliers
+    blamed = (
+        os.filter(F.col("ret") == 1)
+        .join(multi.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+              .select("l_orderkey"), "l_orderkey", "left_semi")
+    )
+    nation = F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_0"))
+    supp = (
+        t["supplier"]
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"),
+                F.col("s_name").alias("sname"),
+                F.col("numwait").cast("long").alias("numwait"))
+    )
+
+
+def q22_idle_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Q22 shape: customers above the positive-balance average with no
+    RECENT (2000+) orders — scalar-average broadcast + anti join, grouped
+    by nation. (Every synthetic customer has some order, so the anti
+    join's probe is date-restricted to keep the gate non-trivial.)"""
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("cutoff"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(t["orders"].filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             pround(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"),
+                F.col("numcust").cast("long").alias("numcust"), "totacctbal")
+    )
+
+
+QUERIES = {
+    "rel_q2_min_cost": q2_min_cost_supplier,
+    "rel_q7_volume": q7_volume_shipping,
+    "rel_q8_market_share": q8_market_share,
+    "rel_q9_profit": q9_product_profit,
+    "rel_q11_important_stock": q11_important_stock,
+    "rel_q13_order_dist": q13_order_distribution,
+    "rel_q14_promo": q14_promo_revenue,
+    "rel_q15_top_supplier": q15_top_supplier,
+    "rel_q16_supplier_cnt": q16_supplier_count,
+    "rel_q17_small_qty": q17_small_quantity,
+    "rel_q18_large_orders": q18_large_orders,
+    "rel_q19_disjunctive": q19_disjunctive,
+    "rel_q20_part_share": q20_part_share_suppliers,
+    "rel_q21_waiting": q21_waiting_orders,
+    "rel_q22_idle_cust": q22_idle_customers,
+}
+
+
+def run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES[name](load_tables(spark, sf_dir))
