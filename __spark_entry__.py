@@ -574,6 +574,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q20_part_share": _rel("rel_q20_part_share"),
         "rel_q21_waiting": _rel("rel_q21_waiting"),
         "rel_q22_idle_cust": _rel("rel_q22_idle_cust"),
+        # LLM-pipeline additions (round 5): Gopher-style repetition
+        # signals, benchmark decontamination, rational-idf BM25 ranking
+        "text_repetition": lambda spark, sf_dir: TX.repetition_stats(
+            load_table(spark, sf_dir, "documents")
+        ),
+        "text_decontaminate": lambda spark, sf_dir: TX.decontaminate(
+            load_table(spark, sf_dir, "documents").filter(F.col("source") != "src19"),
+            load_table(spark, sf_dir, "documents").filter(F.col("source") == "src19"),
+            n=4,
+        ),
+        "text_bm25": lambda spark, sf_dir: TX.bm25_score(
+            load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
+        ),
         # --- driver-window rotation -------------------------------------
         # The correctness driver checks the FIRST 50 dict entries only.
         # Least-recently-driver-verified gates go first (VERDICT r4 #1):
@@ -868,6 +881,39 @@ def _ppr_oracle(seed_sql: str, iters: int = 3, d: float = 0.85) -> str:
         pr0 AS (SELECT r.id, r.ind / c.n AS pr FROM r CROSS JOIN cnt c),
         {",".join(its)}
         SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL twin of text.bm25_score with the identical expression tree —
+    literals via repr() so both engines parse the same doubles, and the
+    same left-assoc evaluation order so the doubles match bit-for-bit."""
+    tf_defs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    k1p1, one_minus_b = repr(k1 + 1), repr(1 - b)
+    term_exprs = [
+        f"(((((N - df_{i}) + 0.5) / (df_{i} + 0.5)) * tf_{i}) * {k1p1}"
+        f" / (tf_{i} + {repr(k1)} * ({one_minus_b} + (({repr(b)} * dl) / avgdl))))"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(term_exprs)
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        per AS (
+            SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, {tf_defs} FROM toks
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl, {df_defs}
+            FROM per
+        )
+        SELECT doc_id, floor(({score}) * 1000000 + 0.5) / 1000000 AS bm25
+        FROM per CROSS JOIN stats
     """
 
 
@@ -1734,6 +1780,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
             GROUP BY 1
         """,
+        "text_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            base AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+                FROM toks
+            ),
+            tokc AS (
+                SELECT doc_id, u.g, count(*) AS c
+                FROM toks, unnest(t) AS u(g) GROUP BY 1, 2
+            ),
+            toptok AS (SELECT doc_id, max(c) AS top_tok FROM tokc GROUP BY 1),
+            bic AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS c
+                FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+                WHERE len(t) >= 2
+                GROUP BY 1, 2
+            ),
+            topbi AS (SELECT doc_id, max(c) AS top_bi FROM bic GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens,
+                   floor((CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+                   floor((CASE WHEN n_tokens > 0 THEN COALESCE(top_tok, 0) * 1.0 / n_tokens ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top_token_ratio,
+                   floor((CASE WHEN n_tokens > 1 THEN COALESCE(top_bi, 0) * 1.0 / (n_tokens - 1) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top_bigram_ratio
+            FROM base b
+            LEFT JOIN toptok USING (doc_id)
+            LEFT JOIN topbi USING (doc_id)
+        """,
+        "text_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+            g AS (
+                SELECT doc_id, source, array_to_string(t[i:i+3], ' ') AS g
+                FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+                WHERE len(t) >= 4
+            ),
+            bench AS (SELECT DISTINCT g FROM g WHERE source = 'src19'),
+            hits AS (
+                SELECT DISTINCT doc_id FROM g
+                WHERE source <> 'src19' AND g IN (SELECT g FROM bench)
+            )
+            SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
+            FROM documents WHERE source <> 'src19'
+        """,
+        "text_bm25": _bm25_oracle(["spark", "table", "query"]),
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
         """,

@@ -117,6 +117,147 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals: fraction of tokens that are
+    distinct, and the share of the document claimed by its most frequent
+    token / word-bigram. High top-ngram shares mark boilerplate and
+    degenerate (looping) text; low distinct ratios mark keyword stuffing.
+
+    Scale shape: the per-doc mode is explode -> groupBy(doc, gram) ->
+    max per doc — two shuffles both keyed by doc_id, so the second
+    reuses the first's partitioning; no per-doc data ever leaves its
+    partition after the first hash. All ratios are single IEEE divisions
+    of exact integer counts — bit-identical to the SQL oracle."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    top_tok = (
+        df.select(F.col(id_col), F.explode(toks).alias("g"))
+        .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(F.max("c").alias("top_tok"))
+    )
+    top_bi = (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("g"))
+        .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(F.max("c").alias("top_bi"))
+    )
+    return (
+        base.join(top_tok, id_col, "left").join(top_bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            pround(
+                F.when(F.col("n_tokens") > 0, F.col("n_distinct") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("distinct_ratio"),
+            pround(
+                F.when(F.col("n_tokens") > 0,
+                       F.coalesce(F.col("top_tok"), F.lit(0)) / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("top_token_ratio"),
+            pround(
+                F.when(F.col("n_tokens") > 1,
+                       F.coalesce(F.col("top_bi"), F.lit(0)) / (F.col("n_tokens") - 1))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with the benchmark set (the n-gram-overlap rule used to scrub
+    eval sets out of pretraining corpora; production uses n≈13).
+
+    Scale shape: the benchmark's distinct n-gram set is usually tiny
+    relative to the corpus — it broadcasts (or bucket-joins beyond the
+    broadcast threshold); the corpus side is one explode + semi-join +
+    distinct, never a pairwise document comparison."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .dropDuplicates(["g"])
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .join(bench_grams, "g", "left_semi")
+        .select(id_col).dropDuplicates([id_col])
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of a literal query against the corpus, with the
+    rational idf variant idf(t) = (N - df_t + 0.5) / (df_t + 0.5) — the
+    classic log() is monotone in this ratio, so ranking order is
+    identical, and staying rational keeps the score free of
+    transcendentals (ln differs in the last ulp across engines, which
+    would flake a bit-exact oracle).
+
+    Scale shape: per-term tf is a column expression over the token
+    array (no explode); the corpus stats (N, avgdl, per-term df) reduce
+    to ONE broadcast single-row aggregate — conditional counts fold
+    map-side, so the stats pass reads the corpus once."""
+    toks = tokens(F.col(text_col))
+
+    def term_eq(term: str):
+        # single-param lambda: a (x, t) two-param form would be read by
+        # F.filter as (element, index) and bind the term to the index
+        return lambda x: x == F.lit(term)
+
+    tf_cols = {
+        t: F.size(F.filter(toks, term_eq(t))).cast("double") for t in query_terms
+    }
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        *[tf_cols[t].alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.join(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = (F.col("N") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        tf = F.col(f"tf_{i}")
+        term = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return j.select(F.col(id_col), pround(score, 6).alias("bm25"))
+
+
 def doc_frequency(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
 ) -> DataFrame:

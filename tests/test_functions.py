@@ -282,3 +282,37 @@ def test_kmeans_centroids_improve_objective(spark):
     n = S.ivf_assign(emb, centroids=C3).count()
     assert n == emb.count()
     emb.unpersist()
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert rows[1].top_token_ratio == 1.0
+    assert rows[1].top_bigram_ratio == 1.0
+    assert rows[1].distinct_ratio == 0.25
+    assert rows[2].distinct_ratio == 1.0
+    assert rows[2].top_token_ratio == 0.25
+    assert rows[3].n_tokens == 0 and rows[3].top_token_ratio == 0.0
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox escapes")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.contaminated for r in TX.decontaminate(corpus, bench, n=3).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_bm25_ranks_matching_docs_higher(spark):
+    df = spark.createDataFrame(
+        [(1, "spark table query spark"), (2, "spark only"), (3, "nothing relevant at all")],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.bm25 for r in TX.bm25_score(df, ["spark", "query"]).collect()}
+    assert scores[1] > scores[2] > scores[3] == 0.0
