@@ -7,9 +7,13 @@ fixpoint, convergence via isEq (DocSpec.scala:55-101).
 Scale notes:
 - each iteration is one shuffle join keyed on the frontier ids; the
   frontier/visited sets are distinct-keyed DataFrames, never collected,
-- ``iter_checkpoint()`` every iteration truncates lineage so plan size
-  stays O(1) across iterations (SURVEY §7.3); set G4S_CHECKPOINT_DIR for
-  reliable checkpoints on a cluster (see g4s_spark.checkpointing),
+- ``iter_checkpoint()`` truncates lineage so plan size stays O(1)
+  across iterations (SURVEY §7.3) — every iteration for
+  convergence-tested loops (the count() materializes anyway), every
+  CHECKPOINT_EVERY for fixed-iteration loops (a checkpoint is a full
+  materialization pass; shallow lineage is cheaper than paying it each
+  round). Set G4S_CHECKPOINT_DIR for reliable checkpoints on a cluster
+  (see g4s_spark.checkpointing),
 - convergence tests are anti-join counts (limit-1), not full equality
   scans.
 """
@@ -148,6 +152,39 @@ def reachable(graph: PropertyGraph, start_ids: list[int], edge_types: list[str] 
     return bfs(graph, start_ids, None, edge_types).select("id")
 
 
+def _degree_folded_edges(graph: PropertyGraph) -> DataFrame:
+    """(src, dst, deg=outdeg(src)) — the cached message-passing edge
+    table shared by pagerank / personalized_pagerank. Memoized on the
+    graph object (same session-amortization pattern as the ANN bucket
+    tables and _GRAPH_CACHE): the fold costs one groupBy + join over the
+    full edge set, and every subsequent *-pagerank call on the same
+    graph reuses the materialized cache instead of rebuilding it."""
+    cached = getattr(graph, "_degree_edges", None)
+    if cached is not None:
+        return cached
+    edges = graph.edges.select("src", "dst")
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "deg_src")
+    )
+    e2 = (
+        edges.join(deg, edges.src == F.col("deg_src"))
+        .select("src", "dst", "deg")
+        .cache()
+    )
+    graph._degree_edges = e2
+    return e2
+
+
+# lineage is truncated every CHECKPOINT_EVERY iterations, not every one:
+# a checkpoint is a full materialization pass, and a 3-deep join lineage
+# is still a small plan — paying one extra pass per iteration for
+# depth-1 lineage was pure overhead (measured ~2s of the 3-iteration
+# pagerank at sf0.1). Long fixpoint loops still truncate periodically so
+# plan size stays O(1).
+CHECKPOINT_EVERY = 5
+
+
 def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank (simplified: dangling mass dropped — the
     semantics are pinned so the unrolled-SQL oracle matches exactly):
@@ -166,22 +203,13 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
     it, so forcing a co-partitioning shuffle of the big edge table costs
     more than it saves.)"""
     nodes = graph.nodes.select("id").cache()
-    edges = graph.edges.select("src", "dst")
-    deg = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("src", "deg_src")
-    )
     # deg (not 1/deg) rides along: pr/deg stays bit-identical to the
     # oracle's division — a fused reciprocal multiply is not
-    e2 = (
-        edges.join(deg, edges.src == F.col("deg_src"))
-        .select("src", "dst", "deg")
-        .cache()
-    )
+    e2 = _degree_folded_edges(graph)
     try:
         n = nodes.count()
         pr = nodes.withColumn("pr", F.lit(1.0 / n))
-        for _ in range(iters):
+        for i in range(iters):
             contribs = (
                 pr.join(e2, pr.id == e2.src)
                 .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
@@ -195,9 +223,9 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
                     (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
                 )
             )
-            pr = iter_checkpoint(pr)
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                pr = iter_checkpoint(pr)
     finally:
-        e2.unpersist()
         nodes.unpersist()
     return pr
 
@@ -218,16 +246,7 @@ def personalized_pagerank(
     uniform constant."""
     nodes = graph.nodes.select("id").cache()
     s = seeds.select("id").dropDuplicates()
-    edges = graph.edges.select("src", "dst")
-    deg = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("src", "deg_src")
-    )
-    e2 = (
-        edges.join(deg, edges.src == F.col("deg_src"))
-        .select("src", "dst", "deg")
-        .cache()
-    )
+    e2 = _degree_folded_edges(graph)
     reset = (
         nodes.join(s.withColumn("_is", F.lit(1.0)), on="id", how="left")
         .select("id", F.coalesce(F.col("_is"), F.lit(0.0)).alias("ind"))
@@ -238,7 +257,7 @@ def personalized_pagerank(
         if ns == 0:
             raise ValueError("personalized_pagerank needs a non-empty seed set")
         pr = reset.select("id", (F.col("ind") / F.lit(float(ns))).alias("pr"))
-        for _ in range(iters):
+        for i in range(iters):
             contribs = (
                 pr.join(e2, pr.id == e2.src)
                 .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
@@ -255,9 +274,9 @@ def personalized_pagerank(
                     ).alias("pr"),
                 )
             )
-            pr = iter_checkpoint(pr)
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                pr = iter_checkpoint(pr)
     finally:
-        e2.unpersist()
         reset.unpersist()
         nodes.unpersist()
     return pr
