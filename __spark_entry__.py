@@ -601,6 +601,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": lambda spark, sf_dir: TX.bm25_score(
             load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
         ),
+        # set queries + row generators (round-5 extensions)
+        "cypher_union": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_1' RETURN c "
+            "UNION MATCH (c:Customer) WHERE c.acctbal >= 9000 RETURN c"
+        ),
+        "cypher_unwind": _cypher(
+            "UNWIND [1, 2, 3] AS k "
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN r, k"
+        ),
         # --- driver-window rotation -------------------------------------
         # The correctness driver checks the FIRST 50 dict entries only.
         # Least-recently-driver-verified gates go first (VERDICT r4 #1):
@@ -1837,6 +1847,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source <> 'src19'
         """,
         "text_bm25": _bm25_oracle(["spark", "table", "query"]),
+        "cypher_union": f"""
+            SELECT {_CID} AS c
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            UNION
+            SELECT {_CID} AS c FROM customer WHERE c_acctbal >= 9000
+        """,
+        "cypher_unwind": f"""
+            SELECT DISTINCT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r,
+                   CAST(k AS BIGINT) AS k
+            FROM nation, (VALUES (1), (2), (3)) t(k)
+        """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
         """,

@@ -59,11 +59,56 @@ class PlannedQuery:
     cost: float = 0.0
 
 
+_UNWIND = re.compile(
+    r"(?is)^\s*UNWIND\s*\[(?P<list>[^\]]*)\]\s+AS\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+(?P<rest>.+)$"
+)
+_IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
+
+
+def _split_union(query: str) -> tuple[list[str], bool]:
+    """Top-level UNION [ALL] segments. openCypher forbids mixing UNION
+    and UNION ALL in one query; so do we."""
+    parts = _split_bool(query.strip(), "UNION")
+    if len(parts) <= 1:
+        return parts, False
+    alls = []
+    segs = [parts[0]]
+    for p in parts[1:]:
+        m = re.match(r"(?is)^ALL\s+(?P<rest>.+)$", p.strip())
+        alls.append(bool(m))
+        segs.append(m.group("rest") if m else p)
+    if len(set(alls)) > 1:
+        raise CypherParseError("cannot mix UNION and UNION ALL in one query")
+    return segs, alls[0]
+
+
 def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataFrame:
     """Parse + plan + emit. Result: one column per returned binding holding
     node ids; with resolve=True, payload rows (id + label per binding,
     Readme.md:66-70 result semantics). Queries with top-level WITH run as
-    a stage pipeline (extension beyond the reference surface)."""
+    a stage pipeline; UNION [ALL] combines same-shaped sub-queries; a
+    leading UNWIND over a literal list cross-multiplies the match rows
+    (all extensions beyond the reference surface)."""
+    segs, union_all = _split_union(query)
+    if len(segs) > 1:
+        dfs = [run_cypher(graph, s, resolve=resolve) for s in segs]
+        cols = sorted(dfs[0].columns)
+        for d in dfs[1:]:
+            if sorted(d.columns) != cols:
+                raise CypherParseError(
+                    f"UNION sides return different columns: {cols} vs {sorted(d.columns)}"
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        # UNION dedups across sides; each side is already distinct under
+        # the engine's existence semantics, so ALL only skips that final
+        # cross-side dedup
+        return out if union_all else out.dropDuplicates()
+    um = _UNWIND.match(query)
+    if um:
+        return _run_unwind(graph, um, resolve)
     parts = split_with(query)
     if parts is not None:
         df, bindings = _run_with_pipeline(graph, parts)
@@ -80,6 +125,59 @@ def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataF
             )
             df = df.join(n, on=b, how="left")
     return df
+
+
+def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFrame:
+    """UNWIND [literals] AS x (chainable): a literal-list row generator
+    cross-multiplied with the remaining query's (distinct) match rows —
+    list duplicates are preserved, matching openCypher's row semantics
+    for the generator itself. The unwound names must appear in RETURN to
+    be emitted; they cannot be referenced in WHERE (the pattern planner
+    owns predicate pushdown, and a literal-list membership test belongs
+    in `prop IN [...]` instead)."""
+    spark = graph.spark
+    unwinds: list[tuple[str, DataFrame]] = []
+    rest = None
+    while um:
+        name, items_txt, rest = um.group("name"), um.group("list"), um.group("rest")
+        vals = []
+        for raw in items_txt.split(","):
+            m = _IN_ITEM.match(raw)
+            if not m:
+                raise CypherParseError(f"unsupported UNWIND list item: {raw!r}")
+            tok = m.group(1)
+            vals.append(tok[1:-1] if tok[0] in "'\"" else (
+                float(tok) if "." in tok else int(tok)))
+        if not vals:
+            raise CypherParseError("UNWIND over an empty list")
+        kinds = {type(v) for v in vals}
+        if len(kinds) > 1:
+            raise CypherParseError(f"mixed-type UNWIND list: {items_txt!r}")
+        dt = {str: "string", int: "long", float: "double"}[kinds.pop()]
+        unwinds.append((name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}")))
+        um = _UNWIND.match(rest)
+    unames = {n for n, _ in unwinds}
+    rm = re.match(r"(?is)^(?P<head>.*?)\bRETURN\s+(?P<items>.+)$", rest.strip())
+    if not rm:
+        raise CypherParseError(f"UNWIND query needs a RETURN clause: {rest!r}")
+    items = [i.strip() for i in rm.group("items").split(",")]
+    kept = [i for i in items if i not in unames]
+    requested = [n for n, _ in unwinds if n in items]
+    out = None
+    if kept:
+        inner = f"{rm.group('head')}RETURN {', '.join(kept)}"
+        out = run_cypher(graph, inner, resolve=resolve)
+    elif rm.group("head").strip():
+        raise CypherParseError(
+            "UNWIND with a MATCH body must RETURN at least one pattern binding"
+        )
+    for name, vdf in unwinds:
+        if name not in requested:
+            continue
+        out = vdf if out is None else out.crossJoin(F.broadcast(vdf))
+    if out is None:
+        raise CypherParseError("UNWIND query returned no columns")
+    return out
 
 
 _OPS = {

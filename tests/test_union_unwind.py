@@ -1,0 +1,95 @@
+"""UNION [ALL] set queries and UNWIND literal-list row generators
+(extensions beyond the reference surface, which has no set ops at the
+query level — SURVEY §2.7; matrix-level union lives in grblas.ewise)."""
+
+import pytest
+
+from g4s_spark.cypher import CypherParseError
+from g4s_spark.graph import PropertyGraph
+from g4s_spark.plans import run_cypher
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "B"), (2, "B"), (3, "C"), (5, "A")],
+        edges=[(0, 1, "X"), (0, 2, "X"), (1, 3, "Y"), (5, 1, "X")],
+    ).cache()
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_union_dedups_across_sides(g):
+    got = rows(run_cypher(
+        g,
+        "MATCH (a:A)-[:X]->(b:B) RETURN b "
+        "UNION MATCH (b:B)-[:Y]->(c:C) RETURN b",
+    ))
+    # side 1: {1, 2}; side 2: {1}; UNION dedups the shared 1
+    assert got == [(1,), (2,)]
+
+
+def test_union_all_keeps_cross_side_duplicates(g):
+    got = rows(run_cypher(
+        g,
+        "MATCH (a:A)-[:X]->(b:B) RETURN b "
+        "UNION ALL MATCH (b:B)-[:Y]->(c:C) RETURN b",
+    ))
+    assert got == [(1,), (1,), (2,)]
+
+
+def test_union_mismatched_columns_rejected(g):
+    with pytest.raises(CypherParseError, match="different columns"):
+        run_cypher(
+            g,
+            "MATCH (a:A)-[:X]->(b:B) RETURN a UNION MATCH (b:B) RETURN b",
+        )
+
+
+def test_union_mixing_all_rejected(g):
+    with pytest.raises(CypherParseError, match="mix"):
+        run_cypher(
+            g,
+            "MATCH (b:B) RETURN b UNION MATCH (b:B) RETURN b "
+            "UNION ALL MATCH (b:B) RETURN b",
+        )
+
+
+def test_unwind_cross_multiplies_matches(g):
+    got = rows(run_cypher(
+        g, "UNWIND [10, 20] AS k MATCH (b:B)-[:Y]->(c:C) RETURN b, k"
+    ))
+    assert got == [(1, 10), (1, 20)]
+
+
+def test_unwind_standalone_and_duplicates(g):
+    got = rows(run_cypher(g, "UNWIND [1, 2, 2] AS x RETURN x"))
+    # the generator itself preserves list duplicates
+    assert got == [(1,), (2,), (2,)]
+
+
+def test_unwind_chained(g):
+    got = rows(run_cypher(g, "UNWIND [1, 2] AS x UNWIND ['u'] AS y RETURN x, y"))
+    assert got == [(1, "u"), (2, "u")]
+
+
+def test_unwind_name_not_returned_is_dropped(g):
+    got = rows(run_cypher(g, "UNWIND [7] AS k MATCH (c:C) RETURN c"))
+    assert got == [(3,)]
+
+
+def test_unwind_mixed_types_rejected(g):
+    with pytest.raises(CypherParseError, match="mixed-type"):
+        run_cypher(g, "UNWIND [1, 'a'] AS x RETURN x")
+
+
+def test_unwind_inside_union_side(g):
+    got = rows(run_cypher(
+        g,
+        "UNWIND [9] AS k MATCH (c:C) RETURN c "
+        "UNION ALL MATCH (b:B)-[:Y]->(c:C) RETURN c",
+    ))
+    assert got == [(3,), (3,)]
