@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # namesake's execution shape on the adapted schema — see
         # g4s_spark/functions/relational.py docstrings.
         "rel_q2_min_cost": _rel("rel_q2_min_cost"),
+        "rel_quantiles": _rel("rel_quantiles"),
         "rel_q7_volume": _rel("rel_q7_volume"),
         "rel_q8_market_share": _rel("rel_q8_market_share"),
         "rel_q9_profit": _rel("rel_q9_profit"),
@@ -600,6 +601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_bm25": lambda spark, sf_dir: TX.bm25_score(
             load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
+        ),
+        # streaming twins with batch oracles (round-5 extensions)
+        "events_enrich": lambda spark, sf_dir: EV.enrich_events(
+            load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+        ),
+        "events_trending": lambda spark, sf_dir: EV.trending_topk(
+            load_table(spark, sf_dir, "events"), k=3
         ),
         # set queries + row generators (round-5 extensions)
         "cypher_union": _cypher(
@@ -1847,6 +1855,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source <> 'src19'
         """,
         "text_bm25": _bm25_oracle(["spark", "table", "query"]),
+        "rel_quantiles": """
+            SELECT l_returnflag AS returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.9) AS p90,
+                   floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000 AS sd_price,
+                   floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price
+            FROM lineitem GROUP BY 1
+        """,
+        "events_enrich": """
+            SELECT event_id, user_id, event_type,
+                   c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey
+            FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "events_trending": """
+            WITH counts AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n, rnk FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY window_start ORDER BY n DESC, event_type ASC
+                ) AS BIGINT) AS rnk
+                FROM counts
+            ) WHERE rnk <= 3
+        """,
         "cypher_union": f"""
             SELECT {_CID} AS c
             FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -433,7 +433,32 @@ def q22_idle_customers(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def quantile_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact distribution statistics per return flag: interpolated
+    percentiles (sort-based, bit-identical across engines — verified
+    against DuckDB quantile_cont), sample stddev and quantity-price
+    correlation (single-pass co-moments; rounded, since the co-moment
+    accumulation order differs across engines in the last ulp).
+
+    Scale note: exact percentiles need a per-group sort — at 100 TB
+    switch to approx_percentile, which sketches in one pass and
+    map-side-combines; this gate pins the exact semantics."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            pround(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        )
+        .select(F.col("l_returnflag").alias("returnflag"), "p50", "p90",
+                "sd_price", "corr_qty_price")
+    )
+
+
 QUERIES = {
+    "rel_quantiles": quantile_stats,
     "rel_q2_min_cost": q2_min_cost_supplier,
     "rel_q7_volume": q7_volume_shipping,
     "rel_q8_market_share": q8_market_share,

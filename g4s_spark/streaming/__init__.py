@@ -1,9 +1,12 @@
 from .dedup import dedup_docs_batch, dedup_docs_stream
 from .events import (
+    enrich_events,
     event_followups,
     event_followups_stream,
     read_events_stream,
     stream_edges_into_graph,
+    trending_topk,
+    trending_topk_stream,
     session_counts,
     session_window_counts,
     sessionize,
@@ -18,4 +21,5 @@ __all__ = [
     "read_events_stream", "stream_edges_into_graph",
     "dedup_docs_stream", "dedup_docs_batch",
     "event_followups", "event_followups_stream",
+    "enrich_events", "trending_topk", "trending_topk_stream",
 ]

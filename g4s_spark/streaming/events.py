@@ -220,6 +220,78 @@ def event_followups_stream(
     )
 
 
+def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each event joined to its user's
+    dimension row (customer keyed by custkey = user_id). The dimension
+    broadcasts — in streaming this is the canonical stream-static join,
+    re-broadcast per micro-batch with no state. Works unchanged on a
+    batch OR streaming `events` input (the expression is identical)."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        )
+    )
+    return events.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "segment", "nationkey"
+    )
+
+
+def trending_topk(events: DataFrame, k: int = 3, width: str = "1 hour") -> DataFrame:
+    """Windowed trending: the top-k event types per tumbling window by
+    count (ties broken by type name for determinism). Batch shape —
+    counts then rank-within-window; the per-window groups are tiny
+    (|event types|), so the rank window never sees unbounded rows."""
+    counts = (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "rnk")
+    )
+
+
+def trending_topk_stream(
+    events_stream: DataFrame,
+    sink,
+    checkpoint: str,
+    k: int = 3,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming twin of trending_topk: windowed counts aggregate under
+    the watermark in the stream; the rank-within-window (not expressible
+    mid-stream in append mode) runs in foreachBatch on each micro-batch's
+    finalized windows — `sink(batch_df, batch_id)` receives the ranked
+    top-k rows. Returns the StreamingQuery; callers own stop()."""
+    counts = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+
+    def rank_and_sink(batch_df, batch_id):
+        ranked = (
+            batch_df.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "rnk")
+        )
+        sink(ranked, batch_id)
+
+    return (
+        counts.writeStream.foreachBatch(rank_and_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_edges_into_graph(
     events_stream: DataFrame, out_path: str, checkpoint: str
 ):

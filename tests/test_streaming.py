@@ -345,3 +345,48 @@ def test_event_followups_stream_batch_equivalence(spark, events):
     }
     assert got == batch_pairs
     assert batch_pairs, "fixture must contain follow-up pairs"
+
+
+def test_enrich_events_stream_static(spark, events, tmp_path):
+    """Stream-static broadcast join: streaming events enriched with the
+    static customer dimension match the batch twin row-for-row."""
+    from g4s_spark.streaming import enrich_events
+
+    customer = load_table(spark, SF, "customer")
+    batch = enrich_events(events, customer)
+    assert batch.count() == events.count()  # every user has a dim row
+
+    stream = enrich_events(read_events_stream(spark, SF), customer)
+    out = str(tmp_path / "enrich_out")
+    chk = str(tmp_path / "enrich_chk")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_trending_topk_stream_matches_batch(spark, events, tmp_path):
+    """foreachBatch rank-in-sink: the streaming top-k over finalized
+    windows equals the batch twin after one availableNow drain."""
+    from g4s_spark.streaming import trending_topk, trending_topk_stream
+
+    batch = sorted(map(tuple, trending_topk(events, k=2).collect()))
+    got = []
+
+    def sink(df, _bid):
+        got.extend(tuple(r) for r in df.collect())
+
+    q = trending_topk_stream(
+        read_events_stream(spark, SF), sink, str(tmp_path / "trend_chk"), k=2
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == batch
+    # per-window invariant: ranks are 1..k without gaps
+    by_window = {}
+    for ws, _et, _n, rnk in got:
+        by_window.setdefault(ws, []).append(rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_window.values())
