@@ -48,6 +48,7 @@ from g4s_spark.graph.tpch import (
 from g4s_spark.operators import (
     bfs,
     connected_components,
+    k_core,
     pagerank,
     personalized_pagerank,
     sssp,
@@ -124,6 +125,12 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_pairs(spark, sf_dir))
+
+
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-purchase projection (non-trivial at sf0.01:
+    peels ~7% of parts over ~6 iterations)."""
+    return k_core(_copurchase_pairs(spark, sf_dir), k=80)
 
 
 def _li_matrices(spark: SparkSession, sf_dir: str):
@@ -603,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
         ),
         # streaming twins with batch oracles (round-5 extensions)
+        "graph_kcore": _q_graph_kcore,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -913,6 +921,39 @@ def _ppr_oracle(seed_sql: str, iters: int = 3, d: float = 0.85) -> str:
         pr0 AS (SELECT r.id, r.ind / c.n AS pr FROM r CROSS JOIN cnt c),
         {",".join(its)}
         SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
+
+
+def _kcore_oracle(k: int, iters: int = 12) -> str:
+    """Unrolled peeling matching operators.k_core exactly: each level
+    keeps edges whose BOTH endpoints have degree >= k at the previous
+    level. The fixpoint is unique, so any unroll depth >= the
+    convergence depth (6 at sf0.01 for k=80) yields identical output;
+    MATERIALIZED stops the per-level double reference from exploding."""
+    prev = "e0"
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+            e{t} AS MATERIALIZED (
+                SELECT e.src, e.dst FROM {prev} e
+                SEMI JOIN (SELECT src FROM {prev} GROUP BY src
+                           HAVING count(*) >= {k}) ks ON e.src = ks.src
+                SEMI JOIN (SELECT src FROM {prev} GROUP BY src
+                           HAVING count(*) >= {k}) kd ON e.dst = kd.src
+            )""")
+        prev = f"e{t}"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+            WHERE l1.l_partkey < l2.l_partkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+        ),
+        {",".join(its)}
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
+        FROM {prev} GROUP BY 1
     """
 
 
@@ -1863,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) / 1000000 AS corr_qty_price
             FROM lineitem GROUP BY 1
         """,
+        "graph_kcore": _kcore_oracle(80),
         "events_enrich": """
             SELECT event_id, user_id, event_type,
                    c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey

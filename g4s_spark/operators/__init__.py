@@ -5,10 +5,11 @@ from .algorithms import (
     personalized_pagerank,
     reachable,
     sssp,
+    k_core,
     triangle_count,
 )
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count",
+    "connected_components", "triangle_count", "k_core",
 ]

@@ -329,6 +329,53 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
     return comp
 
 
+def k_core(pairs: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    of degree < k (and their edges) until every surviving node has ≥ k
+    neighbors in the surviving subgraph. Input: undirected canonical
+    pairs (a < b). Returns (id long, core_deg long) — each member of the
+    k-core with its within-core degree.
+
+    Scale shape: each peel is one degree aggregation + two semi-joins on
+    the surviving edge set, all keyed on node id; the edge set shrinks
+    monotonically, so later iterations cost less. The survivor count
+    (needed for convergence anyway) doubles as the lineage-truncation
+    materialization. Raises if max_iters peels don't reach the fixpoint
+    — a partially-peeled graph is wrong, not approximate."""
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    cur = iter_checkpoint(sym)
+    prev_alive = -1
+    for _ in range(max_iters):
+        keep = (
+            cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        keep = iter_checkpoint(keep)
+        alive = keep.count()
+        if alive == prev_alive:
+            break
+        if alive == 0:
+            cur = cur.limit(0)
+            break
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "src"), on="src", how="left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+        )
+        cur = iter_checkpoint(cur)
+        prev_alive = alive
+    else:
+        raise RuntimeError(f"k_core did not converge within {max_iters} peels")
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .select(F.col("src").alias("id"), "core_deg")
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangle count over an undirected edge list given as canonical
     pairs (a < b). Standard 3-way self-join on ordered vertices; the

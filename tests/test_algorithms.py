@@ -151,3 +151,22 @@ def test_personalized_pagerank_mass_at_seeds(spark):
         assert ppr_all[k] == pytest.approx(plain[k], abs=1e-12)
     with pytest.raises(ValueError, match="non-empty seed"):
         personalized_pagerank(g, spark.createDataFrame([], "id long"), iters=1).collect()
+
+
+def test_k_core_peels_pendant_chain(spark):
+    """K4 with a pendant chain: the 2-core is exactly the K4 (the chain
+    peels away over two iterations), each member with core degree 3."""
+    from g4s_spark.operators import k_core
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5)]
+    pairs = spark.createDataFrame(k4 + chain, "a long, b long")
+    got = sorted(tuple(r) for r in k_core(pairs, 2).collect())
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_k_core_empty_when_k_too_high(spark):
+    from g4s_spark.operators import k_core
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    assert k_core(pairs, 5).count() == 0
