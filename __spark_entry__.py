@@ -575,7 +575,49 @@ def _rel(name: str):
     return run
 
 
+# --- driver-window rotation ----------------------------------------------
+# The correctness driver checks the FIRST 50 dict entries only. Priority
+# (VERDICT r4 #1): gates that have NEVER had a driver row, then gates whose
+# semantics changed after their last row. This round: 25 session-2 gates +
+# 19 session-1 gates + 4 of the 5 r4-era never-checked + the 2 LSH gates
+# stale since their r3 rows = 50. Two deferrals, first in line next round:
+# events_sliding_window (a pure built-in window expression, locally green
+# since r4) and sample_deterministic (its _md5_bucket core is a strict
+# subset of sample_stratified's in-window path). Everything at 51+ is
+# green in the local full check (scripts/check_correctness.py).
+_WINDOW_ORDER = [
+    # session-2 additions (never checked)
+    "rel_q2_min_cost", "rel_quantiles", "rel_q7_volume", "rel_q8_market_share",
+    "rel_q9_profit", "rel_q11_important_stock", "rel_q13_order_dist",
+    "rel_q14_promo", "rel_q15_top_supplier", "rel_q16_supplier_cnt",
+    "rel_q17_small_qty", "rel_q18_large_orders", "rel_q19_disjunctive",
+    "rel_q20_part_share", "rel_q21_waiting", "rel_q22_idle_cust",
+    "text_repetition", "text_decontaminate", "text_bm25", "text_vocab",
+    "graph_kcore",
+    "events_enrich", "events_trending", "cypher_union", "cypher_unwind",
+    # session-1 additions (never checked)
+    "cypher_undirected", "cypher_with_having", "cypher_with_chain",
+    "cypher_shortest_path", "cypher_collect", "cypher_edge_agg", "graph_ppr",
+    "cypher_skip_limit", "cypher_where_in", "cypher_where_string_fns",
+    "cypher_exists", "cypher_not_exists",
+    "sample_stratified", "pack_sequences", "knn_join", "events_followups",
+    "rel_q4_priority", "rel_q12_priority_class", "pipeline_pretrain_mix",
+    # round-4-era gates without a driver row
+    "dedup_clusters", "ann_ivf_topk", "multimodal_frames",
+    "events_session_window",
+    # stale since r3 (seeded-LSH bucket change postdates their last row)
+    "ann_lsh_topk", "dedup_embedding_lsh",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_unordered()
+    ordered = {k: base.pop(k) for k in _WINDOW_ORDER}
+    ordered.update(base)
+    return ordered
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # TPC-H operator-matrix completion (round 5): each keeps its
         # namesake's execution shape on the adapted schema — see
@@ -608,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_bm25": lambda spark, sf_dir: TX.bm25_score(
             load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
+        ),
+        "text_vocab": lambda spark, sf_dir: TX.build_vocab(
+            load_table(spark, sf_dir, "documents"), size=30
         ),
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
@@ -1922,6 +1967,18 @@ def oracle_sql() -> dict[str, str]:
                 ) AS BIGINT) AS rnk
                 FROM counts
             ) WHERE rnk <= 3
+        """,
+        "text_vocab": f"""
+            SELECT token, count, vocab_id FROM (
+                SELECT token, count,
+                       CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
+                            AS BIGINT) AS vocab_id
+                FROM (
+                    SELECT u.token, CAST(count(*) AS BIGINT) AS count
+                    FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(token)
+                    GROUP BY 1
+                ) c WHERE count >= 2
+            ) WHERE vocab_id < 30
         """,
         "cypher_union": f"""
             SELECT {_CID} AS c

@@ -258,6 +258,38 @@ def bm25_score(
     return j.select(F.col(id_col), pround(score, 6).alias("bm25"))
 
 
+def build_vocab(
+    df: DataFrame,
+    size: int | None = None,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary with stable ids: tokens ranked by total count
+    (ties by token text), id 0 = most frequent — the tokenizer-training
+    primitive (word-level here; BPE merges would iterate on top of these
+    counts). Returns (token, count, vocab_id).
+
+    Scale shape: one explode + groupBy(token) with map-side combine;
+    the global rank is a single-partition window over the AGGREGATED
+    vocab (|tokens| rows, tiny next to the corpus) — the same
+    final-rank trade every distributed top-k makes. ``size`` caps the
+    vocabulary; ``min_count`` drops the long tail before ranking."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    out = counts.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("long"))
+    if size is not None:
+        out = out.filter(F.col("vocab_id") < size)
+    return out.select("token", "count", "vocab_id")
+
+
 def doc_frequency(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2
 ) -> DataFrame:
