@@ -263,3 +263,71 @@ def test_with_pipeline_matches_model(spark, edges, k):
         if len(out_x[a]) >= k and out_y.get(a)
     }
     assert got == want
+
+
+@st.composite
+def undirected_pairs(draw, n=8):
+    npairs = draw(st.integers(1, n * (n - 1) // 2))
+    pairs = draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=npairs, max_size=npairs, unique=True,
+    ))
+    return sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+
+
+@given(pairs=undirected_pairs(), k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_k_core_matches_python_peeling(spark, pairs, k):
+    """k_core vs a pure-python peel: same member set, and every member's
+    within-core degree >= k (self-consistency the definition demands)."""
+    from g4s_spark.operators import k_core
+
+    if not pairs:
+        return
+    # python oracle: peel to fixpoint
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: r.core_deg for r in k_core(df, k).collect()}
+    assert set(got) == alive
+    assert all(got[v] == len(adj[v] & alive) for v in alive)
+    assert all(d >= k for d in got.values())
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=3,
+    ),
+    n=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_brute_force(spark, docs, bench, n):
+    """decontaminate vs brute-force n-gram overlap on tiny random docs."""
+    from g4s_spark.functions.text import decontaminate
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    expect = {i: bool(grams(t) & bench_grams) for i, t in enumerate(docs)}
+
+    corpus_df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    bench_df = spark.createDataFrame(
+        [(i + 1000, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(corpus_df, bench_df, n=n).collect()}
+    assert got == expect
