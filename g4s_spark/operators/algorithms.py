@@ -42,6 +42,24 @@ def _bc(df: DataFrame, n_rows: int, broadcast: bool | None):
     return F.broadcast(df) if broadcast else df
 
 
+def _cached_typed_edges(
+    graph: PropertyGraph, edge_types: list[str] | None, cols: tuple[str, ...]
+) -> DataFrame:
+    """Per-graph memo of the cached (typed) edge projection every
+    iteration re-joins — bfs/sssp on the same graph reuse the
+    materialized cache across calls instead of paying the scan+filter
+    per call (same session-amortization pattern as _degree_folded_edges;
+    the cache is never unpersisted inside one algorithm call anymore,
+    it lives with the graph)."""
+    key = (tuple(edge_types) if edge_types else None, cols)
+    memo = getattr(graph, "_typed_edge_cache", None)
+    if memo is None:
+        memo = graph._typed_edge_cache = {}
+    if key not in memo:
+        memo[key] = graph.typed_edges(edge_types).select(*cols).cache()
+    return memo[key]
+
+
 def bfs(
     graph: PropertyGraph,
     start_ids: list[int],
@@ -59,31 +77,28 @@ def bfs(
     so the monotonically-growing visited set never gets broadcast
     unboundedly."""
     spark = graph.spark
-    edges = graph.typed_edges(edge_types).select("src", "dst").cache()
+    edges = _cached_typed_edges(graph, edge_types, ("src", "dst"))
     visited = spark.createDataFrame([(int(s), 0) for s in start_ids], "id long, dist long")
     frontier = visited.select("id")
     n_frontier = n_visited = len(start_ids)
     dist = 0
-    try:
-        while max_hops is None or dist < max_hops:
-            dist += 1
-            nxt = (
-                _bc(frontier, n_frontier, broadcast_frontier)
-                .join(edges, frontier.id == edges.src)
-                .select(F.col("dst").alias("id"))
-                .dropDuplicates(["id"])
-                .join(_bc(visited.select("id"), n_visited, broadcast_frontier), on="id", how="left_anti")
-            )
-            nxt = iter_checkpoint(nxt)
-            n_new = nxt.count()  # nxt is checkpointed: count is a cheap re-scan
-            if n_new == 0:
-                break
-            visited = iter_checkpoint(visited.unionByName(nxt.withColumn("dist", F.lit(dist))))
-            frontier = nxt
-            n_frontier = n_new
-            n_visited += n_new
-    finally:
-        edges.unpersist()
+    while max_hops is None or dist < max_hops:
+        dist += 1
+        nxt = (
+            _bc(frontier, n_frontier, broadcast_frontier)
+            .join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates(["id"])
+            .join(_bc(visited.select("id"), n_visited, broadcast_frontier), on="id", how="left_anti")
+        )
+        nxt = iter_checkpoint(nxt)
+        n_new = nxt.count()  # nxt is checkpointed: count is a cheap re-scan
+        if n_new == 0:
+            break
+        visited = iter_checkpoint(visited.unionByName(nxt.withColumn("dist", F.lit(dist))))
+        frontier = nxt
+        n_frontier = n_new
+        n_visited += n_new
     return visited
 
 
@@ -100,9 +115,9 @@ def sssp(
     relaxation). Returns (id long, dist). Same caching/size-aware
     broadcast strategy as bfs(). Raises if max_iters is hit before the
     fixpoint (never a silently-truncated answer)."""
-    edges = graph.typed_edges(edge_types).select(
+    edges = _cached_typed_edges(graph, edge_types, ("src", "dst", weight_col)).select(
         "src", "dst", F.col(weight_col).alias("w")
-    ).cache()
+    )
     spark = graph.spark
     # distance domain follows the weight type (long weights -> exact long
     # distances for oracle comparison; double weights -> double distances)
@@ -111,39 +126,36 @@ def sssp(
     dist = spark.createDataFrame([(int(s), zero) for s in start_ids], f"id long, dist {wtype}")
     frontier = dist  # nodes whose distance improved last round
     n_frontier = n_dist = len(start_ids)
-    try:
-        for _ in range(max_iters):
-            candidates = (
-                _bc(frontier, n_frontier, broadcast_frontier)
-                .join(edges, frontier.id == edges.src)
-                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
-                .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
-            )
-            # keep only strict improvements over current distances
-            improved = (
-                candidates.alias("c")
-                .join(_bc(dist, n_dist, broadcast_frontier).alias("d"), on="id", how="left")
-                .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
-                .select("id", F.col("c.dist").alias("dist"))
-            )
-            improved = iter_checkpoint(improved)
-            n_improved = improved.count()
-            if n_improved == 0:
-                break
-            dist = iter_checkpoint(
-                dist.join(improved.select("id"), on="id", how="left_anti").unionByName(improved)
-            )
-            frontier = improved
-            n_frontier = n_improved
-            n_dist = dist.count()
-        else:
-            raise RuntimeError(
-                f"sssp did not converge within {max_iters} iterations; "
-                "raise max_iters (matches MAX_CLOSURE_ITERS hard-error behavior)"
-            )
-    finally:
-        edges.unpersist()
+    for _ in range(max_iters):
+        candidates = (
+            _bc(frontier, n_frontier, broadcast_frontier)
+            .join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # keep only strict improvements over current distances
+        improved = (
+            candidates.alias("c")
+            .join(_bc(dist, n_dist, broadcast_frontier).alias("d"), on="id", how="left")
+            .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
+            .select("id", F.col("c.dist").alias("dist"))
+        )
+        improved = iter_checkpoint(improved)
+        n_improved = improved.count()
+        if n_improved == 0:
+            break
+        dist = iter_checkpoint(
+            dist.join(improved.select("id"), on="id", how="left_anti").unionByName(improved)
+        )
+        frontier = improved
+        n_frontier = n_improved
+        n_dist = dist.count()
+    else:
+        raise RuntimeError(
+            f"sssp did not converge within {max_iters} iterations; "
+            "raise max_iters (matches MAX_CLOSURE_ITERS hard-error behavior)"
+        )
     return dist
 
 
