@@ -580,21 +580,24 @@ def _rel(name: str):
 # (VERDICT r4 #1): gates that have NEVER had a driver row, then gates whose
 # semantics changed after their last row. This round: 25 session-2 gates +
 # 19 session-1 gates + 4 of the 5 r4-era never-checked + the 2 LSH gates
-# stale since their r3 rows = 50. Two deferrals, first in line next round:
-# events_sliding_window (a pure built-in window expression, locally green
-# since r4) and sample_deterministic (its _md5_bucket core is a strict
-# subset of sample_stratified's in-window path). Everything at 51+ is
-# green in the local full check (scripts/check_correctness.py).
+# stale since their r3 rows = 50. Three deferrals, first in line next
+# round: events_sliding_window (a pure built-in window expression, locally
+# green since r4), sample_deterministic (its _md5_bucket core is a strict
+# subset of sample_stratified's in-window path), and rel_q14_promo (same
+# conditional-aggregate-ratio shape as the in-window rel_q8_market_share).
+# Everything at 51+ is green in the local full check
+# (scripts/check_correctness.py).
 _WINDOW_ORDER = [
     # session-2 additions (never checked)
     "rel_q2_min_cost", "rel_quantiles", "rel_q7_volume", "rel_q8_market_share",
     "rel_q9_profit", "rel_q11_important_stock", "rel_q13_order_dist",
-    "rel_q14_promo", "rel_q15_top_supplier", "rel_q16_supplier_cnt",
+    "rel_q15_top_supplier", "rel_q16_supplier_cnt",
     "rel_q17_small_qty", "rel_q18_large_orders", "rel_q19_disjunctive",
     "rel_q20_part_share", "rel_q21_waiting", "rel_q22_idle_cust",
     "text_repetition", "text_decontaminate", "text_bm25", "text_vocab",
     "graph_kcore",
-    "events_enrich", "events_trending", "cypher_union", "cypher_unwind",
+    "events_enrich", "events_trending", "events_anomalies", "cypher_union",
+    "cypher_unwind",
     # session-1 additions (never checked)
     "cypher_undirected", "cypher_with_having", "cypher_with_chain",
     "cypher_shortest_path", "cypher_collect", "cypher_edge_agg", "graph_ppr",
@@ -661,6 +664,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_trending": lambda spark, sf_dir: EV.trending_topk(
             load_table(spark, sf_dir, "events"), k=3
+        ),
+        "events_anomalies": lambda spark, sf_dir: EV.window_anomalies(
+            load_table(spark, sf_dir, "events"), z_threshold=2.0
         ),
         # set queries + row generators (round-5 extensions)
         "cypher_union": _cypher(
@@ -1979,6 +1985,21 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1
                 ) c WHERE count >= 2
             ) WHERE vocab_id < 30
+        """,
+        "events_anomalies": """
+            WITH counts AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type, avg(n) AS mean_n, stddev_samp(n) AS sd_n
+                FROM counts GROUP BY 1
+            )
+            SELECT window_start, c.event_type, n,
+                   floor(((n - mean_n) / sd_n) * 10000 + 0.5) / 10000 AS z
+            FROM counts c JOIN stats s ON c.event_type = s.event_type
+            WHERE sd_n > 0 AND abs((n - mean_n) / sd_n) >= 2.0
         """,
         "cypher_union": f"""
             SELECT {_CID} AS c

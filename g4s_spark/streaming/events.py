@@ -220,6 +220,36 @@ def event_followups_stream(
     )
 
 
+def window_anomalies(
+    events: DataFrame, width: str = "1 hour", z_threshold: float = 2.0
+) -> DataFrame:
+    """Volume-anomaly detection: windows whose event count deviates from
+    that type's across-window mean by >= z_threshold sample standard
+    deviations. Two-level aggregation — windowed counts, then per-type
+    moments — with the tiny per-type stats broadcast back onto the
+    counts; nothing touches the driver. (Streaming deployments compute
+    the same expression per micro-batch in foreachBatch against
+    stats frozen from history — detecting anomalies against a
+    still-accumulating mean would drift.)"""
+    counts = (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("sd_n")
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd_n") > 0) & (F.abs(z) >= z_threshold))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n",
+            pround(z, 4).alias("z"),
+        )
+    )
+
+
 def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static enrichment: each event joined to its user's
     dimension row (customer keyed by custkey = user_id). The dimension
