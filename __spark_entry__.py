@@ -580,13 +580,14 @@ def _rel(name: str):
 # (VERDICT r4 #1): gates that have NEVER had a driver row, then gates whose
 # semantics changed after their last row. This round: 25 session-2 gates +
 # 19 session-1 gates + 4 of the 5 r4-era never-checked + the 2 LSH gates
-# stale since their r3 rows = 50. Three deferrals, first in line next
-# round: events_sliding_window (a pure built-in window expression, locally
-# green since r4), sample_deterministic (its _md5_bucket core is a strict
-# subset of sample_stratified's in-window path), and rel_q14_promo (same
-# conditional-aggregate-ratio shape as the in-window rel_q8_market_share).
-# Everything at 51+ is green in the local full check
-# (scripts/check_correctness.py).
+# stale since their r3 rows = 50. Five deferrals, first in line next
+# round, each shape-subsumed by an in-window sibling: events_sliding_window
+# (pure built-in window expression), sample_deterministic (strict subset of
+# sample_stratified's _md5_bucket path), rel_q14_promo (same conditional-
+# ratio shape as rel_q8_market_share), cypher_with_chain (subset of
+# cypher_with_having's pipeline path), cypher_skip_limit (offset atop the
+# r4-green orderby_limit path). Everything at 51+ is green in the local
+# full check (scripts/check_correctness.py).
 _WINDOW_ORDER = [
     # session-2 additions (never checked)
     "rel_q2_min_cost", "rel_quantiles", "rel_q7_volume", "rel_q8_market_share",
@@ -597,11 +598,11 @@ _WINDOW_ORDER = [
     "text_repetition", "text_decontaminate", "text_bm25", "text_vocab",
     "graph_kcore",
     "events_enrich", "events_trending", "events_anomalies", "cypher_union",
-    "cypher_unwind",
+    "cypher_unwind", "cypher_expr_revenue", "cypher_expr_return",
     # session-1 additions (never checked)
-    "cypher_undirected", "cypher_with_having", "cypher_with_chain",
+    "cypher_undirected", "cypher_with_having",
     "cypher_shortest_path", "cypher_collect", "cypher_edge_agg", "graph_ppr",
-    "cypher_skip_limit", "cypher_where_in", "cypher_where_string_fns",
+    "cypher_where_in", "cypher_where_string_fns",
     "cypher_exists", "cypher_not_exists",
     "sample_stratified", "pack_sequences", "knn_join", "events_followups",
     "rel_q4_priority", "rel_q12_priority_class", "pipeline_pretrain_mix",
@@ -667,6 +668,16 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_anomalies": lambda spark, sf_dir: EV.window_anomalies(
             load_table(spark, sf_dir, "events"), z_threshold=2.0
+        ),
+        # arithmetic RETURN expressions (round-5 extension): the TPC-H
+        # revenue shape expressed in Cypher
+        "cypher_expr_revenue": _cypher(
+            "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
+            "RETURN o, sum(l.extendedprice * (1 - l.discount)) AS rev"
+        ),
+        "cypher_expr_return": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_2' RETURN c, c.acctbal / 2 + 10 AS half"
         ),
         # set queries + row generators (round-5 extensions)
         "cypher_union": _cypher(
@@ -2000,6 +2011,16 @@ def oracle_sql() -> dict[str, str]:
                    floor(((n - mean_n) / sd_n) * 10000 + 0.5) / 10000 AS z
             FROM counts c JOIN stats s ON c.event_type = s.event_type
             WHERE sd_n > 0 AND abs((n - mean_n) / sd_n) >= 2.0
+        """,
+        "cypher_expr_revenue": f"""
+            SELECT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem GROUP BY 1
+        """,
+        "cypher_expr_return": f"""
+            SELECT {_CID} AS c, c_acctbal / 2 + 10 AS half
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'
         """,
         "cypher_union": f"""
             SELECT {_CID} AS c

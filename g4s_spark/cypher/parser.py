@@ -67,6 +67,34 @@ class AggItem:
     on_edge: bool = False
 
 
+@dataclass(frozen=True)
+class ExprItem:
+    """RETURN arithmetic expression (extension): a +-*/ tree over
+    ``binding.prop`` leaves (node bindings; evaluated as doubles) and
+    numeric literals, optionally wrapped in one aggregate —
+    e.g. ``sum(l.extendedprice * (1 - l.discount)) AS rev``. The alias
+    is mandatory (an expression has no natural column name).
+
+    ``expr`` nodes: ("num", float) | ("prop", binding, prop) |
+    ("op", "+-*/", left, right) | ("neg", operand)."""
+
+    agg: str | None  # None | sum | avg | min | max
+    expr: tuple
+    alias: str
+
+
+def expr_prop_leaves(expr: tuple) -> list[tuple[str, str]]:
+    """All (binding, prop) leaves of an ExprItem tree, in order."""
+    kind = expr[0]
+    if kind == "prop":
+        return [(expr[1], expr[2])]
+    if kind == "num":
+        return []
+    if kind == "neg":
+        return expr_prop_leaves(expr[1])
+    return expr_prop_leaves(expr[2]) + expr_prop_leaves(expr[3])
+
+
 @dataclass
 class QueryGraph:
     """Bindings + directed typed edges + return set
@@ -123,6 +151,8 @@ class QueryGraph:
     paths: dict[str, tuple[int, ...]] = field(default_factory=dict)
     path_lengths: list[tuple[str, str]] = field(default_factory=list)  # (path, alias)
     aggregates: list[AggItem] = field(default_factory=list)
+    # arithmetic RETURN items (extension): see ExprItem
+    expr_returns: list[ExprItem] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     skip: int | None = None  # SKIP n (extension): row offset after ORDER BY
     limit: int | None = None
@@ -364,6 +394,107 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     qg.cross_filters.append(tuple(atoms))
 
 
+_EXPR_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<prop>[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[-+*/()]))"
+)
+
+
+def _tokenize_expr(s: str) -> list[tuple[str, object]]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _EXPR_TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise CypherParseError(f"bad token in expression at: {s[pos:]!r}")
+        if m.group("num") is not None:
+            toks.append(("num", float(m.group("num"))))
+        elif m.group("prop") is not None:
+            b, p = m.group("prop").split(".")
+            toks.append(("prop", (b, p)))
+        else:
+            toks.append(("op", m.group("op")))
+        pos = m.end()
+    return toks
+
+
+def _parse_arith(toks: list, pos: int = 0) -> tuple[tuple, int]:
+    """Precedence-climbing: expr := term (('+'|'-') term)*;
+    term := factor (('*'|'/') factor)*;
+    factor := num | binding.prop | '(' expr ')' | '-' factor."""
+
+    def factor(i):
+        if i >= len(toks):
+            raise CypherParseError("expression ends unexpectedly")
+        kind, val = toks[i]
+        if kind == "num":
+            return ("num", val), i + 1
+        if kind == "prop":
+            return ("prop", val[0], val[1]), i + 1
+        if kind == "op" and val == "(":
+            node, j = expr(i + 1)
+            if j >= len(toks) or toks[j] != ("op", ")"):
+                raise CypherParseError("unbalanced parentheses in expression")
+            return node, j + 1
+        if kind == "op" and val == "-":
+            node, j = factor(i + 1)
+            return ("neg", node), j
+        raise CypherParseError(f"unexpected token in expression: {val!r}")
+
+    def term(i):
+        node, i = factor(i)
+        while i < len(toks) and toks[i][0] == "op" and toks[i][1] in "*/":
+            op = toks[i][1]
+            rhs, i = factor(i + 1)
+            node = ("op", op, node, rhs)
+        return node, i
+
+    def expr(i):
+        node, i = term(i)
+        while i < len(toks) and toks[i][0] == "op" and toks[i][1] in "+-":
+            op = toks[i][1]
+            rhs, i = term(i + 1)
+            node = ("op", op, node, rhs)
+        return node, i
+
+    return expr(pos)
+
+
+def _try_parse_expr_item(qg: QueryGraph, item: str) -> bool:
+    """Arithmetic RETURN item `[agg(] expr [)] AS alias` — attempted only
+    after every simpler form failed. Leaves must be node-binding props
+    (edge props: return the edge value by name and compute downstream)."""
+    am = re.fullmatch(
+        r"(?is)\s*(?:(?P<fn>sum|avg|min|max)\s*\((?P<inner>.+)\)|(?P<bare>.+?))"
+        r"\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*",
+        item,
+    )
+    if not am:
+        raise CypherParseError(
+            f"arithmetic RETURN item needs an AS alias: {item!r}"
+        )
+    body = am.group("inner") if am.group("fn") else am.group("bare")
+    toks = _tokenize_expr(body)
+    node, end = _parse_arith(toks)
+    if end != len(toks):
+        raise CypherParseError(f"trailing tokens in expression: {item!r}")
+    leaves = expr_prop_leaves(node)
+    if not leaves:
+        raise CypherParseError(f"expression has no property reference: {item!r}")
+    for b, _ in leaves:
+        if b not in qg.labels:
+            raise CypherParseError(
+                f"expression references unbound or non-node variable: {b!r}"
+            )
+    qg.expr_returns.append(
+        ExprItem(am.group("fn").lower() if am.group("fn") else None, node,
+                 am.group("alias"))
+    )
+    return True
+
+
 def _parse_returns(qg: QueryGraph, returns: str) -> None:
     """Parse a RETURN / WITH item list into qg's return fields."""
     # RETURN DISTINCT is accepted and is a no-op: match results are
@@ -442,6 +573,9 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             else:
                 raise CypherParseError(f"return of unbound variable: {b!r}")
             continue
+        if re.search(r"[+*/-]", name) and "." in name:
+            _try_parse_expr_item(qg, name)
+            continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name in qg.paths:
@@ -453,7 +587,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         qg.returns.append(name)
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
-        or qg.path_lengths
+        or qg.path_lengths or qg.expr_returns
     ):
         raise CypherParseError("empty RETURN")
 
@@ -466,6 +600,7 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {alias for _, _, alias in qg.edge_prop_returns}
         | {a.alias for a in qg.aggregates}
         | {alias for _, alias in qg.path_lengths}
+        | {it.alias for it in qg.expr_returns}
     )
 
 

@@ -38,6 +38,7 @@ import re
 from ..checkpointing import iter_checkpoint
 from ..cypher.parser import (
     CypherParseError,
+    expr_prop_leaves,
     PatternEdge,
     QueryGraph,
     _parse_clauses,
@@ -263,6 +264,7 @@ def _new_out_col(qg: QueryGraph, marks: tuple[int, ...]) -> str:
         [a for _, _, a in qg.prop_returns],
         [a for _, _, a in qg.edge_prop_returns],
         [a for _, a in qg.path_lengths],
+        [it.alias for it in qg.expr_returns],
         list(qg.returns),
     )
     for prev_len, cur in zip(marks, lists):
@@ -306,7 +308,8 @@ def _run_stage(
             raise CypherParseError(f"WITH/RETURN references unknown name: {n!r}")
         marks = (
             len(qg.aggregates), len(qg.prop_returns),
-            len(qg.edge_prop_returns), len(qg.path_lengths), len(qg.returns),
+            len(qg.edge_prop_returns), len(qg.path_lengths),
+            len(qg.expr_returns), len(qg.returns),
         )
         _parse_returns(qg, it)
         out = _new_out_col(qg, marks)
@@ -314,7 +317,7 @@ def _run_stage(
     dummy_added = False
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns
-        or qg.aggregates or qg.path_lengths
+        or qg.aggregates or qg.path_lengths or qg.expr_returns
     ):
         # carried-only projection over a new pattern = existence check;
         # plan needs at least one emitted binding, then it is dropped
@@ -697,6 +700,11 @@ def plan_match(
     agg_bindings = [
         a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
     ]
+    # arithmetic RETURN items: their prop leaves resolve like prop_returns
+    expr_leaves = list(dict.fromkeys(
+        leaf for it in qg.expr_returns for leaf in expr_prop_leaves(it.expr)
+    ))
+    expr_bindings = list(dict.fromkeys(b for b, _ in expr_leaves))
 
     opt_bindings = {b for g in qg.optionals for e in g for b in (e.src, e.dst)}
     # count(*) counts distinct full-pattern matches — no binding is ever dead
@@ -709,6 +717,7 @@ def plan_match(
         # value is distinct per value — openCypher's per-edge semantics)
         need = (
             set(qg.returns) | set(prop_bindings) | set(agg_bindings)
+            | set(expr_bindings)
             | opt_bindings | edge_alias_set | set(edge_agg_aliases)
             | {a.binding for grp in qg.cross_filters for a in grp}
             | set(dist_alias_by_idx.values())
@@ -919,7 +928,7 @@ def plan_match(
     star_extra = [b for b in sorted(bound) if b in df.columns] if star else []
     needed = list(
         dict.fromkeys(
-            qg.returns + prop_bindings + agg_bindings
+            qg.returns + prop_bindings + agg_bindings + expr_bindings
             + sorted(edge_alias_set) + edge_agg_aliases
             + path_len_aliases + star_extra + carry_extras
         )
@@ -936,6 +945,8 @@ def plan_match(
     for ag in qg.aggregates:
         if ag.prop is not None and not ag.on_edge:
             prop_cols.setdefault(ag.binding, []).append((ag.prop, f"_agg_{ag.alias}"))
+    for b, pp in expr_leaves:
+        prop_cols.setdefault(b, []).append((pp, f"_xp_{b}_{pp}"))
     for b, cols in prop_cols.items():
         n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))
         out = out.join(n, on=b, how="left")
@@ -944,11 +955,35 @@ def plan_match(
         out = out.drop(f"_props_{b}")
         steps.append(("resolve_props", b, tuple(p for p, _ in cols)))
 
+    # arithmetic RETURN items (extension): evaluate the tree over the
+    # resolved _xp_ leaf columns; non-aggregated items project like
+    # prop_returns, aggregated items stage a value column for the agg
+    def _expr_col(node):
+        kind = node[0]
+        if kind == "num":
+            return F.lit(node[1])
+        if kind == "prop":
+            return F.col(f"_xp_{node[1]}_{node[2]}").cast("double")
+        if kind == "neg":
+            return -_expr_col(node[1])
+        _, op, l, r = node
+        lc, rc = _expr_col(l), _expr_col(r)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+    plain_expr_aliases = []
+    for it in qg.expr_returns:
+        col = _expr_col(it.expr)
+        if it.agg is None:
+            out = out.withColumn(it.alias, col)
+            plain_expr_aliases.append(it.alias)
+        else:
+            out = out.withColumn(f"_agg_{it.alias}", col)
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
-        + path_len_aliases + carry_extras
+        + path_len_aliases + plain_expr_aliases + carry_extras
     )
-    if qg.aggregates:
+    expr_aggs = [it for it in qg.expr_returns if it.agg is not None]
+    if qg.aggregates or expr_aggs:
         # aggregates over distinct matches (existence semantics): rows are
         # already distinct over (returned + aggregated bindings); numeric
         # aggs evaluate the string prop as a double
@@ -969,9 +1004,14 @@ def plan_match(
                 aggs.append(
                     _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias)
                 )
+        _EFN = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        for it in expr_aggs:
+            aggs.append(_EFN[it.agg](F.col(f"_agg_{it.alias}")).alias(it.alias))
         out = out.groupBy(*group_cols).agg(*aggs) if group_cols else out.agg(*aggs)
-        steps.append(("aggregate", tuple(ag.alias for ag in qg.aggregates)))
-    elif qg.prop_returns or qg.edge_prop_returns:
+        steps.append(("aggregate", tuple(
+            [ag.alias for ag in qg.aggregates] + [it.alias for it in expr_aggs]
+        )))
+    elif qg.prop_returns or qg.edge_prop_returns or qg.expr_returns:
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is
         # what's distinct)

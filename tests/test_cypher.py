@@ -156,3 +156,35 @@ def test_undirected_matches_both_orientations(spark):
     # undirected var-length walks the symmetrized graph: 2 hops returns home
     got2 = sorted((r.a, r.x) for r in run_cypher(g, "MATCH (a:A)-[:X*1..2]-(x) RETURN a, x").collect())
     assert got2 == [(1, 1), (1, 2), (4, 3), (4, 4)]
+
+
+def test_expr_return_parses():
+    qg = parse("MATCH (c:Customer) RETURN c, c.acctbal / 2 + 10 AS half")
+    (it,) = qg.expr_returns
+    assert it.agg is None and it.alias == "half"
+    assert it.expr == ("op", "+", ("op", "/", ("prop", "c", "acctbal"), ("num", 2.0)), ("num", 10.0))
+
+
+def test_expr_aggregate_parses():
+    qg = parse(
+        "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
+        "RETURN o, sum(l.extendedprice * (1 - l.discount)) AS rev"
+    )
+    (it,) = qg.expr_returns
+    assert it.agg == "sum" and it.alias == "rev"
+    assert it.expr[0] == "op" and it.expr[1] == "*"
+
+
+def test_expr_requires_alias():
+    with pytest.raises(CypherParseError, match="AS alias"):
+        parse("MATCH (c:Customer) RETURN c.acctbal / 2")
+
+
+def test_expr_unbound_variable_rejected():
+    with pytest.raises(CypherParseError, match="unbound"):
+        parse("MATCH (c:Customer) RETURN z.acctbal * 2 AS x")
+
+
+def test_expr_unbalanced_parens_rejected():
+    with pytest.raises(CypherParseError, match="parenthes"):
+        parse("MATCH (c:Customer) RETURN (c.acctbal * 2 AS x")

@@ -100,3 +100,27 @@ def test_collect_aggregate(shop):
         shop, "MATCH (a:Person)-[:BOUGHT]->(b:Item) RETURN a, collect(b.name) AS names"
     ).collect()}
     assert got2 == {1: ["cap", "hat"], 2: ["cap", "hat"]}
+
+
+def test_expr_return_values(shop):
+    """Arithmetic over props: value = prop(double) op literal, per row."""
+    got = rows(run_cypher(shop, "MATCH (p:Person) RETURN p.name AS n, p.age * 2 - 1 AS v"))
+    assert got == {("ann", 59.0), ("bob", 79.0)}
+
+
+def test_expr_aggregate_matches_manual(shop):
+    """sum(expr) over the distinct match set == manually-computed sum."""
+    got = rows(run_cypher(
+        shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+              "RETURN p.name AS n, sum(i.price * 2) AS s"
+    ))
+    # ann: (5+7)*2 = 24; bob: (7+9)*2 = 32
+    assert got == {("ann", 24.0), ("bob", 32.0)}
+
+
+def test_expr_mixed_with_plain_aggregate(shop):
+    got = rows(run_cypher(
+        shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+              "RETURN p, count(i) AS n, avg(i.price - 1) AS a"
+    ))
+    assert got == {(1, 2, 5.0), (2, 2, 7.0)}
