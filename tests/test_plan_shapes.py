@@ -243,3 +243,56 @@ def test_bushy_fork_executes_correctly(spark):
         if a % 2 == (b + 1) % 2
     }
     assert got == want
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q11_scalar_is_broadcast_not_collected(spark):
+    """The HAVING-above-scalar cutoff must reach the plan as a broadcast
+    join of the 1-row aggregate — never a driver-side collect — and the
+    big joins must not degrade to a cartesian product."""
+    from g4s_spark.functions import relational as REL
+    from g4s_spark.sources import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plan = _physical(REL.q11_important_stock(t, nation_name="NATION_3"))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    from g4s_spark.functions import relational as REL
+    from g4s_spark.sources import load_tables
+    import __spark_entry__ as E
+
+    df = E.queries()["rel_q4_priority"](spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_in_plan(spark):
+    from g4s_spark.functions import relational as REL
+    from g4s_spark.sources import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plan = _physical(REL.q22_idle_customers(t))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """The benchmark n-gram set must broadcast into the semi-join (the
+    100 TB shape: corpus-side explode streams, bench side ships)."""
+    from g4s_spark.functions.text import decontaminate
+    from g4s_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=4,
+    )
+    plan = _physical(out)
+    assert "LeftSemi" in plan
