@@ -679,6 +679,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
             "WHERE n.name = 'NATION_2' RETURN c, c.acctbal / 2 + 10 AS half"
         ),
+        "cypher_expr_where": _cypher(
+            "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
+            "WHERE l.extendedprice * (1 - l.discount) > 90000 RETURN o, l"
+        ),
         # set queries + row generators (round-5 extensions)
         "cypher_union": _cypher(
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
@@ -2021,6 +2025,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CID} AS c, c_acctbal / 2 + 10 AS half
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name = 'NATION_2'
+        """,
+        "cypher_expr_where": f"""
+            SELECT DISTINCT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o, {_LID} AS l
+            FROM lineitem
+            WHERE l_extendedprice * (1 - l_discount) > 90000
         """,
         "cypher_union": f"""
             SELECT {_CID} AS c

@@ -153,6 +153,10 @@ class QueryGraph:
     aggregates: list[AggItem] = field(default_factory=list)
     # arithmetic RETURN items (extension): see ExprItem
     expr_returns: list[ExprItem] = field(default_factory=list)
+    # arithmetic WHERE predicates (extension): (expr, op, literal) applied
+    # after the required chain binds every referenced binding (the
+    # cross_filters slot; they cannot push to any single scan)
+    expr_filters: list[tuple[tuple, str, float]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     skip: int | None = None  # SKIP n (extension): row offset after ORDER BY
     limit: int | None = None
@@ -367,6 +371,32 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                             "pattern predicate must reference a bound binding"
                         )
                     qg.pattern_filters.append((tuple(tmp), bool(pm.group("neg"))))
+                    continue
+                em = re.match(
+                    r"(?is)^(?P<lhs>.+?)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*"
+                    r"(?P<val>-?\d+(?:\.\d+)?)\s*$",
+                    c,
+                )
+                if em and re.search(r"[+*/]", em.group("lhs")) and "." in em.group("lhs"):
+                    # arithmetic predicate: expr <op> numeric literal
+                    if ci > 0:
+                        raise CypherParseError(
+                            "arithmetic WHERE in OPTIONAL MATCH is unsupported"
+                        )
+                    toks = _tokenize_expr(em.group("lhs"))
+                    node, end = _parse_arith(toks)
+                    if end != len(toks):
+                        raise CypherParseError(f"trailing tokens in WHERE expression: {c!r}")
+                    leaves = expr_prop_leaves(node)
+                    if not leaves:
+                        raise CypherParseError(f"WHERE expression has no property: {c!r}")
+                    for b, _pp in leaves:
+                        check_binding(b, c)
+                        if b in enames:
+                            raise CypherParseError(
+                                "arithmetic WHERE over edge variables is unsupported"
+                            )
+                    qg.expr_filters.append((node, em.group("op"), float(em.group("val"))))
                     continue
                 disjuncts = _split_bool(c, "OR")
                 if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:

@@ -720,6 +720,7 @@ def plan_match(
             | set(expr_bindings)
             | opt_bindings | edge_alias_set | set(edge_agg_aliases)
             | {a.binding for grp in qg.cross_filters for a in grp}
+            | {b for ef in qg.expr_filters for b, _ in expr_prop_leaves(ef[0])}
             | set(dist_alias_by_idx.values())
         )
         if star:
@@ -861,6 +862,32 @@ def plan_match(
             acc = cc if acc is None else (acc | cc)
         df = df.filter(acc).drop(*[f"_cf_{b}" for b in bs])
         steps.append(("cross_filter", tuple(bs), len(grp)))
+
+    # Arithmetic WHERE predicates (extension): evaluated over slim props
+    # joins exactly like cross-binding disjunctions — the expression can
+    # reference several bindings, so it applies after the required chain.
+    for node, op, val in qg.expr_filters:
+        bs = sorted({b for b, _ in expr_prop_leaves(node)})
+        if "props" not in graph.nodes.columns:
+            raise ValueError("graph nodes carry no props column; WHERE unsupported")
+        for b in bs:
+            n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_xf_{b}"))
+            df = df.join(n, on=b, how="left")
+
+        def _leaf(nd):
+            kind = nd[0]
+            if kind == "num":
+                return F.lit(nd[1])
+            if kind == "prop":
+                return F.col(f"_xf_{nd[1]}").getItem(nd[2]).cast("double")
+            if kind == "neg":
+                return -_leaf(nd[1])
+            _, o, l, r = nd
+            lc, rc = _leaf(l), _leaf(r)
+            return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[o]
+
+        df = df.filter(_OPS[op](_leaf(node), F.lit(val))).drop(*[f"_xf_{b}" for b in bs])
+        steps.append(("expr_filter", tuple(bs), op))
 
     # OPTIONAL MATCH (extension): each group becomes its own distinct
     # match set, left-joined to the required matches on the shared

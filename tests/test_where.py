@@ -236,3 +236,31 @@ def test_where_in_parse_errors():
         parse("MATCH (a:A) WHERE a.x IN [] RETURN a")
     with pytest.raises(CypherParseError, match="IN list item"):
         parse("MATCH (a:A) WHERE a.x IN [foo] RETURN a")
+
+
+def test_expr_where_single_binding(props_graph):
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE i.price * 2 > 20 RETURN p, i"
+    ))
+    # prices: 3->9.5 (19, no), 4->120.0 (240, yes)
+    assert got == {(2, 4)}
+
+
+def test_expr_where_cross_binding(props_graph):
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE p.age - i.price * 2 > 0 RETURN p, i"
+    ))
+    # 35-19>0 yes; 17-19>0 no; 50-240>0 no
+    assert got == {(0, 3)}
+
+
+def test_expr_where_in_optional_rejected(props_graph):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="OPTIONAL"):
+        run_cypher(
+            props_graph, "MATCH (p:Person) OPTIONAL MATCH (p)-[:BOUGHT]->(i:Item) "
+                         "WHERE i.price * 2 > 13 RETURN p, i"
+        )
