@@ -693,13 +693,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "UNWIND [1, 2, 3] AS k "
             "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN r, k"
         ),
-        # --- driver-window rotation -------------------------------------
-        # The correctness driver checks the FIRST 50 dict entries only.
-        # Least-recently-driver-verified gates go first (VERDICT r4 #1):
-        # never-checked + stale-after-change, then the rest of the
-        # dedup/ann/multimodal/events block, then the long-stable
-        # cypher/graph/grblas/rel/text block. Rotate per round until all
-        # entries have a driver row.
+        # (driver-window ordering lives in _WINDOW_ORDER above; this dict's
+        # literal order only decides positions 51+)
         "cypher_undirected": _cypher(
             "MATCH (x)-[:IN_REGION|FROM_NATION]-(n:Nation) RETURN x, n"
         ),
@@ -943,10 +938,10 @@ def _cos_explicit(a: str, b: str, dim: int = 64) -> str:
 
 
 
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
+# (list_dot_product cosine retired: on FLOAT[] DuckDB accumulates in
+# float32, which can flip a pround/threshold boundary vs Spark's double
+# fold — every oracle now uses _cos_explicit, bit-identical by
+# construction. See NOTES.md "FLOAT[] cosine trap".)
 
 
 def _lang_score(words: list[str]) -> str:
@@ -2165,9 +2160,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS a, b.vec_id AS b,
-                   floor(({_COS.format(a='a.embedding', b='b.embedding')}) * 10000 + 0.5) / 10000 AS cos
+                   floor(({_cos_explicit('a.embedding', 'b.embedding')}) * 10000 + 0.5) / 10000 AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+            WHERE {_cos_explicit('a.embedding', 'b.embedding')} >= 0.4
         """,
         "dedup_embedding_lsh": f"""
             WITH bk AS {S.sign_lsh_bands_sql()},
@@ -2177,17 +2172,17 @@ def oracle_sql() -> dict[str, str]:
                      AND l.vec_id < r.vec_id
             )
             SELECT c.a, c.b,
-                   floor(({_COS.format(a='ea.embedding', b='eb.embedding')}) * 10000 + 0.5) / 10000 AS cos
+                   floor(({_cos_explicit('ea.embedding', 'eb.embedding')}) * 10000 + 0.5) / 10000 AS cos
             FROM cand c
             JOIN embeddings ea ON ea.vec_id = c.a
             JOIN embeddings eb ON eb.vec_id = c.b
-            WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.4
+            WHERE {_cos_explicit('ea.embedding', 'eb.embedding')} >= 0.4
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
             scored AS (
                 SELECT q.q_id, e.vec_id AS n_id,
-                       {_COS.format(a='q.qv', b='e.embedding')} AS cos
+                       {_cos_explicit('q.qv', 'e.embedding')} AS cos
                 FROM q JOIN embeddings e ON e.vec_id != q.q_id
             ),
             ranked AS (
@@ -2207,7 +2202,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT c.q_id, c.n_id,
-                       {_COS.format(a='qe.embedding', b='ne.embedding')} AS cos
+                       {_cos_explicit('qe.embedding', 'ne.embedding')} AS cos
                 FROM cand c
                 JOIN embeddings qe ON qe.vec_id = c.q_id
                 JOIN embeddings ne ON ne.vec_id = c.n_id
@@ -2230,7 +2225,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT q.q_id, c2.vec_id AS n_id,
-                       {_COS.format(a='q.qv', b='ne.embedding')} AS cos
+                       {_cos_explicit('q.qv', 'ne.embedding')} AS cos
                 FROM q
                 JOIN cells c2 ON c2.cell = q.cell
                 JOIN embeddings ne ON ne.vec_id = c2.vec_id
