@@ -127,6 +127,19 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
+def _q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram — the two-level aggregation every degree-
+    distribution / power-law diagnostic runs (first groupBy shuffles on
+    src, second on the tiny degree domain)."""
+    g = build_graph(spark, sf_dir)
+    return (
+        g.edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("deg").cast("long").alias("deg"),
+                F.col("n_nodes").cast("long").alias("n_nodes"))
+    )
+
+
 def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the co-purchase projection (non-trivial at sf0.01:
     peels ~7% of parts over ~6 iterations)."""
@@ -660,6 +673,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
+        "graph_degree_hist": _q_graph_degree_hist,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -1966,6 +1980,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "graph_kcore": _kcore_oracle(80),
+        "graph_degree_hist": f"""
+            WITH {EDGES_SQL_CTE.strip()},
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM graph_edges GROUP BY 1)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+        """,
         "events_enrich": """
             SELECT event_id, user_id, event_type,
                    c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey
