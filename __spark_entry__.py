@@ -693,6 +693,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
             "WHERE n.name = 'NATION_2' RETURN c, c.acctbal / 2 + 10 AS half"
         ),
+        "cypher_case_priority": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN c, sum(CASE WHEN o.orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent"
+        ),
         "cypher_expr_where": _cypher(
             "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
             "WHERE l.extendedprice * (1 - l.discount) > 90000 RETURN o, l"
@@ -2040,6 +2044,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CID} AS c, c_acctbal / 2 + 10 AS half
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name = 'NATION_2'
+        """,
+        "cypher_case_priority": f"""
+            SELECT {_CID} AS c,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS urgent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "cypher_expr_where": f"""
             SELECT DISTINCT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o, {_LID} AS l

@@ -92,6 +92,13 @@ def expr_prop_leaves(expr: tuple) -> list[tuple[str, str]]:
         return []
     if kind == "neg":
         return expr_prop_leaves(expr[1])
+    if kind == "case":
+        out = []
+        for cond_l, _op, _lit, then_e in expr[1]:
+            out += expr_prop_leaves(cond_l) + expr_prop_leaves(then_e)
+        if expr[2] is not None:
+            out += expr_prop_leaves(expr[2])
+        return out
     return expr_prop_leaves(expr[2]) + expr_prop_leaves(expr[3])
 
 
@@ -425,8 +432,11 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
 
 
 _EXPR_TOKEN = re.compile(
-    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
+    r"\s*(?:(?P<kw>(?i:CASE|WHEN|THEN|ELSE|END)\b)"
+    r"|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<str>'[^']*')"
     r"|(?P<prop>[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<cmp><=|>=|<>|=|<|>)"
     r"|(?P<op>[-+*/()]))"
 )
 
@@ -439,11 +449,17 @@ def _tokenize_expr(s: str) -> list[tuple[str, object]]:
             if s[pos:].strip() == "":
                 break
             raise CypherParseError(f"bad token in expression at: {s[pos:]!r}")
-        if m.group("num") is not None:
+        if m.group("kw") is not None:
+            toks.append(("kw", m.group("kw").upper()))
+        elif m.group("num") is not None:
             toks.append(("num", float(m.group("num"))))
+        elif m.group("str") is not None:
+            toks.append(("str", m.group("str")[1:-1]))
         elif m.group("prop") is not None:
             b, p = m.group("prop").split(".")
             toks.append(("prop", (b, p)))
+        elif m.group("cmp") is not None:
+            toks.append(("cmp", m.group("cmp")))
         else:
             toks.append(("op", m.group("op")))
         pos = m.end()
@@ -455,10 +471,40 @@ def _parse_arith(toks: list, pos: int = 0) -> tuple[tuple, int]:
     term := factor (('*'|'/') factor)*;
     factor := num | binding.prop | '(' expr ')' | '-' factor."""
 
+    def case_expr(i):
+        """CASE WHEN <expr cmp literal> THEN <expr> [WHEN ...]
+        [ELSE <expr>] END (extension): the conditional-aggregate
+        primitive (TPC-H Q12/Q14 CASE-bucket shape)."""
+        whens = []
+        while i < len(toks) and toks[i] == ("kw", "WHEN"):
+            cond_l, i = expr(i + 1)
+            if i >= len(toks) or toks[i][0] != "cmp":
+                raise CypherParseError("CASE WHEN needs a comparison")
+            cmp_op = toks[i][1]
+            i += 1
+            if i >= len(toks) or toks[i][0] not in ("num", "str"):
+                raise CypherParseError("CASE WHEN compares against a literal")
+            lit = toks[i]
+            i += 1
+            if i >= len(toks) or toks[i] != ("kw", "THEN"):
+                raise CypherParseError("CASE WHEN without THEN")
+            then_e, i = expr(i + 1)
+            whens.append((cond_l, cmp_op, lit, then_e))
+        if not whens:
+            raise CypherParseError("CASE without WHEN")
+        else_e = None
+        if i < len(toks) and toks[i] == ("kw", "ELSE"):
+            else_e, i = expr(i + 1)
+        if i >= len(toks) or toks[i] != ("kw", "END"):
+            raise CypherParseError("CASE without END")
+        return ("case", tuple(whens), else_e), i + 1
+
     def factor(i):
         if i >= len(toks):
             raise CypherParseError("expression ends unexpectedly")
         kind, val = toks[i]
+        if kind == "kw" and val == "CASE":
+            return case_expr(i + 1)
         if kind == "num":
             return ("num", val), i + 1
         if kind == "prop":
@@ -603,7 +649,9 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             else:
                 raise CypherParseError(f"return of unbound variable: {b!r}")
             continue
-        if re.search(r"[+*/-]", name) and "." in name:
+        if (re.search(r"[+*/-]", name) and "." in name) or re.search(
+            r"(?i)\bCASE\s+WHEN\b", name
+        ):
             _try_parse_expr_item(qg, name)
             continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):

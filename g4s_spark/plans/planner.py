@@ -128,6 +128,26 @@ def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataF
     return df
 
 
+def _case_col(node, eval_expr, raw_prop):
+    """CASE evaluator shared by both expression contexts. String-literal
+    comparisons require a bare prop condition (compared uncast); numeric
+    comparisons evaluate the condition arithmetically as a double."""
+    _, whens, else_e = node
+    out = None
+    for cond_l, cmp_op, lit, then_e in whens:
+        if lit[0] == "str":
+            if cond_l[0] != "prop":
+                raise CypherParseError(
+                    "CASE WHEN against a string literal needs a bare property"
+                )
+            c = _OPS[cmp_op](raw_prop(cond_l[1], cond_l[2]), F.lit(lit[1]))
+        else:
+            c = _OPS[cmp_op](eval_expr(cond_l), F.lit(lit[1]))
+        t = eval_expr(then_e)
+        out = F.when(c, t) if out is None else out.when(c, t)
+    return out.otherwise(eval_expr(else_e)) if else_e is not None else out
+
+
 def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFrame:
     """UNWIND [literals] AS x (chainable): a literal-list row generator
     cross-multiplied with the remaining query's (distinct) match rows —
@@ -882,6 +902,10 @@ def plan_match(
                 return F.col(f"_xf_{nd[1]}").getItem(nd[2]).cast("double")
             if kind == "neg":
                 return -_leaf(nd[1])
+            if kind == "case":
+                return _case_col(
+                    nd, _leaf, lambda b, p: F.col(f"_xf_{b}").getItem(p)
+                )
             _, o, l, r = nd
             lc, rc = _leaf(l), _leaf(r)
             return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[o]
@@ -993,6 +1017,8 @@ def plan_match(
             return F.col(f"_xp_{node[1]}_{node[2]}").cast("double")
         if kind == "neg":
             return -_expr_col(node[1])
+        if kind == "case":
+            return _case_col(node, _expr_col, lambda b, p: F.col(f"_xp_{b}_{p}"))
         _, op, l, r = node
         lc, rc = _expr_col(l), _expr_col(r)
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]

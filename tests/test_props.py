@@ -124,3 +124,34 @@ def test_expr_mixed_with_plain_aggregate(shop):
               "RETURN p, count(i) AS n, avg(i.price - 1) AS a"
     ))
     assert got == {(1, 2, 5.0), (2, 2, 7.0)}
+
+
+def test_case_expression_in_aggregate(shop):
+    got = rows(run_cypher(
+        shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+              "RETURN p, sum(CASE WHEN i.price > 6 THEN 1 ELSE 0 END) AS n_pricey"
+    ))
+    # ann bought 5.0/7.0 -> 1 pricey; bob bought 7.0/9.0 -> 2
+    assert got == {(1, 1.0), (2, 2.0)}
+
+
+def test_case_expression_string_condition(shop):
+    got = rows(run_cypher(
+        shop, "MATCH (i:Item) "
+              "RETURN i, CASE WHEN i.name = 'hat' THEN 1 ELSE 0 END AS is_hat"
+    ))
+    assert got == {(3, 1.0), (4, 0.0), (5, 1.0)}
+
+
+def test_case_without_else_yields_null(shop):
+    vals = {r.i: r.v for r in run_cypher(
+        shop, "MATCH (i:Item) RETURN i, CASE WHEN i.price > 6 THEN i.price END AS v"
+    ).collect()}
+    assert vals[3] is None and vals[4] == 7.0 and vals[5] == 9.0
+
+
+def test_case_missing_end_rejected(shop):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="END"):
+        run_cypher(shop, "MATCH (i:Item) RETURN i, CASE WHEN i.price > 6 THEN 1 AS v")
