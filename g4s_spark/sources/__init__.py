@@ -1,7 +1,8 @@
-from .layout import read_graph, read_graph_bucketed, write_graph, write_graph_bucketed
+from .layout import compact_parquet, read_graph, read_graph_bucketed, write_graph, write_graph_bucketed
 from .tables import DEFAULT_SF_DIR, TABLES, load_table, load_tables, register_views
 
 __all__ = [
     "DEFAULT_SF_DIR", "TABLES", "load_table", "load_tables", "register_views",
     "write_graph", "read_graph", "write_graph_bucketed", "read_graph_bucketed",
+    "compact_parquet",
 ]

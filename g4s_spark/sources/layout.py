@@ -61,3 +61,30 @@ def read_graph_bucketed(spark: SparkSession, name: str) -> PropertyGraph:
     return PropertyGraph(
         spark.table(f"{name}_nodes"), spark.table(f"{name}_edges"), spark
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Compact a small-file parquet directory (the debt the streaming
+    edge-ingest sink accrues: one file per micro-batch) into
+    ``target_files`` files. Write-then-swap: the compacted copy lands in
+    a sibling directory, then replaces the original — readers never see
+    a half-written table, and a crash mid-compact leaves the original
+    untouched. Returns the row count (the invariant the caller should
+    assert).
+
+    At cluster scale this is the same job, pointed at object storage;
+    prefer running it between ingest windows so no writer races the
+    swap (or use a table format with atomic commits)."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n

@@ -33,3 +33,23 @@ def test_graphdb_explain_and_resolve(spark):
     assert "scan" in text and "expand" in text and "cost" in text
     rows = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b", resolve=True).collect()
     assert {(r.b, r.b_label) for r in rows} == {(1, "B"), (2, "B")}
+
+
+def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Micro-batch ingest leaves one file per batch; compaction must
+    reduce the file count without changing the data."""
+    import os
+
+    from g4s_spark.sources import compact_parquet
+
+    path = str(tmp_path / "edges")
+    for i in range(5):  # five "micro-batches"
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "src") \
+            .write.mode("append").parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    n = compact_parquet(spark, path, target_files=2)
+    assert n == 50
+    n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_after <= 2 < n_files_before
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
