@@ -552,28 +552,47 @@ def plan_match(
             return c.cast("double") if cast_num else c
         raise ValueError(f"edge property {prop!r} not present on edges")
 
+    def pred_sel(binding: str) -> float:
+        """Product of WHERE-predicate selectivities on a binding, from
+        the per-(label, prop) histograms (extension beyond the
+        reference's label-frequency-only model — SURVEY §4.2). Unknown
+        predicates contribute 1.0, keeping the estimate an upper bound
+        exactly like the label card."""
+        sel = 1.0
+        for f in filters_by_binding().get(binding, ()):
+            s = stats.pred_sel(
+                graph.nodes, qg.labels.get(binding), f.prop, f.op, f.value, f.is_num
+            )
+            if s is not None:
+                sel *= s
+        return sel
+
     def edge_est(e: PatternEdge) -> float:
         # unbounded closures have no hop count; assume a deep-ish graph
         hops = e.max_hops if e.max_hops is not None else 8
+        psel = pred_sel(e.src) * pred_sel(e.dst)
         if e.undirected:
             # symmetrized scan: twice the stored rows; directional triplet
             # counts don't apply (both orientations contribute)
             return expand_card(
                 (stats.type_card(list(e.types)) or 1) * 2 * hops,
                 1.0,
-                stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
+                stats.node_sel(qg.labels.get(e.src))
+                * stats.node_sel(qg.labels.get(e.dst)) * psel,
             )
         # exact directional triplet count when a label constrains the hop
-        # (StatsStore.scala:141-170,210-253); independence fallback
+        # (StatsStore.scala:141-170,210-253); independence fallback.
+        # WHERE predicates scale either path by their histogram fraction.
         tc = stats.triplet_card(
             qg.labels.get(e.src), list(e.types), qg.labels.get(e.dst)
         )
         if tc is not None:
-            return expand_card(float(tc) * hops, 1.0, 1.0)
+            return expand_card(float(tc) * hops, 1.0, psel)
         return expand_card(
             (stats.type_card(list(e.types)) or 1) * hops,
             1.0,
-            stats.node_sel(qg.labels.get(e.src)) * stats.node_sel(qg.labels.get(e.dst)),
+            stats.node_sel(qg.labels.get(e.src))
+            * stats.node_sel(qg.labels.get(e.dst)) * psel,
         )
 
     def is_constrained(binding: str) -> bool:

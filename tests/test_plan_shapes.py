@@ -296,3 +296,31 @@ def test_decontaminate_bench_side_broadcasts(spark):
     )
     plan = _physical(out)
     assert "LeftSemi" in plan
+
+
+def test_predicate_selectivity_flips_anchor(spark):
+    """Histogram-based WHERE selectivity (SURVEY §4.2 extension): a chain
+    whose label counts anchor the plan at the cheap Y edge must re-anchor
+    at the X edge when a highly selective numeric predicate sits on (a).
+    Without histograms both queries plan identically."""
+    nodes = spark.createDataFrame(
+        [(i, "A", {"v": str(float(i))}) for i in range(100)]
+        + [(100 + i, "B", {}) for i in range(100)]
+        + [(200 + i, "C", {}) for i in range(10)],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(i, 100 + i, "X") for i in range(100)]
+        + [(100 + i, 200 + i, "Y") for i in range(10)],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges).cache()
+
+    base = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
+    assert steps_of(base, "scan")[0][1] == ("b", "c")  # Y anchors: 10 < 100
+
+    # v < 2.0 keeps ~2/100 of A: X-side estimate ~2 beats Y's 10
+    sel = plan_match(
+        g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) WHERE a.v < 2.0 RETURN c")
+    )
+    assert steps_of(sel, "scan")[0][1] == ("a", "b"), sel.steps
