@@ -331,3 +331,60 @@ def test_decontaminate_matches_brute_force(spark, docs, bench, n):
     )
     got = {r.doc_id: r.contaminated for r in decontaminate(corpus_df, bench_df, n=n).collect()}
     assert got == expect
+
+
+@st.composite
+def arith_tree(draw, depth=0):
+    """Random +-*/ tree over p.age and positive integer literals, with
+    its python evaluator — rendered to Cypher text for the engine. The
+    root is always an operator node: a bare leaf is a prop_return /
+    invalid item, not an expression."""
+    if depth >= 3 or (depth > 0 and draw(st.booleans())):
+        if draw(st.booleans()):
+            return ("p.age", lambda age: age)
+        lit = draw(st.integers(1, 9))
+        return (str(lit), lambda age, lit=lit: float(lit))
+    op = draw(st.sampled_from("+-*/"))
+    lt, lf = draw(arith_tree(depth=depth + 1))
+    rt, rf = draw(arith_tree(depth=depth + 1))
+    if op == "/":
+        # keep denominators away from zero: use a literal-only right side
+        rlit = draw(st.integers(1, 9))
+        rt, rf = str(rlit), lambda age, rlit=rlit: float(rlit)
+    text = f"({lt} {op} {rt})"
+    fn = {
+        "+": lambda age: lf(age) + rf(age),
+        "-": lambda age: lf(age) - rf(age),
+        "*": lambda age: lf(age) * rf(age),
+        "/": lambda age: lf(age) / rf(age),
+    }[op]
+    return (text, fn)
+
+
+@given(tree=arith_tree())
+@settings(**SETTINGS)
+def test_cypher_expressions_match_python_eval(spark, tree):
+    """Random arithmetic RETURN expressions evaluate exactly like the
+    equivalent python expression over the same prop values."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    from hypothesis import assume
+
+    text, fn = tree
+    # literal-only trees are rejected by design (an expression item must
+    # reference at least one property)
+    assume("p.age" in text)
+    nodes = spark.createDataFrame(
+        [(1, "Person", {"age": "30.0"}), (2, "Person", {"age": "41.0"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges)
+    got = {r.p: r.v for r in run_cypher(
+        g, f"MATCH (p:Person) RETURN p, {text} AS v"
+    ).collect()}
+    expect = {1: fn(30.0), 2: fn(41.0)}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == expect[k] or abs(got[k] - expect[k]) < 1e-9 * max(1.0, abs(expect[k]))
