@@ -384,7 +384,10 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     r"(?P<val>-?\d+(?:\.\d+)?)\s*$",
                     c,
                 )
-                if em and re.search(r"[+*/]", em.group("lhs")) and "." in em.group("lhs"):
+                if em and (
+                    (re.search(r"[+*/]", em.group("lhs")) and "." in em.group("lhs"))
+                    or re.search(r"(?i)\bCASE\s+WHEN\b", em.group("lhs"))
+                ):
                     # arithmetic predicate: expr <op> numeric literal
                     if ci > 0:
                         raise CypherParseError(

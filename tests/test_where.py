@@ -264,3 +264,11 @@ def test_expr_where_in_optional_rejected(props_graph):
             props_graph, "MATCH (p:Person) OPTIONAL MATCH (p)-[:BOUGHT]->(i:Item) "
                          "WHERE i.price * 2 > 13 RETURN p, i"
         )
+
+
+def test_case_in_where(props_graph):
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE CASE WHEN i.price > 100 THEN 1 ELSE 0 END = 1 RETURN p, i"
+    ))
+    assert got == {(2, 4)}
