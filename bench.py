@@ -46,7 +46,11 @@ HEADLINE = [
 ]
 
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# median-of-5: this box carries bursty background load (NOTES.md) — with
+# 3 repeats a single noise spike can still land in the middle sample;
+# 5 keeps the total run under ~5 min while making the median robust to
+# two bad samples per query
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 
 def main():
