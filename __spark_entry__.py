@@ -821,6 +821,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda spark, sf_dir: D.dedup_clusters(
             load_table(spark, sf_dir, "documents")
         ),
+        "dedup_incremental": lambda spark, sf_dir: D.dedup_against(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250),
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+        ).select("doc_id", "lang", "source"),
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_frames": _q_multimodal_frames,
         "events_session_window": _q_events_session_window,
@@ -1932,6 +1936,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
             GROUP BY 1
         """,
+        "dedup_incremental": f"""
+            WITH {_SHINGLES},
+            sig AS (SELECT doc_id, {{minhash_aggs}} FROM sh GROUP BY doc_id),
+            bands AS ({{band_rows}}),
+            dup AS (
+                SELECT DISTINCT n.doc_id FROM bands n
+                SEMI JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id < 250) c
+                  ON n.band = c.band AND n.key = c.key
+                WHERE n.doc_id >= 250
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        """.format(minhash_aggs=minhash_aggs, band_rows=band_rows),
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             base AS (

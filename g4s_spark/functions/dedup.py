@@ -145,19 +145,7 @@ def minhash_lsh_pairs(
     both sides share the whole load->shingle->k×md5-agg lineage, which
     would otherwise execute twice — the small pair result pinned
     (iter_checkpoint) and the cache released before returning."""
-    rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat(*[F.col(f"h{bi * rows + r}") for r in range(rows)])).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    bucketed = (
-        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    bucketed = _band_buckets(df, text_col, id_col, k, bands)
     if materialize:
         bucketed = bucketed.cache()
     try:
@@ -173,6 +161,54 @@ def minhash_lsh_pairs(
     finally:
         if materialize:
             bucketed.unpersist()
+
+
+def _band_buckets(
+    df: DataFrame, text_col: str, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, band, key) MinHash-LSH bucket rows — the shared candidate-
+    generation table of minhash_lsh_pairs / dedup_against."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{bi * rows + r}") for r in range(rows)])).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental dedup: keep only the new-batch documents that are NOT
+    MinHash-LSH near-duplicates of the existing corpus — the ingest-time
+    shape (a new crawl lands against a 100 TB reference corpus; the
+    corpus itself is never re-paired).
+
+    Scale: both sides reduce to (id, band, key) bucket rows; the probe
+    is one anti-join keyed on (band, key). At production scale the
+    corpus bucket table is precomputed and stored partitioned by band —
+    each ingest batch then prunes to matching partitions; nothing ever
+    enumerates cross-side pairs."""
+    corpus_bk = _band_buckets(corpus, text_col, id_col, k, bands).select("band", "key")
+    new_bk = _band_buckets(new_docs, text_col, id_col, k, bands)
+    dup_ids = (
+        new_bk.join(corpus_bk.dropDuplicates(["band", "key"]), on=["band", "key"],
+                    how="left_semi")
+        .select(id_col).dropDuplicates([id_col])
+    )
+    return new_docs.join(dup_ids, on=id_col, how="left_anti")
 
 
 def dedup_clusters(

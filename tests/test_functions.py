@@ -316,3 +316,32 @@ def test_bm25_ranks_matching_docs_higher(spark):
     )
     scores = {r.doc_id: r.bm25 for r in TX.bm25_score(df, ["spark", "query"]).collect()}
     assert scores[1] > scores[2] > scores[3] == 0.0
+
+
+def test_dedup_against_drops_corpus_near_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # dup
+            (11, "completely different content with no shared shingles here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in D.dedup_against(new, corpus).collect()}
+    assert kept == {11}
+
+
+def test_dedup_against_never_drops_corpus_rows(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = D.dedup_against(new, corpus)
+    # output schema = the new batch's schema; only new ids appear
+    assert out.columns == ["doc_id", "text"]
+    assert {r.doc_id for r in out.collect()} == set()
