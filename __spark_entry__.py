@@ -683,6 +683,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": lambda spark, sf_dir: EV.window_anomalies(
             load_table(spark, sf_dir, "events"), z_threshold=2.0
         ),
+        "events_json_props": lambda spark, sf_dir: EV.extract_props(
+            load_table(spark, sf_dir, "events")
+        ),
         # arithmetic RETURN expressions (round-5 extension): the TPC-H
         # revenue shape expressed in Cypher
         "cypher_expr_revenue": _cypher(
@@ -2051,6 +2054,17 @@ def oracle_sql() -> dict[str, str]:
                    floor(((n - mean_n) / sd_n) * 10000 + 0.5) / 10000 AS z
             FROM counts c JOIN stats s ON c.event_type = s.event_type
             WHERE sd_n > 0 AND abs((n - mean_n) / sd_n) >= 2.0
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_with_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY 1
         """,
         "cypher_expr_revenue": f"""
             SELECT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,

@@ -1,6 +1,7 @@
 from .dedup import dedup_docs_batch, dedup_docs_stream
 from .events import (
     enrich_events,
+    extract_props,
     window_anomalies,
     event_followups,
     event_followups_stream,
@@ -22,5 +23,5 @@ __all__ = [
     "read_events_stream", "stream_edges_into_graph",
     "dedup_docs_stream", "dedup_docs_batch",
     "event_followups", "event_followups_stream",
-    "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies",
+    "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies", "extract_props",
 ]

@@ -250,6 +250,28 @@ def window_anomalies(
     )
 
 
+def extract_props(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props payload with a
+    declared schema (from_json — JVM-side Jackson, no Python) and
+    aggregate the extracted field per event type. The schema-on-read
+    pattern every event pipeline needs; a malformed payload yields NULL
+    (skipped by the aggregate), never a job failure."""
+    parsed = events.withColumn(
+        "k", F.from_json(F.col("props"), "k INT").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .select("event_type", F.col("n_with_k").cast("long").alias("n_with_k"),
+                "sum_k", "min_k", "max_k")
+    )
+
+
 def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static enrichment: each event joined to its user's
     dimension row (customer keyed by custkey = user_id). The dimension
