@@ -112,3 +112,38 @@ def pack_sequences(
         F.floor(cum_before / F.lit(budget_tokens)).cast("long").alias("seq_id"),
         F.pmod(cum_before, F.lit(budget_tokens)).cast("long").alias("seq_offset"),
     )
+
+
+def rates_for_token_budget(
+    df: DataFrame,
+    targets: dict[str, float],
+    total_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Derive per-stratum sampling rates that hit a target token-budget
+    mix: rate(s) = min(1, targets[s]·total_tokens / available_tokens(s)).
+    The returned dict feeds stratified_sample / pretrain_mix directly —
+    "30% books, 60% web, 10% code at 500B tokens" becomes rates without
+    hand-tuning.
+
+    One aggregation job (per-stratum token counts, map-side combined);
+    the dict math is driver-side over |strata| rows. A stratum whose
+    target exceeds its available tokens caps at 1.0 — callers can
+    detect under-supplied strata by comparing the returned rate to 1.0.
+    Targets need not sum to 1; they are read as independent fractions
+    of ``total_tokens``."""
+    if any(t < 0 for t in targets.values()):
+        raise ValueError("token-budget targets must be non-negative")
+    toks = F.size(TX.tokens(F.col(text_col))).cast("long")
+    avail = {
+        r[strata_col]: int(r["n"])
+        for r in df.select(F.col(strata_col), toks.alias("t"))
+        .groupBy(strata_col).agg(F.sum("t").alias("n")).collect()
+    }
+    rates = {}
+    for s, frac in targets.items():
+        have = avail.get(s, 0)
+        want = frac * total_tokens
+        rates[s] = 1.0 if have == 0 else min(1.0, want / have)
+    return rates

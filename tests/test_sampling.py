@@ -91,3 +91,20 @@ def test_pretrain_mix_composition(docs):
         for r in rows_:
             assert r.seq_id == cum // 256 and r.seq_offset == cum % 256
             cum += r.n_tokens
+
+
+def test_rates_for_token_budget(spark):
+    from g4s_spark.functions.sampling import rates_for_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "a b c d e f", "web"), (3, "x y", "books")],
+        "doc_id long, text string, source string",
+    )
+    # web has 10 tokens, books 2
+    rates = rates_for_token_budget(
+        df, {"web": 0.5, "books": 0.5}, total_tokens=4
+    )
+    assert rates["web"] == 0.2      # want 2 of 10
+    assert rates["books"] == 1.0    # want 2 of 2
+    capped = rates_for_token_budget(df, {"books": 1.0}, total_tokens=100)
+    assert capped["books"] == 1.0   # under-supplied stratum caps
