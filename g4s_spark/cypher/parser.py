@@ -160,10 +160,11 @@ class QueryGraph:
     aggregates: list[AggItem] = field(default_factory=list)
     # arithmetic RETURN items (extension): see ExprItem
     expr_returns: list[ExprItem] = field(default_factory=list)
-    # arithmetic WHERE predicates (extension): (expr, op, literal) applied
-    # after the required chain binds every referenced binding (the
-    # cross_filters slot; they cannot push to any single scan)
-    expr_filters: list[tuple[tuple, str, float]] = field(default_factory=list)
+    # arithmetic WHERE predicates (extension): (lhs_expr, op, rhs_expr)
+    # applied after the required chain binds every referenced binding
+    # (the cross_filters slot; they cannot push to any single scan).
+    # A literal comparison stores its RHS as a ("num", v) node.
+    expr_filters: list[tuple[tuple, str, tuple]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
     skip: int | None = None  # SKIP n (extension): row offset after ORDER BY
     limit: int | None = None
@@ -406,8 +407,41 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                             raise CypherParseError(
                                 "arithmetic WHERE over edge variables is unsupported"
                             )
-                    qg.expr_filters.append((node, em.group("op"), float(em.group("val"))))
+                    qg.expr_filters.append(
+                        (node, em.group("op"), ("num", float(em.group("val"))))
+                    )
                     continue
+                # expr-vs-expr comparison (extension): split at the LAST
+                # top-level comparison operator (arithmetic has none; CASE
+                # conditions appear left of their THEN, so the outermost
+                # comparison is the final one)
+                cmps = list(re.finditer(r"<=|>=|<>|!=|=|<|>", c))
+                if cmps and re.search(r"[+*/]", c) and "." in c:
+                    last = cmps[-1]
+                    lhs_txt, rhs_txt = c[:last.start()], c[last.end():]
+                    try:
+                        lt = _tokenize_expr(lhs_txt)
+                        ln, le = _parse_arith(lt)
+                        rt = _tokenize_expr(rhs_txt)
+                        rn, re_ = _parse_arith(rt)
+                        ok = le == len(lt) and re_ == len(rt)
+                    except CypherParseError:
+                        ok = False
+                    if ok:
+                        leaves = expr_prop_leaves(ln) + expr_prop_leaves(rn)
+                        if leaves:
+                            if ci > 0:
+                                raise CypherParseError(
+                                    "arithmetic WHERE in OPTIONAL MATCH is unsupported"
+                                )
+                            for b, _pp in leaves:
+                                check_binding(b, c)
+                                if b in enames:
+                                    raise CypherParseError(
+                                        "arithmetic WHERE over edge variables is unsupported"
+                                    )
+                            qg.expr_filters.append((ln, last.group(0), rn))
+                            continue
                 disjuncts = _split_bool(c, "OR")
                 if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:
                     raise CypherParseError(

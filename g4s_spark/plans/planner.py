@@ -565,6 +565,18 @@ def plan_match(
             )
             if s is not None:
                 sel *= s
+        # OR groups (incl. expanded IN lists): disjunction bounded by the
+        # sum of atom fractions; an unestimable atom makes the whole
+        # group unestimable (sum would silently under-count it)
+        for grp in or_filters_by_binding().get(binding, ()):
+            parts = [
+                stats.pred_sel(
+                    graph.nodes, qg.labels.get(binding), f.prop, f.op, f.value, f.is_num
+                )
+                for f in grp
+            ]
+            if all(p is not None for p in parts):
+                sel *= min(1.0, sum(parts))
         return sel
 
     def edge_est(e: PatternEdge) -> float:
@@ -759,7 +771,8 @@ def plan_match(
             | set(expr_bindings)
             | opt_bindings | edge_alias_set | set(edge_agg_aliases)
             | {a.binding for grp in qg.cross_filters for a in grp}
-            | {b for ef in qg.expr_filters for b, _ in expr_prop_leaves(ef[0])}
+            | {b for ef in qg.expr_filters
+               for b, _ in expr_prop_leaves(ef[0]) + expr_prop_leaves(ef[2])}
             | set(dist_alias_by_idx.values())
         )
         if star:
@@ -905,8 +918,8 @@ def plan_match(
     # Arithmetic WHERE predicates (extension): evaluated over slim props
     # joins exactly like cross-binding disjunctions — the expression can
     # reference several bindings, so it applies after the required chain.
-    for node, op, val in qg.expr_filters:
-        bs = sorted({b for b, _ in expr_prop_leaves(node)})
+    for node, op, rhs in qg.expr_filters:
+        bs = sorted({b for b, _ in expr_prop_leaves(node) + expr_prop_leaves(rhs)})
         if "props" not in graph.nodes.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
         for b in bs:
@@ -929,7 +942,7 @@ def plan_match(
             lc, rc = _leaf(l), _leaf(r)
             return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[o]
 
-        df = df.filter(_OPS[op](_leaf(node), F.lit(val))).drop(*[f"_xf_{b}" for b in bs])
+        df = df.filter(_OPS[op](_leaf(node), _leaf(rhs))).drop(*[f"_xf_{b}" for b in bs])
         steps.append(("expr_filter", tuple(bs), op))
 
     # OPTIONAL MATCH (extension): each group becomes its own distinct

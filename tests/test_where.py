@@ -272,3 +272,12 @@ def test_case_in_where(props_graph):
                      "WHERE CASE WHEN i.price > 100 THEN 1 ELSE 0 END = 1 RETURN p, i"
     ))
     assert got == {(2, 4)}
+
+
+def test_expr_vs_expr_where(props_graph):
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE p.age * 2 > i.price + 10 RETURN p, i"
+    ))
+    # 35*2=70 > 9.5+10 yes; 17*2=34 > 19.5 yes; 50*2=100 > 130 no
+    assert got == {(0, 3), (1, 3)}
