@@ -700,6 +700,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "RETURN c, sum(CASE WHEN o.orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent"
         ),
+        "cypher_expr_cross": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WHERE o.totalprice / 100 > c.acctbal RETURN c, o"
+        ),
         "cypher_expr_where": _cypher(
             "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
             "WHERE l.extendedprice * (1 - l.discount) > 90000 RETURN o, l"
@@ -2082,6 +2086,11 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS DOUBLE) AS urgent
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "cypher_expr_cross": f"""
+            SELECT DISTINCT {_CID} AS c, {_OID} AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice / 100 > c_acctbal
         """,
         "cypher_expr_where": f"""
             SELECT DISTINCT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o, {_LID} AS l

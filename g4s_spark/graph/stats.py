@@ -131,7 +131,57 @@ class GraphStats:
         `prop <op> value`. None = unknown (planner keeps its upper
         bound). Numeric ranges interpolate the histogram; equality uses
         1/approx-distinct; string ops beyond (=, <>) are unestimated."""
-        h = self._histogram(nodes, label, prop)
+        return self._sel_from_hist(self._histogram(nodes, label, prop), op, value, is_num)
+
+    def edge_pred_sel(
+        self,
+        edges: DataFrame,
+        types: tuple[str, ...],
+        prop: str,
+        op: str,
+        value,
+        is_num: bool,
+    ) -> float | None:
+        """Selectivity of an edge-property predicate over the typed edge
+        set — the edge twin of pred_sel, histogram cached per
+        (types, prop). The value column is the typed column (weight) when
+        present, else the edge props map."""
+        cache = self.__dict__.setdefault("_hist_cache", {})
+        key = ("edge", types, prop)
+        if key not in cache:
+            base = edges
+            if prop in edges.columns:
+                v = F.col(prop)
+            elif "props" in edges.columns:
+                v = F.col("props").getItem(prop)
+            else:
+                cache[key] = None
+                return None
+            vn = v.try_cast("double")
+            row = base.agg(
+                F.min(vn).alias("lo"), F.max(vn).alias("hi"),
+                F.count(vn).alias("n"), F.approx_count_distinct(v).alias("nd"),
+            ).collect()[0]
+            nd = max(int(row["nd"]), 1)
+            if row["n"] == 0 or row["lo"] is None:
+                cache[key] = (None, None, 0, nd, None)
+            else:
+                lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
+                counts = [0] * self.HIST_BUCKETS
+                if hi > lo:
+                    b = F.least(
+                        F.lit(self.HIST_BUCKETS - 1),
+                        F.floor((vn - lo) / (hi - lo) * self.HIST_BUCKETS).cast("int"),
+                    )
+                    for r in base.filter(vn.isNotNull()).groupBy(b.alias("b")).count().collect():
+                        if r["b"] is not None:
+                            counts[int(r["b"])] = int(r["count"])
+                else:
+                    counts[0] = n
+                cache[key] = (lo, hi, n, nd, counts)
+        return self._sel_from_hist(cache[key], op, value, is_num)
+
+    def _sel_from_hist(self, h, op: str, value, is_num: bool) -> float | None:
         if h is None:
             return None
         lo, hi, n, nd, counts = h
@@ -160,7 +210,7 @@ class GraphStats:
                     mass += c
                 elif b_lo < x:
                     mass += c * (x - b_lo) / width
-            below = mass / n  # fraction with v < x (approx; <= folds in)
+            below = mass / n
         if op in ("<", "<="):
             return max(min(below, 1.0), 1.0 / n)
         if op in (">", ">="):

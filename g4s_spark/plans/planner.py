@@ -579,10 +579,25 @@ def plan_match(
                 sel *= min(1.0, sum(parts))
         return sel
 
+    def edge_pred_sel(e: PatternEdge) -> float:
+        """Product of edge-property predicate selectivities on the edge
+        variable (weight histograms over the typed scan)."""
+        if not e.name:
+            return 1.0
+        sel = 1.0
+        for f in edge_filters_by_clause.get(clause_state["clause"], {}).get(e.name, ()):
+            s = stats.edge_pred_sel(
+                graph.typed_edges(list(e.types)), tuple(e.types),
+                f.prop, f.op, f.value, f.is_num,
+            )
+            if s is not None:
+                sel *= s
+        return sel
+
     def edge_est(e: PatternEdge) -> float:
         # unbounded closures have no hop count; assume a deep-ish graph
         hops = e.max_hops if e.max_hops is not None else 8
-        psel = pred_sel(e.src) * pred_sel(e.dst)
+        psel = pred_sel(e.src) * pred_sel(e.dst) * edge_pred_sel(e)
         if e.undirected:
             # symmetrized scan: twice the stored rows; directional triplet
             # counts don't apply (both orientations contribute)

@@ -324,3 +324,28 @@ def test_predicate_selectivity_flips_anchor(spark):
         g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) WHERE a.v < 2.0 RETURN c")
     )
     assert steps_of(sel, "scan")[0][1] == ("a", "b"), sel.steps
+
+
+def test_edge_predicate_selectivity_flips_anchor(spark):
+    """Edge-weight histogram: a selective WHERE on an edge variable must
+    re-anchor the chain at that edge."""
+    nodes = (
+        [(i, "A") for i in range(100)]
+        + [(100 + i, "B") for i in range(100)]
+        + [(200 + i, "C") for i in range(10)]
+    )
+    # X edges carry weights 0..99; Y edges are few but unfiltered
+    edges = spark.createDataFrame(
+        [(i, 100 + i, "X", i) for i in range(100)]
+        + [(100 + i, 200 + i, "Y", 1) for i in range(10)],
+        "src long, dst long, type string, weight long",
+    )
+    g = PropertyGraph(
+        spark.createDataFrame(nodes, "id long, label string"), edges
+    ).cache()
+    base = plan_match(g, parse("MATCH (a:A)-[e:X]->(b:B)-[:Y]->(c:C) RETURN c"))
+    assert steps_of(base, "scan")[0][1] == ("b", "c")
+    sel = plan_match(
+        g, parse("MATCH (a:A)-[e:X]->(b:B)-[:Y]->(c:C) WHERE e.weight < 3 RETURN c")
+    )
+    assert steps_of(sel, "scan")[0][1] == ("a", "b"), sel.steps
