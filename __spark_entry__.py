@@ -833,6 +833,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
         ).select("doc_id", "lang", "source"),
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_hard_negatives": lambda spark, sf_dir: S.hard_negatives(
+            load_table(spark, sf_dir, "embeddings"),
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10),
+            k=5, min_sim=0.1, max_sim=0.7,
+        ),
         "multimodal_frames": _q_multimodal_frames,
         "events_session_window": _q_events_session_window,
         "events_sliding_window": _q_events_sliding,
@@ -2284,6 +2289,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, floor(cos * 10000 + 0.5) / 10000 AS cos
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_hard_negatives": f"""
+            WITH bk AS {S.sign_lsh_bands_sql()},
+            q AS (SELECT vec_id AS q_id, band, key FROM bk WHERE vec_id < 10),
+            cand AS (
+                SELECT DISTINCT q.q_id, e.vec_id AS n_id
+                FROM q JOIN bk e USING (band, key) WHERE e.vec_id != q.q_id
+            ),
+            scored AS (
+                SELECT c.q_id, c.n_id,
+                       {_cos_explicit('qe.embedding', 'ne.embedding')} AS cos
+                FROM cand c
+                JOIN embeddings qe ON qe.vec_id = c.q_id
+                JOIN embeddings ne ON ne.vec_id = c.n_id
+            ),
+            banded AS (SELECT * FROM scored WHERE cos >= 0.1 AND cos < 0.7),
+            ranked AS (
+                SELECT q_id, n_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+                FROM banded
+            )
+            SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+                   floor(cos * 10000 + 0.5) / 10000 AS cos
             FROM ranked WHERE rank <= 5
         """,
         "ann_ivf_cells": S.ivf_assign_sql(),

@@ -525,3 +525,38 @@ def kmeans_objective(
     kmeans_centroids iterations."""
     best = F.array_max(_dots_general(F.col(vec_col), centroids))
     return emb.select(F.avg(best).alias("o")).collect()[0].o
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    min_sim: float = 0.1,
+    max_sim: float = 0.7,
+    n_planes: int = LSH_BAND_PLANES,
+    n_bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k candidates whose cosine lies in [min_sim, max_sim) — similar
+    enough to be informative negatives, below the near-duplicate band
+    that would make them false negatives. Same LSH candidate generation
+    and single-shuffle ranking as lsh_topk; the similarity band is a
+    per-row filter before the rank, so the scale profile is identical."""
+    c = (
+        lsh_bucketed_corpus(emb, n_planes, n_bands, id_col, vec_col)
+        .select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "band", "key")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+        )
+        .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    cand = c.join(F.broadcast(q), on=["band", "key"]).filter(F.col("q_id") != F.col("n_id"))
+    scored = cand.withColumn("cos", cosine_expr(F.col("qv"), F.col("nv"))).filter(
+        (F.col("cos") >= min_sim) & (F.col("cos") < max_sim)
+    )
+    return _rank_topk(scored, k)

@@ -345,3 +345,26 @@ def test_dedup_against_never_drops_corpus_rows(spark):
     # output schema = the new batch's schema; only new ids appear
     assert out.columns == ["doc_id", "text"]
     assert {r.doc_id for r in out.collect()} == set()
+
+
+def test_hard_negatives_band_and_exclusions(spark):
+    import math
+
+    # vectors: q; a near-dup of q; b moderately similar; c orthogonal
+    def vec(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    emb = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(0.05)), (2, vec(1.0)), (3, vec(math.pi / 2))],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, min_sim=0.1, max_sim=0.9
+    ).collect()
+    ids = {r.n_id for r in out}
+    assert 1 not in ids          # near-dup excluded (cos ~0.9988 >= max_sim)
+    assert 2 in ids              # cos ~0.54: a hard negative
+    assert 3 not in ids          # cos ~0: below min_sim
+    assert all(0.1 <= r.cos < 0.9 for r in out)
