@@ -700,6 +700,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "RETURN c, sum(CASE WHEN o.orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent"
         ),
+        "cypher_string_fns": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_3' "
+            "RETURN toLower(c.mktsegment) AS seg, count(c) AS n_cust"
+        ),
         "cypher_expr_cross": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "WHERE o.totalprice / 100 > c.acctbal RETURN c, o"
@@ -2090,6 +2095,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                             THEN 1 ELSE 0 END) AS DOUBLE) AS urgent
             FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "cypher_string_fns": f"""
+            SELECT lower(c_mktsegment) AS seg,
+                   CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
             GROUP BY 1
         """,
         "cypher_expr_cross": f"""

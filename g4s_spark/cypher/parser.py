@@ -160,6 +160,10 @@ class QueryGraph:
     aggregates: list[AggItem] = field(default_factory=list)
     # arithmetic RETURN items (extension): see ExprItem
     expr_returns: list[ExprItem] = field(default_factory=list)
+    # scalar string functions over property returns (extension; the
+    # reference has NO scalar library, SURVEY §2.7): (fn, binding, prop,
+    # alias) with fn in {tolower, toupper, trim}
+    string_fn_returns: list[tuple[str, str, str, str]] = field(default_factory=list)
     # arithmetic WHERE predicates (extension): (lhs_expr, op, rhs_expr)
     # applied after the required chain binds every referenced binding
     # (the cross_filters slot; they cannot push to any single scan).
@@ -671,6 +675,19 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
             qg.aggregates.append(AggItem(fn, arg, prop, alias))
             continue
+        sfm = re.fullmatch(
+            r"(?i)(?P<fn>toLower|toUpper|trim)\s*\(\s*"
+            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if sfm:
+            b, fn = sfm.group("b"), sfm.group("fn").lower()
+            if b not in qg.labels:
+                raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
+            alias = sfm.group("alias") or f"{fn}_{b}_{sfm.group('p')}"
+            qg.string_fn_returns.append((fn, b, sfm.group("p"), alias))
+            continue
         pm = re.fullmatch(
             r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
@@ -702,7 +719,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         qg.returns.append(name)
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
-        or qg.path_lengths or qg.expr_returns
+        or qg.path_lengths or qg.expr_returns or qg.string_fn_returns
     ):
         raise CypherParseError("empty RETURN")
 
@@ -716,6 +733,7 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {a.alias for a in qg.aggregates}
         | {alias for _, alias in qg.path_lengths}
         | {it.alias for it in qg.expr_returns}
+        | {a for _, _, _, a in qg.string_fn_returns}
     )
 
 

@@ -155,3 +155,21 @@ def test_case_missing_end_rejected(shop):
 
     with pytest.raises(CypherParseError, match="END"):
         run_cypher(shop, "MATCH (i:Item) RETURN i, CASE WHEN i.price > 6 THEN 1 AS v")
+
+
+def test_string_fn_returns(shop):
+    got = rows(run_cypher(shop, "MATCH (p:Person) RETURN p, toUpper(p.name) AS u"))
+    assert got == {(1, "ANN"), (2, "BOB")}
+    got2 = rows(run_cypher(
+        shop, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+              "RETURN toLower(i.name) AS n, count(p) AS c"
+    ))
+    # hat bought by ann(item3) and bob(item5): distinct matches -> 2; cap by ann+bob? cap(4): ann+bob -> 2
+    assert got2 == {("hat", 2), ("cap", 2)}
+
+
+def test_string_fn_unbound_rejected(shop):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="unbound"):
+        run_cypher(shop, "MATCH (p:Person) RETURN toLower(z.name) AS x")
