@@ -90,8 +90,10 @@ def expr_prop_leaves(expr: tuple) -> list[tuple[str, str]]:
         return [(expr[1], expr[2])]
     if kind == "num":
         return []
-    if kind == "neg":
+    if kind in ("neg",):
         return expr_prop_leaves(expr[1])
+    if kind == "strlen":
+        return [(expr[1], expr[2])]
     if kind == "case":
         out = []
         for cond_l, _op, _lit, then_e in expr[1]:
@@ -474,6 +476,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
 
 _EXPR_TOKEN = re.compile(
     r"\s*(?:(?P<kw>(?i:CASE|WHEN|THEN|ELSE|END)\b)"
+    r"|(?P<fnword>(?i:size)\b)"
     r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<str>'[^']*')"
     r"|(?P<prop>[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*)"
@@ -492,6 +495,8 @@ def _tokenize_expr(s: str) -> list[tuple[str, object]]:
             raise CypherParseError(f"bad token in expression at: {s[pos:]!r}")
         if m.group("kw") is not None:
             toks.append(("kw", m.group("kw").upper()))
+        elif m.group("fnword") is not None:
+            toks.append(("fn", m.group("fnword").upper()))
         elif m.group("num") is not None:
             toks.append(("num", float(m.group("num"))))
         elif m.group("str") is not None:
@@ -546,6 +551,15 @@ def _parse_arith(toks: list, pos: int = 0) -> tuple[tuple, int]:
         kind, val = toks[i]
         if kind == "kw" and val == "CASE":
             return case_expr(i + 1)
+        if kind == "fn" and val == "SIZE":
+            # size(b.prop): string length as a numeric leaf
+            if (
+                i + 3 >= len(toks) or toks[i + 1] != ("op", "(")
+                or toks[i + 2][0] != "prop" or toks[i + 3] != ("op", ")")
+            ):
+                raise CypherParseError("size() takes exactly one binding.prop")
+            b, p = toks[i + 2][1]
+            return ("strlen", b, p), i + 4
         if kind == "num":
             return ("num", val), i + 1
         if kind == "prop":

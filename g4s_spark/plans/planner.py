@@ -953,6 +953,8 @@ def plan_match(
                 return F.col(f"_xf_{nd[1]}").getItem(nd[2]).cast("double")
             if kind == "neg":
                 return -_leaf(nd[1])
+            if kind == "strlen":
+                return F.length(F.col(f"_xf_{nd[1]}").getItem(nd[2])).cast("double")
             if kind == "case":
                 return _case_col(
                     nd, _leaf, lambda b, p: F.col(f"_xf_{b}").getItem(p)
@@ -1070,6 +1072,8 @@ def plan_match(
             return F.col(f"_xp_{node[1]}_{node[2]}").cast("double")
         if kind == "neg":
             return -_expr_col(node[1])
+        if kind == "strlen":
+            return F.length(F.col(f"_xp_{node[1]}_{node[2]}")).cast("double")
         if kind == "case":
             return _case_col(node, _expr_col, lambda b, p: F.col(f"_xp_{b}_{p}"))
         _, op, l, r = node

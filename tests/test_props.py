@@ -173,3 +173,12 @@ def test_string_fn_unbound_rejected(shop):
 
     with pytest.raises(CypherParseError, match="unbound"):
         run_cypher(shop, "MATCH (p:Person) RETURN toLower(z.name) AS x")
+
+
+def test_size_in_expressions(shop):
+    got = rows(run_cypher(shop, "MATCH (p:Person) RETURN p, size(p.name) * 2 AS n2"))
+    assert got == {(1, 6.0), (2, 6.0)}
+    got2 = rows(run_cypher(
+        shop, "MATCH (i:Item) WHERE size(i.name) + 0 > 2 RETURN i"
+    ))
+    assert got2 == {(3,), (4,), (5,)}
