@@ -388,3 +388,22 @@ def test_cypher_expressions_match_python_eval(spark, tree):
     assert got.keys() == expect.keys()
     for k in expect:
         assert got[k] == expect[k] or abs(got[k] - expect[k]) < 1e-9 * max(1.0, abs(expect[k]))
+
+
+@given(q=st.text(
+    alphabet="MATCHRETURNWHE ()[]<>-:.*,'|abcz0123456789+/=",
+    min_size=1, max_size=80,
+))
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_parser_never_crashes_with_foreign_exceptions(q):
+    """Fuzz: any input either parses or raises CypherParseError — no
+    IndexError/KeyError/AttributeError escapes (the reference throws a
+    typed MatchError the same way)."""
+    from g4s_spark.cypher import CypherParseError, parse
+
+    try:
+        parse(q)
+    except CypherParseError:
+        pass
