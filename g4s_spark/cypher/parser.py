@@ -634,6 +634,16 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
     returns_src = re.sub(r"(?is)^\s*DISTINCT\s+", "", returns)
     for item in returns_src.split(","):
         name = item.strip()
+        if name == "*":
+            # RETURN *: every named (non-anonymous) binding of the match,
+            # in name order — pattern-filter-only bindings are excluded
+            # like any other non-match binding
+            scope = qg.match_bindings or set(qg.labels)
+            named = sorted(b for b in scope if not b.startswith("_anon"))
+            if not named:
+                raise CypherParseError("RETURN * with no named bindings")
+            qg.returns.extend(b for b in named if b not in qg.returns)
+            continue
         sm = re.fullmatch(r"(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?", name)
         if sm:
             # count(*) counts the distinct matches themselves

@@ -188,3 +188,13 @@ def test_expr_unbound_variable_rejected():
 def test_expr_unbalanced_parens_rejected():
     with pytest.raises(CypherParseError, match="parenthes"):
         parse("MATCH (c:Customer) RETURN (c.acctbal * 2 AS x")
+
+
+def test_return_star_expands_named_bindings():
+    qg = parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->() RETURN *")
+    assert qg.returns == ["a", "b"]  # anonymous endpoint excluded
+
+
+def test_return_star_with_no_named_bindings_rejected():
+    with pytest.raises(CypherParseError, match="no named"):
+        parse("MATCH ()-[:X]->() RETURN *")
