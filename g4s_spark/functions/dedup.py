@@ -119,13 +119,39 @@ def minhash_signatures(
     """k-permutation MinHash over word 3-gram shingles: h_s(doc) =
     min(md5(shingle || '#s')). Output: (id, h0..h{k-1}). 3-grams (not
     unigrams) keep the signature discriminative on small vocabularies —
-    unigram minhash over a narrow vocab makes nearly every pair collide."""
-    sh = shingle_docs(df, text_col, id_col, n=3)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
-        for s in range(k)
+    unigram minhash over a narrow vocab makes nearly every pair collide.
+
+    Computed ROW-WISE: array_min over the transformed shingle array —
+    min over a multiset ignores duplicates, so no distinct, no explode,
+    no groupBy shuffle (the previous implementation's one shuffle per
+    corpus). Shuffle-free also means it runs unchanged on a STREAMING
+    input (no aggregation state) — see streaming.dedup. Docs with fewer
+    than 3 tokens have no shingles and produce no signature row, exactly
+    like the aggregated form."""
+    n = 3
+    # spread the per-row k×|shingles| hashing off the single scan task
+    toked = df.repartition(F.col(id_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    )
+    grams = F.when(
+        F.size(F.col("t")) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    based = toked.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
+
+    def perm_hash(idx: int):
+        # single-param lambda: a two-param form would be read by
+        # F.transform as (element, index) — see text.py's same note
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{idx}")))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("g"), perm_hash(i))).alias(f"h{i}")
+        for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return based.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(

@@ -1,4 +1,4 @@
-from .dedup import dedup_docs_batch, dedup_docs_stream
+from .dedup import dedup_against_stream, dedup_docs_batch, dedup_docs_stream
 from .events import (
     enrich_events,
     extract_props,
@@ -21,7 +21,7 @@ __all__ = [
     "windowed_counts", "windowed_counts_stream", "sessionize",
     "session_counts", "session_window_counts", "sessionize_stream",
     "read_events_stream", "stream_edges_into_graph",
-    "dedup_docs_stream", "dedup_docs_batch",
+    "dedup_docs_stream", "dedup_docs_batch", "dedup_against_stream",
     "event_followups", "event_followups_stream",
     "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies", "extract_props",
 ]

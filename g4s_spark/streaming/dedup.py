@@ -43,3 +43,38 @@ def dedup_docs_batch(
     w = docs.withColumn("digest", F.md5(F.col(text_col)))
     reps = w.groupBy("digest").agg(F.min(id_col).alias(id_col))
     return w.join(reps, on=["digest", id_col], how="left_semi")
+
+
+def dedup_against_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    sink,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming incremental dedup: each micro-batch of arriving docs is
+    near-dup-checked against a STATIC reference corpus (the batch op
+    functions.dedup.dedup_against), and the surviving docs go to
+    ``sink(kept_df, batch_id)``. The signature computation is row-wise
+    (no aggregation state); the per-batch anti-join probes the corpus's
+    precomputable bucket table — foreachBatch because the doc-level
+    "no band matched" decision needs a per-doc ALL over band rows,
+    which append-mode streams cannot express mid-plan. Returns the
+    StreamingQuery; callers own stop().
+
+    Note: batches are checked against the corpus only, not against each
+    other — compose with dedup_docs_stream (exact) upstream or a batch
+    compaction downstream for intra-stream near-dups."""
+    from ..functions.dedup import dedup_against
+
+    def check_batch(batch_df, batch_id):
+        sink(dedup_against(batch_df, corpus, text_col, id_col), batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(check_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -390,3 +390,46 @@ def test_trending_topk_stream_matches_batch(spark, events, tmp_path):
     for ws, _et, _n, rnk in got:
         by_window.setdefault(ws, []).append(rnk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_window.values())
+
+
+def test_dedup_against_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup drained once == the batch op: new docs
+    near-duplicating the static corpus are dropped, the rest kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from g4s_spark.functions.dedup import dedup_against
+    from g4s_spark.streaming import dedup_against_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight again")],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (10, "the quick brown fox jumps over the lazy dog tonight again"),
+        (11, "entirely unrelated fresh document with novel content words"),
+    ]
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in new_rows], "text": [r[1] for r in new_rows]}),
+        str(src_dir / "batch0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src_dir))
+    )
+    got = []
+
+    def sink(df, _bid):
+        got.extend(tuple(r) for r in df.collect())
+
+    q = dedup_against_stream(stream, corpus, sink, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    batch = sorted(
+        tuple(r) for r in dedup_against(
+            spark.createDataFrame(new_rows, "doc_id long, text string"), corpus
+        ).collect()
+    )
+    assert sorted(got) == batch
+    assert {r[0] for r in got} == {11}
