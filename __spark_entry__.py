@@ -49,6 +49,7 @@ from g4s_spark.operators import (
     bfs,
     connected_components,
     k_core,
+    weighted_pagerank,
     pagerank,
     personalized_pagerank,
     sssp,
@@ -96,6 +97,12 @@ def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(build_graph(spark, sf_dir), iters=3)
+    return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
+
+
+def _q_graph_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank over the TPC-H graph (weights 1-4)."""
+    pr = weighted_pagerank(build_graph(spark, sf_dir), iters=3)
     return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
 
 
@@ -674,6 +681,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
         "graph_degree_hist": _q_graph_degree_hist,
+        "graph_wpagerank": _q_graph_wpagerank,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -1087,6 +1095,35 @@ def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
         )
         SELECT doc_id, floor(({score}) * 1000000 + 0.5) / 1000000 AS bm25
         FROM per CROSS JOIN stats
+    """
+
+
+def _wpagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled edge-weighted PageRank matching operators.
+    weighted_pagerank exactly: mass(v) = Σ (pr(u)·w(u,v)) / W(u)."""
+    prev = "pr0"
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+            it{t} AS (
+                SELECT gn.id, (1 - {d}) / c.n + {d} * COALESCE(s.mass, 0) AS pr
+                FROM graph_nodes gn CROSS JOIN cnt c
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum((p.pr * e.weight) / ws.wsum) AS mass
+                    FROM {prev} p
+                    JOIN graph_edges e ON p.id = e.src
+                    JOIN wsum ws ON ws.src = p.id
+                    GROUP BY e.dst
+                ) s ON s.id = gn.id
+            )""")
+        prev = f"it{t}"
+    return f"""
+        WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()},
+        cnt AS (SELECT count(*) AS n FROM graph_nodes),
+        wsum AS (SELECT src, sum(weight) AS wsum FROM graph_edges GROUP BY src),
+        pr0 AS (SELECT gn.id, 1.0 / c.n AS pr FROM graph_nodes gn CROSS JOIN cnt c),
+        {",".join(its)}
+        SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
     """
 
 
@@ -2018,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "graph_kcore": _kcore_oracle(80),
+        "graph_wpagerank": _wpagerank_oracle(),
         "graph_degree_hist": f"""
             WITH {EDGES_SQL_CTE.strip()},
             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg

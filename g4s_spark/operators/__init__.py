@@ -6,10 +6,11 @@ from .algorithms import (
     reachable,
     sssp,
     k_core,
+    weighted_pagerank,
     triangle_count,
 )
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count", "k_core",
+    "connected_components", "triangle_count", "k_core", "weighted_pagerank",
 ]

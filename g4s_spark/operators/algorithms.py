@@ -242,6 +242,60 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
     return pr
 
 
+def weighted_pagerank(
+    graph: PropertyGraph, iters: int = 3, damping: float = 0.85,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Edge-weighted PageRank: u's rank mass flows to v proportional to
+    w(u,v) / W(u) with W(u) the total outgoing weight —
+
+        pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u) · w(u,v)/W(u)
+
+    Same Pregel shape and memoized fold as pagerank (the weight-summed
+    edge table is built once per graph and cached); each iteration moves
+    only the rank vector."""
+    nodes = graph.nodes.select("id").cache()
+    e3 = getattr(graph, "_weight_edges", None)
+    if e3 is None:
+        edges = graph.edges.select("src", "dst", F.col(weight_col).alias("w"))
+        tot = (
+            edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+            .withColumnRenamed("src", "w_src")
+        )
+        e3 = (
+            edges.join(tot, edges.src == F.col("w_src"))
+            .select("src", "dst", "w", "wsum")
+            .cache()
+        )
+        graph._weight_edges = e3
+    try:
+        n = nodes.count()
+        pr = nodes.withColumn("pr", F.lit(1.0 / n))
+        for i in range(iters):
+            contribs = (
+                pr.join(e3, pr.id == e3.src)
+                .select(
+                    F.col("dst").alias("id"),
+                    ((F.col("pr") * F.col("w")) / F.col("wsum")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("mass"))
+            )
+            pr = (
+                nodes.join(contribs, on="id", how="left")
+                .select(
+                    "id",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+                )
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                pr = iter_checkpoint(pr)
+    finally:
+        nodes.unpersist()
+    return pr
+
+
 def personalized_pagerank(
     graph: PropertyGraph, seeds: DataFrame, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

@@ -170,3 +170,27 @@ def test_k_core_empty_when_k_too_high(spark):
 
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
     assert k_core(pairs, 5).count() == 0
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    """Star with unequal weights: the heavier target accumulates more
+    rank; equal weights reduce to plain pagerank."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import pagerank, weighted_pagerank
+
+    nodes = spark.createDataFrame(
+        [(0, "N"), (1, "N"), (2, "N")], "id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "X", 3), (0, 2, "X", 1)], "src long, dst long, type string, weight long"
+    )
+    pr = {r.id: r.pr for r in weighted_pagerank(PropertyGraph(nodes, edges), iters=2).collect()}
+    assert pr[1] > pr[2] > 0
+
+    eq_edges = spark.createDataFrame(
+        [(0, 1, "X", 1), (0, 2, "X", 1)], "src long, dst long, type string, weight long"
+    )
+    g2 = PropertyGraph(nodes, eq_edges)
+    wpr = {r.id: round(r.pr, 12) for r in weighted_pagerank(g2, iters=2).collect()}
+    ppr = {r.id: round(r.pr, 12) for r in pagerank(g2, iters=2).collect()}
+    assert wpr == ppr
