@@ -100,6 +100,18 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
 
 
+def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the BFS seed: sum over reachable nodes of
+    1/dist — a single aggregation over the BFS fixpoint, the per-node
+    centrality primitive (run per seed set; at scale, batched seeds
+    share the frontier machinery)."""
+    d = bfs(build_graph(spark, sf_dir), [BFS_START]).filter(F.col("dist") > 0)
+    return d.agg(
+        pround(F.sum(F.lit(1.0) / F.col("dist")), 9).alias("harmonic"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )
+
+
 def _q_graph_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank over the TPC-H graph (weights 1-4)."""
     pr = weighted_pagerank(build_graph(spark, sf_dir), iters=3)
@@ -682,6 +694,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_wpagerank": _q_graph_wpagerank,
+        "graph_harmonic": _q_graph_harmonic,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -2056,6 +2069,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_kcore": _kcore_oracle(80),
         "graph_wpagerank": _wpagerank_oracle(),
+        "graph_harmonic": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            walk(id, d) AS (
+                SELECT CAST({BFS_START} AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN graph_edges e ON e.src = w.id
+                WHERE w.d < 12
+            ),
+            dist AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
+            SELECT floor(sum(1.0 / d) * 1000000000 + 0.5) / 1000000000 AS harmonic,
+                   CAST(count(*) AS BIGINT) AS n_reachable
+            FROM dist WHERE d > 0
+        """,
         "graph_degree_hist": f"""
             WITH {EDGES_SQL_CTE.strip()},
             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
