@@ -49,6 +49,7 @@ from g4s_spark.operators import (
     bfs,
     connected_components,
     k_core,
+    neighborhood_jaccard,
     weighted_pagerank,
     pagerank,
     personalized_pagerank,
@@ -98,6 +99,14 @@ def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(build_graph(spark, sf_dir), iters=3)
     return pr.select("id", pround(F.col("pr"), 9).alias("pr"))
+
+
+def _q_graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link candidates over the co-purchase
+    projection (dense neighborhoods dilute the union: 0.08 keeps the
+    top ~2k candidate pairs at sf0.01)."""
+    out = neighborhood_jaccard(_copurchase_pairs(spark, sf_dir), threshold=0.08)
+    return out.select("x", "y", "shared", pround(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,6 +704,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_wpagerank": _q_graph_wpagerank,
         "graph_harmonic": _q_graph_harmonic,
+        "graph_link_jaccard": _q_graph_link_jaccard,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -2082,6 +2092,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(sum(1.0 / d) * 1000000000 + 0.5) / 1000000000 AS harmonic,
                    CAST(count(*) AS BIGINT) AS n_reachable
             FROM dist WHERE d > 0
+        """,
+        "graph_link_jaccard": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                WHERE l1.l_partkey < l2.l_partkey
+            ),
+            sym AS (SELECT a AS n, b AS x FROM pairs UNION ALL SELECT b, a FROM pairs),
+            inv AS (SELECT x AS nb, n AS node FROM sym),
+            shared AS (
+                SELECT l.node AS x, r.node AS y, CAST(count(*) AS BIGINT) AS shared
+                FROM inv l JOIN inv r ON l.nb = r.nb AND l.node < r.node
+                GROUP BY 1, 2
+            ),
+            deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY 1)
+            SELECT x, y, shared,
+                   floor((shared * 1.0 / (dx.deg + dy.deg - shared)) * 1000000 + 0.5) / 1000000 AS jaccard
+            FROM shared s
+            JOIN deg dx ON dx.n = s.x
+            JOIN deg dy ON dy.n = s.y
+            WHERE shared * 1.0 / (dx.deg + dy.deg - shared) >= 0.08
         """,
         "graph_degree_hist": f"""
             WITH {EDGES_SQL_CTE.strip()},

@@ -6,11 +6,12 @@ from .algorithms import (
     reachable,
     sssp,
     k_core,
+    neighborhood_jaccard,
     weighted_pagerank,
     triangle_count,
 )
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count", "k_core", "weighted_pagerank",
+    "connected_components", "triangle_count", "k_core", "weighted_pagerank", "neighborhood_jaccard",
 ]

@@ -452,3 +452,46 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
     tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def neighborhood_jaccard(
+    pairs: DataFrame, threshold: float = 0.3, min_shared: int = 1
+) -> DataFrame:
+    """Link-prediction feature: Jaccard similarity of node neighborhoods
+    over an undirected graph given as canonical pairs (a < b) —
+    |N(x) ∩ N(y)| / |N(x) ∪ N(y)| for candidate pairs sharing ≥
+    min_shared neighbors. High-Jaccard non-edges are link candidates.
+
+    Scale shape: the inverted-index trick (the same as n-gram Jaccard
+    over documents): explode to (neighbor, node), self-join on the
+    neighbor key to count shared neighbors — candidates are bounded by
+    co-neighborhood, never |V|²; degrees join back (map-side broadcast
+    under AQE) and the ratio is one row-wise expression."""
+    sym = (
+        pairs.select(F.col("a").alias("n"), F.col("b").alias("x"))
+        .unionByName(pairs.select(F.col("b").alias("n"), F.col("a").alias("x")))
+    )
+    # sym: (n, x) = "x is a neighbor of n"; invert: for each neighbor x,
+    # the nodes n it connects — pairs of n sharing an x are candidates
+    inv = sym.select(F.col("x").alias("nb"), F.col("n").alias("node"))
+    shared = (
+        inv.alias("l").join(inv.alias("r"), on="nb")
+        .filter(F.col("l.node") < F.col("r.node"))
+        .groupBy(F.col("l.node").alias("x"), F.col("r.node").alias("y"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    out = (
+        shared
+        .join(deg.select(F.col("n").alias("x"), F.col("deg").alias("dx")), on="x")
+        .join(deg.select(F.col("n").alias("y"), F.col("deg").alias("dy")), on="y")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("dx") + F.col("dy") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "x", "y", F.col("shared").cast("long").alias("shared"), "jaccard"
+    )

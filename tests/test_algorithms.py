@@ -194,3 +194,16 @@ def test_weighted_pagerank_follows_weights(spark):
     wpr = {r.id: round(r.pr, 12) for r in weighted_pagerank(g2, iters=2).collect()}
     ppr = {r.id: round(r.pr, 12) for r in pagerank(g2, iters=2).collect()}
     assert wpr == ppr
+
+
+def test_neighborhood_jaccard_square_plus_diagonal(spark):
+    """Square 0-1-2-3-0: opposite corners share both neighbors
+    (jaccard 1.0); adjacent corners share none."""
+    from g4s_spark.operators import neighborhood_jaccard
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "a long, b long"
+    )
+    got = {(r.x, r.y): (r.shared, round(r.jaccard, 6))
+           for r in neighborhood_jaccard(pairs, threshold=0.0).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
