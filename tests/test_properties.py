@@ -407,3 +407,35 @@ def test_parser_never_crashes_with_foreign_exceptions(q):
         parse(q)
     except CypherParseError:
         pass
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=10, unique=True,
+    ),
+    use_all=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_union_matches_set_model(spark, edges, use_all):
+    """UNION [ALL] of two one-hop queries vs the python set/multiset
+    model over the same random digraph."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = sorted({v for e in edges for v in e})
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(v, "N") for v in nodes],
+        edges=[(a, b, "X" if a < b else "Y") for a, b in edges],
+    )
+    kw = "UNION ALL" if use_all else "UNION"
+    got = sorted(
+        r.b for r in run_cypher(
+            g, f"MATCH (a:N)-[:X]->(b:N) RETURN b {kw} MATCH (a:N)-[:Y]->(b:N) RETURN b"
+        ).collect()
+    )
+    xs = sorted({b for a, b in edges if a < b})
+    ys = sorted({b for a, b in edges if a > b})
+    expect = sorted(xs + ys) if use_all else sorted(set(xs) | set(ys))
+    assert got == expect
