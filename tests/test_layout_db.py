@@ -53,3 +53,16 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
     n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_files_after <= 2 < n_files_before
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_graphdb_explain_lists_planner_steps(spark):
+    from g4s_spark.db import GraphDB
+    from g4s_spark.graph import PropertyGraph
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(0, "A"), (1, "B")],
+        edges=[(0, 1, "X")],
+    )
+    txt = GraphDB(g).explain("MATCH (a:A)-[:X]->(b:B) RETURN b")
+    assert "scan" in txt
