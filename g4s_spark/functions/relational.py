@@ -145,7 +145,8 @@ def q8_market_share(t: dict[str, DataFrame]) -> DataFrame:
 
 def q9_product_profit(t: dict[str, DataFrame]) -> DataFrame:
     """Q9 shape: profit by supplier nation and order year for parts whose
-    name contains '1'. Profit = rev - 0.5*p_retailprice*l_quantity
+    name contains 'widget' (the testdata's p_name stand-in for TPC-H's
+    '%green%'). Profit = rev - 0.5*p_retailprice*l_quantity
     (retailprice stands in for ps_supplycost). Part and nation broadcast;
     the orders join shuffles on orderkey."""
     nation = F.broadcast(t["nation"].select("n_nationkey", "n_name"))

@@ -252,10 +252,16 @@ def weighted_pagerank(
         pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u) · w(u,v)/W(u)
 
     Same Pregel shape and memoized fold as pagerank (the weight-summed
-    edge table is built once per graph and cached); each iteration moves
-    only the rank vector."""
+    edge table is built once per graph per weight column and cached —
+    keyed by weight_col, mirroring _cached_typed_edges, so two calls
+    with different weight columns never share a fold); each iteration
+    moves only the rank vector."""
     nodes = graph.nodes.select("id").cache()
-    e3 = getattr(graph, "_weight_edges", None)
+    cache = getattr(graph, "_weight_edges", None)
+    if cache is None or not isinstance(cache, dict):
+        cache = {}
+        graph._weight_edges = cache
+    e3 = cache.get(weight_col)
     if e3 is None:
         edges = graph.edges.select("src", "dst", F.col(weight_col).alias("w"))
         tot = (
@@ -267,7 +273,7 @@ def weighted_pagerank(
             .select("src", "dst", "w", "wsum")
             .cache()
         )
-        graph._weight_edges = e3
+        cache[weight_col] = e3
     try:
         n = nodes.count()
         pr = nodes.withColumn("pr", F.lit(1.0 / n))

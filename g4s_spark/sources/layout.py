@@ -69,10 +69,13 @@ def compact_parquet(
     """Compact a small-file parquet directory (the debt the streaming
     edge-ingest sink accrues: one file per micro-batch) into
     ``target_files`` files. Write-then-swap: the compacted copy lands in
-    a sibling directory, then replaces the original — readers never see
-    a half-written table, and a crash mid-compact leaves the original
-    untouched. Returns the row count (the invariant the caller should
-    assert).
+    a sibling directory, then replaces the original. The swap is two
+    renames, NOT atomic: a crash between them is rolled back by the
+    except-restore below, but a hard kill inside the window can leave
+    the table under ``<path>__compact_old`` for manual restore. Both
+    renames assume one filesystem (shutil.move across filesystems
+    degrades to copy+delete). Returns the row count (the invariant the
+    caller should assert).
 
     At cluster scale this is the same job, pointed at object storage;
     prefer running it between ingest windows so no writer races the
@@ -85,6 +88,10 @@ def compact_parquet(
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + "__compact_old"
     shutil.move(path, old)
-    shutil.move(tmp, path)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # restore the original before re-raising
+        raise
     shutil.rmtree(old)
     return n

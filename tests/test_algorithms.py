@@ -196,6 +196,29 @@ def test_weighted_pagerank_follows_weights(spark):
     assert wpr == ppr
 
 
+def test_weighted_pagerank_memo_keyed_by_weight_col(spark):
+    """Two calls on ONE graph with opposite weight columns must not share
+    the cached weight fold (ADVICE r5: the memo ignored weight_col and
+    silently reused the first column's table)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import weighted_pagerank
+
+    nodes = spark.createDataFrame(
+        [(0, "N"), (1, "N"), (2, "N")], "id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "X", 3, 1), (0, 2, "X", 1, 3)],
+        "src long, dst long, type string, wa long, wb long",
+    )
+    g = PropertyGraph(nodes, edges)
+    pra = {r.id: r.pr for r in weighted_pagerank(g, iters=2, weight_col="wa").collect()}
+    prb = {r.id: r.pr for r in weighted_pagerank(g, iters=2, weight_col="wb").collect()}
+    assert pra[1] > pra[2], "wa favors node 1"
+    assert prb[2] > prb[1], "wb favors node 2 (stale cache would repeat wa)"
+    # symmetric weights -> symmetric ranks
+    assert abs(pra[1] - prb[2]) < 1e-12 and abs(pra[2] - prb[1]) < 1e-12
+
+
 def test_neighborhood_jaccard_square_plus_diagonal(spark):
     """Square 0-1-2-3-0: opposite corners share both neighbors
     (jaccard 1.0); adjacent corners share none."""

@@ -28,3 +28,21 @@ def test_no_duplicate_registry_keys():
 def test_oracles_are_nonempty_sql():
     for name, sql in E.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_no_gate_returns_array_or_map_columns(spark):
+    """The driver's pandas canonicalizer cannot sort/hash list cells
+    (CORRECTNESS_r05 cypher_collect red row): every gate must emit only
+    scalar columns — list-valued results need a canonical string
+    rendering (see _q_cypher_collect). Plan-only: schemas come from
+    analysis, nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in E.queries().items():
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
