@@ -788,6 +788,18 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
             "RETURN c, n_orders"
         ),
+        # round-6 extensions: arithmetic in the final RETURN after WITH,
+        # and UNWIND over a collected list (the `WITH collect(x) AS xs
+        # UNWIND xs` idiom — planner.py _UNWIND_TAIL / _carry_expr)
+        "cypher_with_expr": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
+            "RETURN c, n_orders * 2 + 1 AS n2"
+        ),
+        "cypher_unwind_collected": _cypher(
+            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+            "WITH r, collect(n) AS ns UNWIND ns AS x RETURN r, x"
+        ),
         "cypher_shortest_path": _cypher(
             "MATCH p = shortestPath((s:Supplier)-[*]->(x)) "
             "RETURN s, x, length(p) AS len"
@@ -1371,6 +1383,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # final-RETURN arithmetic evaluates carried columns as doubles
+        "cypher_with_expr": f"""
+            SELECT {_CID} AS c,
+                   CAST(count(DISTINCT {_OID}) * 2 + 1 AS DOUBLE) AS n2
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY {_CID}
+            HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # collect() is the sorted-distinct list; UNWIND it back = the
+        # distinct (region, nation) pairs
+        "cypher_unwind_collected": f"""
+            SELECT DISTINCT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r,
+                   CAST({NATION_OFF} + n_nationkey AS BIGINT) AS x
+            FROM nation
         """,
         # edge-property aggregates over HAS_ITEM weight (= l_linenumber).
         # DISTINCT first: the synthetic lineitem carries duplicate

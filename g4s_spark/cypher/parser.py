@@ -211,6 +211,17 @@ _COND_IN = re.compile(
 _IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
 
 
+def _arith_op_present(s: str) -> bool:
+    """An arithmetic operator acting BETWEEN operands. A leading unary
+    sign does not count, so `c.x > -5` stays a plain literal filter
+    (scan pushdown) instead of detouring through the expression path;
+    `a.x - 5` (operator mid-string) does count."""
+    t = s.strip()
+    if t.startswith("-"):
+        t = t[1:]
+    return re.search(r"[-+*/]", t) is not None
+
+
 def parse(query: str) -> QueryGraph:
     q = query.strip()
     m = re.match(
@@ -392,7 +403,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     c,
                 )
                 if em and (
-                    (re.search(r"[+*/]", em.group("lhs")) and "." in em.group("lhs"))
+                    (_arith_op_present(em.group("lhs")) and "." in em.group("lhs"))
                     or re.search(r"(?i)\bCASE\s+WHEN\b", em.group("lhs"))
                 ):
                     # arithmetic predicate: expr <op> numeric literal
@@ -417,14 +428,25 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                         (node, em.group("op"), ("num", float(em.group("val"))))
                     )
                     continue
-                # expr-vs-expr comparison (extension): split at the LAST
-                # top-level comparison operator (arithmetic has none; CASE
-                # conditions appear left of their THEN, so the outermost
-                # comparison is the final one)
-                cmps = list(re.finditer(r"<=|>=|<>|!=|=|<|>", c))
-                if cmps and re.search(r"[+*/]", c) and "." in c:
-                    last = cmps[-1]
-                    lhs_txt, rhs_txt = c[:last.start()], c[last.end():]
+                # expr-vs-expr comparison (extension): split at the FIRST
+                # comparison operator OUTSIDE any CASE...END span (a CASE
+                # right of the outer comparison, e.g. `a.x > CASE WHEN
+                # b.y = 1 ...`, has internal comparisons that must not
+                # split; arithmetic itself has none)
+                case_spans = [
+                    m.span() for m in re.finditer(r"(?is)\bCASE\b.*?\bEND\b", c)
+                ]
+                cmps = [
+                    m for m in re.finditer(r"<=|>=|<>|!=|=|<|>", c)
+                    if not any(s <= m.start() < e for s, e in case_spans)
+                ]
+                if cmps and "." in c and (
+                    case_spans
+                    or _arith_op_present(c[:cmps[0].start()])
+                    or _arith_op_present(c[cmps[0].end():])
+                ):
+                    first = cmps[0]
+                    lhs_txt, rhs_txt = c[:first.start()], c[first.end():]
                     try:
                         lt = _tokenize_expr(lhs_txt)
                         ln, le = _parse_arith(lt)
@@ -446,7 +468,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                                     raise CypherParseError(
                                         "arithmetic WHERE over edge variables is unsupported"
                                     )
-                            qg.expr_filters.append((ln, last.group(0), rn))
+                            qg.expr_filters.append((ln, first.group(0), rn))
                             continue
                 disjuncts = _split_bool(c, "OR")
                 if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:

@@ -65,6 +65,31 @@ _UNWIND = re.compile(
     r"\s+(?P<rest>.+)$"
 )
 _IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
+# trailing `UNWIND <carried-col|literal-list> AS alias` inside a WITH
+# stage (see _run_with_pipeline)
+_UNWIND_TAIL = re.compile(
+    r"(?is)\s+UNWIND\s+(?:(?P<src>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|\[(?P<lits>[^\]]*)\])\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
+
+
+def _parse_literal_list(items_txt: str) -> list:
+    """The literal list of an UNWIND: quoted strings or numbers, one
+    shared type."""
+    vals = []
+    for raw in items_txt.split(","):
+        m = _IN_ITEM.match(raw)
+        if not m:
+            raise CypherParseError(f"unsupported UNWIND list item: {raw!r}")
+        tok = m.group(1)
+        vals.append(tok[1:-1] if tok[0] in "'\"" else (
+            float(tok) if "." in tok else int(tok)))
+    if not vals:
+        raise CypherParseError("UNWIND over an empty list")
+    kinds = {type(v) for v in vals}
+    if len(kinds) > 1:
+        raise CypherParseError(f"mixed-type UNWIND list: {items_txt!r}")
+    return vals
 
 
 def _split_union(query: str) -> tuple[list[str], bool]:
@@ -161,29 +186,33 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
     rest = None
     while um:
         name, items_txt, rest = um.group("name"), um.group("list"), um.group("rest")
-        vals = []
-        for raw in items_txt.split(","):
-            m = _IN_ITEM.match(raw)
-            if not m:
-                raise CypherParseError(f"unsupported UNWIND list item: {raw!r}")
-            tok = m.group(1)
-            vals.append(tok[1:-1] if tok[0] in "'\"" else (
-                float(tok) if "." in tok else int(tok)))
-        if not vals:
-            raise CypherParseError("UNWIND over an empty list")
-        kinds = {type(v) for v in vals}
-        if len(kinds) > 1:
-            raise CypherParseError(f"mixed-type UNWIND list: {items_txt!r}")
-        dt = {str: "string", int: "long", float: "double"}[kinds.pop()]
+        vals = _parse_literal_list(items_txt)
+        dt = {str: "string", int: "long", float: "double"}[type(vals[0])]
         unwinds.append((name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}")))
         um = _UNWIND.match(rest)
     unames = {n for n, _ in unwinds}
     rm = re.match(r"(?is)^(?P<head>.*?)\bRETURN\s+(?P<items>.+)$", rest.strip())
     if not rm:
         raise CypherParseError(f"UNWIND query needs a RETURN clause: {rest!r}")
-    items = [i.strip() for i in rm.group("items").split(",")]
-    kept = [i for i in items if i not in unames]
-    requested = [n for n, _ in unwinds if n in items]
+    # normalize items before matching against unwind names: `k AS kk`
+    # and stray whitespace must alias the unwound column, not leak into
+    # the inner match query (where `k` is unbound)
+    kept: list[str] = []  # non-unwind items, passed to the inner query
+    out_cols: list[str | None] = []  # RETURN-ordered output column names
+    requested: dict[str, str] = {}  # unwind name -> output alias
+    for item in (i.strip() for i in rm.group("items").split(",")):
+        nm = _NAME_ITEM.match(item)
+        if nm and nm.group("n") in unames:
+            alias = nm.group("a") or nm.group("n")
+            requested[nm.group("n")] = alias
+            out_cols.append(alias)
+            continue
+        kept.append(item)
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
+        out_cols.append(
+            am.group(1) if am
+            else (item if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item) else None)
+        )
     out = None
     if kept:
         inner = f"{rm.group('head')}RETURN {', '.join(kept)}"
@@ -193,11 +222,18 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
             "UNWIND with a MATCH body must RETURN at least one pattern binding"
         )
     for name, vdf in unwinds:
-        if name not in requested:
+        alias = requested.get(name)
+        if alias is None:
             continue
+        vdf = vdf.withColumnRenamed(name, alias)
         out = vdf if out is None else out.crossJoin(F.broadcast(vdf))
     if out is None:
         raise CypherParseError("UNWIND query returned no columns")
+    # emit columns in RETURN-item order when every item's output name is
+    # known and present (resolve=True adds payload columns — keep those)
+    if all(c is not None for c in out_cols) and set(out_cols) <= set(out.columns):
+        extras = [c for c in out.columns if c not in out_cols]
+        out = out.select(*out_cols, *extras)
     return out
 
 
@@ -256,6 +292,81 @@ _CARRY_COND = re.compile(
     r"^\s*(?P<c>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op><>|!=|<=|>=|=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
 )
+
+
+_CARRY_EXPR_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[-+*/()]))"
+)
+
+
+def _carry_expr(text: str, cols: list[str]):
+    """Arithmetic over carried columns for the final RETURN after a WITH
+    pipeline (extension): `n_orders * 2`, `(a + b) / 2`, unary minus.
+    Leaves are carried column names (evaluated as doubles, like every
+    other expression context) and numeric literals; returns a Column."""
+    toks: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(text):
+        m = _CARRY_EXPR_TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise CypherParseError(
+                f"bad token in RETURN expression at: {text[pos:]!r}"
+            )
+        if m.group("num") is not None:
+            toks.append(("num", float(m.group("num"))))
+        elif m.group("name") is not None:
+            n = m.group("name")
+            if n not in cols:
+                raise CypherParseError(
+                    f"final RETURN after WITH references unknown column: {n!r}"
+                )
+            toks.append(("col", n))
+        else:
+            toks.append(("op", m.group("op")))
+        pos = m.end()
+
+    def factor(i):
+        if i >= len(toks):
+            raise CypherParseError(f"RETURN expression ends unexpectedly: {text!r}")
+        kind, val = toks[i]
+        if kind == "num":
+            return F.lit(val), i + 1
+        if kind == "col":
+            return F.col(val).cast("double"), i + 1
+        if (kind, val) == ("op", "("):
+            c, j = expr(i + 1)
+            if j >= len(toks) or toks[j] != ("op", ")"):
+                raise CypherParseError(f"unbalanced parentheses in: {text!r}")
+            return c, j + 1
+        if (kind, val) == ("op", "-"):
+            c, j = factor(i + 1)
+            return -c, j
+        raise CypherParseError(f"unexpected token {val!r} in: {text!r}")
+
+    def term(i):
+        c, i = factor(i)
+        while i < len(toks) and toks[i][0] == "op" and toks[i][1] in "*/":
+            op = toks[i][1]
+            rhs, i = factor(i + 1)
+            c = (c * rhs) if op == "*" else (c / rhs)
+        return c, i
+
+    def expr(i):
+        c, i = term(i)
+        while i < len(toks) and toks[i][0] == "op" and toks[i][1] in "+-":
+            op = toks[i][1]
+            rhs, i = term(i + 1)
+            c = (c + rhs) if op == "+" else (c - rhs)
+        return c, i
+
+    col, end = expr(0)
+    if end != len(toks):
+        raise CypherParseError(f"trailing tokens in RETURN expression: {text!r}")
+    return col
 
 
 def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
@@ -409,6 +520,30 @@ def _run_with_pipeline(
             raise CypherParseError(
                 "a WITH stage must start with MATCH, not OPTIONAL MATCH"
             )
+        # `WITH ... [WHERE ...] UNWIND xs AS x [UNWIND ...]` — trailing
+        # UNWINDs land at the end of the items (or WHERE) text because
+        # UNWIND is not a _SEG stop word; strip them off and explode
+        # after the stage head runs. This is the collected-list idiom
+        # (`WITH collect(n) AS ns UNWIND ns AS x`) plus literal lists.
+        unwind_chain: list[tuple[str | None, list | None, str]] = []
+
+        def _strip_unwinds(text: str) -> str:
+            while True:
+                um = _UNWIND_TAIL.search(text)
+                if not um:
+                    return text
+                lits = None
+                if um.group("lits") is not None:
+                    lits = _parse_literal_list(um.group("lits"))
+                unwind_chain.insert(
+                    0, (um.group("src"), lits, um.group("alias"))
+                )
+                text = text[: um.start()]
+
+        if w:
+            w = _strip_unwinds(w)
+        else:
+            items = _strip_unwinds(items)
 
         def run_head(carried_df):
             # WITH head = items [WHERE] [ORDER BY] [LIMIT] — the
@@ -416,26 +551,52 @@ def _run_with_pipeline(
             out, _, _ = _run_stage(graph, pending_match, items, carried_df, dedup=True)
             if w:
                 out = _carry_filter(out, w)
-            return _order_limit(
+            out = _order_limit(
                 out, out.columns, sm.group("ob"), sm.group("lim"), sm.group("skipn")
             )
+            for src, lits, alias in unwind_chain:
+                if src is not None:
+                    if src not in out.columns:
+                        raise CypherParseError(
+                            f"UNWIND references unknown carried column: {src!r}"
+                        )
+                    out = out.withColumn(alias, F.explode(F.col(src)))
+                else:
+                    out = out.withColumn(
+                        alias, F.explode(F.array(*[F.lit(v) for v in lits]))
+                    )
+            return out
 
         if sm.group("ret") is not None:
             # items WHERE w RETURN r — the WITH projects, then RETURN
-            # selects from the carried columns only
+            # selects names OR arithmetic expressions (with mandatory AS
+            # alias) over the carried columns
             carried = run_head(carried)
             rm = _RET_TAIL.match(sm.group("ret"))
-            sel = []
+            sel_cols, cols = [], []
             for it in re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns")).split(","):
-                nm = _NAME_ITEM.match(it.strip())
-                if not nm or nm.group("n") not in carried.columns:
+                it = it.strip()
+                nm = _NAME_ITEM.match(it)
+                if nm and nm.group("n") in carried.columns:
+                    a = nm.group("a") or nm.group("n")
+                    sel_cols.append(F.col(nm.group("n")).alias(a))
+                    cols.append(a)
+                    continue
+                am = re.fullmatch(
+                    r"(?is)(?P<body>.+?)\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*",
+                    it,
+                )
+                if not am:
                     raise CypherParseError(
-                        f"final RETURN after WITH may only reference carried "
-                        f"columns, got: {it.strip()!r}"
+                        f"final RETURN after WITH needs a carried column or an "
+                        f"aliased expression over carried columns, got: {it!r}"
                     )
-                sel.append((nm.group("n"), nm.group("a") or nm.group("n")))
-            df = carried.select(*[F.col(s).alias(a) for s, a in sel])
-            cols = [a for _, a in sel]
+                sel_cols.append(
+                    _carry_expr(am.group("body"), carried.columns)
+                    .alias(am.group("alias"))
+                )
+                cols.append(am.group("alias"))
+            df = carried.select(*sel_cols)
             return _order_limit(
                 df, cols, rm.group("ob"), rm.group("lim"), rm.group("skip")
             ), set()

@@ -93,3 +93,19 @@ def test_unwind_inside_union_side(g):
         "UNION ALL MATCH (b:B)-[:Y]->(c:C) RETURN c",
     ))
     assert got == [(3,), (3,)]
+
+
+def test_unwind_alias_and_return_order(g):
+    """`k AS kk` aliases the unwound column instead of leaking `k AS kk`
+    into the inner match (ADVICE r5), and output columns follow the
+    RETURN item order."""
+    df = run_cypher(g, "UNWIND [1, 2] AS k MATCH (c:C) RETURN k AS kk, c")
+    assert df.columns == ["kk", "c"]
+    assert rows(df) == [(1, 3), (2, 3)]
+    df2 = run_cypher(g, "UNWIND [7] AS k MATCH (c:C) RETURN c, k")
+    assert df2.columns == ["c", "k"]
+
+
+def test_unwind_whitespace_normalized(g):
+    got = rows(run_cypher(g, "UNWIND [4] AS k MATCH (c:C) RETURN  k , c"))
+    assert got == [(4, 3)]

@@ -281,3 +281,38 @@ def test_expr_vs_expr_where(props_graph):
     ))
     # 35*2=70 > 9.5+10 yes; 17*2=34 > 19.5 yes; 50*2=100 > 130 no
     assert got == {(0, 3), (1, 3)}
+
+
+def test_pure_subtraction_where(props_graph):
+    """`a.x - 5 > 3` (only '-' as arithmetic) reaches the expression
+    path instead of a confusing literal-filter parse error (ADVICE r5)."""
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE p.age - 18 > 0 RETURN p"
+    ))
+    assert got == {(0,), (2,)}
+
+
+def test_negative_literal_stays_plain_filter(props_graph):
+    """`p.age > -5` must NOT detour through the expression path (the
+    unary sign is not arithmetic); it keeps scan pushdown and matches
+    everyone here."""
+    from g4s_spark.cypher.parser import parse
+
+    qg = parse("MATCH (p:Person) WHERE p.age > -5 RETURN p")
+    assert not qg.expr_filters and len(qg.filters) == 1
+    got = rows(run_cypher(props_graph, "MATCH (p:Person) WHERE p.age > -5 RETURN p"))
+    assert got == {(0,), (1,), (2,)}
+
+
+def test_case_right_of_comparison(props_graph):
+    """Outer comparison LEFT of a CASE: the split happens at the first
+    comparison outside the CASE...END span (ADVICE r5: splitting at the
+    last comparison grabbed the one inside the CASE condition)."""
+    got = rows(run_cypher(
+        props_graph, "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+                     "WHERE p.age > CASE WHEN i.price > 100 THEN 60 ELSE 20 END "
+                     "RETURN p, i"
+    ))
+    # 35 > 20 yes; 17 > 20 no; 50 > 60 no
+    assert got == {(0, 3)}

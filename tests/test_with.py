@@ -142,3 +142,78 @@ def test_with_varlength_stage(g):
     # a=0 reaches {1,2} in 1 hop and {3,4} in 2 hops -> nx=4; a=5 reaches
     # {1,3,4} -> 3 (filtered)
     assert got == [(0, 4)]
+
+
+# --- round-6 extensions: UNWIND over collected/carried lists and
+# arithmetic in the final RETURN (VERDICT r5 #4/#5) ---------------------
+
+def test_unwind_collected_list(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs "
+           "UNWIND bs AS x RETURN a, x",
+    ))
+    assert got == [(0, 1), (0, 2), (5, 1)]
+
+
+def test_unwind_collected_after_where(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs, count(b) AS nb "
+           "WHERE nb >= 2 UNWIND bs AS x RETURN a, x",
+    ))
+    assert got == [(0, 1), (0, 2)]
+
+
+def test_unwind_carried_into_next_match(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, collect(b) AS bs "
+           "UNWIND bs AS b2 MATCH (c:C) RETURN a, b2, c",
+    ))
+    assert (0, 1, 3) in got and (5, 1, 4) in got and len(got) == 6
+
+
+def test_unwind_literal_list_in_pipeline(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "UNWIND [10, 20] AS k RETURN a, k",
+    ))
+    assert got == [(0, 10), (0, 20), (5, 10), (5, 20)]
+
+
+def test_unwind_unknown_carried_column_rejected(g):
+    with pytest.raises(CypherParseError, match="unknown carried column"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+               "UNWIND zs AS x RETURN a, x",
+        )
+
+
+def test_final_return_expression(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "RETURN a, nb * 2 + 1 AS n2",
+    ))
+    assert got == [(0, 5.0), (5, 3.0)]
+
+
+def test_final_return_expression_parens_and_unary(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "RETURN a, -(nb - 4) / 2 AS hm",
+    ))
+    assert got == [(0, 1.0), (5, 1.5)]
+
+
+def test_final_return_expression_unknown_column(g):
+    with pytest.raises(CypherParseError, match="unknown column"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+               "RETURN a, zz * 2 AS n2",
+        )
+
+
+def test_final_return_expression_needs_alias(g):
+    with pytest.raises(CypherParseError, match="aliased expression"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+               "RETURN a, nb * 2",
+        )
