@@ -119,6 +119,72 @@ class PropertyGraph:
             self.spark,
         )
 
+    def update_node_props(self, updates: DataFrame, replace: bool = False) -> "PropertyGraph":
+        """Property update — the SET verb completing the mutation story
+        (insert/delete exist above; the reference declares no mutation
+        at all, StatsStore.scala:172-177 ``???``).
+
+        ``updates``: (id long, props map<string,string>) — one row per
+        id. Default is openCypher ``SET n += {..}`` merge semantics:
+        update keys overwrite, other keys survive; ``replace=True`` is
+        ``SET n = {..}`` (the whole map is swapped). Nodes without an
+        update row pass through untouched (multi-label nodes update
+        every label row).
+
+        Relational rewrite: ONE broadcast left join + a map merge
+        expression — the nodes table never shuffles. At cluster scale
+        this is a Delta MERGE / parquet upsert; the left join IS that
+        merge's logical plan (see also sources.layout.compact_parquet
+        for the file-level rewrite)."""
+        upd = updates.select("id", F.col("props").alias("_upd"))
+        nodes = self.nodes
+        if "props" not in nodes.columns:
+            nodes = nodes.withColumn(
+                "props", F.lit(None).cast("map<string,string>")
+            )
+        joined = nodes.join(F.broadcast(upd), on="id", how="left")
+        if replace:
+            new_props = F.coalesce(F.col("_upd"), F.col("props"))
+        else:
+            # merge with update-wins: drop overwritten keys first so
+            # map_concat never sees a duplicate key (its dedup policy is
+            # EXCEPTION by default — keep it that way)
+            base = F.coalesce(
+                F.col("props"), F.create_map().cast("map<string,string>")
+            )
+            new_props = F.when(F.col("_upd").isNull(), F.col("props")).otherwise(
+                F.map_concat(
+                    F.map_filter(
+                        base,
+                        lambda k, _v: ~F.array_contains(
+                            F.map_keys(F.col("_upd")), k
+                        ),
+                    ),
+                    F.col("_upd"),
+                )
+            )
+        out = joined.withColumn("props", new_props).drop("_upd")
+        return PropertyGraph(out, self.edges, self.spark)
+
+    def update_edge_weights(self, updates: DataFrame) -> "PropertyGraph":
+        """SET for edge weights: ``updates`` (src, dst[, type], weight)
+        overwrites the weight of matching edges (all parallel types when
+        ``type`` is omitted); unmatched edges keep theirs. Same
+        broadcast-left-join upsert shape as update_node_props."""
+        on = [c for c in ("src", "dst", "type") if c in updates.columns]
+        if not {"src", "dst"} <= set(on):
+            raise ValueError("update_edge_weights needs src and dst columns")
+        upd = updates.select(*on, F.col("weight").alias("_w"))
+        edges = self.edges
+        if "weight" not in edges.columns:
+            edges = edges.withColumn("weight", F.lit(None).cast("double"))
+        out = (
+            edges.join(F.broadcast(upd), on=on, how="left")
+            .withColumn("weight", F.coalesce(F.col("_w"), F.col("weight")))
+            .drop("_w")
+        )
+        return PropertyGraph(self.nodes, out, self.spark)
+
     def next_id(self) -> int:
         """Driver-side id counter analogue (DataStore.scala:44-49). At
         cluster scale use max(id)+monotonically_increasing_id per batch."""

@@ -80,10 +80,20 @@ def compact_parquet(
     At cluster scale this is the same job, pointed at object storage;
     prefer running it between ingest windows so no writer races the
     swap (or use a table format with atomic commits)."""
-    import shutil
-
     df = spark.read.parquet(path)
     n = df.count()
+    swap_rewrite(df, path, target_files)
+    return n
+
+
+def swap_rewrite(df: "DataFrame", path: str, target_files: int = 8) -> None:
+    """Write ``df`` (typically derived from reading ``path``) to a
+    sibling directory, then swap it into ``path``. See compact_parquet
+    for the atomicity caveats (two renames, except-restore on failure,
+    same-filesystem assumption). The tmp write materializes the read
+    BEFORE the original moves, so self-referencing rewrites are safe."""
+    import shutil
+
     tmp = path.rstrip("/") + "__compact_tmp"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + "__compact_old"
@@ -94,4 +104,3 @@ def compact_parquet(
         shutil.move(old, path)  # restore the original before re-raising
         raise
     shutil.rmtree(old)
-    return n

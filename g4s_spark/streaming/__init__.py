@@ -1,5 +1,6 @@
 from .dedup import dedup_against_stream, dedup_docs_batch, dedup_docs_stream
 from .events import (
+    compact_edge_ingest,
     enrich_events,
     extract_props,
     window_anomalies,
@@ -20,7 +21,7 @@ from .events import (
 __all__ = [
     "windowed_counts", "windowed_counts_stream", "sessionize",
     "session_counts", "session_window_counts", "sessionize_stream",
-    "read_events_stream", "stream_edges_into_graph",
+    "read_events_stream", "stream_edges_into_graph", "compact_edge_ingest",
     "dedup_docs_stream", "dedup_docs_batch", "dedup_against_stream",
     "event_followups", "event_followups_stream",
     "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies", "extract_props",

@@ -371,6 +371,34 @@ def stream_edges_into_graph(
     )
 
 
+def compact_edge_ingest(
+    spark: SparkSession, out_path: str, target_files: int = 8
+) -> int:
+    """Merge the micro-batch appends stream_edges_into_graph accrues
+    into ONE consolidated edge table: parallel (src, dst, type) rows —
+    the same logical edge re-observed across batches — fold into a
+    single row with summed weight (edge multiplicity), and the
+    many-small-files directory is rewritten via the same write-then-swap
+    as sources.layout.compact_parquet. Returns the distinct edge count.
+
+    This is the upsert/compaction step SCALE.md previously deferred to
+    documentation: at cluster scale it is a Delta MERGE + OPTIMIZE pair
+    scheduled between ingest windows (no writer may race the swap); the
+    groupBy below IS that merge's logical plan. One shuffle on the edge
+    key, so cost scales with the delta directory, not the graph."""
+    from ..sources.layout import swap_rewrite
+
+    edges = spark.read.parquet(out_path)
+    others = [c for c in edges.columns if c not in ("src", "dst", "type", "weight")]
+    merged = edges.groupBy("src", "dst", "type").agg(
+        F.sum("weight").alias("weight"),
+        *[F.max(c).alias(c) for c in others],
+    )
+    n = merged.count()
+    swap_rewrite(merged.select(*edges.columns), out_path, target_files)
+    return n
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
     raw batch read; ts is normalized to TimestampType whatever parquet

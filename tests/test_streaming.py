@@ -433,3 +433,45 @@ def test_dedup_against_stream_matches_batch(spark, tmp_path):
     )
     assert sorted(got) == batch
     assert {r[0] for r in got} == {11}
+
+
+def test_compact_edge_ingest_merges_two_batches(spark, tmp_path):
+    """Two micro-batches through the streaming edge sink (the second
+    re-observes an edge from the first), then compaction: the graph
+    reads ONE consistent edge set — duplicates folded with summed
+    weight, files coalesced (VERDICT r5 #8)."""
+    import os
+
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+    from g4s_spark.streaming import compact_edge_ingest, stream_edges_into_graph
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    out, chk = str(tmp_path / "edges"), str(tmp_path / "chk")
+    schema = "user_id long, event_id long"
+
+    def drain(batch_rows, fname):
+        spark.createDataFrame(batch_rows, schema).write.parquet(str(src / fname))
+        stream = spark.readStream.schema("user_id long, event_id long").parquet(str(src) + "/*")
+        q = stream_edges_into_graph(stream, out, chk)
+        q.awaitTermination(120)
+        q.stop()
+
+    drain([(1, 10), (2, 20)], "b1.parquet")
+    drain([(1, 10), (3, 30)], "b2.parquet")  # (1,10) re-observed
+
+    raw = spark.read.parquet(out)
+    assert raw.count() == 4  # appends accumulate pre-compaction
+    n = compact_edge_ingest(spark, out, target_files=1)
+    assert n == 3
+    edges = spark.read.parquet(out)
+    assert edges.count() == 3
+    got = {(r.src, r.dst): r.weight for r in edges.collect()}
+    assert got[(1, 9_000_000_000_010)] == 2  # folded multiplicity
+    assert got[(3, 9_000_000_000_030)] == 1
+    # the compacted table is a queryable graph
+    users = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.lit("User"))
+    evs = edges.select(F.col("dst").alias("id")).distinct().withColumn("label", F.lit("Event"))
+    g = PropertyGraph(users.unionByName(evs), edges, spark)
+    assert run_cypher(g, "MATCH (u:User)-[:DID]->(e:Event) RETURN u, e").count() == 3
