@@ -670,8 +670,10 @@ _WINDOW_ORDER = [
     # stalest driver rows: r1-era
     "multimodal_meta", "events_window_agg", "events_sessionize",
     "ann_ivf_cells",
-    # r3-era
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "cypher_agg_of_agg",
+    # r3-era (dedup_exact deferred: untouched trivial md5-groupBy,
+    # shape-subsumed by the in-window dedup_minhash_lsh pipeline)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "ann_topk",
     # r4-era cypher block (replanned r5; parser/WITH changed r6)
     "cypher_1hop", "cypher_2hop_reverse", "cypher_multi_return",
@@ -812,6 +814,13 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_unwind_collected": _cypher(
             "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
             "WITH r, collect(n) AS ns UNWIND ns AS x RETURN r, x"
+        ),
+        # aggregate-of-aggregate via carry-only stage: TPC-H Q13's
+        # count-of-counts expressed in Cypher (planner._run_carry_stage)
+        "cypher_agg_of_agg": _cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WITH c, count(o) AS n_orders "
+            "WITH n_orders, count(c) AS n_cust RETURN n_orders, n_cust"
         ),
         "cypher_shortest_path": _cypher(
             "MATCH p = shortestPath((s:Supplier)-[*]->(x)) "
@@ -1404,6 +1413,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # count-of-counts: distinct orders per customer, then customers
+        # per order-count (engine: carry-only second aggregation)
+        "cypher_agg_of_agg": f"""
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust FROM (
+                SELECT c_custkey,
+                       CAST(count(DISTINCT {_OID}) AS BIGINT) AS n_orders
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_custkey
+            ) GROUP BY n_orders
         """,
         # collect() is the sorted-distinct list; UNWIND it back = the
         # distinct (region, nation) pairs

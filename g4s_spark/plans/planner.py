@@ -272,6 +272,16 @@ _SEG = re.compile(
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
     r"\s+(?:MATCH\s+(?P<next>.+)|RETURN\s+(?P<ret>.+))$"
 )
+# a WITH stage with no MATCH/RETURN tail — consecutive WITHs
+# (`WITH a, count(b) AS n WITH n, count(a) AS m ...`); the following
+# stage runs carry-only (_run_carry_stage)
+_SEG_BARE = re.compile(
+    r"(?is)^(?P<items>.+?)"
+    r"(?:\s+WHERE\s+(?P<w>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skipn>\d+))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?$"
+)
 _TAIL = re.compile(
     r"(?is)^(?P<body>.+?)\s+RETURN\s+(?P<returns>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<ob>.+?))?"
@@ -371,11 +381,21 @@ def _carry_expr(text: str, cols: list[str]):
 
 def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
     """WITH ... WHERE over the carried columns: `col <op> literal`
-    conjunctions (HAVING when the stage aggregated)."""
+    conjunctions (HAVING when the stage aggregated), or arithmetic
+    comparisons over carried columns (`n * 2 >= m + 1`) via
+    _carry_expr."""
     for conj in _split_bool(where_text, "AND"):
         m = _CARRY_COND.match(conj)
         if not m:
-            raise CypherParseError(f"unsupported WITH WHERE condition: {conj!r}")
+            cm = re.search(r"<=|>=|<>|!=|=|<|>", conj)
+            if not cm:
+                raise CypherParseError(
+                    f"unsupported WITH WHERE condition: {conj!r}"
+                )
+            lhs = _carry_expr(conj[: cm.start()], df.columns)
+            rhs = _carry_expr(conj[cm.end():], df.columns)
+            df = df.filter(_OPS[cm.group(0)](lhs, rhs))
+            continue
         col = m.group("c")
         if col not in df.columns:
             raise CypherParseError(f"WITH WHERE references unknown column: {col!r}")
@@ -386,6 +406,78 @@ def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
             c, v = F.col(col).cast("double"), float(raw)
         df = df.filter(_OPS[m.group("op")](c, F.lit(v)))
     return df
+
+
+_CARRY_AGG = re.compile(
+    r"(?is)^\s*(?P<fn>count|sum|avg|min|max)\s*\(\s*"
+    r"(?:(?P<star>\*)|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s*\)"
+    r"\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
+
+
+def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
+    """A WITH/RETURN stage with NO new MATCH: pure projection or
+    aggregation over the carried columns (extension). This enables the
+    aggregate-of-aggregate idiom — e.g. the TPC-H Q13 count-of-counts,
+    `WITH c, count(o) AS n WITH n, count(c) AS cnt` — which openCypher
+    users reach for as soon as they group twice. Aggregates run over the
+    carried rows (already distinct under the engine's existence
+    semantics): count -> long, sum/avg -> double, min/max keep the
+    carried column's type. Items may also be aliased arithmetic
+    expressions over carried columns (they join the grouping keys)."""
+    if carried is None:
+        raise CypherParseError(
+            "a carry-only WITH stage needs a previous WITH stage"
+        )
+    from ..cypher.parser import _split_patterns
+
+    items = _split_patterns(re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text))
+    if not items:
+        raise CypherParseError("empty WITH/RETURN item list")
+    keys, key_names, aggs, agg_srcs = [], [], [], []
+    for it in items:
+        nm = _NAME_ITEM.match(it)
+        if nm and nm.group("n") in carried.columns:
+            a = nm.group("a") or nm.group("n")
+            keys.append(F.col(nm.group("n")).alias(a))
+            key_names.append(a)
+            continue
+        am = _CARRY_AGG.match(it)
+        if am:
+            fn, col, alias = am.group("fn").lower(), am.group("col"), am.group("alias")
+            if col is not None and col not in carried.columns:
+                raise CypherParseError(
+                    f"aggregate references unknown carried column: {col!r}"
+                )
+            if fn == "count":
+                src = F.count(F.lit(1)) if col is None else F.count(F.col(col))
+                aggs.append(src.cast("long").alias(alias))
+            elif fn in ("sum", "avg"):
+                aggs.append(getattr(F, fn)(F.col(col).cast("double")).alias(alias))
+            else:
+                aggs.append(getattr(F, fn)(F.col(col)).alias(alias))
+            if col is not None:
+                agg_srcs.append(col)
+            continue
+        em = re.fullmatch(
+            r"(?is)(?P<body>.+?)\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*", it
+        )
+        if em:
+            keys.append(
+                _carry_expr(em.group("body"), carried.columns)
+                .alias(em.group("alias"))
+            )
+            key_names.append(em.group("alias"))
+            continue
+        raise CypherParseError(
+            f"carry-only WITH stage item must be a carried column, an "
+            f"aggregate over one, or an aliased expression, got: {it!r}"
+        )
+    if not aggs:
+        return carried.select(*keys).dropDuplicates()
+    srcs = [c for c in dict.fromkeys(agg_srcs) if c not in key_names]
+    pre = carried.select(*keys, *[F.col(c) for c in srcs])
+    return pre.groupBy(*key_names).agg(*aggs) if key_names else pre.agg(*aggs)
 
 
 def _new_out_col(qg: QueryGraph, marks: tuple[int, ...]) -> str:
@@ -509,12 +601,16 @@ def _run_with_pipeline(
     m0 = re.match(r"(?is)^\s*MATCH\s+(?P<body>.+)$", parts[0].strip())
     if not m0:
         raise CypherParseError("WITH pipeline must start with MATCH")
-    pending_match = m0.group("body")
+    pending_match: str | None = m0.group("body")
     carried: DataFrame | None = None
     for seg in parts[1:]:
         sm = _SEG.match(seg.strip())
+        bare = False
         if not sm:
-            raise CypherParseError(f"unsupported WITH stage: {seg!r}")
+            sm = _SEG_BARE.match(seg.strip())
+            bare = sm is not None
+            if not sm:
+                raise CypherParseError(f"unsupported WITH stage: {seg!r}")
         items, w = sm.group("items"), sm.group("w")
         if re.search(r"(?is)\bOPTIONAL\s*$", items):
             raise CypherParseError(
@@ -547,8 +643,15 @@ def _run_with_pipeline(
 
         def run_head(carried_df):
             # WITH head = items [WHERE] [ORDER BY] [LIMIT] — the
-            # ORDER BY/LIMIT pair makes the stage a top-N selector
-            out, _, _ = _run_stage(graph, pending_match, items, carried_df, dedup=True)
+            # ORDER BY/LIMIT pair makes the stage a top-N selector.
+            # pending_match None = the previous segment already consumed
+            # its MATCH (consecutive WITHs): run carry-only.
+            if pending_match is None:
+                out = _run_carry_stage(carried_df, items)
+            else:
+                out, _, _ = _run_stage(
+                    graph, pending_match, items, carried_df, dedup=True
+                )
             if w:
                 out = _carry_filter(out, w)
             out = _order_limit(
@@ -567,14 +670,24 @@ def _run_with_pipeline(
                     )
             return out
 
+        if bare:
+            carried = run_head(carried)
+            pending_match = None
+            continue
         if sm.group("ret") is not None:
             # items WHERE w RETURN r — the WITH projects, then RETURN
-            # selects names OR arithmetic expressions (with mandatory AS
-            # alias) over the carried columns
+            # selects names, arithmetic expressions (with mandatory AS
+            # alias), or aggregates over the carried columns
             carried = run_head(carried)
             rm = _RET_TAIL.match(sm.group("ret"))
+            ret_items = re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns"))
+            if any(_CARRY_AGG.match(i) for i in ret_items.split(",")):
+                df = _run_carry_stage(carried, ret_items)
+                return _order_limit(
+                    df, df.columns, rm.group("ob"), rm.group("lim"), rm.group("skip")
+                ), set()
             sel_cols, cols = [], []
-            for it in re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns")).split(","):
+            for it in ret_items.split(","):
                 it = it.strip()
                 nm = _NAME_ITEM.match(it)
                 if nm and nm.group("n") in carried.columns:

@@ -217,3 +217,56 @@ def test_final_return_expression_needs_alias(g):
             g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
                "RETURN a, nb * 2",
         )
+
+
+# --- carry-only stages: aggregate-of-aggregate (round-6) ----------------
+
+def test_agg_of_agg_count_of_counts(g):
+    """The TPC-H Q13 idiom in Cypher: group twice via consecutive
+    WITHs — the second stage runs carry-only (no new MATCH)."""
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "WITH nb, count(a) AS na RETURN nb, na",
+    ))
+    # a=0 reaches 2 Bs, a=5 reaches 1 -> one A at each count
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_final_return_aggregates_over_carried(g):
+    row = run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "RETURN sum(nb) AS total, count(*) AS n, min(nb) AS lo, "
+           "max(nb) AS hi, avg(nb) AS mean",
+    ).collect()[0]
+    assert (row.total, row.n, row.lo, row.hi, row.mean) == (3.0, 2, 1, 2, 1.5)
+
+
+def test_carry_stage_then_match(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "WITH nb, count(a) AS na MATCH (c:C) RETURN nb, na, c",
+    ))
+    assert len(got) == 4 and (1, 1, 3) in got and (2, 1, 4) in got
+
+
+def test_carry_stage_projection_only_dedups(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, b WITH b RETURN b",
+    ))
+    assert got == [(1,), (2,)]
+
+
+def test_with_where_expression_over_carried(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "WHERE nb * 2 >= 3 RETURN a, nb",
+    ))
+    assert got == [(0, 2)]
+
+
+def test_carry_stage_unknown_column_rejected(g):
+    with pytest.raises(CypherParseError, match="carry-only|unknown"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+               "WITH zz, count(a) AS na RETURN zz, na",
+        )
