@@ -153,6 +153,64 @@ def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataF
     return df
 
 
+_SET_STMT = re.compile(r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+SET\s+(?P<sets>.+)$")
+_SET_ITEM = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"=\s*(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
+    """Mutation statement: ``MATCH pattern [WHERE ...] SET b.prop =
+    literal [, b2.prop2 = ...]`` — openCypher SET with literal values
+    (extension; the reference declares no mutation at all,
+    StatsStore.scala:172-177 ``???``). Returns the UPDATED graph (the
+    input graph is untouched — immutable rewrite, like remove_*).
+
+    Plan: the MATCH runs through the normal cost-based planner, each
+    SET binding's matched id set projects out distinct, and the props
+    land via update_node_props' broadcast-merge join — so the match
+    cost is one planned query and the write is Delta-MERGE-shaped."""
+    m = _SET_STMT.match(query)
+    if not m:
+        raise CypherParseError(
+            f"SET statement must be MATCH ... SET b.prop = literal: {query!r}"
+        )
+    from ..cypher.parser import _split_patterns
+
+    sets: dict[str, dict[str, str]] = {}
+    for item in _split_patterns(m.group("sets")):
+        sm = _SET_ITEM.match(item)
+        if not sm:
+            raise CypherParseError(
+                f"unsupported SET item (need b.prop = literal): {item!r}"
+            )
+        raw = sm.group("val")
+        val = raw[1:-1] if raw[0] in "'\"" else raw  # props map is string-valued
+        sets.setdefault(sm.group("b"), {})[sm.group("p")] = val
+    qg = QueryGraph()
+    _parse_clauses(m.group("body"), qg)
+    for b in sets:
+        if b not in qg.labels:
+            raise CypherParseError(f"SET references unbound binding: {b!r}")
+        qg.returns.append(b)
+    matched = plan_match(graph, qg).df
+    out = graph
+    for b, props in sets.items():
+        updates = (
+            matched.select(F.col(b).alias("id"))
+            .dropDuplicates(["id"])
+            .withColumn(
+                "props",
+                F.create_map(
+                    *[x for k, v in sorted(props.items()) for x in (F.lit(k), F.lit(v))]
+                ),
+            )
+        )
+        out = out.update_node_props(updates)
+    return out
+
+
 def _case_col(node, eval_expr, raw_prop):
     """CASE evaluator shared by both expression contexts. String-literal
     comparisons require a bare prop condition (compared uncast); numeric

@@ -146,3 +146,49 @@ def test_update_edge_weights(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="src and dst"):
         g.update_edge_weights(spark.createDataFrame([(1.0,)], "weight double"))
+
+
+def test_cypher_set_statement(spark):
+    """MATCH ... SET b.prop = literal: the query-language surface of
+    update_node_props — matched nodes get the props, the rest and the
+    input graph stay untouched; reads see the update."""
+    from g4s_spark.plans import run_cypher_set
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "Person", {"city": "berlin"}),
+            (1, "Person", {"city": "paris"}),
+            (2, "Item", {"price": "5.0"}),
+        ],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, "BOUGHT")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    g2 = run_cypher_set(
+        g, "MATCH (p:Person)-[:BOUGHT]->(i:Item) SET p.vip = 'yes', i.price = 6"
+    )
+    got = {r.id: dict(r.props) for r in g2.nodes.collect()}
+    assert got[0] == {"city": "berlin", "vip": "yes"}
+    assert got[1] == {"city": "paris"}  # unmatched: untouched
+    assert got[2] == {"price": "6"}
+    # visible to a Cypher read on the updated graph
+    out = run_cypher(g2, "MATCH (p:Person) WHERE p.vip = 'yes' RETURN p")
+    assert [r.p for r in out.collect()] == [0]
+    # input graph unchanged
+    assert "vip" not in dict(
+        {r.id: dict(r.props) for r in g.nodes.collect()}[0]
+    )
+
+
+def test_cypher_set_parse_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.plans import run_cypher_set
+
+    g = PropertyGraph.from_tuples(spark, [(0, "A")], [])
+    import pytest as _pytest
+    with _pytest.raises(CypherParseError, match="unbound"):
+        run_cypher_set(g, "MATCH (a:A) SET z.x = 1")
+    with _pytest.raises(CypherParseError, match="SET statement"):
+        run_cypher_set(g, "SET a.x = 1")
