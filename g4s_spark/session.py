@@ -38,6 +38,18 @@ def get_spark(app_name: str = "g4s_spark", shuffle_partitions: int | None = None
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("G4S_ADVISORY_PARTITION_BYTES", "8m"),
         )
+        # with coalescePartitions.parallelismFirst the coalesce target is
+        # max(totalSize/parallelism, minPartitionSize) — the 1m default
+        # floor collapsed CPU-heavy small-COMPRESSED-byte shuffles (the
+        # per-iteration PageRank aggregations, cypher expand joins) to
+        # 3-4 tasks with one straggler. 64k keeps them ~parallelism-wide:
+        # pagerank 4.8->3.2 s warm at sf0.1. Same compressed-size pitfall
+        # as SCALE.md's skew note; cluster deployments with genuinely
+        # large shuffles can raise this back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("G4S_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("G4S_DRIVER_MEM", "48g"))
