@@ -891,6 +891,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf_dir: SM.pack_sequences(
             load_table(spark, sf_dir, "documents"), budget_tokens=512, n_shards=4
         ),
+        # context-window chunking (round-6): whitespace-token windows
+        # with overlap, trailing no-new-token starts dropped
+        "chunk_documents": lambda spark, sf_dir: SM.chunk_documents(
+            load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+        ),
         "knn_join": lambda spark, sf_dir: S.knn_join_lsh(
             load_table(spark, sf_dir, "embeddings"), k=3
         ),
@@ -1581,6 +1586,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # chunk_tokens=64, overlap=8 -> stride 56; chunk adds new tokens
+        # iff start=0 or start+overlap < n
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), starts AS (
+                SELECT doc_id, t, unnest(range(0, len(t), 56)) AS s FROM toks
+            )
+            SELECT doc_id, CAST(s / 56 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text,
+                   CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+            FROM starts WHERE s = 0 OR s + 8 < len(t)
         """,
         "cypher_multitype": f"""
             SELECT DISTINCT n FROM (

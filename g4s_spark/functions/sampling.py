@@ -147,3 +147,49 @@ def rates_for_token_budget(
         want = frac * total_tokens
         rates[s] = 1.0 if have == 0 else min(1.0, want / have)
     return rates
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks with overlap
+    — the context-window preprocessing step between curation and
+    training. Chunk i covers whitespace tokens [i·stride, i·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the final chunk
+    keeps the tail, and trailing starts whose window would add no new
+    tokens (entirely inside the previous chunk) are dropped.
+
+    Output: (id_col, chunk_id long, chunk_text string, n_tokens long).
+
+    Scale: a narrow per-row split + one explode — no shuffle, output
+    rows bounded by total-token-count/stride. The token definition is
+    whitespace (matching text.token_count); swap the split pattern for
+    a BPE-ish regex when the tokenizer matters."""
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    return (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+            ).alias("_start"),
+        )
+        # a start > 0 adds new tokens iff start + overlap < n
+        .filter((F.col("_start") == 0) | (F.col("_start") + overlap < F.size("_toks")))
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("_toks") - F.col("_start"))
+            .cast("long").alias("n_tokens"),
+        )
+    )

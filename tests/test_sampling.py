@@ -108,3 +108,52 @@ def test_rates_for_token_budget(spark):
     assert rates["books"] == 1.0    # want 2 of 2
     capped = rates_for_token_budget(df, {"books": 1.0}, total_tokens=100)
     assert capped["books"] == 1.0   # under-supplied stratum caps
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunk i covers [i*stride, i*stride+chunk); tail kept; a trailing
+    start fully inside the previous chunk is dropped; empty docs yield
+    one (degenerate) chunk, matching split('')'s single empty token."""
+    from g4s_spark.functions.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in chunk_documents(docs, chunk_tokens=4, overlap=1)
+           .orderBy("doc_id", "chunk_id").collect()]
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (1, 2, "g h i j", 4),
+        (2, 0, "x y", 2),
+        (3, 0, "", 1),
+    ]
+    # overlap: chunk k starts at k*(chunk-overlap)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token index lands in >=1 chunk and chunk token counts sum
+    to n + (chunks-1)*overlap per doc (exact overlap accounting)."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.functions.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in [(0, 1), (1, 7), (2, 8), (3, 9), (4, 23)]],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    agg = (
+        out.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    n_by_id = {0: 1, 1: 7, 2: 8, 3: 9, 4: 23}
+    for r in agg:
+        n, c = n_by_id[r.doc_id], r.c
+        assert r.s == n + (c - 1) * 2, (r.doc_id, r.s, c)
