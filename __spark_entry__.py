@@ -896,6 +896,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": lambda spark, sf_dir: SM.chunk_documents(
             load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
         ),
+        # contamination audit (round-6): near-dup pair counts per
+        # unordered source pair over the banded MinHash join
+        "dedup_cross_source": lambda spark, sf_dir: D.cross_source_overlap(
+            load_table(spark, sf_dir, "documents")
+        ),
         "knn_join": lambda spark, sf_dir: S.knn_join_lsh(
             load_table(spark, sf_dir, "embeddings"), k=3
         ),
@@ -2415,6 +2420,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
             WHERE l.doc_id < r.doc_id
+        """,
+        # leakage matrix: the minhash pair query joined back to sources
+        "dedup_cross_source": f"""
+            WITH {_SHINGLES},
+            sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id),
+            bands AS ({band_rows}),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+                WHERE l.doc_id < r.doc_id
+            )
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs
+            JOIN documents da ON pairs.a = da.doc_id
+            JOIN documents db ON pairs.b = db.doc_id
+            GROUP BY 1, 2
         """,
         "dedup_simhash": f"""
             WITH tok AS (

@@ -379,3 +379,38 @@ def embedding_near_dups_lsh(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", pround(F.col("cos"), 4).alias("cos"))
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Contamination audit: near-duplicate pair counts per (unordered)
+    source pair — the leakage matrix a curation pipeline checks before
+    mixing corpora (train/train overlap inflates effective epochs,
+    train/benchmark overlap is contamination; see also
+    text.decontaminate for the removal step).
+
+    Output: (src_a, src_b, n_pairs) with src_a <= src_b.
+
+    Scale: pairs come from the banded MinHash bucket join (Σ bucket²,
+    never |corpus|²); the source labels join back via two slim
+    (id, source) projections — broadcastable below threshold — and the
+    final aggregation is over |source|² keys, which is tiny."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k, bands)
+    src = df.select(F.col(id_col), F.col(source_col))
+    sa = src.select(F.col(id_col).alias("a"), F.col(source_col).alias("_sa"))
+    sb = src.select(F.col(id_col).alias("b"), F.col(source_col).alias("_sb"))
+    return (
+        pairs.join(sa, on="a").join(sb, on="b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -368,3 +368,24 @@ def test_hard_negatives_band_and_exclusions(spark):
     assert 2 in ids              # cos ~0.54: a hard negative
     assert 3 not in ids          # cos ~0: below min_sim
     assert all(0.1 <= r.cos < 0.9 for r in out)
+
+
+def test_cross_source_overlap_counts_unordered_pairs(spark):
+    """Leakage matrix: identical docs across sources collide in every
+    band; counts key on the UNORDERED source pair."""
+    from g4s_spark.functions.dedup import cross_source_overlap
+
+    text1 = "the quick brown fox jumps over the lazy dog again and again"
+    text2 = "completely different content with no shared shingles at all here"
+    docs = spark.createDataFrame(
+        [
+            (1, text1, "web"),
+            (2, text1, "books"),   # dup of 1, cross-source
+            (3, text1, "web"),     # dup of 1, same-source
+            (4, text2, "books"),   # unique
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.src_a, r.src_b): r.n_pairs for r in cross_source_overlap(docs).collect()}
+    # pairs: (1,2) web-books, (1,3) web-web, (2,3) books-web
+    assert got == {("books", "web"): 2, ("web", "web"): 1}
