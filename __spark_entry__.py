@@ -670,11 +670,10 @@ _WINDOW_ORDER = [
     # stalest driver rows: r1-era
     "multimodal_meta", "events_window_agg", "events_sessionize",
     "ann_ivf_cells",
-    "cypher_agg_of_agg",
-    # r3-era (dedup_exact deferred: untouched trivial md5-groupBy,
-    # shape-subsumed by the in-window dedup_minhash_lsh pipeline)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_topk",
+    "cypher_agg_of_agg", "cypher_orderby_prop",
+    # r3-era (dedup_exact and dedup_simhash deferred: untouched since
+    # r3, shape-subsumed by the in-window dedup_minhash_lsh pipeline)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_topk",
     # r4-era cypher block (replanned r5; parser/WITH changed r6)
     "cypher_1hop", "cypher_2hop_reverse", "cypher_multi_return",
     "cypher_fork", "cypher_where_string", "cypher_edge_where",
@@ -835,6 +834,14 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_skip_limit": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
             "RETURN o ORDER BY o DESC SKIP 10 LIMIT 20"
+        ),
+        # ORDER BY over a non-returned property (round-6): numeric-cast
+        # sort key + raw-string secondary + binding tiebreak, helper
+        # column dropped after LIMIT
+        "cypher_orderby_prop": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_7' "
+            "RETURN c ORDER BY c.acctbal DESC, c ASC LIMIT 15"
         ),
         "cypher_where_in": _cypher(
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
@@ -1458,6 +1465,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal >= 5000
             ORDER BY o DESC
             LIMIT 20 OFFSET 10
+        """,
+        # top-15 by acctbal (numeric sort of the string prop), binding
+        # tiebreak keeps the cutoff deterministic
+        "cypher_orderby_prop": f"""
+            SELECT c FROM (
+                SELECT DISTINCT {_CID} AS c, c_acctbal
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7'
+            )
+            ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c ASC
+            LIMIT 15
         """,
         "cypher_where_in": f"""
             SELECT DISTINCT {_CID} AS c,

@@ -172,6 +172,10 @@ class QueryGraph:
     # A literal comparison stores its RHS as a ("num", v) node.
     expr_filters: list[tuple[tuple, str, tuple]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (column, desc)
+    # full ORDER BY sequence incl. property items (extension):
+    # ("col", name, desc) | ("prop", binding, prop, desc) — order_by
+    # keeps the plain columns only (back-compat; used when no prop item)
+    order_items: list[tuple] = field(default_factory=list)
     skip: int | None = None  # SKIP n (extension): row offset after ORDER BY
     limit: int | None = None
 
@@ -790,11 +794,34 @@ def _parse_order_limit(
     if orderby:
         for part in orderby.split(","):
             om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
-            if not om:
-                raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
-            if om.group("col") not in out_cols:
-                raise CypherParseError(f"ORDER BY of non-returned column: {om.group('col')!r}")
-            qg.order_by.append((om.group("col"), (om.group("dir") or "").upper() == "DESC"))
+            if om and om.group("col") in out_cols:
+                desc = (om.group("dir") or "").upper() == "DESC"
+                qg.order_by.append((om.group("col"), desc))
+                qg.order_items.append(("col", om.group("col"), desc))
+                continue
+            # ORDER BY b.prop (extension): sort by a property without
+            # returning it — resolved via the planner's props join and
+            # dropped after LIMIT
+            pm = re.fullmatch(
+                r"(?i)\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
+                r"(?:\s+(?P<dir>ASC|DESC))?\s*",
+                part,
+            )
+            if pm:
+                if pm.group("b") not in qg.labels:
+                    raise CypherParseError(
+                        f"ORDER BY property of unbound binding: {part!r}"
+                    )
+                qg.order_items.append((
+                    "prop", pm.group("b"), pm.group("p"),
+                    (pm.group("dir") or "").upper() == "DESC",
+                ))
+                continue
+            if om:
+                raise CypherParseError(
+                    f"ORDER BY of non-returned column: {om.group('col')!r}"
+                )
+            raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
     if skip:
         qg.skip = int(skip)
     if limit:

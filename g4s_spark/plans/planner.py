@@ -1378,6 +1378,26 @@ def plan_match(
     prop_cols: dict[str, list[tuple[str, str]]] = {}  # binding -> [(prop, outcol)]
     for b, p, a in qg.prop_returns:
         prop_cols.setdefault(b, []).append((p, a))
+    # ORDER BY b.prop (extension): resolve the property as a helper
+    # column, dropped after LIMIT. Restricted to returned bindings and
+    # non-aggregating queries (else alias the property in RETURN).
+    ob_aliases: dict[int, str] = {}
+    for i, it in enumerate(qg.order_items):
+        if it[0] != "prop":
+            continue
+        _, ob_b, ob_p, _d = it
+        if qg.aggregates or any(x.agg is not None for x in qg.expr_returns):
+            raise CypherParseError(
+                "ORDER BY a property with aggregation: return the property "
+                "with an alias and ORDER BY the alias"
+            )
+        if ob_b not in needed:
+            raise CypherParseError(
+                f"ORDER BY property of non-returned binding: {ob_b!r}"
+            )
+        a = f"_ob_{i}"
+        prop_cols.setdefault(ob_b, []).append((ob_p, a))
+        ob_aliases[i] = a
     for ag in qg.aggregates:
         if ag.prop is not None and not ag.on_edge:
             prop_cols.setdefault(ag.binding, []).append((ag.prop, f"_agg_{ag.alias}"))
@@ -1462,8 +1482,24 @@ def plan_match(
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is
         # what's distinct)
-        out = out.select(*group_cols)
-    if qg.order_by:
+        out = out.select(*group_cols, *ob_aliases.values())
+    if ob_aliases:
+        # property sort keys are string-typed: numeric strings order by
+        # their numeric cast first, the raw string second (deterministic
+        # for non-numeric values; a pure tie-break for numeric ones)
+        exprs = []
+        for i, it in enumerate(qg.order_items):
+            if it[0] == "col":
+                c, d = F.col(it[1]), it[2]
+                exprs.append(c.desc() if d else c.asc())
+            else:
+                a, d = ob_aliases[i], it[3]
+                num = F.col(a).try_cast("double")
+                exprs.append(num.desc() if d else num.asc())
+                exprs.append(F.col(a).desc() if d else F.col(a).asc())
+        out = out.orderBy(*exprs)
+        steps.append(("order_by", tuple(qg.order_items)))
+    elif qg.order_by:
         out = out.orderBy(*[F.col(c).desc() if d else F.col(c).asc() for c, d in qg.order_by])
         steps.append(("order_by", tuple(qg.order_by)))
     if qg.skip is not None:
@@ -1472,6 +1508,8 @@ def plan_match(
     if qg.limit is not None:
         out = out.limit(qg.limit)
         steps.append(("limit", qg.limit))
+    if ob_aliases:
+        out = out.drop(*ob_aliases.values())
     return PlannedQuery(out, steps, total_cost)
 
 

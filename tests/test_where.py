@@ -316,3 +316,40 @@ def test_case_right_of_comparison(props_graph):
     ))
     # 35 > 20 yes; 17 > 20 no; 50 > 60 no
     assert got == {(0, 3)}
+
+
+def test_order_by_property_numeric_and_string(props_graph):
+    """ORDER BY b.prop (round-6): numeric strings sort numerically
+    (cast-first key), the helper column is dropped, LIMIT applies after
+    the sort."""
+    out = run_cypher(
+        props_graph, "MATCH (p:Person) RETURN p ORDER BY p.age ASC, p ASC"
+    )
+    assert out.columns == ["p"]
+    assert [r.p for r in out.collect()] == [1, 0, 2]  # 17 < 35 < 50
+    top = run_cypher(
+        props_graph, "MATCH (p:Person) RETURN p ORDER BY p.age DESC LIMIT 1"
+    )
+    assert [r.p for r in top.collect()] == [2]
+    lex = run_cypher(
+        props_graph, "MATCH (p:Person) RETURN p ORDER BY p.city ASC, p ASC"
+    )
+    assert [r.p for r in lex.collect()] == [0, 2, 1]  # berlin,berlin,paris
+
+
+def test_order_by_property_errors(props_graph):
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="unbound"):
+        run_cypher(props_graph, "MATCH (p:Person) RETURN p ORDER BY z.age")
+    with pytest.raises(CypherParseError, match="aggregation"):
+        run_cypher(
+            props_graph,
+            "MATCH (p:Person)-[:BOUGHT]->(i:Item) "
+            "RETURN p, count(i) AS n ORDER BY p.age",
+        ).collect()
+    with pytest.raises(CypherParseError, match="non-returned binding"):
+        run_cypher(
+            props_graph,
+            "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN p ORDER BY i.price",
+        ).collect()
