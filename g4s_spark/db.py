@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 
 from .cypher.parser import parse, split_with
 from .graph.store import PropertyGraph
-from .plans.planner import PlannedQuery, plan_match, run_cypher
+from .plans.planner import PlannedQuery, plan_match, run_cypher, run_cypher_set
 
 
 class GraphDB:
@@ -27,6 +27,11 @@ class GraphDB:
 
     def query(self, cypher: str, resolve: bool = False) -> DataFrame:
         return run_cypher(self.graph, cypher, resolve=resolve)
+
+    def update(self, cypher: str) -> "GraphDB":
+        """``MATCH ... SET b.prop = literal`` — returns a NEW GraphDB over
+        the updated graph (immutable rewrite; see plans.run_cypher_set)."""
+        return GraphDB(run_cypher_set(self.graph, cypher))
 
     def plan(self, cypher: str) -> PlannedQuery:
         if split_with(cypher) is not None:

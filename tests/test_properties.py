@@ -439,3 +439,37 @@ def test_union_matches_set_model(spark, edges, use_all):
     ys = sorted({b for a, b in edges if a > b})
     expect = sorted(xs + ys) if use_all else sorted(set(xs) | set(ys))
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.integers(0, 40), min_size=1, max_size=5  # token counts per doc
+    ),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_python_model(spark, docs, chunk, overlap):
+    """chunk_documents vs a pure-python window model: same chunk count,
+    same chunk texts, same token accounting — across random doc lengths
+    (incl. empty), chunk sizes, and overlaps."""
+    from g4s_spark.functions.sampling import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    expect = {}
+    for i, n in enumerate(docs):
+        toks = [f"w{j}" for j in range(n)] if n > 0 else [""]  # split('') -> ['']
+        starts = [s for s in range(0, len(toks), stride)
+                  if s == 0 or s + overlap < len(toks)]
+        for s in starts:
+            w = toks[s:s + chunk]
+            expect[(i, s // stride)] = (" ".join(w), len(w))
+    assert got == expect
