@@ -670,10 +670,12 @@ _WINDOW_ORDER = [
     # stalest driver rows: r1-era
     "multimodal_meta", "events_window_agg", "events_sessionize",
     "ann_ivf_cells",
-    "cypher_agg_of_agg", "cypher_orderby_prop",
-    # r3-era (dedup_exact and dedup_simhash deferred: untouched since
-    # r3, shape-subsumed by the in-window dedup_minhash_lsh pipeline)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_topk",
+    "cypher_agg_of_agg", "cypher_orderby_prop", "cypher_where_fn",
+    # r3-era (dedup_exact, dedup_simhash, ann_topk deferred: untouched
+    # since r3; the first two shape-subsumed by the in-window
+    # dedup_minhash_lsh pipeline, ann_topk by ann_lsh_topk's r5 row over
+    # the same cosine/rank kernel)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
     # r4-era cypher block (replanned r5; parser/WITH changed r6)
     "cypher_1hop", "cypher_2hop_reverse", "cypher_multi_return",
     "cypher_fork", "cypher_where_string", "cypher_edge_where",
@@ -851,6 +853,13 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "WHERE c.mktsegment STARTS WITH 'BUI' AND c.name ENDS WITH '1' "
             "AND o.orderpriority CONTAINS 'URG' RETURN c, o"
+        ),
+        # scalar functions around props in WHERE (round-6): pushed into
+        # the node-set scans like plain predicates
+        "cypher_where_fn": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE toLower(c.mktsegment) = 'building' AND size(n.name) >= 9 "
+            "RETURN c, n"
         ),
         # pattern predicates: existence semi-join / negation anti-join
         "cypher_where_string": _cypher(
@@ -1465,6 +1474,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal >= 5000
             ORDER BY o DESC
             LIMIT 20 OFFSET 10
+        """,
+        "cypher_where_fn": f"""
+            SELECT DISTINCT {_CID} AS c,
+                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE lower(c_mktsegment) = 'building' AND length(n_name) >= 9
         """,
         # top-15 by acctbal (numeric sort of the string prop), binding
         # tiebreak keeps the cutoff deterministic

@@ -52,6 +52,11 @@ class PropFilter:
     value: str | float
     is_num: bool
     clause: int = 0
+    # scalar function wrapping the property (extension):
+    # tolower | toupper | trim (string compare) | size (numeric length).
+    # Still scan-pushed — the function applies inside the node-set
+    # filter; selectivity is unestimated (planner keeps its upper bound).
+    fn: str | None = None
 
 
 @dataclass(frozen=True)
@@ -208,6 +213,14 @@ _COND_STR = re.compile(
     r"(?P<op>STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+"
     r"(?P<val>'[^']*'|\"[^\"]*\")\s*$"
 )
+# scalar function over a property in WHERE (extension):
+# toLower/toUpper/trim(b.p) <op> 'str'  |  size(b.p) <op> number
+_COND_FN = re.compile(
+    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size)\s*\(\s*"
+    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+    r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
 _COND_IN = re.compile(
     r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
     r"IN\s*\[(?P<list>[^\]]*)\]\s*$"
@@ -332,6 +345,27 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     )
 
             def atoms_of(cond: str) -> list[PropFilter]:
+                fm = _COND_FN.match(cond)
+                if fm:
+                    check_binding(fm.group("b"), cond)
+                    fn = fm.group("fn").lower()
+                    raw = fm.group("val")
+                    if raw[0] in "'\"":
+                        value, is_num = raw[1:-1], False
+                    else:
+                        value, is_num = float(raw), True
+                    if fn == "size" and not is_num:
+                        raise CypherParseError(
+                            f"size() compares against a number: {cond!r}"
+                        )
+                    if fn != "size" and is_num:
+                        raise CypherParseError(
+                            f"{fm.group('fn')}() compares against a string: {cond!r}"
+                        )
+                    return [PropFilter(
+                        fm.group("b"), fm.group("p"), fm.group("op"),
+                        value, is_num, clause=ci, fn=fn,
+                    )]
                 wm = _COND.match(cond)
                 if wm:
                     check_binding(wm.group("b"), cond)

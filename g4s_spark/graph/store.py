@@ -230,8 +230,16 @@ class PropertyGraph:
         if "props" not in df.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
 
+        _FNS = {
+            "tolower": F.lower, "toupper": F.upper,
+            "trim": F.trim, "size": F.length,
+        }
+
         def cond(f):
             c = F.col("props").getItem(f.prop)
+            fn = getattr(f, "fn", None)
+            if fn is not None:
+                c = _FNS[fn](c)
             if f.is_num:
                 c = c.cast("double")
             return _PRED_OPS[f.op](c, F.lit(f.value))

@@ -894,6 +894,8 @@ def plan_match(
         exactly like the label card."""
         sel = 1.0
         for f in filters_by_binding().get(binding, ()):
+            if f.fn is not None:
+                continue  # function-wrapped prop: unestimated (bound kept)
             s = stats.pred_sel(
                 graph.nodes, qg.labels.get(binding), f.prop, f.op, f.value, f.is_num
             )
@@ -904,7 +906,7 @@ def plan_match(
         # group unestimable (sum would silently under-count it)
         for grp in or_filters_by_binding().get(binding, ()):
             parts = [
-                stats.pred_sel(
+                None if f.fn is not None else stats.pred_sel(
                     graph.nodes, qg.labels.get(binding), f.prop, f.op, f.value, f.is_num
                 )
                 for f in grp

@@ -353,3 +353,24 @@ def test_order_by_property_errors(props_graph):
             props_graph,
             "MATCH (p:Person)-[:BOUGHT]->(i:Item) RETURN p ORDER BY i.price",
         ).collect()
+
+
+def test_where_string_function_predicates(props_graph):
+    """toLower/size() around a property in WHERE push into the node-set
+    scan like plain predicates (round-6)."""
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person) WHERE toUpper(p.city) = 'BERLIN' RETURN p",
+    ))
+    assert got == {(0,), (2,)}
+    got2 = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person) WHERE size(p.city) >= 6 RETURN p",
+    ))
+    assert got2 == {(0,), (2,)}  # berlin=6, paris=5
+    from g4s_spark.cypher import CypherParseError
+
+    with pytest.raises(CypherParseError, match="against a number"):
+        run_cypher(props_graph, "MATCH (p:Person) WHERE size(p.city) = 'x' RETURN p")
+    with pytest.raises(CypherParseError, match="against a string"):
+        run_cypher(props_graph, "MATCH (p:Person) WHERE toLower(p.city) = 5 RETURN p")
