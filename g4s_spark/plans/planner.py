@@ -641,10 +641,22 @@ def _order_limit(
             om = re.fullmatch(
                 r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part
             )
-            if not om or om.group("col") not in cols:
+            if om and om.group("col") in cols:
+                c = F.col(om.group("col"))
+                exprs.append(
+                    c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc()
+                )
+                continue
+            # arithmetic ORDER BY over the stage's columns (round-6):
+            # `ORDER BY n * 2 DESC` via the carry-expression evaluator
+            em = re.fullmatch(r"(?is)\s*(?P<body>.+?)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
+            try:
+                c = _carry_expr(em.group("body"), cols)
+            except CypherParseError:
                 raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
-            c = F.col(om.group("col"))
-            exprs.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
+            exprs.append(
+                c.desc() if (em.group("dir") or "").upper() == "DESC" else c.asc()
+            )
         df = df.orderBy(*exprs)
     if skip:
         df = df.offset(int(skip))
@@ -739,6 +751,12 @@ def _run_with_pipeline(
             carried = run_head(carried)
             rm = _RET_TAIL.match(sm.group("ret"))
             ret_items = re.sub(r"(?is)^\s*DISTINCT\s+", "", rm.group("returns"))
+            if ret_items.strip() == "*":
+                # RETURN * after WITH = every carried column, as-is
+                return _order_limit(
+                    carried, carried.columns,
+                    rm.group("ob"), rm.group("lim"), rm.group("skip"),
+                ), set()
             if any(_CARRY_AGG.match(i) for i in ret_items.split(",")):
                 df = _run_carry_stage(carried, ret_items)
                 return _order_limit(

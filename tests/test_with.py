@@ -270,3 +270,19 @@ def test_carry_stage_unknown_column_rejected(g):
             g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
                "WITH zz, count(a) AS na RETURN zz, na",
         )
+
+
+def test_return_star_after_with(g):
+    df = run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb RETURN * ORDER BY nb DESC",
+    )
+    assert df.columns == ["a", "nb"]
+    assert [tuple(r) for r in df.collect()] == [(0, 2), (5, 1)]
+
+
+def test_order_by_expression_in_with_stage(g):
+    df = run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "RETURN a, nb ORDER BY nb * -1 ASC LIMIT 1",
+    )
+    assert [tuple(r) for r in df.collect()] == [(0, 2)]
