@@ -475,3 +475,38 @@ def test_compact_edge_ingest_merges_two_batches(spark, tmp_path):
     evs = edges.select(F.col("dst").alias("id")).distinct().withColumn("label", F.lit("Event"))
     g = PropertyGraph(users.unionByName(evs), edges, spark)
     assert run_cypher(g, "MATCH (u:User)-[:DID]->(e:Event) RETURN u, e").count() == 3
+
+
+def test_chunk_documents_runs_on_a_stream(spark, tmp_path):
+    """chunk_documents is a narrow transform (split + explode): the same
+    call works unchanged on a file-source stream — drain-once equals the
+    batch result."""
+    import os
+
+    from g4s_spark.functions.sampling import chunk_documents
+
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r")], "doc_id long, text string"
+    )
+    batch.write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src) + "/*")
+    out = str(tmp_path / "chunks")
+    q = (
+        chunk_documents(stream, chunk_tokens=4, overlap=1)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(batch, chunk_tokens=4, overlap=1).collect()
+    }
+    assert got == want and len(got) == 4
