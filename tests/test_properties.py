@@ -473,3 +473,30 @@ def test_chunk_documents_matches_python_model(spark, docs, chunk, overlap):
             w = toks[s:s + chunk]
             expect[(i, s // stride)] = (" ".join(w), len(w))
     assert got == expect
+
+
+@given(q=st.text(
+    alphabet="MATCHWIHUNDSETRODBYLKP ()[]<>-:.*,'abz019+/=",
+    min_size=1, max_size=90,
+))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_pipeline_front_end_never_crashes(spark, q):
+    """Fuzz the FULL run_cypher/run_cypher_set front-end (WITH pipelines,
+    UNWIND, SET, carry stages, ORDER BY props): any input either plans or
+    raises CypherParseError/ValueError — planning only, nothing executes,
+    and no foreign exception escapes. The alphabet is biased to generate
+    the new round-6 keywords (WITH/UNWIND/SET/ORDER BY/SKIP/LIMIT)."""
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_set
+
+    g = PropertyGraph.from_tuples(
+        spark, nodes=[(0, "a"), (1, "b")], edges=[(0, 1, "z")]
+    )
+    for fn in (run_cypher, run_cypher_set):
+        try:
+            fn(g, q)
+        except (CypherParseError, ValueError):
+            pass
