@@ -925,6 +925,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rel_q4_priority": _q_rel_q4_priority,
         "rel_q12_priority_class": _q_rel_q12_priority_class,
+        "pipeline_corpus_report": lambda spark, sf_dir: PL.corpus_report(
+            load_table(spark, sf_dir, "documents")
+        ),
         "pipeline_pretrain_mix": lambda spark, sf_dir: PL.pretrain_mix(
             load_table(spark, sf_dir, "documents"),
             min_quality=0.5,
@@ -2356,6 +2359,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        # exact-integer sums + one double division + interpolated
+        # percentile — engine-reproducible without rounding
+        "pipeline_corpus_report": f"""
+            WITH t AS (
+                SELECT source, CAST(len({_TOKS}) AS BIGINT) AS nt,
+                       CAST(length(text) AS BIGINT) AS nc
+                FROM documents
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   CAST(sum(nc) AS BIGINT) AS total_chars,
+                   CAST(sum(nt) AS DOUBLE) / count(*) AS mean_tokens,
+                   quantile_cont(nt, 0.5) AS median_tokens,
+                   CAST(min(nt) AS BIGINT) AS min_tokens,
+                   CAST(max(nt) AS BIGINT) AS max_tokens
+            FROM t GROUP BY source
         """,
         "text_quality": f"""
             WITH t AS (

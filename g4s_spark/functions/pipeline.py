@@ -80,3 +80,39 @@ def pretrain_mix(
         kept_docs, rates or {}, strata_col, default_rate, id_col, sample_seed
     )
     return pack_sequences(sampled, budget_tokens, n_shards, text_col, id_col)
+
+
+def corpus_report(
+    docs: DataFrame, group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus statistics — the inspection report a curation
+    pipeline prints before/after each stage: document count, token and
+    character totals, mean/median/min/max document length.
+
+    All aggregates are exact-integer sums plus one final double
+    division (mean) and an interpolated percentile (median) — both
+    bit-reproducible across engines (the float-summation-order trap of
+    averaging per-row doubles is deliberately avoided; see
+    rel_quantiles for the percentile parity evidence).
+
+    Scale: one narrow per-row projection + ONE shuffle on the group
+    key; output is |groups| rows."""
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    base = docs.select(
+        *group_cols,
+        F.size(t).cast("long").alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy(*group_cols).agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        (F.sum("_nt").cast("double") / n).alias("mean_tokens"),
+        F.percentile(F.col("_nt"), F.lit(0.5)).alias("median_tokens"),
+        F.min("_nt").cast("long").alias("min_tokens"),
+        F.max("_nt").cast("long").alias("max_tokens"),
+    )

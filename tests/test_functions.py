@@ -389,3 +389,22 @@ def test_cross_source_overlap_counts_unordered_pairs(spark):
     got = {(r.src_a, r.src_b): r.n_pairs for r in cross_source_overlap(docs).collect()}
     # pairs: (1,2) web-books, (1,3) web-web, (2,3) books-web
     assert got == {("books", "web"): 2, ("web", "web"): 1}
+
+
+def test_corpus_report_exact_accounting(spark):
+    from g4s_spark.functions.pipeline import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "a"),
+            (2, "four five", "a"),
+            (3, "six", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in corpus_report(docs).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.total_tokens, a.mean_tokens) == (2, 5, 2.5)
+    assert a.median_tokens == 2.5 and (a.min_tokens, a.max_tokens) == (2, 3)
+    b = got["b"]
+    assert (b.n_docs, b.total_tokens, b.total_chars) == (1, 1, 3)
