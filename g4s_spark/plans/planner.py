@@ -467,7 +467,7 @@ def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
 
 
 _CARRY_AGG = re.compile(
-    r"(?is)^\s*(?P<fn>count|sum|avg|min|max)\s*\(\s*"
+    r"(?is)^\s*(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*"
     r"(?:(?P<star>\*)|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s*\)"
     r"\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
 )
@@ -510,6 +510,12 @@ def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
             if fn == "count":
                 src = F.count(F.lit(1)) if col is None else F.count(F.col(col))
                 aggs.append(src.cast("long").alias(alias))
+            elif fn == "collect":
+                if col is None:
+                    raise CypherParseError("collect(*) is not a thing; name a column")
+                # sorted distinct values — same deterministic reading as
+                # the plan_match collect() aggregate
+                aggs.append(F.sort_array(F.collect_set(F.col(col))).alias(alias))
             elif fn in ("sum", "avg"):
                 aggs.append(getattr(F, fn)(F.col(col).cast("double")).alias(alias))
             else:

@@ -286,3 +286,13 @@ def test_order_by_expression_in_with_stage(g):
            "RETURN a, nb ORDER BY nb * -1 ASC LIMIT 1",
     )
     assert [tuple(r) for r in df.collect()] == [(0, 2)]
+
+
+def test_collect_in_carry_stage_then_unwind(g):
+    """collect() in a carry-only stage composes with UNWIND: group the
+    grouped result, collect the keys, explode them back."""
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "WITH nb, collect(a) AS as_grp UNWIND as_grp AS x RETURN nb, x",
+    ))
+    assert got == [(1, 5), (2, 0)]  # a=5 had 1 B, a=0 had 2
