@@ -49,6 +49,7 @@ from g4s_spark.operators import (
     bfs,
     connected_components,
     k_core,
+    label_propagation,
     neighborhood_jaccard,
     weighted_pagerank,
     pagerank,
@@ -165,6 +166,16 @@ def _q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
         .select(F.col("deg").cast("long").alias("deg"),
                 F.col("n_nodes").cast("long").alias("n_nodes"))
+    )
+
+
+def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds) over the
+    co-purchase projection — the community-detection baseline; min-label
+    tie-break makes it oracle-checkable (random-tie LPA is not)."""
+    out = label_propagation(_copurchase_pairs(spark, sf_dir), iters=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("lbl").cast("long").alias("lbl")
     )
 
 
@@ -681,8 +692,9 @@ _WINDOW_ORDER = [
     "cypher_fork", "cypher_where_string", "cypher_edge_where",
     "cypher_optional_where", "cypher_where_or", "cypher_where_cross",
     "cypher_multilabel", "cypher_path_length", "cypher_count_star",
-    "cypher_where_numeric", "cypher_multitype", "cypher_untyped",
+    "cypher_where_numeric", "cypher_multitype",
     "cypher_varlength", "cypher_orderby_limit", "cypher_count_groups",
+    "graph_lpa",
     "cypher_prop_return", "cypher_prop_agg", "cypher_optional",
     "cypher_closure",
 ]
@@ -734,6 +746,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
+        "graph_lpa": _q_graph_lpa,
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_wpagerank": _q_graph_wpagerank,
         "graph_harmonic": _q_graph_harmonic,
@@ -1129,6 +1142,43 @@ def _ppr_oracle(seed_sql: str, iters: int = 3, d: float = 0.85) -> str:
         pr0 AS (SELECT r.id, r.ind / c.n AS pr FROM r CROSS JOIN cnt c),
         {",".join(its)}
         SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous LPA matching operators.label_propagation:
+    per round every node takes the most frequent neighbor label, ties
+    to the smallest label (row_number over count DESC, lbl ASC)."""
+    its = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+            l{t} AS MATERIALIZED (
+                SELECT l.id, coalesce(b.nl, l.lbl) AS lbl
+                FROM {prev} l LEFT JOIN (
+                    SELECT id, nl FROM (
+                        SELECT e.src AS id, x.lbl AS nl,
+                               row_number() OVER (
+                                   PARTITION BY e.src
+                                   ORDER BY count(*) DESC, x.lbl ASC) AS rn
+                        FROM e0 e JOIN {prev} x ON e.dst = x.id
+                        GROUP BY e.src, x.lbl
+                    ) WHERE rn = 1
+                ) b ON l.id = b.id
+            )""")
+        prev = f"l{t}"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+            WHERE l1.l_partkey < l2.l_partkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e0),
+        {",".join(its)}
+        SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl FROM {prev}
     """
 
 
@@ -2213,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "graph_kcore": _kcore_oracle(80),
+        "graph_lpa": _lpa_oracle(3),
         "graph_wpagerank": _wpagerank_oracle(),
         "graph_harmonic": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},

@@ -501,3 +501,55 @@ def neighborhood_jaccard(
     return out.select(
         "x", "y", F.col("shared").cast("long").alias("shared"), "jaccard"
     )
+
+
+def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation over an undirected pair graph —
+    the cheap community-detection baseline. Every node starts with its
+    own id as label; each round a node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label (the
+    deterministic variant: asynchronous/random-tie LPA is not
+    reproducible across engines or runs, so it cannot be oracle-gated).
+    Nodes with no neighbors in a round keep their previous label. Fixed
+    iteration count; returns (id, lbl).
+
+    ``pairs``: undirected (a, b) edge list, each pair once.
+
+    Scale: per round one join of the label vector onto the symmetrized
+    edges (shuffle on dst), one (id, lbl) count aggregate, and one
+    per-id top-1 window — every shuffle keyed on node id, never a
+    global sort; lineage truncated every CHECKPOINT_EVERY rounds like
+    the other fixpoints (pagerank/sssp)."""
+    from pyspark.sql import Window
+
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .cache()
+    )
+    labels = sym.select(F.col("src").alias("id")).dropDuplicates().select(
+        "id", F.col("id").alias("lbl")
+    )
+    try:
+        for i in range(iters):
+            nb = sym.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), on="dst"
+            ).select(F.col("src").alias("id"), "lbl")
+            counts = nb.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("c"))
+            w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("lbl").alias("new_lbl"))
+            )
+            labels = (
+                labels.withColumnRenamed("lbl", "old")
+                .join(best, on="id", how="left")
+                .select("id", F.coalesce("new_lbl", "old").alias("lbl"))
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                labels = iter_checkpoint(labels)
+    finally:
+        sym.unpersist()
+    return labels

@@ -230,3 +230,27 @@ def test_neighborhood_jaccard_square_plus_diagonal(spark):
     got = {(r.x, r.y): (r.shared, round(r.jaccard, 6))
            for r in neighborhood_jaccard(pairs, threshold=0.0).collect()}
     assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles bridged by one edge: deterministic synchronous LPA
+    (min-label tie-break) labels each triangle with its smallest id."""
+    from g4s_spark.operators import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)], "a long, b long"
+    )
+    got = {r.id: r.lbl for r in label_propagation(pairs, iters=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    from g4s_spark.operators import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3],
+        "a long, b long",
+    )
+    a = sorted(tuple(r) for r in label_propagation(pairs, iters=2).collect())
+    b = sorted(tuple(r) for r in label_propagation(pairs, iters=2).collect())
+    assert a == b
