@@ -48,6 +48,7 @@ from g4s_spark.graph.tpch import (
 from g4s_spark.operators import (
     bfs,
     connected_components,
+    hits,
     k_core,
     label_propagation,
     neighborhood_jaccard,
@@ -176,6 +177,19 @@ def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = label_propagation(_copurchase_pairs(spark, sf_dir), iters=3)
     return out.select(
         F.col("id").cast("long").alias("id"), F.col("lbl").cast("long").alias("lbl")
+    )
+
+
+
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 3 iterations over the full TPC-H graph;
+    scores rounded at 9 decimals (absorbs float-summation-order ulps,
+    same treatment as graph_pagerank)."""
+    out = hits(build_graph(spark, sf_dir), iters=3)
+    return out.select(
+        "id",
+        pround(F.col("hub"), 9).alias("hub"),
+        pround(F.col("auth"), 9).alias("auth"),
     )
 
 
@@ -747,6 +761,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
         "graph_lpa": _q_graph_lpa,
+        "graph_hits": _q_graph_hits,
         "graph_degree_hist": _q_graph_degree_hist,
         "graph_wpagerank": _q_graph_wpagerank,
         "graph_harmonic": _q_graph_harmonic,
@@ -1142,6 +1157,46 @@ def _ppr_oracle(seed_sql: str, iters: int = 3, d: float = 0.85) -> str:
         pr0 AS (SELECT r.id, r.ind / c.n AS pr FROM r CROSS JOIN cnt c),
         {",".join(its)}
         SELECT id, floor(pr * 1000000000 + 0.5) / 1000000000 AS pr FROM {prev}
+    """
+
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled HITS twin of operators.hits: same half-step order, same
+    L2 normalization (nullif guards the all-zero norm), same 9-decimal
+    portable rounding."""
+    its = []
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        its.append(f"""
+        a{t}r AS MATERIALIZED (
+            SELECT e.dst AS id, sum(h.s) AS s FROM graph_edges e
+            JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst
+        ),
+        a{t} AS MATERIALIZED (
+            SELECT n.id, coalesce(r.s, 0.0) /
+                   (SELECT coalesce(nullif(sqrt(sum(s * s)), 0.0), 1.0) FROM a{t}r) AS s
+            FROM nids n LEFT JOIN a{t}r r ON n.id = r.id
+        ),
+        h{t}r AS MATERIALIZED (
+            SELECT e.src AS id, sum(a.s) AS s FROM graph_edges e
+            JOIN a{t} a ON e.dst = a.id GROUP BY e.src
+        ),
+        h{t} AS MATERIALIZED (
+            SELECT n.id, coalesce(r.s, 0.0) /
+                   (SELECT coalesce(nullif(sqrt(sum(s * s)), 0.0), 1.0) FROM h{t}r) AS s
+            FROM nids n LEFT JOIN h{t}r r ON n.id = r.id
+        )""")
+        prev_h = f"h{t}"
+    return f"""
+        WITH {NODES_SQL_CTE.strip()}, {EDGES_SQL_CTE.strip()},
+        nids AS (SELECT DISTINCT id FROM graph_nodes),
+        h0 AS (SELECT id, 1.0 AS s FROM nids),
+        {",".join(its)}
+        SELECT n.id,
+               floor(h.s * 1000000000 + 0.5) / 1000000000 AS hub,
+               floor(a.s * 1000000000 + 0.5) / 1000000000 AS auth
+        FROM nids n JOIN h{iters} h ON n.id = h.id JOIN a{iters} a ON n.id = a.id
     """
 
 
@@ -2264,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_kcore": _kcore_oracle(80),
         "graph_lpa": _lpa_oracle(3),
+        "graph_hits": _hits_oracle(3),
         "graph_wpagerank": _wpagerank_oracle(),
         "graph_harmonic": f"""
             WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},

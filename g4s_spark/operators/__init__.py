@@ -6,6 +6,7 @@ from .algorithms import (
     reachable,
     sssp,
     k_core,
+    hits,
     label_propagation,
     neighborhood_jaccard,
     weighted_pagerank,
@@ -14,5 +15,5 @@ from .algorithms import (
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count", "k_core", "label_propagation", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "triangle_count", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
 ]

@@ -553,3 +553,53 @@ def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
     finally:
         sym.unpersist()
     return labels
+
+
+def hits(graph: PropertyGraph, iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg): fixed-iteration mutual
+    recursion with L2 normalization after every half-step —
+
+        auth_{t+1}(v) = Σ_{u→v} hub_t(u)      (then a / ||a||₂)
+        hub_{t+1}(u)  = Σ_{u→v} auth_{t+1}(v) (then h / ||h||₂)
+
+    Returns (id, hub, auth); nodes with no in-edges get auth 0, no
+    out-edges hub 0. Deterministic up to float-summation order — gates
+    round to 9 decimals like pagerank.
+
+    Scale: per half-step ONE join of the score vector onto the cached
+    edge table + one dst- (resp. src-) keyed aggregate; the L2 norm is
+    a scalar aggregate collected driver-side (one double), so the
+    normalization is a literal multiply — no extra shuffle, no
+    cross-join. Same Pregel profile as pagerank."""
+    edges = _cached_typed_edges(graph, None, ("src", "dst"))
+    nodes = graph.nodes.select("id").dropDuplicates(["id"]).cache()
+    try:
+        hub = nodes.withColumn("s", F.lit(1.0))
+        auth = None
+        for i in range(iters):
+            a_raw = (
+                hub.join(edges, hub.id == edges.src)
+                .select(F.col("dst").alias("id"), F.col("s"))
+                .groupBy("id").agg(F.sum("s").alias("s"))
+            )
+            a_norm = a_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0].n
+            auth = nodes.join(a_raw, on="id", how="left").select(
+                "id", (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(a_norm or 1.0)).alias("s")
+            )
+            h_raw = (
+                auth.join(edges, auth.id == edges.dst)
+                .select(F.col("src").alias("id"), F.col("s"))
+                .groupBy("id").agg(F.sum("s").alias("s"))
+            )
+            h_norm = h_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("n")).collect()[0].n
+            hub = nodes.join(h_raw, on="id", how="left").select(
+                "id", (F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(h_norm or 1.0)).alias("s")
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                hub = iter_checkpoint(hub)
+                auth = iter_checkpoint(auth)
+    finally:
+        nodes.unpersist()
+    return hub.select("id", F.col("s").alias("hub")).join(
+        auth.select("id", F.col("s").alias("auth")), on="id"
+    )

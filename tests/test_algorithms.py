@@ -254,3 +254,22 @@ def test_label_propagation_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in label_propagation(pairs, iters=2).collect())
     b = sorted(tuple(r) for r in label_propagation(pairs, iters=2).collect())
     assert a == b
+
+
+def test_hits_hubs_and_authorities(spark):
+    """0,1 point at 2,3 (0 at both, 2 from both): 0 is the top hub, 2
+    the top authority; pure hubs have auth 0 and vice versa; scores are
+    L2-normalized."""
+    from g4s_spark.operators import hits
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(i, "V") for i in range(4)],
+        edges=[(0, 2, "E"), (0, 3, "E"), (1, 2, "E")],
+    )
+    got = {r.id: (r.hub, r.auth) for r in hits(g, iters=3).collect()}
+    assert got[0][0] > got[1][0] > 0 and got[0][1] == 0.0
+    assert got[2][1] > got[3][1] > 0 and got[2][0] == 0.0
+    hub_norm = sum(h * h for h, _ in got.values()) ** 0.5
+    auth_norm = sum(a * a for _, a in got.values()) ** 0.5
+    assert abs(hub_norm - 1.0) < 1e-9 and abs(auth_norm - 1.0) < 1e-9
