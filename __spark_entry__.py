@@ -935,6 +935,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf_dir: SM.pack_sequences(
             load_table(spark, sf_dir, "documents"), budget_tokens=512, n_shards=4
         ),
+        # engine-reproducible global shuffle order (round-6): ranked on
+        # (md5(seed:key), key), computed shard-parallel
+        "sample_shuffle": lambda spark, sf_dir: SM.deterministic_shuffle(
+            load_table(spark, sf_dir, "documents").select("doc_id"), seed=7
+        ),
         # context-window chunking (round-6): whitespace-token windows
         # with overlap, trailing no-new-token starts dropped
         "chunk_documents": lambda spark, sf_dir: SM.chunk_documents(
@@ -1732,6 +1737,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # global rank over (md5-prefix hash, key) — the sharded two-phase
+        # Spark rank collapses to one window here
+        "sample_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                                     AS BIGINT) ASC,
+                                doc_id ASC) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         # chunk_tokens=64, overlap=8 -> stride 56; chunk adds new tokens
         # iff start=0 or start+overlap < n

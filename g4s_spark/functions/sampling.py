@@ -193,3 +193,43 @@ def chunk_documents(
             .cast("long").alias("n_tokens"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str = "doc_id", seed: int = 0, n_shards: int = 64
+) -> DataFrame:
+    """Engine-reproducible global shuffle: every row gets a
+    ``shuffle_pos`` (0-based) from ranking (md5(seed:key), key) — the
+    examples-order randomization a training pipeline applies before
+    sequence packing, made a pure function of (key, seed) so reruns,
+    engines, and cluster sizes agree bit-for-bit (df.orderBy(rand())
+    is none of those).
+
+    Scale: NOT a single global sort. The hash space is range-sharded
+    into ``n_shards`` (the shard is the hash's high bits, so shard
+    order is a prefix of the global order); ranking runs per-shard in
+    parallel and the global position adds driver-side shard offsets
+    (n_shards scalars — same driver-size class as the IVF centroids).
+    An unpartitioned window would move the corpus to ONE task."""
+    width = _SAMPLE_SPACE // n_shards
+    h = _md5_bucket(F.col(key_col), seed)
+    base = df.withColumn("_h", h).withColumn(
+        "_shard", F.floor(F.col("_h") / width).cast("long")
+    )
+    offsets_rows = base.groupBy("_shard").count().collect()
+    counts = {r["_shard"]: r["count"] for r in offsets_rows}
+    offsets, acc = {}, 0
+    for sh in sorted(counts):
+        offsets[sh] = acc
+        acc += counts[sh]
+    off_col = F.create_map(
+        *[x for sh, off in sorted(offsets.items()) for x in (F.lit(sh), F.lit(off))]
+    )[F.col("_shard")]
+    w = Window.partitionBy("_shard").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        base.withColumn(
+            "shuffle_pos",
+            (off_col + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_h", "_shard")
+    )

@@ -157,3 +157,20 @@ def test_chunk_documents_covers_every_token(spark):
     for r in agg:
         n, c = n_by_id[r.doc_id], r.c
         assert r.s == n + (c - 1) * 2, (r.doc_id, r.s, c)
+
+
+def test_deterministic_shuffle_shard_invariant(spark):
+    """Positions are a pure function of (key, seed): stable across
+    reruns and shard counts (the shard is the hash's high bits, so the
+    sharded two-phase rank equals the global rank), a permutation of
+    0..n-1, and seed-sensitive."""
+    from g4s_spark.functions.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = {r.doc_id: r.shuffle_pos for r in deterministic_shuffle(df, seed=1).collect()}
+    b = {r.doc_id: r.shuffle_pos
+         for r in deterministic_shuffle(df, seed=1, n_shards=4).collect()}
+    c = {r.doc_id: r.shuffle_pos for r in deterministic_shuffle(df, seed=2).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(40))
+    assert a != c
