@@ -249,6 +249,39 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
         unwinds.append((name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}")))
         um = _UNWIND.match(rest)
     unames = {n for n, _ in unwinds}
+    # WHERE conjuncts over unwound names (extension): `k <op> literal`
+    # conjuncts lift out of the inner query and prune the GENERATOR
+    # itself — a pre-join filter on the literal rows, the cheapest
+    # possible placement. Only a single un-nested WHERE is rewritten
+    # (an OPTIONAL MATCH's clause-scoped WHERE stays untouched).
+    post: dict[str, list] = {}
+    wm = re.match(
+        r"(?is)^(?P<head>.*?)\bWHERE\s+(?P<w>.+?)(?P<tail>\s+RETURN\s+.+)$",
+        rest.strip(),
+    )
+    if wm and not re.search(r"(?is)\b(?:OPTIONAL|MATCH)\b", wm.group("w")):
+        kept_conjs = []
+        for conj in _split_bool(wm.group("w"), "AND"):
+            cm = _CARRY_COND.match(conj)
+            if cm and cm.group("c") in unames:
+                post.setdefault(cm.group("c"), []).append(cm)
+            else:
+                kept_conjs.append(conj)
+        if post:
+            mid = (" WHERE " + " AND ".join(kept_conjs)) if kept_conjs else " "
+            rest = wm.group("head").rstrip() + mid + wm.group("tail")
+    if post:
+        filtered = []
+        for name, vdf in unwinds:
+            for cm in post.get(name, ()):
+                raw = cm.group("val")
+                if raw[0] in "'\"":
+                    c, v = F.col(name), raw[1:-1]
+                else:
+                    c, v = F.col(name).cast("double"), float(raw)
+                vdf = vdf.filter(_OPS[cm.group("op")](c, F.lit(v)))
+            filtered.append((name, vdf))
+        unwinds = filtered
     rm = re.match(r"(?is)^(?P<head>.*?)\bRETURN\s+(?P<items>.+)$", rest.strip())
     if not rm:
         raise CypherParseError(f"UNWIND query needs a RETURN clause: {rest!r}")
@@ -279,14 +312,19 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
         raise CypherParseError(
             "UNWIND with a MATCH body must RETURN at least one pattern binding"
         )
+    kill = False  # a filtered-out NON-returned generator still empties rows
     for name, vdf in unwinds:
         alias = requested.get(name)
         if alias is None:
+            if name in post and vdf.limit(1).count() == 0:
+                kill = True
             continue
         vdf = vdf.withColumnRenamed(name, alias)
         out = vdf if out is None else out.crossJoin(F.broadcast(vdf))
     if out is None:
         raise CypherParseError("UNWIND query returned no columns")
+    if kill:
+        out = out.limit(0)
     # emit columns in RETURN-item order when every item's output name is
     # known and present (resolve=True adds payload columns — keep those)
     if all(c is not None for c in out_cols) and set(out_cols) <= set(out.columns):

@@ -109,3 +109,34 @@ def test_unwind_alias_and_return_order(g):
 def test_unwind_whitespace_normalized(g):
     got = rows(run_cypher(g, "UNWIND [4] AS k MATCH (c:C) RETURN  k , c"))
     assert got == [(4, 3)]
+
+
+def test_unwind_where_filters_generator(g):
+    """WHERE over an unwound name lifts out of the inner query and
+    prunes the literal generator pre-join (round-6; previously a
+    documented limitation)."""
+    got = rows(run_cypher(
+        g, "UNWIND [1, 2, 3] AS k MATCH (c:C) WHERE k >= 2 RETURN c, k"
+    ))
+    assert got == [(3, 2), (3, 3)]
+
+
+def test_unwind_where_mixed_with_pattern_predicates(g):
+    got = rows(run_cypher(
+        g, "UNWIND [10, 20] AS k MATCH (b:B) WHERE k > 15 RETURN b, k"
+    ))
+    assert got == [(1, 20), (2, 20)]
+
+
+def test_unwind_where_empties_unreturned_generator(g):
+    got = rows(run_cypher(
+        g, "UNWIND [1] AS k MATCH (c:C) WHERE k > 5 RETURN c"
+    ))
+    assert got == []
+
+
+def test_unwind_where_string_values(g):
+    got = rows(run_cypher(
+        g, "UNWIND ['x', 'y'] AS s MATCH (c:C) WHERE s = 'y' RETURN c, s"
+    ))
+    assert got == [(3, "y")]
