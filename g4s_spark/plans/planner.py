@@ -236,9 +236,9 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
     cross-multiplied with the remaining query's (distinct) match rows —
     list duplicates are preserved, matching openCypher's row semantics
     for the generator itself. The unwound names must appear in RETURN to
-    be emitted; they cannot be referenced in WHERE (the pattern planner
-    owns predicate pushdown, and a literal-list membership test belongs
-    in `prop IN [...]` instead)."""
+    be emitted; WHERE conjuncts of the form `x <op> literal` over an
+    unwound name filter the generator rows pre-join (see the lift
+    below); other references to unwound names stay unsupported."""
     spark = graph.spark
     unwinds: list[tuple[str, DataFrame]] = []
     rest = None
