@@ -248,6 +248,21 @@ def _q_mxm_any_pair(spark, sf_dir):
     return mxm(a, b, ANY_PAIR).df.select("i", "j", "v")
 
 
+
+def _q_mxm_kron(spark, sf_dir):
+    """Kronecker product of the order-part quantity matrix with a 2x2
+    motif — every stored entry expands into the motif's pattern
+    (grblas.kron; GxB_kron family, beyond the reference's mxm/ewise)."""
+    from g4s_spark.grblas import Matrix, kron
+
+    _, a, _ = _li_matrices(spark, sf_dir)
+    motif = Matrix.from_tuples(
+        spark, [(0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0)], 2, 2, vtype="double"
+    )
+    c = kron(a, motif)
+    return c.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
+
+
 def _split_matrices(spark, sf_dir):
     from g4s_spark.grblas import Matrix
 
@@ -1047,6 +1062,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
+        "mxm_kron": _q_mxm_kron,
         "mxm_any_pair": _q_mxm_any_pair,
         "mxm_masked": _q_mxm_masked,
         "ewise_union_plus": _q_ewise_union,
@@ -1919,6 +1935,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY 1, 2)
             SELECT a.i, b.j, floor(sum(a.v * b.v) * 100 + 0.5) / 100 AS v
             FROM a JOIN b USING (k) GROUP BY a.i, b.j
+        """,
+        "mxm_kron": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS j, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2),
+                 b(i, j, v) AS (VALUES (0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0))
+            SELECT a.i * 2 + b.i AS i, a.j * 2 + b.j AS j,
+                   floor((a.v * b.v) * 100 + 0.5) / 100 AS v
+            FROM a, b
         """,
         "mxm_any_pair": """
             WITH a AS (SELECT DISTINCT l_orderkey AS i, l_partkey AS k FROM lineitem),

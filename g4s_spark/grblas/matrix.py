@@ -732,3 +732,32 @@ def select(
     if predicate in ("gt", "ge", "lt", "le", "eq", "ne") and threshold is None:
         raise ValueError(f"select({predicate!r}) needs a threshold")
     return Matrix(a.df.filter(c), a.nrows, a.ncols)
+
+
+def kron(a: Matrix, b: Matrix, op_name: str = "times") -> Matrix:
+    """Kronecker product C = A ⊗ B over a binary op:
+    C[i1·rb + i2, j1·cb + j2] = op(A[i1,j1], B[i2,j2]) — the
+    graph-tensor constructor (GraphBLAS GxB_kron; beyond the reference
+    surface, which stops at mxm/ewise, but the same kernel family).
+    Requires B's logical shape for the index arithmetic.
+
+    Scale: the |A|·|B| output entries are inherent to the operator; the
+    cross of the two COO sets broadcasts B (in graph constructions B is
+    the small pattern/motif matrix — e.g. expanding every edge into a
+    gadget). For a big-B kron, swap the operands and transpose around
+    it, or pre-partition A on i."""
+    if b.nrows < 0 or b.ncols < 0:
+        raise ValueError("kron needs B's logical shape (nrows/ncols >= 0)")
+    op = BINARY_OPS[op_name]
+    ad = a.df.select(
+        F.col("i").alias("ia"), F.col("j").alias("ja"), F.col("v").alias("va")
+    )
+    bd = b.df.select(
+        F.col("i").alias("ib"), F.col("j").alias("jb"), F.col("v").alias("vb")
+    )
+    out = ad.crossJoin(F.broadcast(bd)).select(
+        (F.col("ia") * b.nrows + F.col("ib")).alias("i"),
+        (F.col("ja") * b.ncols + F.col("jb")).alias("j"),
+        op(F.col("va"), F.col("vb")).alias("v"),
+    )
+    return Matrix(out, a.nrows * b.nrows, a.ncols * b.ncols)

@@ -350,3 +350,34 @@ def test_select_predicates(spark):
         gb.select(a, "gt")
     with pytest.raises(ValueError, match="unknown select"):
         gb.select(a, "wat", 1)
+
+
+def test_kron_matches_numpy_model(spark):
+    """Kronecker product vs the dense model: C[i1*rb+i2, j1*cb+j2] =
+    A[i1,j1] * B[i2,j2] over every stored-entry pair."""
+    from g4s_spark.grblas import Matrix, kron
+
+    A = [(0, 0, 2), (0, 1, 3), (1, 1, 5)]
+    B = [(0, 0, 7), (1, 0, 11)]
+    a = Matrix.from_tuples(spark, A, 2, 2)
+    b = Matrix.from_tuples(spark, B, 2, 1)
+    c = kron(a, b)
+    assert (c.nrows, c.ncols) == (4, 2)
+    got = {(r.i, r.j): r.v for r in c.df.collect()}
+    want = {
+        (i1 * 2 + i2, j1 * 1 + j2): va * vb
+        for (i1, j1, va) in A for (i2, j2, vb) in B
+    }
+    assert got == want
+
+
+def test_kron_plus_op_and_shape_guard(spark):
+    from g4s_spark.grblas import Matrix, kron
+    import pytest as _pytest
+
+    a = Matrix.from_tuples(spark, [(0, 0, 1)], 1, 1)
+    b = Matrix.from_tuples(spark, [(0, 0, 4)], 1, 1)
+    assert kron(a, b, "plus").to_tuples() == [(0, 0, 5)]
+    noshape = Matrix.from_df(b.df, "i", "j", "v")  # nrows/ncols = -1
+    with _pytest.raises(ValueError, match="logical shape"):
+        kron(a, noshape)
