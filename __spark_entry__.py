@@ -971,6 +971,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_followups": lambda spark, sf_dir: EV.event_followups(
             load_table(spark, sf_dir, "events"), within_min=10
         ),
+        # funnel conversion report (round-6): greedy earliest-chain
+        # per user, strictly time-ordered steps
+        "events_funnel": lambda spark, sf_dir: EV.funnel(
+            load_table(spark, sf_dir, "events")
+        ),
         "rel_q4_priority": _q_rel_q4_priority,
         "rel_q12_priority_class": _q_rel_q12_priority_class,
         "pipeline_corpus_report": lambda spark, sf_dir: PL.corpus_report(
@@ -1620,6 +1625,28 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY CAST(c_acctbal AS DOUBLE) DESC, c ASC
             LIMIT 15
+        """,
+        # greedy chain: each step takes the user's earliest occurrence
+        # strictly after the previous step's chosen timestamp
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         """,
         "cypher_where_in": f"""
             SELECT DISTINCT {_CID} AS c,

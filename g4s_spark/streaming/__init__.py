@@ -5,6 +5,7 @@ from .events import (
     extract_props,
     window_anomalies,
     event_followups,
+    funnel,
     event_followups_stream,
     read_events_stream,
     stream_edges_into_graph,
@@ -23,6 +24,6 @@ __all__ = [
     "session_counts", "session_window_counts", "sessionize_stream",
     "read_events_stream", "stream_edges_into_graph", "compact_edge_ingest",
     "dedup_docs_stream", "dedup_docs_batch", "dedup_against_stream",
-    "event_followups", "event_followups_stream",
+    "event_followups", "event_followups_stream", "funnel",
     "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies", "extract_props",
 ]

@@ -417,3 +417,56 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return normalize_ts(stream, ["ts"])
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_min: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel analysis: for each prefix of ``steps``, how many distinct
+    users have a strictly-time-ordered occurrence chain t1 < t2 < ...
+    < tk (the product-analytics conversion report). The chain is
+    GREEDY — each step takes the user's EARLIEST qualifying occurrence
+    after the previous step — which is deterministic and maximizes
+    completion (the standard funnel reading). ``within_min`` bounds
+    every step's timestamp to ``t1 + within_min`` minutes.
+
+    Returns (step long, event_type string, n_users long).
+
+    Scale: k−1 self-joins, each shuffled on user_col with ONE row per
+    surviving user as state (the min-timestamp aggregate) — never the
+    event multiset; the per-step filter prunes the event side before
+    the join."""
+    u, t, y = F.col(user_col), F.col(ts_col), F.col(type_col)
+    cur = (
+        events.filter(y == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+        .withColumn("_tk", F.col("_t1"))
+    )
+    stages = [cur]
+    for st in steps[1:]:
+        nxt = events.filter(y == st).select(u.alias(user_col), t.alias("_ts"))
+        joined = nxt.join(stages[-1], on=user_col).filter(F.col("_ts") > F.col("_tk"))
+        if within_min is not None:
+            joined = joined.filter(
+                F.col("_ts") <= F.col("_t1") + F.expr(f"INTERVAL {int(within_min)} MINUTES")
+            )
+        stages.append(
+            joined.groupBy(user_col, "_t1").agg(F.min("_ts").alias("_tk"))
+        )
+    out = None
+    for k, (st, df) in enumerate(zip(steps, stages), start=1):
+        s = df.select(
+            F.lit(k).cast("long").alias("step"),
+            F.lit(st).alias("event_type"),
+            F.col(user_col),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.groupBy("step", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -510,3 +510,25 @@ def test_chunk_documents_runs_on_a_stream(spark, tmp_path):
         for r in chunk_documents(batch, chunk_tokens=4, overlap=1).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_funnel_greedy_chain_and_window(spark):
+    """Strictly-ordered greedy chains: out-of-order steps don't count;
+    within_min bounds every step to the chain's start."""
+    from g4s_spark.streaming import funnel
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        (2, "2024-01-01 11:00:00", "view"), (2, "2024-01-01 11:30:00", "click"),
+        (3, "2024-01-01 12:00:00", "click"),          # no view
+        (4, "2024-01-01 13:00:00", "view"), (4, "2024-01-01 12:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.step, r.event_type): r.n_users for r in funnel(df).collect()}
+    assert got == {(1, "view"): 3, (2, "click"): 2, (3, "purchase"): 1}
+    tight = {(r.step, r.event_type): r.n_users
+             for r in funnel(df, within_min=7).collect()}
+    assert tight == {(1, "view"): 3, (2, "click"): 1}
