@@ -61,16 +61,31 @@ class PlannedQuery:
 
 
 _UNWIND = re.compile(
-    r"(?is)^\s*UNWIND\s*\[(?P<list>[^\]]*)\]\s+AS\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?is)^\s*UNWIND\s*(?:\[(?P<list>[^\]]*)\]"
+    r"|range\s*\(\s*(?P<rng>-?\d+\s*,\s*-?\d+(?:\s*,\s*-?\d+)?)\s*\))"
+    r"\s+AS\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"\s+(?P<rest>.+)$"
 )
 _IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
-# trailing `UNWIND <carried-col|literal-list> AS alias` inside a WITH
-# stage (see _run_with_pipeline)
+# trailing `UNWIND <carried-col|literal-list|range()> AS alias` inside a
+# WITH stage (see _run_with_pipeline)
 _UNWIND_TAIL = re.compile(
     r"(?is)\s+UNWIND\s+(?:(?P<src>[A-Za-z_][A-Za-z0-9_]*)"
-    r"|\[(?P<lits>[^\]]*)\])\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+    r"|\[(?P<lits>[^\]]*)\]"
+    r"|range\s*\(\s*(?P<rng>-?\d+\s*,\s*-?\d+(?:\s*,\s*-?\d+)?)\s*\))"
+    r"\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
 )
+
+
+def _parse_range(txt: str) -> list[int]:
+    """openCypher range(start, end[, step]): INCLUSIVE of end; step
+    defaults to 1 and must move toward end."""
+    parts = [int(p) for p in txt.split(",")]
+    start, end = parts[0], parts[1]
+    step = parts[2] if len(parts) > 2 else 1
+    if step == 0 or (end - start) * step < 0:
+        raise CypherParseError(f"range() step never reaches the end: {txt!r}")
+    return list(range(start, end + (1 if step > 0 else -1), step))
 
 
 def _parse_literal_list(items_txt: str) -> list:
@@ -244,7 +259,10 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
     rest = None
     while um:
         name, items_txt, rest = um.group("name"), um.group("list"), um.group("rest")
-        vals = _parse_literal_list(items_txt)
+        if um.group("rng") is not None:
+            vals = _parse_range(um.group("rng"))
+        else:
+            vals = _parse_literal_list(items_txt)
         dt = {str: "string", int: "long", float: "double"}[type(vals[0])]
         unwinds.append((name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}")))
         um = _UNWIND.match(rest)
@@ -745,6 +763,8 @@ def _run_with_pipeline(
                 lits = None
                 if um.group("lits") is not None:
                     lits = _parse_literal_list(um.group("lits"))
+                elif um.group("rng") is not None:
+                    lits = _parse_range(um.group("rng"))
                 unwind_chain.insert(
                     0, (um.group("src"), lits, um.group("alias"))
                 )

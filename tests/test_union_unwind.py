@@ -140,3 +140,20 @@ def test_unwind_where_string_values(g):
         g, "UNWIND ['x', 'y'] AS s MATCH (c:C) WHERE s = 'y' RETURN c, s"
     ))
     assert got == [(3, "y")]
+
+
+def test_unwind_range(g):
+    got = rows(run_cypher(g, "UNWIND range(1, 3) AS k MATCH (c:C) RETURN c, k"))
+    assert got == [(3, 1), (3, 2), (3, 3)]
+    step = rows(run_cypher(g, "UNWIND range(10, 1, -4) AS k RETURN k"))
+    assert step == [(2,), (6,), (10,)]
+    with pytest.raises(CypherParseError, match="never reaches"):
+        run_cypher(g, "UNWIND range(1, 5, -1) AS k RETURN k")
+
+
+def test_unwind_range_in_pipeline(g):
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+           "UNWIND range(0, 1) AS k RETURN a, k",
+    ))
+    assert got == [(0, 0), (0, 1), (5, 0), (5, 1)]
