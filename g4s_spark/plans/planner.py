@@ -545,7 +545,10 @@ def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
         )
     from ..cypher.parser import _split_patterns
 
-    items = _split_patterns(re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text))
+    items_text = re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text)
+    if items_text.strip() == "*":
+        return carried.dropDuplicates()
+    items = _split_patterns(items_text)
     if not items:
         raise CypherParseError("empty WITH/RETURN item list")
     keys, key_names, aggs, agg_srcs = [], [], [], []
@@ -630,7 +633,21 @@ def _run_stage(
 
     qg = QueryGraph()
     _parse_clauses(match_body, qg)
-    items = _split_patterns(re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text))
+    items_text = re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text)
+    if items_text.strip() == "*":
+        # WITH * — every named binding of this match plus every carried
+        # column rides through (openCypher's all-variables projection)
+        names = sorted(
+            b for b in qg.labels
+            if not b.startswith("_anon")
+            and (not qg.match_bindings or b in qg.match_bindings)
+        )
+        extra = [
+            c for c in (carried.columns if carried is not None else [])
+            if c not in names
+        ]
+        items_text = ", ".join(names + extra)
+    items = _split_patterns(items_text)
     if not items:
         raise CypherParseError("empty WITH/RETURN item list")
     sel: list[tuple[str, str]] = []  # (source col, output alias)

@@ -296,3 +296,16 @@ def test_collect_in_carry_stage_then_unwind(g):
            "WITH nb, collect(a) AS as_grp UNWIND as_grp AS x RETURN nb, x",
     ))
     assert got == [(1, 5), (2, 0)]  # a=5 had 1 B, a=0 had 2
+
+
+def test_with_star_passthrough(g):
+    """WITH * carries every named binding into the next stage."""
+    got = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH * MATCH (b)-[:Y]->(c:C) RETURN a, b, c",
+    ))
+    assert (0, 1, 3) in got and (0, 2, 3) in got and (5, 1, 4) in got
+    # carried columns ride through a second WITH *
+    got2 = rows(run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb WITH * RETURN a, nb",
+    ))
+    assert got2 == [(0, 2), (5, 1)]
