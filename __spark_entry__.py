@@ -693,7 +693,13 @@ def _rel(name: str):
 # cypher_* block, whose planner was rewritten in r5 and whose parser /
 # WITH pipeline changed again this round. One deferral from the r3
 # block: dedup_embedding (the labeled brute-force baseline, weak-by-
-# design, shape-subsumed by dedup_embedding_lsh's r5 row). The r4-era
+# design, shape-subsumed by dedup_embedding_lsh's r5 row). Later swaps
+# traded five more untouched/subsumed stale gates (dedup_exact,
+# dedup_simhash, ann_topk, cypher_untyped, cypher_path_length — each
+# covered by an in-window or r5-green sibling over the same kernel)
+# for the round-6 new-code gates (cypher_agg_of_agg,
+# cypher_orderby_prop, cypher_where_fn, graph_lpa, events_funnel),
+# which carry the higher regression risk. The r4-era
 # rel_*/graph_*/grblas/text_* gates stay at 2-rounds-old rows (their
 # code is untouched since r4 except the mxm input repartition, which
 # hash-matched in this session's local check). Everything at 51+ is
@@ -720,8 +726,8 @@ _WINDOW_ORDER = [
     "cypher_1hop", "cypher_2hop_reverse", "cypher_multi_return",
     "cypher_fork", "cypher_where_string", "cypher_edge_where",
     "cypher_optional_where", "cypher_where_or", "cypher_where_cross",
-    "cypher_multilabel", "cypher_path_length", "cypher_count_star",
-    "cypher_where_numeric", "cypher_multitype",
+    "cypher_multilabel", "cypher_count_star",
+    "cypher_where_numeric", "cypher_multitype", "events_funnel",
     "cypher_varlength", "cypher_orderby_limit", "cypher_count_groups",
     "graph_lpa",
     "cypher_prop_return", "cypher_prop_agg", "cypher_optional",
