@@ -524,6 +524,7 @@ def _carry_filter(df: DataFrame, where_text: str) -> DataFrame:
 
 _CARRY_AGG = re.compile(
     r"(?is)^\s*(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*"
+    r"(?P<dist>DISTINCT\s+)?"
     r"(?:(?P<star>\*)|(?P<col>[A-Za-z_][A-Za-z0-9_]*))\s*\)"
     r"\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*$"
 )
@@ -566,8 +567,20 @@ def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
                 raise CypherParseError(
                     f"aggregate references unknown carried column: {col!r}"
                 )
+            if am.group("dist") and fn not in ("count", "collect"):
+                raise CypherParseError(
+                    f"DISTINCT in a carry-stage aggregate supports count/"
+                    f"collect only, got: {it!r}"
+                )
             if fn == "count":
-                src = F.count(F.lit(1)) if col is None else F.count(F.col(col))
+                if col is None:
+                    src = F.count(F.lit(1))
+                elif am.group("dist"):
+                    # distinct VALUES of the column (carried rows are
+                    # already distinct as tuples, not per column)
+                    src = F.count_distinct(F.col(col))
+                else:
+                    src = F.count(F.col(col))
                 aggs.append(src.cast("long").alias(alias))
             elif fn == "collect":
                 if col is None:

@@ -309,3 +309,19 @@ def test_with_star_passthrough(g):
         g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb WITH * RETURN a, nb",
     ))
     assert got2 == [(0, 2), (5, 1)]
+
+
+def test_count_distinct_in_carry_stage(g):
+    """count(DISTINCT col) counts VALUES, not rows, over the carried
+    set (rows are distinct as tuples; a single column may repeat)."""
+    df = run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, b "
+           "RETURN count(b) AS rows_, count(DISTINCT b) AS vals",
+    )
+    r = df.collect()[0]
+    assert (r.rows_, r.vals) == (3, 2)  # pairs (0,1),(0,2),(5,1); b values {1,2}
+    with pytest.raises(CypherParseError, match="count/collect only"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, b "
+               "RETURN sum(DISTINCT b) AS s",
+        )
