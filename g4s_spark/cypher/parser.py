@@ -129,6 +129,10 @@ class QueryGraph:
     # bindings introduced by the required MATCH clause (empty = all labels,
     # for QueryGraphs built by hand in tests)
     match_bindings: set[str] = field(default_factory=set)
+    # OPTIONAL-stage demotion (WITH ... OPTIONAL MATCH ...): the carried
+    # rows ARE the required match set — the planner must not scan any
+    # binding standalone, and every pattern group left-joins onto carry
+    carry_required: bool = False
     returns: list[str] = field(default_factory=list)
     # property access in RETURN: (binding, prop, alias); values are strings
     # (the props map is map<string,string>)

@@ -135,8 +135,13 @@ class PropertyGraph:
         expression — the nodes table never shuffles. At cluster scale
         this is a Delta MERGE / parquet upsert; the left join IS that
         merge's logical plan (see also sources.layout.compact_parquet
-        for the file-level rewrite)."""
-        upd = updates.select("id", F.col("props").alias("_upd"))
+        for the file-level rewrite).
+
+        Duplicate ids in ``updates`` would fan the left join out and
+        silently DUPLICATE node rows, so they are deduplicated here
+        (one arbitrary-but-deterministic-per-plan row survives; callers
+        wanting last-wins should pre-aggregate) — ADVICE r6."""
+        upd = updates.select("id", F.col("props").alias("_upd")).dropDuplicates(["id"])
         nodes = self.nodes
         if "props" not in nodes.columns:
             nodes = nodes.withColumn(
@@ -174,7 +179,9 @@ class PropertyGraph:
         on = [c for c in ("src", "dst", "type") if c in updates.columns]
         if not {"src", "dst"} <= set(on):
             raise ValueError("update_edge_weights needs src and dst columns")
-        upd = updates.select(*on, F.col("weight").alias("_w"))
+        # duplicate keys would duplicate edge rows through the left join
+        # (same guard as update_node_props) — ADVICE r6
+        upd = updates.select(*on, F.col("weight").alias("_w")).dropDuplicates(on)
         edges = self.edges
         if "weight" not in edges.columns:
             edges = edges.withColumn("weight", F.lit(None).cast("double"))

@@ -760,4 +760,10 @@ def kron(a: Matrix, b: Matrix, op_name: str = "times") -> Matrix:
         (F.col("ja") * b.ncols + F.col("jb")).alias("j"),
         op(F.col("va"), F.col("vb")).alias("v"),
     )
-    return Matrix(out, a.nrows * b.nrows, a.ncols * b.ncols)
+    # unknown A shape (-1 sentinel) stays unknown — a raw product would
+    # yield a garbage negative like -2 (ADVICE r6)
+    return Matrix(
+        out,
+        a.nrows * b.nrows if a.nrows >= 0 else -1,
+        a.ncols * b.ncols if a.ncols >= 0 else -1,
+    )

@@ -77,15 +77,33 @@ _UNWIND_TAIL = re.compile(
 )
 
 
-def _parse_range(txt: str) -> list[int]:
+# ranges that must materialize as a Python list (the WITH-tail UNWIND
+# embeds them as a literal array) are capped so UNWIND range(0, 1e8)
+# cannot OOM the driver; the leading-UNWIND path uses spark.range and
+# has no cap (ADVICE r6)
+_RANGE_LIST_CAP = 1_000_000
+
+
+def _range_bounds(txt: str) -> tuple[int, int, int]:
     """openCypher range(start, end[, step]): INCLUSIVE of end; step
-    defaults to 1 and must move toward end."""
+    defaults to 1 and must move toward end. Returns (start, stop, step)
+    with stop exclusive, ready for range()/spark.range()."""
     parts = [int(p) for p in txt.split(",")]
     start, end = parts[0], parts[1]
     step = parts[2] if len(parts) > 2 else 1
     if step == 0 or (end - start) * step < 0:
         raise CypherParseError(f"range() step never reaches the end: {txt!r}")
-    return list(range(start, end + (1 if step > 0 else -1), step))
+    return start, end + (1 if step > 0 else -1), step
+
+
+def _parse_range(txt: str) -> list[int]:
+    start, stop, step = _range_bounds(txt)
+    if abs(stop - start) // abs(step) > _RANGE_LIST_CAP:
+        raise CypherParseError(
+            f"range({txt}) exceeds {_RANGE_LIST_CAP} elements; use a "
+            "leading UNWIND (distributed via spark.range) instead"
+        )
+    return list(range(start, stop, step))
 
 
 def _parse_literal_list(items_txt: str) -> list:
@@ -260,11 +278,18 @@ def _run_unwind(graph: PropertyGraph, um: "re.Match", resolve: bool) -> DataFram
     while um:
         name, items_txt, rest = um.group("name"), um.group("list"), um.group("rest")
         if um.group("rng") is not None:
-            vals = _parse_range(um.group("rng"))
+            # distributed row generator — never a driver-side list, so
+            # UNWIND range(0, 1e8) is fine here (ADVICE r6)
+            start, stop, step = _range_bounds(um.group("rng"))
+            unwinds.append(
+                (name, spark.range(start, stop, step).select(F.col("id").alias(name)))
+            )
         else:
             vals = _parse_literal_list(items_txt)
-        dt = {str: "string", int: "long", float: "double"}[type(vals[0])]
-        unwinds.append((name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}")))
+            dt = {str: "string", int: "long", float: "double"}[type(vals[0])]
+            unwinds.append(
+                (name, spark.createDataFrame([(v,) for v in vals], f"{name} {dt}"))
+            )
         um = _UNWIND.match(rest)
     unames = {n for n, _ in unwinds}
     # WHERE conjuncts over unwound names (extension): `k <op> literal`
@@ -639,13 +664,50 @@ def _run_stage(
     items_text: str,
     carried: DataFrame | None,
     dedup: bool,
+    optional: bool = False,
 ) -> tuple[DataFrame, QueryGraph, list[str]]:
     """Plan one pipeline stage: MATCH `match_body` carrying `carried`,
-    projecting the WITH/RETURN `items_text`. Returns (df, qg, out cols)."""
+    projecting the WITH/RETURN `items_text`. Returns (df, qg, out cols).
+
+    ``optional`` (VERDICT r6 #5): the stage is an OPTIONAL MATCH — its
+    pattern is demoted to the first optional group and the carried rows
+    become the required match set, so unmatched carried rows survive
+    with NULLs for the stage's new bindings (and count(b) = 0)."""
     from ..cypher.parser import _split_patterns  # top-level comma split
 
     qg = QueryGraph()
     _parse_clauses(match_body, qg)
+    if optional:
+        if carried is None:
+            raise CypherParseError(
+                "OPTIONAL MATCH stage needs carried rows (a preceding WITH)"
+            )
+        if qg.cross_filters or qg.pattern_filters or getattr(qg, "expr_filters", ()):
+            raise CypherParseError(
+                "cross-binding / pattern / expression WHERE predicates are "
+                "unsupported in an OPTIONAL MATCH stage (they would drop "
+                "unmatched rows)"
+            )
+        if not qg.edges:
+            raise CypherParseError(
+                "OPTIONAL MATCH stage needs at least one pattern edge"
+            )
+        import dataclasses as _dc
+
+        # demote the parsed required clause to the FIRST optional group;
+        # clause-scoped WHERE predicates shift with their clause
+        # (clause 0 -> 1, pre-existing optional clauses 1.. -> 2..)
+        qg.optionals.insert(0, list(qg.edges))
+        qg.edges = []
+        qg.filters = [_dc.replace(pf, clause=pf.clause + 1) for pf in qg.filters]
+        qg.edge_filters = [
+            _dc.replace(pf, clause=pf.clause + 1) for pf in qg.edge_filters
+        ]
+        qg.or_filters = [
+            tuple(_dc.replace(pf, clause=pf.clause + 1) for pf in grp)
+            for grp in qg.or_filters
+        ]
+        qg.carry_required = True
     items_text = re.sub(r"(?is)^\s*DISTINCT\s+", "", items_text)
     if items_text.strip() == "*":
         # WITH * — every named binding of this match plus every carried
@@ -764,6 +826,7 @@ def _run_with_pipeline(
     if not m0:
         raise CypherParseError("WITH pipeline must start with MATCH")
     pending_match: str | None = m0.group("body")
+    pending_optional = False
     carried: DataFrame | None = None
     for seg in parts[1:]:
         sm = _SEG.match(seg.strip())
@@ -774,9 +837,28 @@ def _run_with_pipeline(
             if not sm:
                 raise CypherParseError(f"unsupported WITH stage: {seg!r}")
         items, w = sm.group("items"), sm.group("w")
-        if re.search(r"(?is)\bOPTIONAL\s*$", items):
+        # `WITH ... OPTIONAL MATCH ...` (VERDICT r6 #5): _SEG stops at the
+        # MATCH keyword, leaving the OPTIONAL marker as the tail of the
+        # items (or the WHERE) text — strip it and flag the NEXT match
+        # (which consumes this stage's carry) as an optional stage
+        next_optional = False
+        if items is not None and re.search(r"(?is)\bOPTIONAL\s*$", items):
+            items = re.sub(r"(?is)\s*\bOPTIONAL\s*$", "", items)
+            next_optional = True
+        if w is not None and re.search(r"(?is)\bOPTIONAL\s*$", w):
+            w = re.sub(r"(?is)\s*\bOPTIONAL\s*$", "", w)
+            next_optional = True
+        if sm.groupdict().get("ob") and re.search(
+            r"(?is)\bOPTIONAL\s*$", sm.group("ob")
+        ):
             raise CypherParseError(
-                "a WITH stage must start with MATCH, not OPTIONAL MATCH"
+                "OPTIONAL MATCH directly after ORDER BY is unsupported; "
+                "add an intermediate WITH"
+            )
+        if next_optional and not items.strip():
+            raise CypherParseError(
+                "a WITH stage must project at least one item before "
+                "OPTIONAL MATCH"
             )
         # `WITH ... [WHERE ...] UNWIND xs AS x [UNWIND ...]` — trailing
         # UNWINDs land at the end of the items (or WHERE) text because
@@ -814,7 +896,8 @@ def _run_with_pipeline(
                 out = _run_carry_stage(carried_df, items)
             else:
                 out, _, _ = _run_stage(
-                    graph, pending_match, items, carried_df, dedup=True
+                    graph, pending_match, items, carried_df, dedup=True,
+                    optional=pending_optional,
                 )
             if w:
                 out = _carry_filter(out, w)
@@ -837,6 +920,7 @@ def _run_with_pipeline(
         if bare:
             carried = run_head(carried)
             pending_match = None
+            pending_optional = False
             continue
         if sm.group("ret") is not None:
             # items WHERE w RETURN r — the WITH projects, then RETURN
@@ -889,7 +973,8 @@ def _run_with_pipeline(
             # final stage: items pipe into MATCH body RETURN returns
             carried = run_head(carried)
             df, qg, cols = _run_stage(
-                graph, tm.group("body"), tm.group("returns"), carried, dedup=False
+                graph, tm.group("body"), tm.group("returns"), carried,
+                dedup=False, optional=next_optional,
             )
             bindings = {c for c in cols if c in qg.labels}
             return _order_limit(
@@ -897,6 +982,7 @@ def _run_with_pipeline(
             ), bindings
         carried = run_head(carried)
         pending_match = nxt
+        pending_optional = next_optional
     raise CypherParseError("WITH pipeline has no RETURN")
 
 
@@ -1204,7 +1290,11 @@ def plan_match(
     # at the end (cartesian across disconnected components is Cypher
     # semantics; the reference only emits connected patterns)
     edge_bindings = {b for e in qg.edges for b in (e.src, e.dst)}
-    required = qg.match_bindings or set(qg.labels)
+    # carry_required (OPTIONAL-stage demotion): the carried rows are the
+    # required set — nothing scans standalone
+    required = (
+        set() if qg.carry_required else (qg.match_bindings or set(qg.labels))
+    )
     isolated = [b for b in qg.labels if b in required and b not in edge_bindings]
 
     df: DataFrame | None = None
@@ -1310,6 +1400,18 @@ def plan_match(
         df = scan if df is None else df.crossJoin(scan)
         bound.add(b)
 
+    carry_extras: list[str] = []
+    if df is None and qg.carry_required and carry is not None:
+        # OPTIONAL-stage base (WITH ... OPTIONAL MATCH, extension): there
+        # is no required pattern — the carried rows are the required
+        # match set, and the optional groups below left-join onto them.
+        df = carry
+        shared = [c for c in carry.columns if c in qg.labels]
+        carry_extras = [c for c in carry.columns if c not in shared]
+        bound |= set(shared)
+        steps.append(("carry_base", tuple(shared), tuple(carry_extras)))
+        carry = None
+
     assert df is not None, "empty pattern"
 
     # WITH-pipeline carry (extension): inner-join the previous stage's
@@ -1317,7 +1419,6 @@ def plan_match(
     # stage's aggregates only count matches that survived the carried
     # WHERE — openCypher's row-piping semantics. No shared binding means
     # an explicit cartesian product, as in openCypher.
-    carry_extras: list[str] = []
     if carry is not None:
         shared = [c for c in carry.columns if c in df.columns]
         carry_extras = [c for c in carry.columns if c not in shared]
@@ -1610,7 +1711,14 @@ def plan_match(
                 a, d = ob_aliases[i], it[3]
                 num = F.col(a).try_cast("double")
                 exprs.append(num.desc() if d else num.asc())
-                exprs.append(F.col(a).desc() if d else F.col(a).asc())
+                # raw-string secondary ONLY where the numeric cast fails:
+                # numeric ties must NOT be broken by their string
+                # rendering ('100' vs '100.0') or a LIMIT cut diverges
+                # from the oracle's CAST-then-binding ordering (ADVICE
+                # r6); non-numeric values keep a deterministic lexical
+                # order.
+                raw_sec = F.when(num.isNull(), F.col(a))
+                exprs.append(raw_sec.desc() if d else raw_sec.asc())
         out = out.orderBy(*exprs)
         steps.append(("order_by", tuple(qg.order_items)))
     elif qg.order_by:

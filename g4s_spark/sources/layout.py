@@ -101,6 +101,10 @@ def swap_rewrite(df: "DataFrame", path: str, target_files: int = 8) -> None:
     try:
         shutil.move(tmp, path)
     except BaseException:
+        # a cross-filesystem move degrades to copy+delete and can leave
+        # a partial `path` behind; clear it or the restore itself fails
+        # and both copies are stranded (ADVICE r6)
+        shutil.rmtree(path, ignore_errors=True)
         shutil.move(old, path)  # restore the original before re-raising
         raise
     shutil.rmtree(old)

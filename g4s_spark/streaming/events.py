@@ -390,10 +390,24 @@ def compact_edge_ingest(
 
     edges = spark.read.parquet(out_path)
     others = [c for c in edges.columns if c not in ("src", "dst", "type", "weight")]
-    merged = edges.groupBy("src", "dst", "type").agg(
-        F.sum("weight").alias("weight"),
-        *[F.max(c).alias(c) for c in others],
-    )
+    if others:
+        # one deterministic WHOLE-ROW pick for the non-weight attributes
+        # (VERDICT r6 #3): per-column F.max could stitch together values
+        # from DIFFERENT source rows when duplicate edges carry differing
+        # extras; max over a single struct keeps one row's attributes
+        # intact (lexicographic on the struct fields, deterministic).
+        merged = (
+            edges.groupBy("src", "dst", "type")
+            .agg(
+                F.sum("weight").alias("weight"),
+                F.max(F.struct(*others)).alias("_attrs"),
+            )
+            .select("src", "dst", "type", "weight", "_attrs.*")
+        )
+    else:
+        merged = edges.groupBy("src", "dst", "type").agg(
+            F.sum("weight").alias("weight")
+        )
     n = merged.count()
     swap_rewrite(merged.select(*edges.columns), out_path, target_files)
     return n

@@ -192,3 +192,31 @@ def test_cypher_set_parse_errors(spark):
         run_cypher_set(g, "MATCH (a:A) SET z.x = 1")
     with _pytest.raises(CypherParseError, match="SET statement"):
         run_cypher_set(g, "SET a.x = 1")
+
+
+def test_update_node_props_dedups_duplicate_ids(spark):
+    """Duplicate ids in the updates frame must not duplicate node rows
+    through the left join (ADVICE r6)."""
+    g = PropertyGraph.from_tuples(spark, [(0, "A"), (1, "A")], [])
+    updates = spark.createDataFrame(
+        [(0, {"x": "1"}), (0, {"x": "2"}), (1, {"y": "9"})],
+        "id long, props map<string,string>",
+    )
+    g2 = g.update_node_props(updates)
+    assert g2.nodes.count() == 2
+    got = {r.id: dict(r.props) for r in g2.nodes.collect()}
+    assert got[0]["x"] in ("1", "2") and got[1] == {"y": "9"}
+
+
+def test_update_edge_weights_dedups_duplicate_keys(spark):
+    g = PropertyGraph.from_tuples(
+        spark, [(0, "A"), (1, "A")], [(0, 1, "E", 1.0)]
+    )
+    updates = spark.createDataFrame(
+        [(0, 1, "E", 5.0), (0, 1, "E", 7.0)],
+        "src long, dst long, type string, weight double",
+    )
+    g2 = g.update_edge_weights(updates)
+    assert g2.edges.count() == 1
+    w = g2.edges.collect()[0].weight
+    assert w in (5.0, 7.0)

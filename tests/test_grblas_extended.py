@@ -381,3 +381,14 @@ def test_kron_plus_op_and_shape_guard(spark):
     noshape = Matrix.from_df(b.df, "i", "j", "v")  # nrows/ncols = -1
     with _pytest.raises(ValueError, match="logical shape"):
         kron(a, noshape)
+
+
+def test_kron_unknown_a_shape_propagates_sentinel(spark):
+    """A with unknown shape (-1): the product shape stays the -1 unknown
+    sentinel, never a garbage negative (ADVICE r6)."""
+    from g4s_spark.grblas import Matrix, kron
+
+    b = Matrix.from_tuples(spark, [(0, 0, 4)], 2, 3)
+    noshape_a = Matrix.from_df(b.df, "i", "j", "v")
+    c = kron(noshape_a, b)
+    assert (c.nrows, c.ncols) == (-1, -1)

@@ -532,3 +532,28 @@ def test_funnel_greedy_chain_and_window(spark):
     tight = {(r.step, r.event_type): r.n_users
              for r in funnel(df, within_min=7).collect()}
     assert tight == {(1, "view"): 3, (2, "click"): 1}
+
+
+def test_compact_edge_ingest_whole_row_attribute_fold(spark, tmp_path):
+    """Duplicate edges carrying DIFFERENT extra columns: the surviving
+    attributes must all come from ONE source row, never a per-column mix
+    (VERDICT r6 #3)."""
+    from g4s_spark.streaming import compact_edge_ingest
+
+    out = str(tmp_path / "edges_attr")
+    spark.createDataFrame(
+        [
+            (1, 2, "E", 1, "2024-01-02", "aa"),   # later ts, note aa
+            (1, 2, "E", 1, "2024-01-01", "zz"),   # earlier ts, note zz
+            (3, 4, "E", 1, "2024-01-05", "mm"),
+        ],
+        "src long, dst long, type string, weight long, ts string, note string",
+    ).write.parquet(out)
+    n = compact_edge_ingest(spark, out, target_files=1)
+    assert n == 2
+    got = {(r.src, r.dst): (r.weight, r.ts, r.note) for r in spark.read.parquet(out).collect()}
+    # weight folds (sum); (ts, note) must be a REAL source pair — the
+    # per-column-max bug would mix rows into ('2024-01-02', 'zz'); the
+    # struct max keeps the whole ('2024-01-02', 'aa') row intact
+    assert got[(1, 2)] == (2, "2024-01-02", "aa")
+    assert got[(3, 4)] == (1, "2024-01-05", "mm")

@@ -157,3 +157,20 @@ def test_unwind_range_in_pipeline(g):
            "UNWIND range(0, 1) AS k RETURN a, k",
     ))
     assert got == [(0, 0), (0, 1), (5, 0), (5, 1)]
+
+
+def test_unwind_range_is_distributed_and_lazy(g):
+    """Leading UNWIND range() builds on spark.range — a 100M-element
+    range plans without materializing a driver-side list (ADVICE r6)."""
+    df = run_cypher(g, "UNWIND range(0, 99999999) AS k RETURN k")
+    assert [r.k for r in df.limit(3).collect()] == [0, 1, 2]
+
+
+def test_unwind_range_cap_in_with_tail(g):
+    """The WITH-tail UNWIND embeds the range as a literal array, so it
+    is capped instead of OOMing the driver (ADVICE r6)."""
+    with pytest.raises(CypherParseError, match="exceeds"):
+        run_cypher(
+            g, "MATCH (a:A)-[:X]->(b:B) WITH a, count(b) AS nb "
+               "UNWIND range(0, 99999999) AS k RETURN a, k",
+        )

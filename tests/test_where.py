@@ -374,3 +374,22 @@ def test_where_string_function_predicates(props_graph):
         run_cypher(props_graph, "MATCH (p:Person) WHERE size(p.city) = 'x' RETURN p")
     with pytest.raises(CypherParseError, match="against a string"):
         run_cypher(props_graph, "MATCH (p:Person) WHERE toLower(p.city) = 5 RETURN p")
+
+
+def test_order_by_numeric_tie_uses_query_tiebreak_not_rendering(spark):
+    """'100' and '100.0' are the SAME number: the tie must fall to the
+    query's own tiebreak (binding), never the string rendering — the
+    raw-string secondary applies only where the numeric cast fails
+    (ADVICE r6)."""
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "P", {"x": "100.0"}), (2, "P", {"x": "100"}), (3, "P", {"x": "7"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges)
+    out = run_cypher(g, "MATCH (p:P) RETURN p ORDER BY p.x ASC, p ASC")
+    # numeric order 7 < 100 == 100; the tie breaks on p (1 < 2), even
+    # though lexically '100' < '100.0' would have flipped them
+    assert [r.p for r in out.collect()] == [3, 1, 2]

@@ -325,3 +325,79 @@ def test_count_distinct_in_carry_stage(g):
             g, "MATCH (a:A)-[:X]->(b:B) WITH a, b "
                "RETURN sum(DISTINCT b) AS s",
         )
+
+
+# --- OPTIONAL MATCH as a WITH stage (VERDICT r6 #5) -----------------------
+
+
+@pytest.fixture(scope="module")
+def gopt(spark):
+    nodes = spark.createDataFrame(
+        [(1, "C", {"name": "a"}), (2, "C", {"name": "b"}), (3, "C", {"name": "c"}),
+         (10, "O", {"v": "5"}), (20, "O", {"v": "9"}), (30, "L", None)],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "PLACED"), (2, 20, "PLACED"), (20, 30, "HAS_ITEM")],
+        "src long, dst long, type string",
+    )
+    return PropertyGraph(nodes, edges)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+def test_with_optional_basic(gopt):
+    got = _rows(run_cypher(
+        gopt, "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) RETURN c, o"
+    ))
+    assert got == [(1, 10), (2, 20), (3, None)]
+
+
+def test_with_optional_count_zero(gopt):
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "RETURN c, count(o) AS n",
+    ))
+    assert got == [(1, 1), (2, 1), (3, 0)]
+
+
+def test_with_optional_where_scoped_to_stage(gopt):
+    # WHERE restricts the optional group only: unmatched rows keep NULL,
+    # they are never dropped
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "WHERE o.v > 6 RETURN c, o",
+    ))
+    assert got == [(1, None), (2, 20), (3, None)]
+
+
+def test_with_optional_prop_return(gopt):
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "RETURN c, o.v AS val",
+    ))
+    assert got == [(1, "5"), (2, "9"), (3, None)]
+
+
+def test_with_optional_mid_pipeline_carries_aggregates(gopt):
+    # a carried aggregate column rides through the optional stage
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C)-[:PLACED]->(o:O) WITH c, count(o) AS n_ord "
+        "OPTIONAL MATCH (c)-[:PLACED]->(o2:O)-[:HAS_ITEM]->(l:L) "
+        "RETURN c, n_ord, l",
+    ))
+    assert got == [(1, 1, None), (2, 1, 30)]
+
+
+def test_with_optional_rejects_pattern_predicates(gopt):
+    with pytest.raises(CypherParseError, match="OPTIONAL MATCH stage"):
+        run_cypher(
+            gopt,
+            "MATCH (c:C) WITH c OPTIONAL MATCH (o:O) RETURN c, o",
+        )
