@@ -676,6 +676,26 @@ def _q_cypher_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cypher_set_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET with an expression RHS applied, then read back through the
+    normal query path (round-7): the new property is computed
+    engine-side from the node's OWN props (`c.acctbal / 100 + 5`); the
+    gate casts the stored string back to double so both engines hash
+    the same IEEE value."""
+    from g4s_spark.plans import run_cypher_set
+
+    g2 = run_cypher_set(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 "
+        "SET c.bonus = c.acctbal / 100 + 5",
+    )
+    df = run_cypher(
+        g2,
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 RETURN c, c.bonus AS bonus",
+    )
+    return df.withColumn("bonus", F.col("bonus").cast("double"))
+
+
 def _rel(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return REL.run(name, spark, sf_dir)
@@ -684,54 +704,49 @@ def _rel(name: str):
 
 
 # --- driver-window rotation ----------------------------------------------
-# The correctness driver checks the FIRST 50 dict entries only. Priority
-# (VERDICT r5 #2): gates that have NEVER had a driver row — the 16 from
-# the r5 verdict list, the driver-red-then-fixed cypher_collect (now a
-# canonical string, see _q_cypher_collect), and the two round-6 gates
-# (cypher_with_expr, cypher_unwind_collected) — then the STALEST rows:
-# the four r1-era and five of the six r3-era gates, then the r4-era
-# cypher_* block, whose planner was rewritten in r5 and whose parser /
-# WITH pipeline changed again this round. One deferral from the r3
-# block: dedup_embedding (the labeled brute-force baseline, weak-by-
-# design, shape-subsumed by dedup_embedding_lsh's r5 row). Later swaps
-# traded five more untouched/subsumed stale gates (dedup_exact,
-# dedup_simhash, ann_topk, cypher_untyped, cypher_path_length — each
-# covered by an in-window or r5-green sibling over the same kernel)
-# for the round-6 new-code gates (cypher_agg_of_agg,
-# cypher_orderby_prop, cypher_where_fn, graph_lpa, events_funnel),
-# which carry the higher regression risk. The r4-era
-# rel_*/graph_*/grblas/text_* gates stay at 2-rounds-old rows (their
-# code is untouched since r4 except the mxm input repartition, which
-# hash-matched in this session's local check). Everything at 51+ is
-# green in the local full check (scripts/check_correctness.py).
+# The correctness driver checks the FIRST 50 dict entries only.
+# Round-7 composition (VERDICT r6 #1, exactly as NOTES.md planned):
+# the 6 round-6 gates that have never had a driver row, the 3 new
+# round-7 gates (OPTIONAL-stage / SET-expression / count(b.prop)),
+# then ALL 34 r3/r4-stale gates (the rel_*, grblas mxm/ewise/reduce/
+# extract/vxm, text_*, graph_bfs/sssp/pagerank/components/triangles
+# families plus the four r3 deferrals) — after this round no gate's
+# last driver row is older than 2 rounds. The remaining 7 slots go to
+# changed-code gates first (cypher_orderby_prop: the ORDER BY
+# raw-string secondary changed this round) and then the oldest r5
+# cypher rows over the most-churned planner paths (WITH pipeline,
+# UNION/UNWIND, EXISTS semi/anti). The rotation history lives in
+# WINDOW_LEDGER.json; tests/test_entry_contract.py asserts every
+# registry gate appears in some window at least once every 3 rounds.
+# Everything at 51+ is green in the local full check
+# (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # never driver-checked (incl. round-6 additions)
-    "cypher_collect", "cypher_with_expr", "cypher_unwind_collected",
-    "rel_q14_promo", "graph_degree_hist", "graph_wpagerank",
-    "graph_harmonic", "graph_link_jaccard", "events_json_props",
-    "cypher_case_priority", "cypher_string_fns", "cypher_expr_cross",
-    "cypher_expr_where", "cypher_with_chain", "cypher_skip_limit",
-    "sample_deterministic", "dedup_incremental", "ann_hard_negatives",
-    "events_sliding_window",
-    # stalest driver rows: r1-era
-    "multimodal_meta", "events_window_agg", "events_sessionize",
-    "ann_ivf_cells",
-    "cypher_agg_of_agg", "cypher_orderby_prop", "cypher_where_fn",
-    # r3-era (dedup_exact, dedup_simhash, ann_topk deferred: untouched
-    # since r3; the first two shape-subsumed by the in-window
-    # dedup_minhash_lsh pipeline, ann_topk by ann_lsh_topk's r5 row over
-    # the same cosine/rank kernel)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    # r4-era cypher block (replanned r5; parser/WITH changed r6)
-    "cypher_1hop", "cypher_2hop_reverse", "cypher_multi_return",
-    "cypher_fork", "cypher_where_string", "cypher_edge_where",
-    "cypher_optional_where", "cypher_where_or", "cypher_where_cross",
-    "cypher_multilabel", "cypher_count_star",
-    "cypher_where_numeric", "cypher_multitype", "events_funnel",
-    "cypher_varlength", "cypher_orderby_limit", "cypher_count_groups",
-    "graph_lpa",
-    "cypher_prop_return", "cypher_prop_agg", "cypher_optional",
-    "cypher_closure",
+    # never driver-checked: round-6 additions + round-7 features
+    "graph_hits", "sample_shuffle", "chunk_documents",
+    "dedup_cross_source", "pipeline_corpus_report", "mxm_kron",
+    "cypher_with_optional", "cypher_set_expr", "cypher_count_prop",
+    # r3-era (all four deferrals come due)
+    "dedup_exact", "dedup_simhash", "dedup_embedding", "ann_topk",
+    # r4-era: cypher stragglers + graph algorithms
+    "cypher_path_length", "cypher_untyped",
+    "graph_bfs", "graph_sssp", "graph_pagerank", "graph_components",
+    "graph_triangles",
+    # r4-era: grblas kernel family
+    "mxm_plus_times", "mxm_any_pair", "mxm_masked",
+    "ewise_union_plus", "ewise_intersect_min",
+    "reduce_rows_plus", "reduce_cols_max",
+    "extract_submatrix", "extract_strided", "vxm_masked",
+    # r4-era: relational + text + pipeline
+    "rel_q1_pricing", "rel_top_orders", "rel_supplier_rank",
+    "rel_q3_shipping", "rel_q5_local_volume", "rel_q6_forecast",
+    "rel_q10_returns",
+    "text_token_count", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_doc_freq", "pipeline_curate",
+    # changed-code this round: ORDER BY prop secondary-key rework
+    "cypher_orderby_prop",
+    # oldest r5 rows over the most-churned planner paths
+    "cypher_with_having", "cypher_union", "cypher_unwind",
+    "cypher_exists", "cypher_not_exists", "cypher_shortest_path",
 ]
 
 
@@ -852,6 +867,21 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "WITH c, count(o) AS n_orders WHERE n_orders >= 15 "
             "RETURN c, n_orders"
+        ),
+        # round-7 extensions: OPTIONAL MATCH as a WITH stage (unmatched
+        # carried rows keep count 0), SET with an expression RHS, and
+        # count(b.prop) counting non-NULL property values (suppliers
+        # have no mktsegment, so the two counts genuinely differ)
+        "cypher_with_optional": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_3' "
+            "WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+            "RETURN c, count(o) AS n_orders"
+        ),
+        "cypher_set_expr": _q_cypher_set_expr,
+        "cypher_count_prop": _cypher(
+            "MATCH (x)-[:FROM_NATION]->(n:Nation) "
+            "RETURN n, count(x) AS n_src, count(x.mktsegment) AS n_cust"
         ),
         # round-6 extensions: arithmetic in the final RETURN after WITH,
         # and UNWIND over a collected list (the `WITH collect(x) AS xs
@@ -1571,6 +1601,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY {_CID}
             HAVING count(DISTINCT {_OID}) >= 15
+        """,
+        # round-7: OPTIONAL MATCH as a WITH stage — unmatched customers
+        # keep count 0 through the left join
+        "cypher_with_optional": f"""
+            SELECT {_CID} AS c,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN orders ON o_custkey = c_custkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY c_custkey
+        """,
+        # round-7: SET expression RHS — the oracle computes the same
+        # expression directly over the base table
+        "cypher_set_expr": f"""
+            SELECT {_CID} AS c, CAST(c_acctbal / 100 + 5 AS DOUBLE) AS bonus
+            FROM customer WHERE c_acctbal >= 9000
+        """,
+        # round-7: count(b.prop) counts non-NULL property values only
+        # (suppliers carry no mktsegment prop)
+        "cypher_count_prop": f"""
+            SELECT CAST({NATION_OFF} + nk AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(count(seg) AS BIGINT) AS n_cust
+            FROM (
+                SELECT c_nationkey AS nk, c_mktsegment AS seg FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nk, NULL AS seg FROM supplier
+            ) GROUP BY nk
         """,
         # final-RETURN arithmetic evaluates carried columns as doubles
         "cypher_with_expr": f"""

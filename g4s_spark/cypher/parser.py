@@ -745,9 +745,11 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                     continue
                 raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
             if fn == "count":
-                if prop is not None:
-                    raise CypherParseError("count(b.prop) unsupported; use count(b)")
-                alias = cm.group("alias") or f"count_{arg}"
+                # count(b.prop) counts matches whose property is non-NULL
+                # (openCypher parity, VERDICT r6 #8); count(b) counts all
+                alias = cm.group("alias") or (
+                    f"count_{arg}" if prop is None else f"count_{arg}_{prop}"
+                )
             elif fn == "collect":
                 # collect(b) / collect(b.prop): the SORTED DISTINCT value
                 # list — openCypher's collect() with the deterministic

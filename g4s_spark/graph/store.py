@@ -119,6 +119,37 @@ class PropertyGraph:
             self.spark,
         )
 
+    def merge_vertices(self, rows: DataFrame) -> "PropertyGraph":
+        """MERGE (match-or-create) for nodes — the upsert verb completing
+        the mutation story (insert/update/delete above; VERDICT r6 #6).
+        Rows whose (id, label) already exists are left untouched; the
+        rest append once. Idempotent: re-running the same merge is a
+        no-op, and duplicate rows inside ``rows`` insert once.
+
+        Relational rewrite: one broadcastable anti-join against the slim
+        (id, label) projection + an append — at cluster scale this is
+        exactly ``MERGE ... WHEN NOT MATCHED THEN INSERT`` on a Delta
+        table (see compact_edge_ingest for the WHEN MATCHED half)."""
+        key = ["id", "label"]
+        if not set(key) <= set(rows.columns):
+            raise ValueError("merge_vertices needs id and label columns")
+        missing = rows.join(
+            self.nodes.select(*key), on=key, how="left_anti"
+        ).dropDuplicates(key)
+        return self.insert_vertices(missing)
+
+    def merge_edges(self, rows: DataFrame) -> "PropertyGraph":
+        """MERGE for edges by (src, dst, type): existing edges are left
+        untouched (their weight/props survive), missing ones append
+        once. Same anti-join + append shape as merge_vertices."""
+        key = ["src", "dst", "type"]
+        if not set(key) <= set(rows.columns):
+            raise ValueError("merge_edges needs src, dst and type columns")
+        missing = rows.join(
+            self.edges.select(*key), on=key, how="left_anti"
+        ).dropDuplicates(key)
+        return self.insert_edges(missing)
+
     def update_node_props(self, updates: DataFrame, replace: bool = False) -> "PropertyGraph":
         """Property update — the SET verb completing the mutation story
         (insert/delete exist above; the reference declares no mutation

@@ -220,3 +220,68 @@ def test_update_edge_weights_dedups_duplicate_keys(spark):
     assert g2.edges.count() == 1
     w = g2.edges.collect()[0].weight
     assert w in (5.0, 7.0)
+
+
+def test_merge_vertices_match_or_create_idempotent(spark):
+    """MERGE (VERDICT r6 #6): existing (id,label) rows untouched, new
+    rows append ONCE; re-running the same merge is a no-op and
+    duplicates inside the merge batch insert once."""
+    g = PropertyGraph.from_tuples(spark, [(0, "A"), (1, "A")], [])
+    batch = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (2, "A"), (3, "B")], "id long, label string"
+    )
+    g2 = g.merge_vertices(batch)
+    assert g2.nodes.count() == 4
+    got = sorted((r.id, r.label) for r in g2.nodes.collect())
+    assert got == [(0, "A"), (1, "A"), (2, "A"), (3, "B")]
+    # idempotent re-run
+    assert g2.merge_vertices(batch).nodes.count() == 4
+
+
+def test_merge_edges_keeps_existing_attributes(spark):
+    g = PropertyGraph.from_tuples(
+        spark, [(0, "A"), (1, "A"), (2, "A")], [(0, 1, "E", 5.0)]
+    )
+    batch = spark.createDataFrame(
+        [(0, 1, "E", 99.0), (1, 2, "E", 7.0)],
+        "src long, dst long, type string, weight double",
+    )
+    g2 = g.merge_edges(batch)
+    got = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    # existing edge keeps its weight (5.0, not 99.0); missing edge appends
+    assert got == {(0, 1): 5.0, (1, 2): 7.0}
+    assert g2.merge_edges(batch).edges.count() == 2
+
+
+def test_cypher_set_expression_rhs(spark):
+    """SET with an expression RHS (VERDICT r6 #4): increment and
+    property-from-property, read back through run_cypher."""
+    from g4s_spark.plans import run_cypher, run_cypher_set
+
+    nodes = spark.createDataFrame(
+        [(0, "P", {"cnt": "1", "base": "10"}), (1, "P", {"cnt": "4", "base": "20"}),
+         (2, "Q", {"cnt": "9"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges)
+    g2 = run_cypher_set(g, "MATCH (p:P) SET p.cnt = p.cnt + 1, p.twice = p.base * 2")
+    got = {r.id: dict(r.props) for r in g2.nodes.collect()}
+    assert got[0]["cnt"] == "2.0" and got[0]["twice"] == "20.0"
+    assert got[1]["cnt"] == "5.0" and got[1]["twice"] == "40.0"
+    assert got[2] == {"cnt": "9"}  # other label untouched
+    # read-back through the query path
+    out = run_cypher(g2, "MATCH (p:P) WHERE p.twice > 30 RETURN p")
+    assert [r.p for r in out.collect()] == [1]
+
+
+def test_cypher_set_expression_rejects_cross_binding(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.plans import run_cypher_set
+    import pytest as _pytest
+
+    g = PropertyGraph.from_tuples(
+        spark, [(0, "A"), (1, "B")], [(0, 1, "E")]
+    )
+    with _pytest.raises(CypherParseError, match="only reference"):
+        run_cypher_set(g, "MATCH (a:A)-[:E]->(b:B) SET a.x = b.y + 1")

@@ -320,11 +320,19 @@ def test_count_distinct_in_carry_stage(g):
     )
     r = df.collect()[0]
     assert (r.rows_, r.vals) == (3, 2)  # pairs (0,1),(0,2),(5,1); b values {1,2}
-    with pytest.raises(CypherParseError, match="count/collect only"):
-        run_cypher(
-            g, "MATCH (a:A)-[:X]->(b:B) WITH a, b "
-               "RETURN sum(DISTINCT b) AS s",
-        )
+
+
+def test_sum_avg_distinct_in_carry_stage(g):
+    """sum/avg(DISTINCT col) aggregate the distinct VALUES (VERDICT r6
+    #8); min/max ignore DISTINCT (semantic no-op)."""
+    df = run_cypher(
+        g, "MATCH (a:A)-[:X]->(b:B) WITH a, b "
+           "RETURN sum(b) AS s, sum(DISTINCT b) AS sd, "
+           "avg(DISTINCT b) AS ad, max(DISTINCT b) AS m",
+    )
+    r = df.collect()[0]
+    # pairs (0,1),(0,2),(5,1): sum rows = 4, distinct values {1,2} -> 3
+    assert (r.s, r.sd, r.ad, r.m) == (4.0, 3.0, 1.5, 2)
 
 
 # --- OPTIONAL MATCH as a WITH stage (VERDICT r6 #5) -----------------------
