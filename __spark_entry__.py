@@ -744,9 +744,12 @@ _WINDOW_ORDER = [
     "text_fingerprint", "text_doc_freq", "pipeline_curate",
     # changed-code this round: ORDER BY prop secondary-key rework
     "cypher_orderby_prop",
+    # round-7 mix-design gates (never checked; displace two r5 rows
+    # that rotate in next round)
+    "pipeline_token_rates", "pipeline_token_budget",
     # oldest r5 rows over the most-churned planner paths
     "cypher_with_having", "cypher_union", "cypher_unwind",
-    "cypher_exists", "cypher_not_exists", "cypher_shortest_path",
+    "cypher_exists",
 ]
 
 
@@ -1017,6 +1020,19 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_report": lambda spark, sf_dir: PL.corpus_report(
             load_table(spark, sf_dir, "documents")
         ),
+        # round-7: mix design from a token budget (rates) and the
+        # deterministic sampler that applies it (kept doc set)
+        "pipeline_token_rates": lambda spark, sf_dir: PL.token_budget_rates(
+            load_table(spark, sf_dir, "documents"),
+            weights={"src1": 1.0, "src2": 8.0, "src3": 1.0},
+            total_tokens=4000,
+        ),
+        "pipeline_token_budget": lambda spark, sf_dir: PL.apply_token_budget(
+            load_table(spark, sf_dir, "documents"),
+            weights={"src1": 1.0, "src2": 8.0, "src3": 1.0},
+            total_tokens=4000,
+            seed=11,
+        ).select("doc_id", "source"),
         "pipeline_pretrain_mix": lambda spark, sf_dir: PL.pretrain_mix(
             load_table(spark, sf_dir, "documents"),
             min_quality=0.5,
@@ -2613,6 +2629,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(nt) AS BIGINT) AS min_tokens,
                    CAST(max(nt) AS BIGINT) AS max_tokens
             FROM t GROUP BY source
+        """,
+        # round-7 mix design: target = total * weight/Σweights as the
+        # SAME double ops the engine runs (ints × double division);
+        # rate = min(1, target/available) over the exact token sums
+        "pipeline_token_rates": f"""
+            WITH avail AS (
+                SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+                FROM documents WHERE source IN ('src1', 'src2', 'src3')
+                GROUP BY source
+            ), w(source, wt) AS (VALUES ('src1', 1.0), ('src2', 8.0), ('src3', 1.0))
+            SELECT a.source, a.available_tokens,
+                   CAST(4000 * (CAST(wt AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS DOUBLE) AS target_tokens,
+                   LEAST(CAST(1.0 AS DOUBLE),
+                         CAST(4000 * (CAST(wt AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS DOUBLE)
+                         / CAST(a.available_tokens AS DOUBLE)) AS rate
+            FROM avail a JOIN w ON a.source = w.source
+        """,
+        # the sampler threshold is floor(rate * 16^8) over the identical
+        # IEEE rate, so the kept set matches the engine bit-for-bit
+        "pipeline_token_budget": f"""
+            WITH avail AS (
+                SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+                FROM documents WHERE source IN ('src1', 'src2', 'src3')
+                GROUP BY source
+            ), w(source, wt) AS (VALUES ('src1', 1.0), ('src2', 8.0), ('src3', 1.0)),
+            r AS (
+                SELECT a.source,
+                       LEAST(CAST(1.0 AS DOUBLE),
+                             CAST(4000 * (CAST(wt AS DOUBLE) / CAST(10.0 AS DOUBLE)) AS DOUBLE)
+                             / CAST(a.available_tokens AS DOUBLE)) AS rate
+                FROM avail a JOIN w ON a.source = w.source
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST('0x' || substr(md5('11:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
         """,
         "text_quality": f"""
             WITH t AS (

@@ -167,6 +167,10 @@ class QueryGraph:
     # ANY_PAIR existence semantics (openCypher's per-path multiplicity
     # contradicts the engine's distinct-match model).
     paths: dict[str, tuple[int, ...]] = field(default_factory=dict)
+    # path bindings inside OPTIONAL MATCH clauses (round-7): name ->
+    # (optional-group index, edge indices within that group); length(p)
+    # is NULL for unmatched rows
+    opt_paths: dict[str, tuple[int, tuple[int, ...]]] = field(default_factory=dict)
     path_lengths: list[tuple[str, str]] = field(default_factory=list)  # (path, alias)
     aggregates: list[AggItem] = field(default_factory=list)
     # arithmetic RETURN items (extension): see ExprItem
@@ -319,14 +323,22 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     pattern = sp.group("inner")
                 if not pattern.startswith("("):
                     raise CypherParseError(f"unsupported path expression: {pm_.group('rest')!r}")
-                if ci > 0:
-                    raise CypherParseError("path binding in OPTIONAL MATCH is unsupported")
-                if pname in qg.paths or pname in qg.labels or pname in _edge_names(qg):
+                if (
+                    pname in qg.paths or pname in qg.opt_paths
+                    or pname in qg.labels or pname in _edge_names(qg)
+                ):
                     raise CypherParseError(f"path name collides with another binding: {pname!r}")
             start = len(target)
             _parse_pattern(pattern, qg, target, fresh, clause_bound)
             if pname is not None:
-                qg.paths[pname] = tuple(range(start, len(target)))
+                if ci > 0:
+                    # path binding inside an OPTIONAL MATCH (round-7):
+                    # length(p) left-joins with the group, NULL unmatched
+                    qg.opt_paths[pname] = (
+                        ci - 1, tuple(range(start, len(target)))
+                    )
+                else:
+                    qg.paths[pname] = tuple(range(start, len(target)))
         if ci == 0:
             qg.match_bindings = set(qg.labels)
         elif not target:
@@ -720,7 +732,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         )
         if lm:
             pn = lm.group("p")
-            if pn not in qg.paths:
+            if pn not in qg.paths and pn not in qg.opt_paths:
                 raise CypherParseError(f"length() of unknown path: {pn!r}")
             qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
             continue
@@ -800,7 +812,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
-        if name in qg.paths:
+        if name in qg.paths or name in qg.opt_paths:
             raise CypherParseError(
                 f"cannot return path {name!r} itself; only length({name}) is supported"
             )

@@ -116,3 +116,87 @@ def corpus_report(
         F.min("_nt").cast("long").alias("min_tokens"),
         F.max("_nt").cast("long").alias("max_tokens"),
     )
+
+
+def token_budget_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates that hit a target token distribution —
+    the mix-design step before a training run: given relative source
+    weights and a token budget, each source's target token mass is
+    ``total_tokens * weight / Σweights`` and its rate is
+    ``min(1, target / available)`` (sources cannot be up-sampled past
+    1.0; re-epoching is a training-loop concern, not a sampling one).
+
+    Output: (source, available_tokens, target_tokens, rate), one row
+    per weighted source present in the corpus. Targets are computed
+    driver-side from the weight dict (pure floats, engine-reproducible
+    as literals); the only data-dependent inputs are the per-source
+    token totals — exact integer sums.
+
+    Scale: ONE narrow projection + one shuffle on the source key;
+    output is |sources| rows."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    if not weights:
+        raise ValueError("token_budget_rates needs at least one source weight")
+    from .text import tokens
+
+    wsum = float(sum(weights.values()))
+    targets = {s: total_tokens * (w / wsum) for s, w in sorted(weights.items())}
+    avail = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+        )
+        .where(F.col("source").isin(list(targets)))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("available_tokens"))
+    )
+    tgt = F.create_map(
+        *[x for s, t in targets.items() for x in (F.lit(s), F.lit(t))]
+    )
+    return avail.select(
+        "source",
+        "available_tokens",
+        tgt[F.col("source")].alias("target_tokens"),
+        F.least(
+            F.lit(1.0),
+            tgt[F.col("source")] / F.col("available_tokens").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def apply_token_budget(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Sample the corpus to the token budget: the tiny per-source rate
+    table (|sources| rows) collects driver-side and feeds the
+    stratified deterministic sampler, so the kept set is a pure
+    function of (corpus, weights, total_tokens, seed) — reproducible
+    across engines, reruns, and cluster sizes. Unweighted sources drop
+    (default_rate 0). The sampler threshold is ``int(rate * 16^8)``
+    (truncation == floor for rates in [0,1]); a SQL oracle reproduces
+    it as FLOOR(rate * 16^8) over the identical IEEE rate."""
+    from .sampling import stratified_sample
+
+    rates = {
+        r.source: r.rate
+        for r in token_budget_rates(
+            docs, weights, total_tokens, source_col, text_col
+        ).collect()
+    }
+    return stratified_sample(
+        docs, rates, strata_col=source_col, default_rate=0.0,
+        key_col=key_col, seed=seed,
+    )

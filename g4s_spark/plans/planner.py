@@ -795,7 +795,7 @@ def _run_stage(
         nm = _NAME_ITEM.match(it)
         if nm:
             n, a = nm.group("n"), nm.group("a")
-            if n in qg.paths:
+            if n in qg.paths or n in qg.opt_paths:
                 raise CypherParseError(f"cannot carry path {n!r}; use length({n})")
             if n in qg.labels:
                 qg.returns.append(n)
@@ -1128,7 +1128,9 @@ def plan_match(
     # length(p): var-length edges on a measured path carry a min-hop dist
     # column (computed inside the closure, see _var_length_pairs); fixed
     # edges contribute compile-time constants
-    measured = {i for pn, _ in qg.path_lengths for i in qg.paths[pn]}
+    measured = {
+        i for pn, _ in qg.path_lengths if pn in qg.paths for i in qg.paths[pn]
+    }
     dist_alias_by_idx: dict[int, str] = {}
     dist_alias_by_id: dict[int, str] = {}
     for i in sorted(measured):
@@ -1137,6 +1139,20 @@ def plan_match(
             a = f"_pdist_{i}"
             dist_alias_by_idx[i] = a
             dist_alias_by_id[id(e)] = a
+    # measured paths inside OPTIONAL MATCH groups (round-7): their
+    # var-length edges carry a dist column through the group's left
+    # join; (group idx, edge idx) -> alias
+    opt_dist_alias: dict[tuple[int, int], str] = {}
+    for pn, _ in qg.path_lengths:
+        if pn not in qg.opt_paths:
+            continue
+        gi, idxs = qg.opt_paths[pn]
+        for i in idxs:
+            e = qg.optionals[gi][i]
+            if e.min_hops != (e.max_hops if e.max_hops is not None else -1):
+                a = f"_pdist_opt_{gi}_{i}"
+                opt_dist_alias[(gi, i)] = a
+                dist_alias_by_id[id(e)] = a
 
     def edge_prop_col(df: DataFrame, prop: str, cast_num: bool):
         """Resolve an edge property: typed edge column (weight) first,
@@ -1584,6 +1600,7 @@ def plan_match(
     # The group is deduplicated to (shared + returned) bindings BEFORE
     # the left join, so optional multiplicity never multiplies the
     # required match set beyond real distinct matches.
+    opt_group_nonshared: dict[int, list[str]] = {}
     for gi, group in enumerate(qg.optionals):
         gb = {b for e in group for b in (e.src, e.dst)}
         shared = sorted(gb & bound)
@@ -1596,10 +1613,26 @@ def plan_match(
             a for en2, _, a in qg.edge_prop_returns
             if en2 in {e.name for e in group if e.name}
         }
+        # dist columns of measured optional paths ride the left join
+        gdists = {
+            opt_dist_alias[(gi, i)]
+            for i in range(len(group)) if (gi, i) in opt_dist_alias
+        }
+        guard: set[str] = set()
+        if not gdists and any(
+            pn in qg.opt_paths and qg.opt_paths[pn][0] == gi
+            for pn, _ in qg.path_lengths
+        ):
+            # a fixed-length measured path needs one non-shared column
+            # as its NULL-for-unmatched indicator
+            nonshared = sorted(gb - set(shared))
+            if nonshared:
+                guard = {nonshared[0]}
         keep = sorted(
             (gb & (set(qg.returns) | set(prop_bindings) | set(agg_bindings) | later))
-            | set(shared) | galiases
+            | set(shared) | galiases | gdists | guard
         )
+        opt_group_nonshared[gi] = [c for c in keep if c not in shared]
         clause_state["clause"] = gi + 1  # this group's WHERE scope
         odf: DataFrame | None = None
         obound: set[str] = set()
@@ -1625,6 +1658,35 @@ def plan_match(
     for pname, alias in qg.path_lengths:
         const = 0
         parts: list = []
+        if pname in qg.opt_paths:
+            # OPTIONAL path (round-7): NULL for unmatched rows — a
+            # var-length dist part is NULL there already; a fixed-only
+            # path guards on one of the group's non-shared columns
+            gi, idxs = qg.opt_paths[pname]
+            for i in idxs:
+                e = qg.optionals[gi][i]
+                if (gi, i) in opt_dist_alias:
+                    parts.append(F.col(opt_dist_alias[(gi, i)]))
+                else:
+                    const += e.min_hops
+            expr = F.lit(const).cast("long")
+            for p in parts:
+                expr = expr + p
+            if not parts:
+                gb2 = {b for e in qg.optionals[gi] for b in (e.src, e.dst)}
+                guards = [
+                    c for c in opt_group_nonshared.get(gi, ()) if c in gb2
+                ]
+                if not guards:
+                    raise CypherParseError(
+                        "length() of a fixed-length OPTIONAL path whose "
+                        "bindings are all shared with MATCH is unsupported"
+                    )
+                expr = F.when(F.col(guards[0]).isNotNull(), expr)
+            df = df.withColumn(alias, expr)
+            path_len_aliases.append(alias)
+            steps.append(("opt_path_length", pname, alias))
+            continue
         for i in qg.paths[pname]:
             e = qg.edges[i]
             if i in dist_alias_by_idx:

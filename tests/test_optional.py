@@ -92,3 +92,56 @@ def test_count_star_grouped(g):
         )
     )
     assert got == {(2, 1)}
+
+
+# --- path bindings in OPTIONAL MATCH (round-7) ----------------------------
+
+
+def test_optional_path_length_fixed(g):
+    """p = (...) inside OPTIONAL MATCH: length is the hop count for
+    matched rows and NULL for unmatched ones."""
+    got = rows(run_cypher(
+        g,
+        "MATCH (c:C) OPTIONAL MATCH p = (c)-[:PLACED]->(o:O) "
+        "RETURN c, o, length(p) AS hops",
+    ))
+    assert got == {(1, 10, 1), (2, 20, 1), (3, None, None)}
+
+
+def test_optional_path_length_fixed_without_returning_binding(g):
+    # the group's non-shared binding is force-kept as the NULL guard
+    got = rows(run_cypher(
+        g,
+        "MATCH (c:C) OPTIONAL MATCH p = (c)-[:PLACED]->(o:O) "
+        "RETURN c, length(p) AS hops",
+    ))
+    assert got == {(1, 1), (2, 1), (3, None)}
+
+
+def test_optional_path_length_varlength(g):
+    # customer 2 reaches order 20 (1 hop) and item 30 (2 hops);
+    # customer 3 reaches nothing
+    got = rows(run_cypher(
+        g,
+        "MATCH (c:C) OPTIONAL MATCH p = (c)-[*]->(x) "
+        "RETURN c, x, length(p) AS hops",
+    ))
+    assert got == {
+        (1, 10, 1), (2, 20, 1), (2, 30, 2), (3, None, None),
+    }
+
+
+def test_optional_path_name_collision_rejected(g):
+    with pytest.raises(CypherParseError, match="collides"):
+        run_cypher(
+            g,
+            "MATCH (c:C) OPTIONAL MATCH c = (c)-[:PLACED]->(o:O) RETURN c",
+        )
+
+
+def test_optional_path_cannot_be_returned(g):
+    with pytest.raises(CypherParseError, match="length"):
+        run_cypher(
+            g,
+            "MATCH (c:C) OPTIONAL MATCH p = (c)-[:PLACED]->(o:O) RETURN c, p",
+        )

@@ -174,3 +174,52 @@ def test_deterministic_shuffle_shard_invariant(spark):
     assert a == b
     assert sorted(a.values()) == list(range(40))
     assert a != c
+
+
+def test_token_budget_rates_targets_and_cap(spark):
+    """Rates hit the target token distribution and cap at 1.0 — a
+    source whose target exceeds its available mass keeps everything."""
+    from g4s_spark.functions.pipeline import token_budget_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 100), (2, "a", "w " * 100),   # a: 200 tokens
+         (3, "b", "w " * 10)],                           # b: 10 tokens
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in token_budget_rates(
+        docs, {"a": 1.0, "b": 1.0}, total_tokens=100
+    ).collect()}
+    assert got["a"].available_tokens == 200 and got["a"].target_tokens == 50.0
+    assert got["a"].rate == 0.25
+    # b's target (50) exceeds its 10 available tokens -> capped
+    assert got["b"].rate == 1.0
+
+
+def test_apply_token_budget_deterministic_and_drops_unweighted(spark):
+    from g4s_spark.functions.pipeline import apply_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "c", "w " * 20) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    kept1 = sorted(r.doc_id for r in apply_token_budget(
+        docs, {"a": 1.0}, total_tokens=100, seed=3
+    ).collect())
+    kept2 = sorted(r.doc_id for r in apply_token_budget(
+        docs, {"a": 1.0}, total_tokens=100, seed=3
+    ).collect())
+    assert kept1 == kept2 and kept1  # deterministic, non-empty
+    assert all(i % 2 for i in kept1)  # unweighted source 'c' dropped
+    # 100 target of 400 available -> about a quarter of the 20 'a' docs
+    assert 1 <= len(kept1) <= 12
+
+
+def test_token_budget_rates_validates_inputs(spark):
+    from g4s_spark.functions.pipeline import token_budget_rates
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError, match="positive"):
+        token_budget_rates(docs, {"a": 1.0}, total_tokens=0)
+    with _pytest.raises(ValueError, match="weight"):
+        token_budget_rates(docs, {}, total_tokens=10)
