@@ -280,12 +280,59 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
         sets.setdefault(b, {})[am.group("p")] = ("expr", node)
     qg = QueryGraph()
     _parse_clauses(m.group("body"), qg)
+    # edge-variable SET (round-7): `SET e.weight = <number>` overwrites
+    # the matched edges' typed weight through update_edge_weights —
+    # routed by the pattern edge the variable names
+    edge_sets: dict[str, float] = {}
+    edge_by_name = {e.name: e for e in qg.edges if e.name}
+    for b in list(sets):
+        if b in qg.labels:
+            continue
+        if b in edge_by_name:
+            items_ = sets.pop(b)
+            if set(items_) != {"weight"}:
+                raise CypherParseError(
+                    f"edge SET supports only {b}.weight (typed column); "
+                    f"got: {sorted(items_)}"
+                )
+            kind, v = items_["weight"]
+            if kind != "lit":
+                raise CypherParseError(
+                    "edge SET takes a numeric literal (expression RHS over "
+                    "edge weights is unsupported)"
+                )
+            try:
+                edge_sets[b] = float(v)
+            except ValueError:
+                raise CypherParseError(
+                    f"edge weight must be numeric, got: {v!r}"
+                )
+            continue
+        raise CypherParseError(f"SET references unbound binding: {b!r}")
     for b in sets:
-        if b not in qg.labels:
-            raise CypherParseError(f"SET references unbound binding: {b!r}")
         qg.returns.append(b)
+    for en in edge_sets:
+        e = edge_by_name[en]
+        for nb in (e.src, e.dst):
+            if nb not in qg.returns:
+                qg.returns.append(nb)
     matched = plan_match(graph, qg).df
     out = graph
+    for en, w in edge_sets.items():
+        e = edge_by_name[en]
+        if len(e.types) != 1:
+            raise CypherParseError(
+                f"edge SET needs exactly one edge type on {en!r}"
+            )
+        upd = (
+            matched.select(
+                F.col(e.src).alias("src"), F.col(e.dst).alias("dst")
+            )
+            .dropDuplicates(["src", "dst"])
+            .withColumn("type", F.lit(e.types[0]))
+            .withColumn("weight", F.lit(w).cast("double"))
+        )
+        out = out.update_edge_weights(upd)
     for b, props in sets.items():
         upd = matched.select(F.col(b).alias("id")).dropDuplicates(["id"])
         if any(kind == "expr" for kind, _ in props.values()):

@@ -285,3 +285,34 @@ def test_cypher_set_expression_rejects_cross_binding(spark):
     )
     with _pytest.raises(CypherParseError, match="only reference"):
         run_cypher_set(g, "MATCH (a:A)-[:E]->(b:B) SET a.x = b.y + 1")
+
+
+def test_cypher_set_edge_weight(spark):
+    """`SET e.weight = <number>` overwrites matched edges' weight via
+    update_edge_weights; other types keep theirs (round-7)."""
+    from g4s_spark.plans import run_cypher_set
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        [(0, "A"), (1, "B"), (2, "B"), (3, "C")],
+        [(0, 1, "E", 1.0), (0, 2, "E", 1.0), (1, 3, "F", 7.0)],
+    )
+    g2 = run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.weight = 9")
+    got = {(r.src, r.dst, r.type): r.weight for r in g2.edges.collect()}
+    assert got == {(0, 1, "E"): 9.0, (0, 2, "E"): 9.0, (1, 3, "F"): 7.0}
+    # input untouched
+    assert {r.weight for r in g.edges.collect()} == {1.0, 7.0}
+
+
+def test_cypher_set_edge_weight_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.plans import run_cypher_set
+    import pytest as _pytest
+
+    g = PropertyGraph.from_tuples(
+        spark, [(0, "A"), (1, "B")], [(0, 1, "E", 1.0)]
+    )
+    with _pytest.raises(CypherParseError, match="weight"):
+        run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.foo = 1")
+    with _pytest.raises(CypherParseError, match="numeric literal"):
+        run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.weight = e.weight + 1")
