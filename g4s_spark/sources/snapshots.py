@@ -1,0 +1,147 @@
+"""Corpus snapshot / versioning — the reproducibility layer a
+training-data pipeline needs between curation runs: immutable versioned
+parquet snapshots with a manifest (row count, token total, an
+order-independent content digest), plus a snapshot diff (added /
+removed / changed documents).
+
+Design for 100 TB:
+
+- A snapshot is a plain parquet directory + one tiny JSON manifest —
+  no table-format dependency, readable by any engine. On a cluster the
+  same layout lands in object storage; the manifest is the atomic
+  commit marker (written LAST, so a partially-written snapshot has no
+  manifest and is invisible to ``load_snapshot``).
+- The content digest is the SUM of per-row 32-bit md5 prefixes over a
+  canonical row rendering — commutative, so it is partition- and
+  order-independent and costs one map-side-combined aggregate, never a
+  global sort. Two snapshots with equal digests + counts are equal
+  with ~2^-32 collision odds per differing row (an integrity check,
+  not a security boundary).
+- ``snapshot_diff`` is ONE full outer join on the id keyed by the same
+  row digest — cost O(|v1| + |v2|) with a single shuffle on the id,
+  never a pairwise compare.
+
+The reference has no versioning surface (its store is in-memory,
+ConcurrentDirectedGraph.scala); this extends the repo's own
+training-data pipeline story (FIXTURES.md documents/embeddings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+_DIGEST_HEX = 8  # 32-bit per-row contribution
+
+
+def _row_digest(df: DataFrame) -> "F.Column":
+    """Canonical per-row 32-bit digest: md5 over the NULL-tagged,
+    column-name-sorted string rendering. concat_ws drops NULLs, so each
+    value is explicitly tagged to keep (NULL, 'x') distinct from
+    ('x', NULL)."""
+    parts = [
+        F.concat(F.lit(c + "="), F.coalesce(F.col(c).cast("string"), F.lit("\0null")))
+        for c in sorted(df.columns)
+    ]
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    return F.conv(F.substring(h, 1, _DIGEST_HEX), 16, 10).cast("long")
+
+
+def snapshot_corpus(
+    df: DataFrame, root: str, version: str, id_col: str = "doc_id"
+) -> dict:
+    """Write an immutable snapshot ``<root>/v<version>/`` and return its
+    manifest. Refuses to overwrite an existing version (snapshots are
+    append-only history; delete the directory explicitly to retract).
+    The manifest is written after the data — it is the commit marker."""
+    vdir = os.path.join(root, f"v{version}")
+    mpath = os.path.join(vdir, MANIFEST)
+    if os.path.exists(mpath):
+        raise ValueError(f"snapshot v{version} already exists at {vdir}")
+    if id_col not in df.columns:
+        raise ValueError(f"snapshot needs the id column {id_col!r}")
+    data = os.path.join(vdir, "data")
+    df.write.mode("errorifexists").parquet(data)
+    # stats from the WRITTEN files, so the manifest describes what is
+    # actually on disk (not a re-executed nondeterministic plan)
+    back = df.sparkSession.read.parquet(data)
+    agg = back.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_row_digest(back)).alias("digest"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+    ).collect()[0]
+    manifest = {
+        "version": str(version),
+        "n_rows": int(agg.n),
+        "n_ids": int(agg.n_ids),
+        "content_digest": int(agg.digest or 0),
+        "columns": sorted(df.columns),
+        "id_col": id_col,
+        "created_unix": int(time.time()),
+    }
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_manifest(root: str, version: str) -> dict:
+    mpath = os.path.join(root, f"v{version}", MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no committed snapshot v{version} under {root} (missing manifest)"
+        )
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def load_snapshot(
+    spark: SparkSession, root: str, version: str, verify: bool = False
+) -> DataFrame:
+    """Read a committed snapshot. ``verify=True`` recomputes row count
+    and content digest against the manifest and raises on mismatch
+    (bit-rot / partial-copy detection; one aggregate pass)."""
+    m = read_manifest(root, version)
+    df = spark.read.parquet(os.path.join(root, f"v{version}", "data"))
+    if verify:
+        agg = df.select(
+            F.count(F.lit(1)).alias("n"), F.sum(_row_digest(df)).alias("digest")
+        ).collect()[0]
+        if int(agg.n) != m["n_rows"] or int(agg.digest or 0) != m["content_digest"]:
+            raise ValueError(
+                f"snapshot v{version} failed verification: rows "
+                f"{agg.n}!={m['n_rows']} or digest mismatch"
+            )
+    return df
+
+
+def snapshot_diff(
+    spark: SparkSession, root: str, v_old: str, v_new: str
+) -> DataFrame:
+    """Document-level diff between two snapshots: (id, change) with
+    change in {'added', 'removed', 'changed'} — unchanged documents are
+    omitted. One full outer join on the id comparing per-row digests;
+    single shuffle, no pairwise work."""
+    m_old, m_new = read_manifest(root, v_old), read_manifest(root, v_new)
+    if m_old["id_col"] != m_new["id_col"]:
+        raise ValueError("snapshots use different id columns")
+    idc = m_old["id_col"]
+    old = load_snapshot(spark, root, v_old)
+    new = load_snapshot(spark, root, v_new)
+    o = old.select(F.col(idc).alias("id"), _row_digest(old).alias("_ho"))
+    n = new.select(F.col(idc).alias("id"), _row_digest(new).alias("_hn"))
+    j = o.join(n, on="id", how="full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("_ho").isNull(), F.lit("added"))
+            .when(F.col("_hn").isNull(), F.lit("removed"))
+            .when(F.col("_ho") != F.col("_hn"), F.lit("changed")),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("id", "change")
+    )

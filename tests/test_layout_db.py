@@ -66,3 +66,73 @@ def test_graphdb_explain_lists_planner_steps(spark):
     )
     txt = GraphDB(g).explain("MATCH (a:A)-[:X]->(b:B) RETURN b")
     assert "scan" in txt
+
+
+# --- corpus snapshots (round-7) -------------------------------------------
+
+
+def test_snapshot_write_load_verify_roundtrip(spark, tmp_path):
+    from g4s_spark.sources import load_snapshot, read_manifest, snapshot_corpus
+
+    root = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        [(1, "a", "hello world"), (2, "b", "spark tables"), (3, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    m = snapshot_corpus(df, root, "1")
+    assert m["n_rows"] == 3 and m["n_ids"] == 3 and m["content_digest"] > 0
+    assert read_manifest(root, "1")["version"] == "1"
+    back = load_snapshot(spark, root, "1", verify=True)
+    assert back.count() == 3
+    # immutable: same version refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        snapshot_corpus(df, root, "1")
+
+
+def test_snapshot_digest_is_order_independent(spark, tmp_path):
+    from g4s_spark.sources import snapshot_corpus
+
+    root = str(tmp_path / "corpus_ord")
+    rows = [(i, f"t{i}") for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(3)
+    ma = snapshot_corpus(a, root, "a")
+    mb = snapshot_corpus(b, root, "b")
+    assert ma["content_digest"] == mb["content_digest"]
+    assert ma["n_rows"] == mb["n_rows"] == 50
+
+
+def test_snapshot_diff_added_removed_changed(spark, tmp_path):
+    from g4s_spark.sources import snapshot_corpus, snapshot_diff
+
+    root = str(tmp_path / "corpus_diff")
+    v1 = spark.createDataFrame(
+        [(1, "keep"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "keep"), (2, "CHANGED"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    snapshot_corpus(v1, root, "1")
+    snapshot_corpus(v2, root, "2")
+    got = {(r.id, r.change) for r in snapshot_diff(spark, root, "1", "2").collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_snapshot_verify_detects_tamper(spark, tmp_path):
+    import glob
+    import os
+
+    from g4s_spark.sources import load_snapshot, snapshot_corpus
+
+    root = str(tmp_path / "corpus_tamper")
+    df = spark.createDataFrame([(i, "x" * 10) for i in range(20)], "doc_id long, text string")
+    snapshot_corpus(df.repartition(4), root, "1")
+    # drop one data file: count/digest no longer match the manifest
+    victim = sorted(glob.glob(f"{root}/v1/data/part-*"))[0]
+    os.remove(victim)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="verification"):
+        load_snapshot(spark, root, "1", verify=True).count()
