@@ -744,12 +744,12 @@ _WINDOW_ORDER = [
     "text_fingerprint", "text_doc_freq", "pipeline_curate",
     # changed-code this round: ORDER BY prop secondary-key rework
     "cypher_orderby_prop",
-    # round-7 mix-design gates (never checked; displace two r5 rows
-    # that rotate in next round)
+    # round-7 mix-design + IS NULL gates (never checked; displace three
+    # r5 rows that rotate in next round)
     "pipeline_token_rates", "pipeline_token_budget",
+    "cypher_where_isnull",
     # oldest r5 rows over the most-churned planner paths
     "cypher_with_having", "cypher_union", "cypher_unwind",
-    "cypher_exists",
 ]
 
 
@@ -885,6 +885,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_count_prop": _cypher(
             "MATCH (x)-[:FROM_NATION]->(n:Nation) "
             "RETURN n, count(x) AS n_src, count(x.mktsegment) AS n_cust"
+        ),
+        # IS NULL picks exactly the suppliers out of the mixed
+        # FROM_NATION sources (customers carry mktsegment)
+        "cypher_where_isnull": _cypher(
+            "MATCH (x)-[:FROM_NATION]->(n:Nation) "
+            "WHERE x.mktsegment IS NULL RETURN n, count(x) AS n_sup"
         ),
         # round-6 extensions: arithmetic in the final RETURN after WITH,
         # and UNWIND over a collected list (the `WITH collect(x) AS xs
@@ -1645,6 +1651,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT s_nationkey AS nk, NULL AS seg FROM supplier
             ) GROUP BY nk
+        """,
+        # round-7: IS NULL == property absent -> the supplier half of
+        # the FROM_NATION sources
+        "cypher_where_isnull": f"""
+            SELECT CAST({NATION_OFF} + s_nationkey AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_sup
+            FROM supplier GROUP BY s_nationkey
         """,
         # final-RETURN arithmetic evaluates carried columns as doubles
         "cypher_with_expr": f"""

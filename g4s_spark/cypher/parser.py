@@ -213,6 +213,11 @@ _COND = re.compile(
     r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
 )
+# IS [NOT] NULL (round-7): a property absent from the props map is NULL
+_COND_NULL = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+IS\s+(?P<neg>NOT\s+)?NULL\s*$"
+)
 # string predicates + IN lists (extension): STARTS WITH / ENDS WITH /
 # CONTAINS take one quoted string; IN takes a bracket list of literals
 # and expands to an equality OR-group (reusing the scan-pushdown path)
@@ -361,6 +366,14 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     )
 
             def atoms_of(cond: str) -> list[PropFilter]:
+                nlm = _COND_NULL.match(cond)
+                if nlm:
+                    check_binding(nlm.group("b"), cond)
+                    op = "is_not_null" if nlm.group("neg") else "is_null"
+                    return [PropFilter(
+                        nlm.group("b"), nlm.group("p"), op, None, False,
+                        clause=ci,
+                    )]
                 fm = _COND_FN.match(cond)
                 if fm:
                     check_binding(fm.group("b"), cond)

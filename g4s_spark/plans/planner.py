@@ -496,6 +496,9 @@ _OPS = {
     "starts_with": lambda c, v: c.startswith(v),
     "ends_with": lambda c, v: c.endswith(v),
     "contains": lambda c, v: c.contains(v),
+    # IS [NOT] NULL (round-7)
+    "is_null": lambda c, v: c.isNull(),
+    "is_not_null": lambda c, v: c.isNotNull(),
 }
 
 

@@ -415,3 +415,29 @@ def test_count_prop_counts_non_null_values(spark):
            "RETURN q, count(p) AS all_, count(p.c) AS with_c"
     ).collect()[0]
     assert (out.q, out.all_, out.with_c) == (10, 3, 2)
+
+
+def test_where_is_null_and_is_not_null(spark):
+    """`WHERE n.prop IS [NOT] NULL` (round-7): a property missing from
+    the props map is NULL; the predicate pushes into the node scan."""
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(0, "P", {"seg": "x"}), (1, "P", {}), (2, "P", {"seg": "y"}),
+         (3, "P", None), (10, "Q", None)],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 10, "E"), (1, 10, "E"), (2, 10, "E"), (3, 10, "E")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges)
+    have = rows(run_cypher(g, "MATCH (p:P) WHERE p.seg IS NOT NULL RETURN p"))
+    assert have == {(0,), (2,)}
+    miss = rows(run_cypher(g, "MATCH (p:P) WHERE p.seg IS NULL RETURN p"))
+    assert miss == {(1,), (3,)}
+    # composes with other conjuncts and joins
+    both = rows(run_cypher(
+        g, "MATCH (p:P)-[:E]->(q:Q) WHERE p.seg IS NOT NULL AND p.seg <> 'x' RETURN p, q"
+    ))
+    assert both == {(2, 10)}
