@@ -747,9 +747,9 @@ _WINDOW_ORDER = [
     # round-7 mix-design + IS NULL gates (never checked; displace three
     # r5 rows that rotate in next round)
     "pipeline_token_rates", "pipeline_token_budget",
-    "cypher_where_isnull",
+    "cypher_where_isnull", "cypher_coalesce",
     # oldest r5 rows over the most-churned planner paths
-    "cypher_with_having", "cypher_union", "cypher_unwind",
+    "cypher_with_having", "cypher_unwind",
 ]
 
 
@@ -891,6 +891,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_where_isnull": _cypher(
             "MATCH (x)-[:FROM_NATION]->(n:Nation) "
             "WHERE x.mktsegment IS NULL RETURN n, count(x) AS n_sup"
+        ),
+        # coalesce() fills the suppliers' missing mktsegment
+        "cypher_coalesce": _cypher(
+            "MATCH (x)-[:FROM_NATION]->(n:Nation) "
+            "RETURN x, coalesce(x.mktsegment, 'NONE') AS seg"
         ),
         # round-6 extensions: arithmetic in the final RETURN after WITH,
         # and UNWIND over a collected list (the `WITH collect(x) AS xs
@@ -1658,6 +1663,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({NATION_OFF} + s_nationkey AS BIGINT) AS n,
                    CAST(count(*) AS BIGINT) AS n_sup
             FROM supplier GROUP BY s_nationkey
+        """,
+        "cypher_coalesce": f"""
+            SELECT {_CID} AS x, c_mktsegment AS seg FROM customer
+            UNION ALL
+            SELECT CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT) AS x, 'NONE' AS seg
+            FROM supplier
         """,
         # final-RETURN arithmetic evaluates carried columns as doubles
         "cypher_with_expr": f"""

@@ -179,6 +179,9 @@ class QueryGraph:
     # reference has NO scalar library, SURVEY §2.7): (fn, binding, prop,
     # alias) with fn in {tolower, toupper, trim}
     string_fn_returns: list[tuple[str, str, str, str]] = field(default_factory=list)
+    # coalesce(b.prop, 'default') RETURN items (round-7): the NULL-fill
+    # companion of OPTIONAL MATCH — (binding, prop, default, alias)
+    coalesce_returns: list[tuple[str, str, str, str]] = field(default_factory=list)
     # arithmetic WHERE predicates (extension): (lhs_expr, op, rhs_expr)
     # applied after the required chain binds every referenced binding
     # (the cross_filters slot; they cannot push to any single scan).
@@ -721,7 +724,8 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
     # already distinct endpoint combinations (ANY_PAIR existence
     # semantics, Readme.md:66-70 returns a Set)
     returns_src = re.sub(r"(?is)^\s*DISTINCT\s+", "", returns)
-    for item in returns_src.split(","):
+    # paren-aware split: coalesce(b.prop, 'x') carries a comma inside
+    for item in _split_patterns(returns_src):
         name = item.strip()
         if name == "*":
             # RETURN *: every named (non-anonymous) binding of the match,
@@ -790,6 +794,22 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
             qg.aggregates.append(AggItem(fn, arg, prop, alias))
             continue
+        clm = re.fullmatch(
+            r"(?i)coalesce\s*\(\s*"
+            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+            r"(?P<dflt>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if clm:
+            b = clm.group("b")
+            if b not in qg.labels:
+                raise CypherParseError(f"coalesce() of unbound or non-node variable: {b!r}")
+            raw = clm.group("dflt")
+            dflt = raw[1:-1] if raw[0] in "'\"" else raw  # props are strings
+            alias = clm.group("alias") or f"coalesce_{b}_{clm.group('p')}"
+            qg.coalesce_returns.append((b, clm.group("p"), dflt, alias))
+            continue
         sfm = re.fullmatch(
             r"(?i)(?P<fn>toLower|toUpper|trim)\s*\(\s*"
             r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
@@ -835,6 +855,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
         or qg.path_lengths or qg.expr_returns or qg.string_fn_returns
+        or qg.coalesce_returns
     ):
         raise CypherParseError("empty RETURN")
 
@@ -849,6 +870,7 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {alias for _, alias in qg.path_lengths}
         | {it.alias for it in qg.expr_returns}
         | {a for _, _, _, a in qg.string_fn_returns}
+        | {a for _, _, _, a in qg.coalesce_returns}
     )
 
 

@@ -764,6 +764,7 @@ def _new_out_col(qg: QueryGraph, marks: tuple[int, ...]) -> str:
         [a for _, a in qg.path_lengths],
         [it.alias for it in qg.expr_returns],
         [a for _, _, _, a in qg.string_fn_returns],
+        [a for _, _, _, a in qg.coalesce_returns],
         list(qg.returns),
     )
     for prev_len, cur in zip(marks, lists):
@@ -859,7 +860,8 @@ def _run_stage(
         marks = (
             len(qg.aggregates), len(qg.prop_returns),
             len(qg.edge_prop_returns), len(qg.path_lengths),
-            len(qg.expr_returns), len(qg.string_fn_returns), len(qg.returns),
+            len(qg.expr_returns), len(qg.string_fn_returns),
+            len(qg.coalesce_returns), len(qg.returns),
         )
         _parse_returns(qg, it)
         out = _new_out_col(qg, marks)
@@ -868,7 +870,7 @@ def _run_stage(
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns
         or qg.aggregates or qg.path_lengths or qg.expr_returns
-        or qg.string_fn_returns
+        or qg.string_fn_returns or qg.coalesce_returns
     ):
         # carried-only projection over a new pattern = existence check;
         # plan needs at least one emitted binding, then it is dropped
@@ -1432,7 +1434,7 @@ def plan_match(
 
     prop_bindings = [b for b, _, _ in qg.prop_returns] + [
         b for _, b, _, _ in qg.string_fn_returns
-    ]
+    ] + [b for b, _, _, _ in qg.coalesce_returns]
     agg_bindings = [
         a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
     ]
@@ -1796,6 +1798,8 @@ def plan_match(
         prop_cols.setdefault(b, []).append((pp, f"_xp_{b}_{pp}"))
     for _fn, b, pp, a in qg.string_fn_returns:
         prop_cols.setdefault(b, []).append((pp, f"_sf_{a}"))
+    for b, pp, _dflt, a in qg.coalesce_returns:
+        prop_cols.setdefault(b, []).append((pp, f"_cl_{a}"))
     for b, cols in prop_cols.items():
         n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))
         out = out.join(n, on=b, how="left")
@@ -1828,6 +1832,10 @@ def plan_match(
     for fn, _b, _pp, a in qg.string_fn_returns:
         out = out.withColumn(a, _STR_FN[fn](F.col(f"_sf_{a}")))
         string_fn_aliases.append(a)
+    coalesce_aliases = []
+    for _b, _pp, dflt, a in qg.coalesce_returns:
+        out = out.withColumn(a, F.coalesce(F.col(f"_cl_{a}"), F.lit(dflt)))
+        coalesce_aliases.append(a)
     plain_expr_aliases = []
     for it in qg.expr_returns:
         col = _expr_col(it.expr)
@@ -1838,7 +1846,8 @@ def plan_match(
             out = out.withColumn(f"_agg_{it.alias}", col)
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
-        + path_len_aliases + plain_expr_aliases + string_fn_aliases + carry_extras
+        + path_len_aliases + plain_expr_aliases + string_fn_aliases
+        + coalesce_aliases + carry_extras
     )
     expr_aggs = [it for it in qg.expr_returns if it.agg is not None]
     if qg.aggregates or expr_aggs:
@@ -1877,7 +1886,10 @@ def plan_match(
         steps.append(("aggregate", tuple(
             [ag.alias for ag in qg.aggregates] + [it.alias for it in expr_aggs]
         )))
-    elif qg.prop_returns or qg.edge_prop_returns or qg.expr_returns or qg.string_fn_returns:
+    elif (
+        qg.prop_returns or qg.edge_prop_returns or qg.expr_returns
+        or qg.string_fn_returns or qg.coalesce_returns
+    ):
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is
         # what's distinct)

@@ -145,3 +145,44 @@ def test_optional_path_cannot_be_returned(g):
             g,
             "MATCH (c:C) OPTIONAL MATCH p = (c)-[:PLACED]->(o:O) RETURN c, p",
         )
+
+
+def test_coalesce_fills_optional_nulls(spark):
+    """coalesce(b.prop, 'default') in RETURN (round-7): the NULL-fill
+    companion of OPTIONAL MATCH."""
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "C", None), (2, "C", None), (10, "O", {"v": "9"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "PLACED")], "src long, dst long, type string"
+    )
+    gg = PropertyGraph(nodes, edges)
+    got = sorted(
+        tuple(r) for r in run_cypher(
+            gg,
+            "MATCH (c:C) OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+            "RETURN c, coalesce(o.v, 'none') AS v",
+        ).collect()
+    )
+    assert got == [(1, "9"), (2, "none")]
+
+
+def test_coalesce_on_required_match_missing_prop(spark):
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(1, "P", {"x": "a"}), (2, "P", {})],
+        "id long, label string, props map<string,string>",
+    )
+    gg = PropertyGraph(
+        nodes, spark.createDataFrame([], "src long, dst long, type string")
+    )
+    got = sorted(
+        tuple(r) for r in run_cypher(
+            gg, "MATCH (p:P) RETURN p, coalesce(p.x, 'dflt') AS x"
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "dflt")]
