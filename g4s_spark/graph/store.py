@@ -203,7 +203,18 @@ class PropertyGraph:
                 )
             )
         out = joined.withColumn("props", new_props).drop("_upd")
-        return PropertyGraph(out, self.edges, self.spark)
+        g = PropertyGraph(out, self.edges, self.spark)
+        # a props rewrite changes NO cardinality: the (id, label) set,
+        # label/type counts, and the whole edge table are untouched, so
+        # the planner stats, slim-projection cache, and per-graph edge
+        # memos all carry over (round-7: run_cypher on a SET result was
+        # recomputing stats from scratch)
+        g._stats = self._stats
+        g._nodes_slim = self._nodes_slim
+        for memo in ("_typed_edge_cache", "_degree_edges", "_weight_edges"):
+            if hasattr(self, memo):
+                setattr(g, memo, getattr(self, memo))
+        return g
 
     def update_edge_weights(self, updates: DataFrame) -> "PropertyGraph":
         """SET for edge weights: ``updates`` (src, dst[, type], weight)
@@ -224,7 +235,13 @@ class PropertyGraph:
             .withColumn("weight", F.coalesce(F.col("_w"), F.col("weight")))
             .drop("_w")
         )
-        return PropertyGraph(self.nodes, out, self.spark)
+        g = PropertyGraph(self.nodes, out, self.spark)
+        # weight overwrite preserves every cardinality and the whole
+        # nodes table; stats + slim cache carry over (edge memos do NOT
+        # — they may cache weight columns)
+        g._stats = self._stats
+        g._nodes_slim = self._nodes_slim
+        return g
 
     def next_id(self) -> int:
         """Driver-side id counter analogue (DataStore.scala:44-49). At
