@@ -157,6 +157,16 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
+def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph
+    (round-7): integer tri/deg counts + ONE double division, rounded to
+    9 decimals for the hash like the other ratio gates."""
+    from g4s_spark.operators import clustering_coefficient
+
+    cc = clustering_coefficient(_copurchase_pairs(spark, sf_dir))
+    return cc.withColumn("cc", pround(F.col("cc"), 9))
+
+
 def _q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree histogram — the two-level aggregation every degree-
     distribution / power-law diagnostic runs (first groupBy shuffles on
@@ -747,9 +757,9 @@ _WINDOW_ORDER = [
     # round-7 mix-design + IS NULL gates (never checked; displace three
     # r5 rows that rotate in next round)
     "pipeline_token_rates", "pipeline_token_budget",
-    "cypher_where_isnull", "cypher_coalesce",
+    "cypher_where_isnull", "cypher_coalesce", "graph_clustering",
     # oldest r5 rows over the most-churned planner paths
-    "cypher_with_having", "cypher_unwind",
+    "cypher_unwind",
 ]
 
 
@@ -1128,6 +1138,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_components": _q_graph_components,
         "graph_triangles": _q_graph_triangles,
+        "graph_clustering": _q_graph_clustering,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
         "mxm_kron": _q_mxm_kron,
@@ -2058,6 +2069,37 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.b = e2.a
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "graph_clustering": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM pairs e1
+                JOIN pairs e2 ON e1.b = e2.a
+                JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            tcnt AS (SELECT id, count(*) AS tri FROM corners GROUP BY id),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY id
+            )
+            SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_tri,
+                   floor((CASE WHEN d.deg >= 2
+                          THEN CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+                               / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+                          ELSE 0.0 END) * 1000000000 + 0.5) / 1000000000 AS cc
+            FROM deg d LEFT JOIN tcnt t ON d.id = t.id
         """,
         "mxm_plus_times": """
             WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v

@@ -460,6 +460,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph
+    given as canonical pairs (a < b):
+
+        cc(v) = 2 · tri(v) / (deg(v) · (deg(v) − 1)), 0 for deg < 2
+
+    Returns (id, deg, n_tri, cc) — the per-node refinement of
+    triangle_count (round-7; GraphBLAS's LCC family).
+
+    Scale: the SAME ordered 3-way self-join as triangle_count (output
+    bounded by triangle count, never |V|²), one explode of each
+    triangle to its 3 corners, a corner-keyed count, and a degree
+    aggregate joined back — every shuffle keyed on a node id. The cc
+    expression uses integer products and ONE double division so a SQL
+    oracle reproduces it bit-for-bit."""
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+    tcnt = corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
+    sym = pairs.select(F.col("a").alias("id")).unionByName(
+        pairs.select(F.col("b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    t = F.coalesce(F.col("tri"), F.lit(0))
+    return deg.join(tcnt, on="id", how="left").select(
+        "id",
+        F.col("deg").cast("long").alias("deg"),
+        t.cast("long").alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(2) * t).cast("double")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("cc"),
+    )
+
+
 def neighborhood_jaccard(
     pairs: DataFrame, threshold: float = 0.3, min_shared: int = 1
 ) -> DataFrame:

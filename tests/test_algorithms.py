@@ -298,3 +298,18 @@ def test_hits_checkpoints_half_step_aggregates(spark, monkeypatch):
     # two checkpoints per iteration (one per half-step), minimum
     assert calls["n"] >= 4
     assert got[0][0] > got[1][0] > 0 and got[0][1] == 0.0
+
+
+def test_clustering_coefficient(spark):
+    """Triangle 0-1-2 plus pendant 3 off node 2: triangle corners have
+    cc by formula, the pendant and degree-1 nodes get 0."""
+    from g4s_spark.operators import clustering_coefficient
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "a long, b long"
+    )
+    got = {r.id: (r.deg, r.n_tri, r.cc) for r in clustering_coefficient(pairs).collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, 2 / 6)  # 2*1 / (3*2)
+    assert got[3] == (1, 0, 0.0)
