@@ -157,6 +157,15 @@ def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_pairs(spark, sf_dir))
 
 
+def _q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph (round-7):
+    exact integer sums -> one closed-form double, rounded to 9."""
+    from g4s_spark.operators import degree_assortativity
+
+    out = degree_assortativity(_copurchase_pairs(spark, sf_dir))
+    return out.withColumn("r", pround(F.col("r"), 9))
+
+
 def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the co-purchase graph
     (round-7): integer tri/deg counts + ONE double division, rounded to
@@ -758,8 +767,7 @@ _WINDOW_ORDER = [
     # r5 rows that rotate in next round)
     "pipeline_token_rates", "pipeline_token_budget",
     "cypher_where_isnull", "cypher_coalesce", "graph_clustering",
-    # oldest r5 rows over the most-churned planner paths
-    "cypher_unwind",
+    "graph_assortativity",
 ]
 
 
@@ -1139,6 +1147,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "graph_triangles": _q_graph_triangles,
         "graph_clustering": _q_graph_clustering,
+        "graph_assortativity": _q_graph_assortativity,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
         "mxm_kron": _q_mxm_kron,
@@ -2069,6 +2078,43 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.b = e2.a
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "graph_assortativity": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+            ),
+            sym AS (
+                SELECT a AS s, b AS d FROM pairs
+                UNION ALL SELECT b AS s, a AS d FROM pairs
+            ),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+            ends AS (
+                SELECT dx.deg AS x, dy.deg AS y
+                FROM sym JOIN deg dx ON sym.s = dx.s JOIN deg dy ON sym.d = dy.s
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM ends
+            )
+            SELECT n AS n_ends,
+                   floor((CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                               AND  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                          END) * 1000000000 + 0.5) / 1000000000 AS r
+            FROM agg
         """,
         "graph_clustering": """
             WITH pairs AS (

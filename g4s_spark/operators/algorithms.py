@@ -498,6 +498,54 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman r): the Pearson correlation of
+    endpoint degrees over the undirected edge set (canonical pairs
+    a < b, each edge contributing both orientations). Positive r =
+    hubs link to hubs; negative = hub-leaf (typical of TPC-H-ish
+    bipartite-flavored graphs). Returns ONE row
+    (n_ends, r) — n_ends = 2·|E|.
+
+    Scale + oracle parity: degrees join onto the directed edge copies
+    (two shuffles on node ids), then the correlation comes from
+    EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² over long degrees) and
+    one closed-form double expression — no streaming variance formula,
+    so any SQL engine reproduces the double bit-for-bit. Degenerate
+    variance (all degrees equal) yields NULL."""
+    sym = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ends = (
+        sym.join(deg.select(F.col("s"), F.col("deg").alias("dx")), on="s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("deg").alias("dy")), on="d"
+        )
+        .select("dx", "dy")
+    )
+    agg = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    # combine in DOUBLE (each factor cast first): n·Σxy-scale products
+    # overflow long on huge graphs, and IEEE doubles are identical
+    # across engines for the oracle hash
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    return agg.select(
+        F.col("n").alias("n_ends"),
+        F.when(
+            (vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)
+        ).alias("r"),
+    )
+
+
 def neighborhood_jaccard(
     pairs: DataFrame, threshold: float = 0.3, min_shared: int = 1
 ) -> DataFrame:

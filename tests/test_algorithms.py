@@ -313,3 +313,17 @@ def test_clustering_coefficient(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, 2 / 6)  # 2*1 / (3*2)
     assert got[3] == (1, 0, 0.0)
+
+
+def test_degree_assortativity(spark):
+    """Star graph (hub-leaf): perfectly disassortative, r = -1; the
+    closed form comes from exact integer sums."""
+    from g4s_spark.operators import degree_assortativity
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "a long, b long")
+    row = degree_assortativity(star).collect()[0]
+    assert row.n_ends == 8
+    assert abs(row.r - (-1.0)) < 1e-12
+    # degenerate: all degrees equal (single edge) -> NULL r
+    one = spark.createDataFrame([(0, 1)], "a long, b long")
+    assert degree_assortativity(one).collect()[0].r is None
