@@ -296,41 +296,75 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
                     f"got: {sorted(items_)}"
                 )
             kind, v = items_["weight"]
-            if kind != "lit":
-                raise CypherParseError(
-                    "edge SET takes a numeric literal (expression RHS over "
-                    "edge weights is unsupported)"
-                )
-            try:
-                edge_sets[b] = float(v)
-            except ValueError:
-                raise CypherParseError(
-                    f"edge weight must be numeric, got: {v!r}"
-                )
+            if kind == "lit":
+                try:
+                    edge_sets[b] = ("lit", float(v))
+                except ValueError:
+                    raise CypherParseError(
+                        f"edge weight must be numeric, got: {v!r}"
+                    )
+            else:
+                # expression RHS (round-7): leaves must be THIS edge's
+                # weight (`SET e.weight = e.weight * 2`)
+                for lb, lp in expr_prop_leaves(v):
+                    if lb != b or lp != "weight":
+                        raise CypherParseError(
+                            f"edge SET expression may only reference "
+                            f"{b}.weight, got {lb}.{lp}"
+                        )
+                edge_sets[b] = ("expr", v)
             continue
         raise CypherParseError(f"SET references unbound binding: {b!r}")
     for b in sets:
         qg.returns.append(b)
-    for en in edge_sets:
+    for en, (kind, _v) in edge_sets.items():
         e = edge_by_name[en]
         for nb in (e.src, e.dst):
             if nb not in qg.returns:
                 qg.returns.append(nb)
+        if kind == "expr":
+            # the current weight rides the match as an edge-prop column
+            qg.edge_prop_returns.append((en, "weight", f"_setw_{en}"))
     matched = plan_match(graph, qg).df
     out = graph
-    for en, w in edge_sets.items():
+
+    def _edge_expr_col(node, alias: str):
+        k = node[0]
+        if k == "num":
+            return F.lit(node[1])
+        if k == "prop":
+            return F.col(alias).cast("double")
+        if k == "neg":
+            return -_edge_expr_col(node[1], alias)
+        if k in ("strlen", "case"):
+            raise CypherParseError(
+                "size()/CASE are unsupported in edge SET expressions"
+            )
+        _, op, l, r = node
+        lc, rc = _edge_expr_col(l, alias), _edge_expr_col(r, alias)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+    for en, (kind, v) in edge_sets.items():
         e = edge_by_name[en]
         if len(e.types) != 1:
             raise CypherParseError(
                 f"edge SET needs exactly one edge type on {en!r}"
             )
+        if kind == "lit":
+            wcol = F.lit(v).cast("double")
+            cols = [F.col(e.src).alias("src"), F.col(e.dst).alias("dst")]
+        else:
+            wcol = _edge_expr_col(v, f"_setw_{en}").cast("double")
+            cols = [
+                F.col(e.src).alias("src"), F.col(e.dst).alias("dst"),
+                F.col(f"_setw_{en}"),
+            ]
         upd = (
-            matched.select(
-                F.col(e.src).alias("src"), F.col(e.dst).alias("dst")
-            )
+            matched.select(*cols)
+            .withColumn("weight", wcol)
+            .select("src", "dst", "weight")
             .dropDuplicates(["src", "dst"])
             .withColumn("type", F.lit(e.types[0]))
-            .withColumn("weight", F.lit(w).cast("double"))
         )
         out = out.update_edge_weights(upd)
     for b, props in sets.items():

@@ -119,6 +119,55 @@ def load_snapshot(
     return df
 
 
+def list_snapshots(root: str) -> list[dict]:
+    """Manifests of every COMMITTED snapshot under ``root``, oldest
+    first (by created_unix, version as tiebreak). Version directories
+    without a manifest are failed/partial writes and are not listed."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        if not name.startswith("v"):
+            continue
+        mpath = os.path.join(root, name, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: (m["created_unix"], m["version"]))
+
+
+def prune_snapshots(
+    root: str, keep_last: int, remove_partial: bool = True
+) -> list[str]:
+    """Retention/GC: delete all but the newest ``keep_last`` committed
+    snapshots (oldest-first order from list_snapshots); with
+    ``remove_partial``, manifest-less version directories (crashed
+    writes — invisible to readers) are cleared too. Returns the removed
+    version-directory names. The manifest-last commit protocol makes
+    this safe to run concurrently with readers of the KEPT versions;
+    never prune a version a long-running job may still be reading."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    removed = []
+    committed = list_snapshots(root)
+    for m in committed[:-keep_last] if len(committed) > keep_last else []:
+        vdir = os.path.join(root, f"v{m['version']}")
+        shutil.rmtree(vdir)
+        removed.append(f"v{m['version']}")
+    if remove_partial and os.path.isdir(root):
+        for name in os.listdir(root):
+            vdir = os.path.join(root, name)
+            if (
+                name.startswith("v") and os.path.isdir(vdir)
+                and not os.path.exists(os.path.join(vdir, MANIFEST))
+            ):
+                shutil.rmtree(vdir)
+                removed.append(name)
+    return removed
+
+
 def snapshot_diff(
     spark: SparkSession, root: str, v_old: str, v_new: str
 ) -> DataFrame:

@@ -314,5 +314,20 @@ def test_cypher_set_edge_weight_errors(spark):
     )
     with _pytest.raises(CypherParseError, match="weight"):
         run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.foo = 1")
-    with _pytest.raises(CypherParseError, match="numeric literal"):
-        run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.weight = e.weight + 1")
+    with _pytest.raises(CypherParseError, match="only reference"):
+        run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.weight = b.x + 1")
+
+
+def test_cypher_set_edge_weight_expression(spark):
+    """`SET e.weight = e.weight * 2 + 1` (round-7): the current weight
+    rides the match as an edge-prop column and feeds the update."""
+    from g4s_spark.plans import run_cypher_set
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        [(0, "A"), (1, "B"), (2, "B")],
+        [(0, 1, "E", 3.0), (0, 2, "E", 5.0), (1, 2, "F", 7.0)],
+    )
+    g2 = run_cypher_set(g, "MATCH (a:A)-[e:E]->(b:B) SET e.weight = e.weight * 2 + 1")
+    got = {(r.src, r.dst, r.type): r.weight for r in g2.edges.collect()}
+    assert got == {(0, 1, "E"): 7.0, (0, 2, "E"): 11.0, (1, 2, "F"): 7.0}

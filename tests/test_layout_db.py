@@ -136,3 +136,27 @@ def test_snapshot_verify_detects_tamper(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="verification"):
         load_snapshot(spark, root, "1", verify=True).count()
+
+
+def test_prune_snapshots_retention_and_partials(spark, tmp_path):
+    import os
+    import time
+
+    from g4s_spark.sources import list_snapshots, prune_snapshots, snapshot_corpus
+
+    root = str(tmp_path / "corpus_gc")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for v in ("1", "2", "3"):
+        m = snapshot_corpus(df, root, v)
+        # created_unix has second resolution; force distinct order keys
+        mpath = os.path.join(root, f"v{v}", "manifest.json")
+        import json as _json
+        m["created_unix"] = int(time.time()) + int(v)
+        with open(mpath, "w") as f:
+            _json.dump(m, f)
+    os.makedirs(os.path.join(root, "v9_partial", "data"))  # crashed write
+    removed = prune_snapshots(root, keep_last=2)
+    assert sorted(removed) == ["v1", "v9_partial"]
+    assert [m["version"] for m in list_snapshots(root)] == ["2", "3"]
+    # idempotent
+    assert prune_snapshots(root, keep_last=2) == []
