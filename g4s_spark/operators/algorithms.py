@@ -453,6 +453,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     pairs (a < b). Standard 3-way self-join on ordered vertices; the
     (a<b<c) orientation counts each triangle exactly once. Returns a
     single row (n_triangles long)."""
+    # the (possibly expensive) pairs lineage feeds three join arms —
+    # materialize it once; Spark's exchange reuse does NOT fire across
+    # the differently-keyed arms (measured: 3x recompute without this)
+    edges = iter_checkpoint(edges)
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -475,6 +479,10 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     aggregate joined back — every shuffle keyed on a node id. The cc
     expression uses integer products and ONE double division so a SQL
     oracle reproduces it bit-for-bit."""
+    # five consumers (three join arms + the degree side) — materialize
+    # the pairs lineage once (exchange reuse does not fire across the
+    # differently-keyed arms; measured 10 base-table scans without this)
+    pairs = iter_checkpoint(pairs)
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -512,10 +520,13 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     one closed-form double expression — no streaming variance formula,
     so any SQL engine reproduces the double bit-for-bit. Degenerate
     variance (all degrees equal) yields NULL."""
+    pairs = iter_checkpoint(pairs)  # consumed by both orientations
     sym = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    deg = iter_checkpoint(
+        sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    )  # joined twice (src and dst sides)
     ends = (
         sym.join(deg.select(F.col("s"), F.col("deg").alias("dx")), on="s")
         .join(
@@ -559,6 +570,7 @@ def neighborhood_jaccard(
     neighbor key to count shared neighbors — candidates are bounded by
     co-neighborhood, never |V|²; degrees join back (map-side broadcast
     under AQE) and the ratio is one row-wise expression."""
+    pairs = iter_checkpoint(pairs)  # feeds the index AND the degree side
     sym = (
         pairs.select(F.col("a").alias("n"), F.col("b").alias("x"))
         .unionByName(pairs.select(F.col("b").alias("n"), F.col("a").alias("x")))
