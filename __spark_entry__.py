@@ -715,6 +715,43 @@ def _q_cypher_set_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("bonus", F.col("bonus").cast("double"))
 
 
+def _q_cypher_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openCypher MERGE statement (round-8, VERDICT r7 #4): edge
+    match-or-create with ON CREATE SET, run TWICE to prove idempotence
+    (the second merge matches everything and creates nothing), then the
+    merged edges read back through the normal query path with their
+    created weight."""
+    from g4s_spark.plans import run_cypher_merge
+
+    g = build_graph(spark, sf_dir)
+    stmt = (
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WHERE c.acctbal >= 9800 "
+        "MERGE (c)-[r:VIP_OF]->(n) ON CREATE SET r.weight = 2"
+    )
+    g2 = run_cypher_merge(run_cypher_merge(g, stmt), stmt)
+    return run_cypher(
+        g2, "MATCH (c:Customer)-[v:VIP_OF]->(n:Nation) RETURN c, n, v.weight AS w"
+    )
+
+
+def _q_cypher_set_edge_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge SET with an expression RHS (round-8, VERDICT r7 #3):
+    `SET e.weight = e.weight * 2 + 1` rewrites only the matched orders'
+    HAS_ITEM weights via the broadcast upsert; the read-back aggregates
+    over ALL orders, so both rewritten and untouched edges are checked."""
+    from g4s_spark.plans import run_cypher_set
+
+    g2 = run_cypher_set(
+        build_graph(spark, sf_dir),
+        "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
+        "WHERE o.totalprice >= 450000 SET e.weight = e.weight * 2 + 1",
+    )
+    return run_cypher(
+        g2,
+        "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) RETURN o, sum(e.weight) AS total_w",
+    )
+
+
 def _rel(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return REL.run(name, spark, sf_dir)
@@ -900,6 +937,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN c, count(o) AS n_orders"
         ),
         "cypher_set_expr": _q_cypher_set_expr,
+        # round-8: MERGE statement (match-or-create + ON CREATE SET),
+        # run twice to prove idempotence before the read-back
+        "cypher_merge": _q_cypher_merge,
+        # round-8: expression RHS on edge SET (the r7 node/edge SET
+        # asymmetry closed), read back over all orders
+        "cypher_set_edge_expr": _q_cypher_set_edge_expr,
         "cypher_count_prop": _cypher(
             "MATCH (x)-[:FROM_NATION]->(n:Nation) "
             "RETURN n, count(x) AS n_src, count(x.mktsegment) AS n_cust"
@@ -1664,6 +1707,28 @@ def oracle_sql() -> dict[str, str]:
         "cypher_set_expr": f"""
             SELECT {_CID} AS c, CAST(c_acctbal / 100 + 5 AS DOUBLE) AS bonus
             FROM customer WHERE c_acctbal >= 9000
+        """,
+        # round-8: MERGE creates one VIP_OF edge per qualifying
+        # (customer, nation) pair with the ON CREATE weight; the
+        # idempotent re-run changes nothing, so the read-back is exactly
+        # the qualifying pairs
+        "cypher_merge": f"""
+            SELECT {_CID} AS c,
+                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n,
+                   CAST(2 AS DOUBLE) AS w
+            FROM customer WHERE c_acctbal >= 9800
+        """,
+        # round-8: edge SET expression RHS — matched orders' HAS_ITEM
+        # weights (l_linenumber) become w*2+1, the rest keep theirs; the
+        # coalesce(double, long) upsert makes every weight DOUBLE
+        "cypher_set_edge_expr": f"""
+            SELECT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,
+                   CAST(sum(CASE WHEN o_totalprice >= 450000
+                                 THEN l_linenumber * 2 + 1
+                                 ELSE l_linenumber END) AS DOUBLE) AS total_w
+            FROM (SELECT DISTINCT l_orderkey, l_linenumber, o_totalprice
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            GROUP BY l_orderkey
         """,
         # round-7: count(b.prop) counts non-NULL property values only
         # (suppliers carry no mktsegment prop)

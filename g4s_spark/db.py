@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame
 
 from .cypher.parser import parse, split_with
 from .graph.store import PropertyGraph
-from .plans.planner import PlannedQuery, plan_match, run_cypher, run_cypher_set
+from .plans.planner import (
+    PlannedQuery,
+    plan_match,
+    run_cypher,
+    run_cypher_merge,
+    run_cypher_set,
+)
 
 
 class GraphDB:
@@ -29,8 +35,17 @@ class GraphDB:
         return run_cypher(self.graph, cypher, resolve=resolve)
 
     def update(self, cypher: str) -> "GraphDB":
-        """``MATCH ... SET b.prop = literal`` — returns a NEW GraphDB over
-        the updated graph (immutable rewrite; see plans.run_cypher_set)."""
+        """Mutation statements — ``MATCH ... SET b.prop = value`` and
+        ``MERGE (n:L {..}) / MATCH ... MERGE (a)-[r:T]->(b)`` (with
+        ON CREATE SET / ON MATCH SET) — returning a NEW GraphDB over the
+        updated graph (immutable rewrite; see plans.run_cypher_set /
+        run_cypher_merge)."""
+        import re
+
+        if re.match(r"(?is)^\s*MERGE\b", cypher) or re.search(
+            r"(?is)\bMERGE\s*\(", cypher
+        ):
+            return GraphDB(run_cypher_merge(self.graph, cypher))
         return GraphDB(run_cypher_set(self.graph, cypher))
 
     def plan(self, cypher: str) -> PlannedQuery:

@@ -386,6 +386,293 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
     return out
 
 
+_MERGE_NODE_STMT = re.compile(
+    r"(?is)^\s*MERGE\s+\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*"
+    r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\{(?P<props>[^}]*)\}\s*)?\)\s*(?P<tail>.*)$"
+)
+_MERGE_EDGE_STMT = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+MERGE\s+"
+    r"\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+    r"-\s*\[\s*(?P<en>[A-Za-z_][A-Za-z0-9_]*)?\s*:\s*"
+    r"(?P<type>[A-Za-z_][A-Za-z0-9_]*)\s*\]\s*->\s*"
+    r"\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(?P<tail>.*)$"
+)
+_ON_CLAUSE = re.compile(r"(?is)\bON\s+(CREATE|MATCH)\s+SET\s+")
+_PROP_ENTRY = re.compile(
+    r"^\s*(?P<k>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*"
+    r"(?P<v>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_props_literal(s: str | None) -> dict[str, tuple]:
+    """``{k: 'str', k2: 3}`` -> {k: ("str", v) | ("num", float)}. The
+    props map is string-valued; numeric entries keep their literal text
+    for storage and compare as doubles for matching (the same contract
+    as WHERE literals, store.node_set)."""
+    out: dict[str, tuple] = {}
+    if s is None or not s.strip():
+        return out
+    from ..cypher.parser import _split_patterns
+
+    for entry in _split_patterns(s):
+        pm = _PROP_ENTRY.match(entry)
+        if not pm:
+            raise CypherParseError(f"unsupported MERGE property entry: {entry!r}")
+        raw = pm.group("v")
+        if raw[0] in "'\"":
+            out[pm.group("k")] = ("str", raw[1:-1])
+        else:
+            out[pm.group("k")] = ("num", raw)
+    return out
+
+
+def _split_on_clauses(tail: str) -> tuple[list[str], list[str]]:
+    """Split a MERGE tail into ON CREATE SET / ON MATCH SET item lists
+    (each a list of raw ``b.prop = value`` strings)."""
+    from ..cypher.parser import _split_patterns
+
+    tail = tail.strip()
+    if not tail:
+        return [], []
+    parts = _ON_CLAUSE.split(tail)
+    if parts[0].strip():
+        raise CypherParseError(
+            f"unsupported trailing clause after MERGE pattern: {parts[0]!r}"
+        )
+    on_create: list[str] = []
+    on_match: list[str] = []
+    for kw, items in zip(parts[1::2], parts[2::2]):
+        dst = on_create if kw.upper() == "CREATE" else on_match
+        if dst:
+            raise CypherParseError(f"duplicate ON {kw.upper()} SET clause")
+        dst.extend(_split_patterns(items))
+    return on_create, on_match
+
+
+def run_cypher_merge(graph: PropertyGraph, query: str) -> PropertyGraph:
+    """openCypher MERGE (match-or-create; extension — the reference
+    declares no mutation at all, StatsStore.scala:172-177 ``???``),
+    wiring the round-7 API verbs ``merge_vertices``/``merge_edges``
+    into the Cypher front-end (VERDICT r7 #4). Two forms:
+
+    - ``MERGE (n:Label {prop: lit, ...})`` — create the node iff no
+      node with that label carries ALL the given property values;
+      ``ON CREATE SET n.p = lit`` adds creation-only props,
+      ``ON MATCH SET n.p = lit | expr`` updates pre-existing matches
+      through the SET machinery (expression RHS over n's own props).
+    - ``MATCH pattern [WHERE ...] MERGE (a)-[r:T]->(b)`` — for every
+      distinct matched (a, b) pair ensure one T edge exists;
+      ``ON CREATE SET r.weight = lit`` stamps created edges,
+      ``ON MATCH SET r.weight = lit | expr-over-r.weight`` rewrites
+      pre-existing ones via update_edge_weights.
+
+    Both are idempotent: re-running the same MERGE (without ON MATCH
+    mutations) is a no-op. Returns the updated graph (immutable
+    rewrite, like run_cypher_set).
+
+    Plan shape at scale: the edge form is one planned MATCH + a
+    broadcastable anti-join append (merge_edges) + an optional
+    broadcast upsert — Delta-MERGE-shaped, no driver materialization.
+    The node form's existence probe is ONE limit(1) point-lookup
+    action (the statement's semantics branch on existence; the
+    created row itself is a literal)."""
+    em = _MERGE_EDGE_STMT.match(query)
+    if em:
+        return _run_merge_edge(graph, em)
+    nm = _MERGE_NODE_STMT.match(query)
+    if not nm:
+        raise CypherParseError(
+            "MERGE statement must be `MERGE (n:Label {props})` or "
+            f"`MATCH ... MERGE (a)-[r:T]->(b)`: {query!r}"
+        )
+    name, label = nm.group("name"), nm.group("label")
+    pattern_props = _parse_props_literal(nm.group("props"))
+    on_create, on_match = _split_on_clauses(nm.group("tail"))
+
+    def _parse_set_items(items: list[str], allow_expr: bool) -> dict[str, tuple]:
+        from ..cypher.parser import _parse_arith, _tokenize_expr, expr_prop_leaves
+
+        out: dict[str, tuple] = {}
+        for item in items:
+            sm = _SET_ITEM.match(item)
+            if sm:
+                if sm.group("b") != name:
+                    raise CypherParseError(
+                        f"MERGE SET item must target {name!r}: {item!r}"
+                    )
+                raw = sm.group("val")
+                out[sm.group("p")] = ("lit", raw[1:-1] if raw[0] in "'\"" else raw)
+                continue
+            am = _SET_ITEM_ANY.match(item)
+            if not (allow_expr and am and am.group("b") == name):
+                raise CypherParseError(
+                    f"unsupported MERGE SET item (need {name}.prop = "
+                    f"{'value/expr' if allow_expr else 'literal'}): {item!r}"
+                )
+            toks = _tokenize_expr(am.group("rhs"))
+            node, end = _parse_arith(toks)
+            if end != len(toks):
+                raise CypherParseError(f"trailing tokens in SET expression: {item!r}")
+            for lb, _lp in expr_prop_leaves(node):
+                if lb != name:
+                    raise CypherParseError(
+                        f"ON MATCH SET expression may only reference {name!r}, "
+                        f"got {lb!r}: {item!r}"
+                    )
+            out[am.group("p")] = ("expr", node)
+        return out
+
+    create_sets = _parse_set_items(on_create, allow_expr=False)
+    match_sets = _parse_set_items(on_match, allow_expr=True)
+
+    # match: label scan + ALL pattern props equal (numerics as doubles —
+    # the WHERE-literal contract)
+    cand = graph.nodes.filter(F.col("label") == label)
+    if pattern_props and "props" not in graph.nodes.columns:
+        # no props column: nothing can match a props pattern — the
+        # merge takes the create branch (insert_vertices adds the
+        # column via unionByName)
+        cand = cand.limit(0)
+    else:
+        for k, (kind, v) in pattern_props.items():
+            c = F.col("props").getItem(k)
+            cand = cand.filter(
+                (c.cast("double") == float(v)) if kind == "num" else (c == v)
+            )
+    exists = bool(cand.select("id").limit(1).count())
+    if not exists:
+        nid = graph.next_id()
+        props = {k: v for k, (_kind, v) in pattern_props.items()}
+        props.update({k: v for k, (_kind, v) in create_sets.items()})
+        row_df = graph.spark.createDataFrame(
+            [(nid, label, props)], "id long, label string, props map<string,string>"
+        )
+        return graph.merge_vertices(row_df)
+    if not match_sets:
+        return graph
+    # ON MATCH SET through the update_node_props broadcast upsert;
+    # expression leaves resolve against the matched payload (same shape
+    # as run_cypher_set's node path)
+    upd = cand.select("id").dropDuplicates(["id"])
+    if any(kind == "expr" for kind, _ in match_sets.values()):
+        payload = graph.nodes.select("id", "props").dropDuplicates(["id"])
+        upd = upd.join(payload, on="id", how="left")
+    entries = []
+    for k, (kind, v) in sorted(match_sets.items()):
+        entries.append(F.lit(k))
+        entries.append(
+            F.lit(v) if kind == "lit" else _set_expr_col(v, name).cast("string")
+        )
+    return graph.update_node_props(upd.select("id", F.create_map(*entries).alias("props")))
+
+
+def _run_merge_edge(graph: PropertyGraph, em: "re.Match") -> PropertyGraph:
+    a, b, en, etype = em.group("a"), em.group("b"), em.group("en"), em.group("type")
+    on_create, on_match = _split_on_clauses(em.group("tail"))
+
+    def _parse_weight_items(items: list[str], allow_expr: bool):
+        """MERGE edge SET items: ``r.weight = lit`` (and, on match, an
+        arithmetic expression over r.weight). Returns None | ("lit", f)
+        | ("expr", tree)."""
+        if not items:
+            return None
+        from ..cypher.parser import _parse_arith, _tokenize_expr, expr_prop_leaves
+
+        if len(items) > 1 or en is None:
+            raise CypherParseError(
+                "edge MERGE SET supports exactly one item on a named edge "
+                f"variable ({en or '<unnamed>'}.weight)"
+            )
+        sm = _SET_ITEM.match(items[0])
+        if sm:
+            if (sm.group("b"), sm.group("p")) != (en, "weight"):
+                raise CypherParseError(
+                    f"edge MERGE SET must target {en}.weight: {items[0]!r}"
+                )
+            try:
+                return ("lit", float(sm.group("val")))
+            except ValueError:
+                raise CypherParseError(f"edge weight must be numeric: {items[0]!r}")
+        am = _SET_ITEM_ANY.match(items[0])
+        if not (allow_expr and am and (am.group("b"), am.group("p")) == (en, "weight")):
+            raise CypherParseError(
+                f"unsupported edge MERGE SET item: {items[0]!r}"
+            )
+        toks = _tokenize_expr(am.group("rhs"))
+        node, end = _parse_arith(toks)
+        if end != len(toks):
+            raise CypherParseError(f"trailing tokens in SET expression: {items[0]!r}")
+        for lb, lp in expr_prop_leaves(node):
+            if (lb, lp) != (en, "weight"):
+                raise CypherParseError(
+                    f"ON MATCH SET expression may only reference {en}.weight, "
+                    f"got {lb}.{lp}"
+                )
+        return ("expr", node)
+
+    create_w = _parse_weight_items(on_create, allow_expr=False)
+    match_w = _parse_weight_items(on_match, allow_expr=True)
+
+    qg = QueryGraph()
+    _parse_clauses(em.group("body"), qg)
+    for nb in (a, b):
+        if nb not in qg.labels:
+            raise CypherParseError(f"MERGE endpoint {nb!r} is not bound by MATCH")
+        if nb not in qg.returns:
+            qg.returns.append(nb)
+    matched = plan_match(graph, qg).df
+    pairs = (
+        matched.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("type", F.lit(etype))
+    )
+    rows = pairs
+    if create_w is not None:
+        rows = rows.withColumn("weight", F.lit(create_w[1]).cast("double"))
+    out = graph.merge_edges(rows)
+    if match_w is None:
+        return out
+    # ON MATCH applies to edges that existed BEFORE the merge: semi-join
+    # the matched pairs against the pre-merge typed edge set
+    pre = graph.edges.filter(F.col("type") == etype)
+    existing = pairs.join(
+        pre.select("src", "dst"), on=["src", "dst"], how="left_semi"
+    )
+    if match_w[0] == "lit":
+        upd = existing.withColumn("weight", F.lit(match_w[1]).cast("double"))
+    else:
+        cur = "weight" if "weight" in pre.columns else None
+        if cur is None:
+            raise CypherParseError("graph edges carry no weight column")
+        wsrc = pre.select("src", "dst", F.col("weight").alias("_curw")).dropDuplicates(
+            ["src", "dst"]
+        )
+
+        def _eval(node):
+            k = node[0]
+            if k == "num":
+                return F.lit(node[1])
+            if k == "prop":
+                return F.col("_curw").cast("double")
+            if k == "neg":
+                return -_eval(node[1])
+            if k in ("strlen", "case"):
+                raise CypherParseError(
+                    "size()/CASE are unsupported in edge MERGE expressions"
+                )
+            _, op, l, r = node
+            lc, rc = _eval(l), _eval(r)
+            return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+
+        upd = (
+            existing.join(wsrc, on=["src", "dst"], how="left")
+            .withColumn("weight", _eval(match_w[1]).cast("double"))
+            .drop("_curw")
+        )
+    return out.update_edge_weights(upd.select("src", "dst", "type", "weight"))
+
+
 def _case_col(node, eval_expr, raw_prop):
     """CASE evaluator shared by both expression contexts. String-literal
     comparisons require a bare prop condition (compared uncast); numeric
