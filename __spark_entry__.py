@@ -166,6 +166,17 @@ def _q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("r", pround(F.col("r"), 9))
 
 
+def _q_graph_assort_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-label assortativity (round-8): Newman r per (srcLabel,
+    dstLabel) stratum of the directed TPC-H graph — the triplet-stats
+    join shape over exact integer sums."""
+    from g4s_spark.operators import label_assortativity
+
+    g = build_graph(spark, sf_dir)
+    out = label_assortativity(g.edges, g.nodes)
+    return out.withColumn("r", pround(F.col("r"), 9))
+
+
 def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the co-purchase graph
     (round-7): integer tri/deg counts + ONE double division, rounded to
@@ -943,6 +954,17 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8: expression RHS on edge SET (the r7 node/edge SET
         # asymmetry closed), read back over all orders
         "cypher_set_edge_expr": _q_cypher_set_edge_expr,
+        # round-8: aggregates over the OPTIONAL binding's props — the
+        # clause-scoped WHERE empties some matched groups, whose sum
+        # folds to 0 and count to 0 (openCypher), min stays NULL
+        "cypher_optional_agg": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name = 'NATION_5' "
+            "WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:Order) "
+            "WHERE o.totalprice >= 300000 "
+            "RETURN c, sum(o.totalprice) AS s, count(o) AS n_big, "
+            "min(o.totalprice) AS mn"
+        ),
         "cypher_count_prop": _cypher(
             "MATCH (x)-[:FROM_NATION]->(n:Nation) "
             "RETURN n, count(x) AS n_src, count(x.mktsegment) AS n_cust"
@@ -1191,6 +1213,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_clustering": _q_graph_clustering,
         "graph_assortativity": _q_graph_assortativity,
+        "graph_assort_label": _q_graph_assort_label,
         # grblas kernels (SURVEY §2.3)
         "mxm_plus_times": _q_mxm_plus_times,
         "mxm_kron": _q_mxm_kron,
@@ -1730,6 +1753,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
             GROUP BY l_orderkey
         """,
+        # round-8: OPTIONAL-binding prop aggregates — LEFT JOIN with the
+        # optional stage's clause-scoped predicate folded into the join
+        # value; empty groups: sum -> 0, count -> 0, min -> NULL
+        "cypher_optional_agg": f"""
+            SELECT {_CID} AS c,
+                   CAST(coalesce(sum(CASE WHEN o_totalprice >= 300000
+                                          THEN o_totalprice END), 0) AS DOUBLE) AS s,
+                   CAST(count(CASE WHEN o_totalprice >= 300000
+                                   THEN 1 END) AS BIGINT) AS n_big,
+                   CAST(min(CASE WHEN o_totalprice >= 300000
+                                 THEN o_totalprice END) AS DOUBLE) AS mn
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN orders ON o_custkey = c_custkey
+            WHERE n_name = 'NATION_5'
+            GROUP BY c_custkey
+        """,
         # round-7: count(b.prop) counts non-NULL property values only
         # (suppliers carry no mktsegment prop)
         "cypher_count_prop": f"""
@@ -2168,6 +2207,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM ends
             )
             SELECT n AS n_ends,
+                   floor((CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                               AND  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                          END) * 1000000000 + 0.5) / 1000000000 AS r
+            FROM agg
+        """,
+        # round-8: Newman r per (srcLabel, dstLabel) stratum over the
+        # directed TPC-H graph; labels recovered from the id offsets
+        "graph_assort_label": f"""
+            WITH {EDGES_SQL_CTE.strip()},
+            deg AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT src AS s FROM graph_edges
+                    UNION ALL SELECT dst AS s FROM graph_edges
+                ) GROUP BY s
+            ),
+            lbl(bucket, label) AS (
+                VALUES (1, 'Region'), (2, 'Nation'), (3, 'Customer'),
+                       (4, 'Supplier'), (5, 'Part'), (6, 'Order'),
+                       (7, 'Lineitem')
+            ),
+            ends AS (
+                SELECT ls.label AS src_label, ld.label AS dst_label,
+                       dx.deg AS x, dy.deg AS y
+                FROM graph_edges e
+                JOIN deg dx ON e.src = dx.s
+                JOIN deg dy ON e.dst = dy.s
+                JOIN lbl ls ON CAST(floor(e.src / 1000000000000) AS INT) = ls.bucket
+                JOIN lbl ld ON CAST(floor(e.dst / 1000000000000) AS INT) = ld.bucket
+            ),
+            agg AS (
+                SELECT src_label, dst_label,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM ends GROUP BY src_label, dst_label
+            )
+            SELECT src_label, dst_label, n AS n_edges,
                    floor((CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
                                AND  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)

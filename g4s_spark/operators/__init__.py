@@ -12,10 +12,11 @@ from .algorithms import (
     weighted_pagerank,
     clustering_coefficient,
     degree_assortativity,
+    label_assortativity,
     triangle_count,
 )
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count", "clustering_coefficient", "degree_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
 ]

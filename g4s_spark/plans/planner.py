@@ -1041,14 +1041,25 @@ def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
                 # the plan_match collect() aggregate
                 aggs.append(F.sort_array(F.collect_set(F.col(col))).alias(alias))
             elif fn == "sum" and am.group("dist"):
-                # sum over the distinct VALUES (VERDICT r6 #8)
-                aggs.append(F.sum_distinct(F.col(col).cast("double")).alias(alias))
+                # sum over the distinct VALUES (VERDICT r6 #8); empty ->
+                # 0 per openCypher (the OPTIONAL-stage unmatched case)
+                aggs.append(
+                    F.coalesce(
+                        F.sum_distinct(F.col(col).cast("double")), F.lit(0.0)
+                    ).alias(alias)
+                )
             elif fn == "avg" and am.group("dist"):
                 aggs.append(
                     F.expr(f"avg(DISTINCT CAST(`{col}` AS DOUBLE))").alias(alias)
                 )
-            elif fn in ("sum", "avg"):
-                aggs.append(getattr(F, fn)(F.col(col).cast("double")).alias(alias))
+            elif fn == "sum":
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.col(col).cast("double")), F.lit(0.0)
+                    ).alias(alias)
+                )
+            elif fn == "avg":
+                aggs.append(F.avg(F.col(col).cast("double")).alias(alias))
             else:
                 # min/max: DISTINCT is a semantic no-op
                 aggs.append(getattr(F, fn)(F.col(col)).alias(alias))
@@ -2197,12 +2208,19 @@ def plan_match(
                 # sorted distinct values: collect() made deterministic
                 aggs.append(F.sort_array(F.collect_set(src)).alias(ag.alias))
             else:
-                aggs.append(
-                    _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias)
-                )
+                c = _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double"))
+                if ag.func == "sum":
+                    # openCypher: sum over no values is 0, not NULL —
+                    # the case an OPTIONAL MATCH's unmatched rows hit
+                    # (avg/min/max stay NULL, also per openCypher)
+                    c = F.coalesce(c, F.lit(0.0))
+                aggs.append(c.alias(ag.alias))
         _EFN = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
         for it in expr_aggs:
-            aggs.append(_EFN[it.agg](F.col(f"_agg_{it.alias}")).alias(it.alias))
+            c = _EFN[it.agg](F.col(f"_agg_{it.alias}"))
+            if it.agg == "sum":
+                c = F.coalesce(c, F.lit(0.0))
+            aggs.append(c.alias(it.alias))
         out = out.groupBy(*group_cols).agg(*aggs) if group_cols else out.agg(*aggs)
         steps.append(("aggregate", tuple(
             [ag.alias for ag in qg.aggregates] + [it.alias for it in expr_aggs]

@@ -327,3 +327,29 @@ def test_degree_assortativity(spark):
     # degenerate: all degrees equal (single edge) -> NULL r
     one = spark.createDataFrame([(0, 1)], "a long, b long")
     assert degree_assortativity(one).collect()[0].r is None
+
+
+def test_label_assortativity_strata_and_duplicates(spark):
+    """By-label Newman r (round-8): hand-computed stratum r, degenerate
+    stratum NULL, and duplicate (id,label) node rows must not fan the
+    edge join out (the testdata carries duplicate lineitem ids)."""
+    from g4s_spark.operators import label_assortativity
+
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (3, "B"), (4, "B"), (5, "B")],
+        "id long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (3, 5)], "src long, dst long"
+    )
+    out = {
+        (r.src_label, r.dst_label): (r.n_edges, r.r)
+        for r in label_assortativity(edges, nodes).collect()
+    }
+    # degrees: 1:2, 2:1, 3:3, 4:1, 5:1
+    # A->B ends x=[2,2,1], y=[3,1,3] -> r = -2/(sqrt(2)*sqrt(8)) = -0.5
+    n, r = out[("A", "B")]
+    assert n == 3 and r == pytest.approx(-0.5)
+    # single-edge stratum: zero variance -> NULL
+    n, r = out[("B", "B")]
+    assert n == 1 and r is None

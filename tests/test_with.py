@@ -409,3 +409,50 @@ def test_with_optional_rejects_pattern_predicates(gopt):
             gopt,
             "MATCH (c:C) WITH c OPTIONAL MATCH (o:O) RETURN c, o",
         )
+
+
+def test_with_optional_prop_aggregates_null_semantics(gopt):
+    """Aggregates over the optional binding's PROPS (round-8, VERDICT
+    r7 #6): unmatched rows aggregate per openCypher — sum() of no
+    values is 0, count() is 0, min/max/avg of no values are NULL."""
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "RETURN c, sum(o.v) AS s, count(o) AS n, max(o.v) AS mx, avg(o.v) AS av",
+    ))
+    assert got == [(1, 5.0, 1, 5.0, 5.0), (2, 9.0, 1, 9.0, 9.0),
+                   (3, 0.0, 0, None, None)]
+
+
+def test_with_optional_agg_into_next_with_stage(gopt):
+    """`WITH c OPTIONAL MATCH ... WITH c, sum(o.v) AS s` — the optional
+    binding's prop aggregate lands in a WITH stage and survives into a
+    final carry-only projection."""
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "WITH c, sum(o.v) AS s RETURN c, s",
+    ))
+    assert got == [(1, 5.0), (2, 9.0), (3, 0.0)]
+
+
+def test_with_optional_filtered_sum_zero(gopt):
+    """A clause-scoped WHERE inside the optional stage can empty a
+    matched group; its sum folds to 0 not NULL."""
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "WHERE o.v > 6 RETURN c, sum(o.v) AS s",
+    ))
+    assert got == [(1, 0.0), (2, 9.0), (3, 0.0)]
+
+
+def test_carry_stage_sum_of_empty_is_zero(gopt):
+    """Carry-only WITH aggregation (sum / sum DISTINCT) over a column
+    that is entirely NULL also folds to 0 (openCypher)."""
+    got = _rows(run_cypher(
+        gopt,
+        "MATCH (c:C) WITH c OPTIONAL MATCH (c)-[:PLACED]->(o:O) "
+        "WITH c, o.v AS v WITH sum(v) AS total RETURN total",
+    ))
+    assert got == [(14.0,)]
