@@ -220,7 +220,11 @@ class PropertyGraph:
         """SET for edge weights: ``updates`` (src, dst[, type], weight)
         overwrites the weight of matching edges (all parallel types when
         ``type`` is omitted); unmatched edges keep theirs. Same
-        broadcast-left-join upsert shape as update_node_props."""
+        broadcast-left-join upsert shape as update_node_props — and the
+        same duplicate-key contract: conflicting weights for one
+        (src, dst[, type]) key are deduplicated to ONE
+        arbitrary-but-deterministic-per-plan survivor; callers wanting
+        last-wins/max semantics should pre-aggregate (ADVICE r7)."""
         on = [c for c in ("src", "dst", "type") if c in updates.columns]
         if not {"src", "dst"} <= set(on):
             raise ValueError("update_edge_weights needs src and dst columns")

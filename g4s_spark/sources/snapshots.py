@@ -60,12 +60,17 @@ def snapshot_corpus(
     append-only history; delete the directory explicitly to retract).
     The manifest is written after the data — it is the commit marker."""
     vdir = os.path.join(root, f"v{version}")
+    tdir = os.path.join(root, f"_tmp.v{version}")
     mpath = os.path.join(vdir, MANIFEST)
-    if os.path.exists(mpath):
+    if os.path.exists(mpath) or os.path.isdir(vdir):
         raise ValueError(f"snapshot v{version} already exists at {vdir}")
     if id_col not in df.columns:
         raise ValueError(f"snapshot needs the id column {id_col!r}")
-    data = os.path.join(vdir, "data")
+    # the bulk write lands under a _tmp.* name (NOT a v* directory), so
+    # an in-flight writer is never mistaken for a crashed one by
+    # prune_snapshots; the v* rename + manifest write are the short
+    # commit window (ADVICE r7 / VERDICT r7 #2)
+    data = os.path.join(tdir, "data")
     df.write.mode("errorifexists").parquet(data)
     # stats from the WRITTEN files, so the manifest describes what is
     # actually on disk (not a re-executed nondeterministic plan)
@@ -82,10 +87,15 @@ def snapshot_corpus(
         "content_digest": int(agg.digest or 0),
         "columns": sorted(df.columns),
         "id_col": id_col,
-        "created_unix": int(time.time()),
+        "created_unix": time.time(),
     }
-    with open(mpath, "w") as f:
+    os.rename(tdir, vdir)
+    # manifest lands atomically: a crash mid-json.dump must not leave a
+    # truncated manifest that poisons list_snapshots (ADVICE r7)
+    tmp_manifest = os.path.join(vdir, MANIFEST + ".tmp")
+    with open(tmp_manifest, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp_manifest, mpath)
     return manifest
 
 
@@ -119,10 +129,26 @@ def load_snapshot(
     return df
 
 
+def _version_key(version: str):
+    """Natural sort for version strings: numeric versions compare as
+    ints ('2' < '10'), mixed strings fall back to a digit-aware split —
+    a same-second v2/v10 tie must never prune the newer snapshot
+    (VERDICT r7 #2)."""
+    import re as _re
+
+    return [
+        (0, int(part)) if part.isdigit() else (1, part)
+        for part in _re.split(r"(\d+)", str(version))
+        if part != ""
+    ]
+
+
 def list_snapshots(root: str) -> list[dict]:
     """Manifests of every COMMITTED snapshot under ``root``, oldest
-    first (by created_unix, version as tiebreak). Version directories
-    without a manifest are failed/partial writes and are not listed."""
+    first (by created_unix, naturally-sorted version as tiebreak).
+    Version directories without a manifest are failed/partial writes
+    and are not listed; an unreadable/truncated manifest is skipped
+    (it cannot poison listing — ADVICE r7)."""
     out = []
     if not os.path.isdir(root):
         return out
@@ -131,21 +157,35 @@ def list_snapshots(root: str) -> list[dict]:
             continue
         mpath = os.path.join(root, name, MANIFEST)
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                out.append(json.load(f))
-    return sorted(out, key=lambda m: (m["created_unix"], m["version"]))
+            try:
+                with open(mpath) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                continue
+    return sorted(out, key=lambda m: (m["created_unix"], _version_key(m["version"])))
 
 
 def prune_snapshots(
-    root: str, keep_last: int, remove_partial: bool = True
+    root: str,
+    keep_last: int,
+    remove_partial: bool = True,
+    partial_grace_seconds: float = 900.0,
 ) -> list[str]:
     """Retention/GC: delete all but the newest ``keep_last`` committed
     snapshots (oldest-first order from list_snapshots); with
-    ``remove_partial``, manifest-less version directories (crashed
-    writes — invisible to readers) are cleared too. Returns the removed
-    version-directory names. The manifest-last commit protocol makes
-    this safe to run concurrently with readers of the KEPT versions;
-    never prune a version a long-running job may still be reading."""
+    ``remove_partial``, crash remnants are cleared too. Returns the
+    removed directory names.
+
+    Concurrency contract (VERDICT r7 #2): an in-flight snapshot_corpus
+    writes its data under ``_tmp.v*`` and only occupies the ``v*``
+    namespace during the short rename+manifest commit window, so a
+    manifest-less directory is either a crash remnant or a commit in
+    its final milliseconds. Partial removal is additionally gated on
+    the directory being older than ``partial_grace_seconds`` (by
+    mtime), so concurrent GC cannot destroy a healthy write in either
+    window. The manifest-last protocol keeps this safe to run
+    concurrently with readers of the KEPT versions; never prune a
+    version a long-running job may still be reading."""
     import shutil
 
     if keep_last < 1:
@@ -157,12 +197,19 @@ def prune_snapshots(
         shutil.rmtree(vdir)
         removed.append(f"v{m['version']}")
     if remove_partial and os.path.isdir(root):
+        cutoff = time.time() - partial_grace_seconds
         for name in os.listdir(root):
             vdir = os.path.join(root, name)
-            if (
-                name.startswith("v") and os.path.isdir(vdir)
-                and not os.path.exists(os.path.join(vdir, MANIFEST))
-            ):
+            if not os.path.isdir(vdir):
+                continue
+            is_partial = (
+                name.startswith("_tmp.v")
+                or (
+                    name.startswith("v")
+                    and not os.path.exists(os.path.join(vdir, MANIFEST))
+                )
+            )
+            if is_partial and os.path.getmtime(vdir) < cutoff:
                 shutil.rmtree(vdir)
                 removed.append(name)
     return removed

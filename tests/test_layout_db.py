@@ -154,9 +154,77 @@ def test_prune_snapshots_retention_and_partials(spark, tmp_path):
         m["created_unix"] = int(time.time()) + int(v)
         with open(mpath, "w") as f:
             _json.dump(m, f)
-    os.makedirs(os.path.join(root, "v9_partial", "data"))  # crashed write
+    # crashed write, old enough to be past the partial grace window
+    part = os.path.join(root, "v9_partial")
+    os.makedirs(os.path.join(part, "data"))
+    old = time.time() - 3600
+    os.utime(part, (old, old))
     removed = prune_snapshots(root, keep_last=2)
     assert sorted(removed) == ["v1", "v9_partial"]
     assert [m["version"] for m in list_snapshots(root)] == ["2", "3"]
     # idempotent
     assert prune_snapshots(root, keep_last=2) == []
+
+
+def test_prune_spares_in_flight_writes(spark, tmp_path):
+    """The GC race fix (VERDICT r7 #2): a manifest-less directory
+    younger than the grace window — indistinguishable from a commit in
+    progress — survives prune; so does a _tmp.v staging dir (an
+    in-flight bulk write). Both are collected once they age out."""
+    import os
+    import time
+
+    from g4s_spark.sources import prune_snapshots, snapshot_corpus
+
+    root = str(tmp_path / "corpus_inflight")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    snapshot_corpus(df, root, "1")
+    # fresh remnants: a mid-commit v-dir and an in-flight _tmp staging dir
+    os.makedirs(os.path.join(root, "v7", "data"))
+    os.makedirs(os.path.join(root, "_tmp.v8", "data"))
+    assert prune_snapshots(root, keep_last=1) == []
+    assert os.path.isdir(os.path.join(root, "v7"))
+    assert os.path.isdir(os.path.join(root, "_tmp.v8"))
+    # age them past the grace window -> collected
+    old = time.time() - 3600
+    os.utime(os.path.join(root, "v7"), (old, old))
+    os.utime(os.path.join(root, "_tmp.v8"), (old, old))
+    assert sorted(prune_snapshots(root, keep_last=1)) == ["_tmp.v8", "v7"]
+
+
+def test_prune_natural_sorts_same_second_versions(spark, tmp_path):
+    """v2 vs v10 committed in the same second: the tiebreak is the
+    NATURAL version order, so keep_last=1 keeps v10 (VERDICT r7 #2)."""
+    import json as _json
+    import os
+
+    from g4s_spark.sources import list_snapshots, prune_snapshots, snapshot_corpus
+
+    root = str(tmp_path / "corpus_natsort")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    m2 = snapshot_corpus(df, root, "2")
+    m10 = snapshot_corpus(df, root, "10")
+    # force an exact created_unix tie
+    for v, m in (("2", m2), ("10", m10)):
+        m["created_unix"] = 1700000000.0
+        with open(os.path.join(root, f"v{v}", "manifest.json"), "w") as f:
+            _json.dump(m, f)
+    assert [m["version"] for m in list_snapshots(root)] == ["2", "10"]
+    assert prune_snapshots(root, keep_last=1) == ["v2"]
+    assert [m["version"] for m in list_snapshots(root)] == ["10"]
+
+
+def test_list_snapshots_tolerates_truncated_manifest(spark, tmp_path):
+    """A crash mid-manifest can no longer happen (os.replace commit),
+    but a truncated manifest on disk must not poison listing/pruning."""
+    import os
+
+    from g4s_spark.sources import list_snapshots, snapshot_corpus
+
+    root = str(tmp_path / "corpus_trunc")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    snapshot_corpus(df, root, "1")
+    os.makedirs(os.path.join(root, "v2"))
+    with open(os.path.join(root, "v2", "manifest.json"), "w") as f:
+        f.write('{"version": "2", "n_rows"')  # truncated
+    assert [m["version"] for m in list_snapshots(root)] == ["1"]
