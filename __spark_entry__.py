@@ -778,50 +778,54 @@ def _rel(name: str):
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-7 composition (VERDICT r6 #1, exactly as NOTES.md planned):
-# the 6 round-6 gates that have never had a driver row, the 3 new
-# round-7 gates (OPTIONAL-stage / SET-expression / count(b.prop)),
-# then ALL 34 r3/r4-stale gates (the rel_*, grblas mxm/ewise/reduce/
-# extract/vxm, text_*, graph_bfs/sssp/pagerank/components/triangles
-# families plus the four r3 deferrals) — after this round no gate's
-# last driver row is older than 2 rounds. The remaining 7 slots go to
-# changed-code gates first (cypher_orderby_prop: the ORDER BY
-# raw-string secondary changed this round) and then the oldest r5
-# cypher rows over the most-churned planner paths (WITH pipeline,
-# UNION/UNWIND, EXISTS semi/anti). The rotation history lives in
-# WINDOW_LEDGER.json; tests/test_entry_contract.py asserts every
-# registry gate appears in some window at least once every 3 rounds.
+# Round-8 composition (VERDICT r7 #1): the four round-8 debuts (MERGE,
+# edge-SET expression RHS, OPTIONAL-binding prop aggregates, by-label
+# assortativity — a brand-new gate must debut immediately), the one
+# changed-code gate (dedup_minhash_lsh now probes the persistent bucket
+# index), then 45 of the 49 gates whose last driver row is r5 —
+# everything the r7 verdict enumerated (the six displaced cypher rows +
+# the r5-era rel_*/text_*/events_*/dedup_*/ann_* families) plus the
+# unlisted r5 stragglers. Four r5 rows in UNTOUCHED modules defer to r9
+# (knn_join, multimodal_frames, pack_sequences, sample_stratified —
+# similarity/multimodal/sampling have no diff since their last rows;
+# all four are green in this round's local full check): the registry
+# crossed the 50-slot×3-round=150 sustainable ceiling at 152 gates, so
+# the HARD ledger budget is now 4 rounds (ceiling 200) while rotation
+# practice stays oldest-first (typical refresh still ~3 rounds). The
+# rotation history lives in WINDOW_LEDGER.json (append-only, digest-
+# pinned); tests/test_entry_contract.py enforces the budget.
 # Everything at 51+ is green in the local full check
 # (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # never driver-checked: round-6 additions + round-7 features
-    "graph_hits", "sample_shuffle", "chunk_documents",
-    "dedup_cross_source", "pipeline_corpus_report", "mxm_kron",
-    "cypher_with_optional", "cypher_set_expr", "cypher_count_prop",
-    # r3-era (all four deferrals come due)
-    "dedup_exact", "dedup_simhash", "dedup_embedding", "ann_topk",
-    # r4-era: cypher stragglers + graph algorithms
-    "cypher_path_length", "cypher_untyped",
-    "graph_bfs", "graph_sssp", "graph_pagerank", "graph_components",
-    "graph_triangles",
-    # r4-era: grblas kernel family
-    "mxm_plus_times", "mxm_any_pair", "mxm_masked",
-    "ewise_union_plus", "ewise_intersect_min",
-    "reduce_rows_plus", "reduce_cols_max",
-    "extract_submatrix", "extract_strided", "vxm_masked",
-    # r4-era: relational + text + pipeline
-    "rel_q1_pricing", "rel_top_orders", "rel_supplier_rank",
-    "rel_q3_shipping", "rel_q5_local_volume", "rel_q6_forecast",
-    "rel_q10_returns",
-    "text_token_count", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_doc_freq", "pipeline_curate",
-    # changed-code this round: ORDER BY prop secondary-key rework
-    "cypher_orderby_prop",
-    # round-7 mix-design + IS NULL gates (never checked; displace three
-    # r5 rows that rotate in next round)
-    "pipeline_token_rates", "pipeline_token_budget",
-    "cypher_where_isnull", "cypher_coalesce", "graph_clustering",
-    "graph_assortativity",
+    # round-8 debuts
+    "cypher_merge", "cypher_set_edge_expr", "cypher_optional_agg",
+    "graph_assort_label",
+    # changed-code this round: persistent-bucket-index probe path
+    "dedup_minhash_lsh",
+    # the six r5 cypher rows displaced by the r7 rotation
+    "cypher_with_having", "cypher_union", "cypher_unwind",
+    "cypher_exists", "cypher_not_exists", "cypher_shortest_path",
+    # r5-era cypher stragglers (expression/edge/string predicates)
+    "cypher_edge_agg", "cypher_expr_return", "cypher_expr_revenue",
+    "cypher_undirected", "cypher_where_in", "cypher_where_string_fns",
+    # r5-era graph algorithms
+    "graph_kcore", "graph_ppr",
+    # r5-era dedup + ann
+    "dedup_clusters", "dedup_embedding_lsh", "ann_ivf_topk",
+    "ann_lsh_topk",
+    # r5-era events
+    "events_anomalies", "events_enrich", "events_followups",
+    "events_session_window", "events_trending",
+    # r5-era relational family
+    "rel_q2_min_cost", "rel_q4_priority", "rel_q7_volume",
+    "rel_q8_market_share", "rel_q9_profit", "rel_q11_important_stock",
+    "rel_q12_priority_class", "rel_q13_order_dist",
+    "rel_q15_top_supplier", "rel_q16_supplier_cnt", "rel_q17_small_qty",
+    "rel_q18_large_orders", "rel_q19_disjunctive", "rel_q20_part_share",
+    "rel_q21_waiting", "rel_q22_idle_cust", "rel_quantiles",
+    # r5-era text + pipeline
+    "text_bm25", "text_decontaminate", "text_repetition", "text_vocab",
+    "pipeline_pretrain_mix",
 ]
 
 

