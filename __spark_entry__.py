@@ -769,6 +769,38 @@ def _q_cypher_set_edge_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cypher_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[DETACH] DELETE statement (round-8): NATION_7's customers and
+    their incident edges vanish; the read-back groups the surviving
+    customers per nation (NATION_7 keeps suppliers but loses its
+    customer row entirely)."""
+    from g4s_spark.plans import run_cypher_delete
+
+    g2 = run_cypher_delete(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_7' DETACH DELETE c",
+    )
+    return run_cypher(
+        g2, "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN n, count(c) AS n_cust"
+    )
+
+
+def _q_cypher_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOVE statement (round-8): rich customers lose mktsegment; the
+    read-back's coalesce shows 'GONE' exactly where the key was
+    dropped (absent property IS NULL)."""
+    from g4s_spark.plans import run_cypher_remove
+
+    g2 = run_cypher_remove(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 REMOVE c.mktsegment",
+    )
+    return run_cypher(
+        g2, "MATCH (c:Customer) RETURN c, coalesce(c.mktsegment, 'GONE') AS seg"
+    )
+
+
 def _rel(name: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return REL.run(name, spark, sf_dir)
@@ -778,20 +810,21 @@ def _rel(name: str):
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-8 composition (VERDICT r7 #1): the four round-8 debuts (MERGE,
+# Round-8 composition (VERDICT r7 #1): the six round-8 debuts (MERGE,
 # edge-SET expression RHS, OPTIONAL-binding prop aggregates, by-label
-# assortativity — a brand-new gate must debut immediately), the one
-# changed-code gate (dedup_minhash_lsh now probes the persistent bucket
-# index), then 45 of the 49 gates whose last driver row is r5 —
-# everything the r7 verdict enumerated (the six displaced cypher rows +
-# the r5-era rel_*/text_*/events_*/dedup_*/ann_* families) plus the
-# unlisted r5 stragglers. Four r5 rows in UNTOUCHED modules defer to r9
-# (knn_join, multimodal_frames, pack_sequences, sample_stratified —
-# similarity/multimodal/sampling have no diff since their last rows;
-# all four are green in this round's local full check): the registry
-# crossed the 50-slot×3-round=150 sustainable ceiling at 152 gates, so
-# the HARD ledger budget is now 4 rounds (ceiling 200) while rotation
-# practice stays oldest-first (typical refresh still ~3 rounds). The
+# assortativity, DELETE, REMOVE — a brand-new gate must debut
+# immediately), the one changed-code gate (dedup_minhash_lsh now probes
+# the persistent bucket index), then 43 of the 49 gates whose last
+# driver row is r5 — everything the r7 verdict enumerated (the six
+# displaced cypher rows + the r5-era rel_*/text_*/events_*/dedup_*/
+# ann_* families) plus most unlisted r5 stragglers. Six r5 rows whose
+# code paths have NO diff since their last rows defer to r9 (knn_join,
+# multimodal_frames, pack_sequences, sample_stratified, graph_kcore,
+# pipeline_pretrain_mix — none in the verdict-enumerated families; all
+# six green in this round's local full check): the registry crossed the
+# 50-slot×3-round=150 sustainable ceiling at 154 gates, so the HARD
+# ledger budget is now 4 rounds (ceiling 200) while rotation practice
+# stays oldest-first (typical refresh still ~3 rounds). The
 # rotation history lives in WINDOW_LEDGER.json (append-only, digest-
 # pinned); tests/test_entry_contract.py enforces the budget.
 # Everything at 51+ is green in the local full check
@@ -799,7 +832,7 @@ def _rel(name: str):
 _WINDOW_ORDER = [
     # round-8 debuts
     "cypher_merge", "cypher_set_edge_expr", "cypher_optional_agg",
-    "graph_assort_label",
+    "graph_assort_label", "cypher_delete", "cypher_remove",
     # changed-code this round: persistent-bucket-index probe path
     "dedup_minhash_lsh",
     # the six r5 cypher rows displaced by the r7 rotation
@@ -809,7 +842,7 @@ _WINDOW_ORDER = [
     "cypher_edge_agg", "cypher_expr_return", "cypher_expr_revenue",
     "cypher_undirected", "cypher_where_in", "cypher_where_string_fns",
     # r5-era graph algorithms
-    "graph_kcore", "graph_ppr",
+    "graph_ppr",
     # r5-era dedup + ann
     "dedup_clusters", "dedup_embedding_lsh", "ann_ivf_topk",
     "ann_lsh_topk",
@@ -823,9 +856,8 @@ _WINDOW_ORDER = [
     "rel_q15_top_supplier", "rel_q16_supplier_cnt", "rel_q17_small_qty",
     "rel_q18_large_orders", "rel_q19_disjunctive", "rel_q20_part_share",
     "rel_q21_waiting", "rel_q22_idle_cust", "rel_quantiles",
-    # r5-era text + pipeline
+    # r5-era text
     "text_bm25", "text_decontaminate", "text_repetition", "text_vocab",
-    "pipeline_pretrain_mix",
 ]
 
 
@@ -964,6 +996,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8: expression RHS on edge SET (the r7 node/edge SET
         # asymmetry closed), read back over all orders
         "cypher_set_edge_expr": _q_cypher_set_edge_expr,
+        # round-8: the remaining mutation verbs as statements
+        "cypher_delete": _q_cypher_delete,
+        "cypher_remove": _q_cypher_remove,
         # round-8: aggregates over the OPTIONAL binding's props — the
         # clause-scoped WHERE empties some matched groups, whose sum
         # folds to 0 and count to 0 (openCypher), min stays NULL
@@ -1778,6 +1813,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders ON o_custkey = c_custkey
             WHERE n_name = 'NATION_5'
             GROUP BY c_custkey
+        """,
+        # round-8: DETACH DELETE removes NATION_7's customers (their
+        # FROM_NATION/PLACED edges cascade); surviving customers group
+        # per nation
+        "cypher_delete": f"""
+            SELECT CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name <> 'NATION_7'
+            GROUP BY c_nationkey
+        """,
+        # round-8: REMOVE drops mktsegment where acctbal >= 9000; the
+        # coalesce default shows exactly there
+        "cypher_remove": f"""
+            SELECT {_CID} AS c,
+                   CASE WHEN c_acctbal >= 9000 THEN 'GONE'
+                        ELSE c_mktsegment END AS seg
+            FROM customer
         """,
         # round-7: count(b.prop) counts non-NULL property values only
         # (suppliers carry no mktsegment prop)

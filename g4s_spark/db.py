@@ -22,7 +22,9 @@ from .plans.planner import (
     PlannedQuery,
     plan_match,
     run_cypher,
+    run_cypher_delete,
     run_cypher_merge,
+    run_cypher_remove,
     run_cypher_set,
 )
 
@@ -35,17 +37,21 @@ class GraphDB:
         return run_cypher(self.graph, cypher, resolve=resolve)
 
     def update(self, cypher: str) -> "GraphDB":
-        """Mutation statements — ``MATCH ... SET b.prop = value`` and
-        ``MERGE (n:L {..}) / MATCH ... MERGE (a)-[r:T]->(b)`` (with
-        ON CREATE SET / ON MATCH SET) — returning a NEW GraphDB over the
-        updated graph (immutable rewrite; see plans.run_cypher_set /
-        run_cypher_merge)."""
+        """Mutation statements — ``MATCH ... SET b.prop = value``,
+        ``MERGE ...`` (with ON CREATE SET / ON MATCH SET), ``MATCH ...
+        [DETACH] DELETE ...`` and ``MATCH ... REMOVE b.prop`` —
+        returning a NEW GraphDB over the updated graph (immutable
+        rewrite; see the run_cypher_* statement runners in plans)."""
         import re
 
         if re.match(r"(?is)^\s*MERGE\b", cypher) or re.search(
             r"(?is)\bMERGE\s*\(", cypher
         ):
             return GraphDB(run_cypher_merge(self.graph, cypher))
+        if re.search(r"(?is)\b(?:DETACH\s+)?DELETE\b", cypher):
+            return GraphDB(run_cypher_delete(self.graph, cypher))
+        if re.search(r"(?is)\bREMOVE\b", cypher):
+            return GraphDB(run_cypher_remove(self.graph, cypher))
         return GraphDB(run_cypher_set(self.graph, cypher))
 
     def plan(self, cypher: str) -> PlannedQuery:

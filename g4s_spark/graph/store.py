@@ -216,6 +216,32 @@ class PropertyGraph:
                 setattr(g, memo, getattr(self, memo))
         return g
 
+    def remove_node_props(self, ids: DataFrame, keys: list[str]) -> "PropertyGraph":
+        """REMOVE verb: drop property ``keys`` from the nodes in
+        ``ids`` (one ``id`` column); other nodes and other keys are
+        untouched, and a key absent from a node's map is a no-op (an
+        absent property IS NULL — the IS NULL contract). Same
+        broadcast-semi-join + map expression shape as update_node_props:
+        the nodes table never shuffles."""
+        if "props" not in self.nodes.columns:
+            return self
+        ids = ids.select(F.col(ids.columns[0]).alias("id")).dropDuplicates(["id"])
+        hit = self.nodes.join(F.broadcast(ids.withColumn("_rm", F.lit(True))), on="id", how="left")
+        keyset = F.array(*[F.lit(k) for k in keys])
+        new_props = F.when(
+            F.col("_rm").isNotNull() & F.col("props").isNotNull(),
+            F.map_filter(F.col("props"), lambda k, _v: ~F.array_contains(keyset, k)),
+        ).otherwise(F.col("props"))
+        out = hit.withColumn("props", new_props).drop("_rm")
+        g = PropertyGraph(out, self.edges, self.spark)
+        # cardinalities unchanged: stats/caches carry over like SET
+        g._stats = self._stats
+        g._nodes_slim = self._nodes_slim
+        for memo in ("_typed_edge_cache", "_degree_edges", "_weight_edges"):
+            if hasattr(self, memo):
+                setattr(g, memo, getattr(self, memo))
+        return g
+
     def update_edge_weights(self, updates: DataFrame) -> "PropertyGraph":
         """SET for edge weights: ``updates`` (src, dst[, type], weight)
         overwrites the weight of matching edges (all parallel types when

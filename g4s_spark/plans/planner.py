@@ -386,6 +386,144 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
     return out
 
 
+_DELETE_STMT = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+(?P<detach>DETACH\s+)?DELETE\s+"
+    r"(?P<targets>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*$"
+)
+_REMOVE_STMT = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+REMOVE\s+(?P<items>.+)$"
+)
+_REMOVE_ITEM = re.compile(
+    r"^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
+
+
+def run_cypher_delete(graph: PropertyGraph, query: str) -> PropertyGraph:
+    """openCypher ``MATCH ... [DETACH] DELETE n[, e, ...]`` — the
+    query-language surface of remove_vertices/remove_edges (extension;
+    the reference declares removeNode/removeEdge but leaves them ``???``,
+    StatsStore.scala:172-177). Targets are node bindings or edge
+    variables from the MATCH. Per openCypher, a plain DELETE of a node
+    that still has relationships (beyond those deleted by this same
+    statement) raises; DETACH DELETE cascades incident edges. Returns
+    the updated graph (immutable rewrite, like run_cypher_set).
+
+    Plan shape: one planned MATCH; edge deletes are (src, dst, type)
+    anti-joins, node deletes are the three-anti-join cascade of
+    remove_vertices — all broadcastable semi-differences. The plain-
+    DELETE constraint check is ONE limit(1) probe over the would-remain
+    incident edges."""
+    m = _DELETE_STMT.match(query)
+    if not m:
+        raise CypherParseError(
+            f"DELETE statement must be MATCH ... [DETACH] DELETE targets: {query!r}"
+        )
+    qg = QueryGraph()
+    _parse_clauses(m.group("body"), qg)
+    edge_by_name = {e.name: e for e in qg.edges if e.name}
+    targets = [t.strip() for t in m.group("targets").split(",")]
+    node_targets, edge_targets = [], []
+    for t in targets:
+        if t in qg.labels:
+            node_targets.append(t)
+        elif t in edge_by_name:
+            edge_targets.append(t)
+        else:
+            raise CypherParseError(f"DELETE references unbound binding: {t!r}")
+    for t in node_targets:
+        if t not in qg.returns:
+            qg.returns.append(t)
+    for en in edge_targets:
+        e = edge_by_name[en]
+        if len(e.types) != 1:
+            raise CypherParseError(f"edge DELETE needs exactly one edge type on {en!r}")
+        for nb in (e.src, e.dst):
+            if nb not in qg.returns:
+                qg.returns.append(nb)
+    matched = plan_match(graph, qg).df
+    out = graph
+    deleted_edges = None
+    for en in edge_targets:
+        e = edge_by_name[en]
+        rows = (
+            matched.select(F.col(e.src).alias("src"), F.col(e.dst).alias("dst"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("type", F.lit(e.types[0]))
+        )
+        out = out.remove_edges(rows)
+        deleted_edges = rows if deleted_edges is None else deleted_edges.unionByName(rows)
+    if node_targets:
+        ids = None
+        for t in node_targets:
+            part = matched.select(F.col(t).alias("id"))
+            ids = part if ids is None else ids.unionByName(part)
+        ids = ids.dropDuplicates(["id"])
+        if not m.group("detach"):
+            # openCypher: plain DELETE must not orphan relationships —
+            # any incident edge that this statement does not itself
+            # delete is an error (one limit(1) probe)
+            remain = graph.edges
+            if deleted_edges is not None:
+                remain = remain.join(
+                    F.broadcast(deleted_edges), on=["src", "dst", "type"], how="left_anti"
+                )
+            incident = remain.join(
+                F.broadcast(ids.select(F.col("id").alias("src"))), on="src", how="left_semi"
+            ).unionByName(
+                remain.join(
+                    F.broadcast(ids.select(F.col("id").alias("dst"))), on="dst", how="left_semi"
+                )
+            )
+            if incident.limit(1).count():
+                raise ValueError(
+                    "cannot DELETE a node that still has relationships; "
+                    "use DETACH DELETE"
+                )
+        out = out.remove_vertices(ids)
+    return out
+
+
+def run_cypher_remove(graph: PropertyGraph, query: str) -> PropertyGraph:
+    """openCypher ``MATCH ... REMOVE n.prop[, ...]`` — drop property
+    keys from matched nodes via remove_node_props (broadcast semi-join
+    + map_filter; the nodes table never shuffles). A removed property
+    reads back as NULL (the IS NULL / coalesce contract). Edge
+    properties are typed columns here, so REMOVE on an edge variable is
+    a typed error (SET e.weight to a new value instead)."""
+    m = _REMOVE_STMT.match(query)
+    if not m:
+        raise CypherParseError(
+            f"REMOVE statement must be MATCH ... REMOVE b.prop: {query!r}"
+        )
+    from ..cypher.parser import _split_patterns
+
+    qg = QueryGraph()
+    _parse_clauses(m.group("body"), qg)
+    edge_names = {e.name for e in qg.edges if e.name}
+    removes: dict[str, list[str]] = {}
+    for item in _split_patterns(m.group("items")):
+        rm = _REMOVE_ITEM.match(item)
+        if not rm:
+            raise CypherParseError(f"unsupported REMOVE item (need b.prop): {item!r}")
+        b = rm.group("b")
+        if b in edge_names:
+            raise CypherParseError(
+                "REMOVE on an edge variable is unsupported (edge props are "
+                "typed columns; SET e.weight instead)"
+            )
+        if b not in qg.labels:
+            raise CypherParseError(f"REMOVE references unbound binding: {b!r}")
+        removes.setdefault(b, []).append(rm.group("p"))
+    for b in removes:
+        if b not in qg.returns:
+            qg.returns.append(b)
+    matched = plan_match(graph, qg).df
+    out = graph
+    for b, keys in removes.items():
+        out = out.remove_node_props(matched.select(F.col(b).alias("id")), keys)
+    return out
+
+
 _MERGE_NODE_STMT = re.compile(
     r"(?is)^\s*MERGE\s+\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*"
     r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*"

