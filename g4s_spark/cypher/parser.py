@@ -65,11 +65,16 @@ class AggItem:
     evaluated as a double over the distinct matches, or the same over an
     edge variable's typed property (on_edge=True, e.g. sum(e.weight))."""
 
-    func: str  # count | sum | avg | min | max | collect
+    func: str  # count | sum | avg | min | max | collect | stdev | percentilecont
     binding: str
     prop: str | None  # None for count
     alias: str
     on_edge: bool = False
+    # DISTINCT aggregates over the VALUES (openCypher): sum/avg/count
+    # switch to the distinct form; min/max/collect treat it as a no-op
+    distinct: bool = False
+    # percentileCont's quantile argument
+    param: float | None = None
 
 
 @dataclass(frozen=True)
@@ -754,13 +759,15 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
             continue
         cm = re.fullmatch(
-            r"(?i)(?P<fn>count|sum|avg|min|max|collect)\s*\(\s*(?:DISTINCT\s+)?(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?i)(?P<fn>count|sum|avg|min|max|collect|stDev|stDevP)\s*\(\s*"
+            r"(?P<dist>DISTINCT\s+)?(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
         )
         if cm:
             fn, arg, prop = cm.group("fn").lower(), cm.group("arg"), cm.group("p")
+            dist = cm.group("dist") is not None
             if arg not in qg.labels:
                 # edge-variable property aggregate: sum/avg/min/max/
                 # collect(e.prop) over the typed edge columns
@@ -769,13 +776,18 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                         raise CypherParseError(
                             f"{fn}() needs a property: {fn}({arg}.<prop>)"
                         )
+                    if dist:
+                        raise CypherParseError(
+                            "DISTINCT edge-property aggregates are unsupported"
+                        )
                     alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
                     qg.aggregates.append(AggItem(fn, arg, prop, alias, on_edge=True))
                     continue
                 raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
             if fn == "count":
                 # count(b.prop) counts matches whose property is non-NULL
-                # (openCypher parity, VERDICT r6 #8); count(b) counts all
+                # (openCypher parity, VERDICT r6 #8); count(b) counts all;
+                # count(DISTINCT ...) counts the distinct values
                 alias = cm.group("alias") or (
                     f"count_{arg}" if prop is None else f"count_{arg}_{prop}"
                 )
@@ -784,7 +796,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 # list — openCypher's collect() with the deterministic
                 # reading existence semantics imply (a bag ordered by
                 # arrival would be nondeterministic under distinct-match
-                # evaluation)
+                # evaluation); DISTINCT is therefore a no-op
                 alias = cm.group("alias") or (
                     f"collect_{arg}" if prop is None else f"collect_{arg}_{prop}"
                 )
@@ -792,7 +804,24 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 if prop is None:
                     raise CypherParseError(f"{fn}() needs a property: {fn}({arg}.<prop>)")
                 alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
-            qg.aggregates.append(AggItem(fn, arg, prop, alias))
+            qg.aggregates.append(AggItem(fn, arg, prop, alias, distinct=dist))
+            continue
+        pcm = re.fullmatch(
+            r"(?i)percentile(?P<kind>Cont|Disc)\s*\(\s*"
+            r"(?P<arg>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+            r"(?P<q>0?\.\d+|0|1(?:\.0*)?)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if pcm:
+            arg = pcm.group("arg")
+            if arg not in qg.labels:
+                raise CypherParseError(f"percentile of unbound variable: {arg!r}")
+            kind = "percentilecont" if pcm.group("kind").lower() == "cont" else "percentiledisc"
+            alias = pcm.group("alias") or f"{kind}_{arg}_{pcm.group('p')}"
+            qg.aggregates.append(
+                AggItem(kind, arg, pcm.group("p"), alias, param=float(pcm.group("q")))
+            )
             continue
         clm = re.fullmatch(
             r"(?i)coalesce\s*\(\s*"

@@ -2333,10 +2333,13 @@ def plan_match(
                 elif ag.prop is not None:
                     # count(b.prop): non-NULL property values per group
                     # (the staged _agg_ column resolves like any other
-                    # property aggregate) — VERDICT r6 #8
-                    cnt = F.count(F.col(f"_agg_{ag.alias}"))
+                    # property aggregate) — VERDICT r6 #8; DISTINCT
+                    # counts the distinct values instead
+                    src = F.col(f"_agg_{ag.alias}")
+                    cnt = F.count_distinct(src) if ag.distinct else F.count(src)
                 else:
-                    cnt = F.count(F.col(ag.binding))
+                    src = F.col(ag.binding)
+                    cnt = F.count_distinct(src) if ag.distinct else F.count(src)
                 aggs.append(cnt.alias(ag.alias))
             elif ag.func == "collect":
                 src = (
@@ -2345,13 +2348,47 @@ def plan_match(
                 )
                 # sorted distinct values: collect() made deterministic
                 aggs.append(F.sort_array(F.collect_set(src)).alias(ag.alias))
+            elif ag.func in ("stdev", "stdevp"):
+                # openCypher stDev (sample) / stDevP (population)
+                f = F.stddev_samp if ag.func == "stdev" else F.stddev_pop
+                aggs.append(f(F.col(f"_agg_{ag.alias}").cast("double")).alias(ag.alias))
+            elif ag.func == "percentilecont":
+                # sort-based interpolation — bit-identical to DuckDB's
+                # quantile_cont (NOTES r5: percentiles are cross-engine
+                # exact, unlike stddev)
+                aggs.append(
+                    F.percentile(
+                        F.col(f"_agg_{ag.alias}").cast("double"), F.lit(ag.param)
+                    ).alias(ag.alias)
+                )
+            elif ag.func == "percentiledisc":
+                # the value at ceil(q·n) in sorted order — an actual
+                # element, per openCypher percentileDisc; built from
+                # sort_array(collect_list) so it stays deterministic
+                vals = F.sort_array(
+                    F.collect_list(F.col(f"_agg_{ag.alias}").cast("double"))
+                )
+                idx = F.greatest(
+                    F.lit(1),
+                    F.ceil(F.lit(ag.param) * F.size(vals)).cast("int"),
+                )
+                aggs.append(F.element_at(vals, idx).alias(ag.alias))
             else:
-                c = _FN[ag.func](F.col(f"_agg_{ag.alias}").cast("double"))
-                if ag.func == "sum":
+                src = F.col(f"_agg_{ag.alias}").cast("double")
+                if ag.func == "sum" and ag.distinct:
+                    c = F.coalesce(F.sum_distinct(src), F.lit(0.0))
+                elif ag.func == "sum":
                     # openCypher: sum over no values is 0, not NULL —
                     # the case an OPTIONAL MATCH's unmatched rows hit
                     # (avg/min/max stay NULL, also per openCypher)
-                    c = F.coalesce(c, F.lit(0.0))
+                    c = F.coalesce(F.sum(src), F.lit(0.0))
+                elif ag.func == "avg" and ag.distinct:
+                    c = F.expr(
+                        f"avg(DISTINCT CAST(`_agg_{ag.alias}` AS DOUBLE))"
+                    )
+                else:
+                    # min/max: DISTINCT is a semantic no-op
+                    c = _FN[ag.func](src)
                 aggs.append(c.alias(ag.alias))
         _EFN = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
         for it in expr_aggs:

@@ -198,3 +198,64 @@ def test_return_star_expands_named_bindings():
 def test_return_star_with_no_named_bindings_rejected():
     with pytest.raises(CypherParseError, match="no named"):
         parse("MATCH ()-[:X]->() RETURN *")
+
+
+def test_aggregate_distinct_values(spark):
+    """sum/avg/count(DISTINCT b.prop) aggregate the distinct VALUES
+    (round-8 — previously DISTINCT parsed but was silently ignored in
+    plan_match aggregates; the carry-stage path already honored it)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "G", None),
+         (10, "V", {"x": "5"}), (11, "V", {"x": "5"}),
+         (12, "V", {"x": "7"}), (13, "V", {"x": "9"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 10, "E"), (0, 11, "E"), (0, 12, "E"), (0, 13, "E")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    row = run_cypher(
+        g,
+        "MATCH (a:G)-[:E]->(v:V) RETURN a, sum(DISTINCT v.x) AS s, "
+        "avg(DISTINCT v.x) AS av, count(DISTINCT v.x) AS n, "
+        "sum(v.x) AS s_all",
+    ).collect()[0]
+    assert row.s == 21.0  # 5+7+9, not 5+5+7+9
+    assert row.av == 7.0
+    assert row.n == 3
+    assert row.s_all == 26.0
+
+
+def test_aggregate_stdev_and_percentiles(spark):
+    """openCypher stDev/stDevP and percentileCont/percentileDisc
+    (round-8): sample vs population stddev; cont interpolates, disc
+    returns an actual element."""
+    import math
+
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "G", None),
+         (10, "V", {"x": "2"}), (11, "V", {"x": "4"}),
+         (12, "V", {"x": "6"}), (13, "V", {"x": "8"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, i, "E") for i in (10, 11, 12, 13)], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    row = run_cypher(
+        g,
+        "MATCH (a:G)-[:E]->(v:V) RETURN a, stDev(v.x) AS sd, "
+        "stDevP(v.x) AS sdp, percentileCont(v.x, 0.5) AS med, "
+        "percentileDisc(v.x, 0.5) AS dmed",
+    ).collect()[0]
+    assert row.sd == pytest.approx(math.sqrt(20 / 3))
+    assert row.sdp == pytest.approx(math.sqrt(5.0))
+    assert row.med == 5.0  # interpolated between 4 and 6
+    assert row.dmed == 4.0  # ceil(0.5*4)=2nd element
