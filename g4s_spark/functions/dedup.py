@@ -18,7 +18,7 @@ every operator has an exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import iter_checkpoint
@@ -279,6 +279,76 @@ def dedup_against(
         new_bk.join(corpus_bk.dropDuplicates(["band", "key"]), on=["band", "key"],
                     how="left_semi")
         .select(id_col).dropDuplicates([id_col])
+    )
+    return new_docs.join(dup_ids, on=id_col, how="left_anti")
+
+
+def save_bucket_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    mode: str = "errorifexists",
+) -> None:
+    """Materialize the MinHash-LSH bucket index as parquet PARTITIONED
+    BY band — the durable form of minhash_bucket_table (round-8). This
+    is the 100 TB deployment shape the incremental-dedup docstring
+    promises: the corpus index is computed once, stored alongside the
+    corpus (object storage on a cluster), and every ingest batch /
+    pair query probes it with band-partition pruning instead of
+    re-shingling 100 TB of text. Rebuild or append on corpus change —
+    the index derives deterministically from the text."""
+    (
+        _band_buckets(df, text_col, id_col, k, bands)
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def load_bucket_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read a saved bucket index; band filters prune to partitions."""
+    return spark.read.parquet(path)
+
+
+def lsh_pairs_from_index(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs (a < b) from a (pre-built) bucket index — the
+    same bucket-equality self-join minhash_lsh_pairs plans, but over an
+    index that never re-derives signatures (session-persisted or loaded
+    from parquet)."""
+    l = index.select(F.col(id_col).alias("a"), "band", "key")
+    r = index.select(F.col(id_col).alias("b"), "band", "key")
+    return (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """dedup_against, but probing a PRE-BUILT corpus bucket index
+    (saved by save_bucket_index or the session table): the ingest batch
+    is shingled, the 100 TB corpus is not touched at all — one
+    anti-join keyed on (band, key) against the index."""
+    new_bk = _band_buckets(new_docs, text_col, id_col, k, bands)
+    dup_ids = (
+        new_bk.join(
+            corpus_index.select("band", "key").dropDuplicates(["band", "key"]),
+            on=["band", "key"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .dropDuplicates([id_col])
     )
     return new_docs.join(dup_ids, on=id_col, how="left_anti")
 

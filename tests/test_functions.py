@@ -408,3 +408,41 @@ def test_corpus_report_exact_accounting(spark):
     assert a.median_tokens == 2.5 and (a.min_tokens, a.max_tokens) == (2, 3)
     b = got["b"]
     assert (b.n_docs, b.total_tokens, b.total_chars) == (1, 1, 3)
+
+
+def test_minhash_bucket_index_save_load_roundtrip(spark, tmp_path):
+    """Durable MinHash index (round-8): pairs from the parquet-saved
+    index match the inline plan; band filters prune partitions; an
+    ingest batch dedups against the index without touching the corpus
+    text."""
+    from g4s_spark.functions import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark and parquet tables"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bucket_index")
+    D.save_bucket_index(corpus, path)
+    idx = D.load_bucket_index(spark, path)
+    got = {(r.a, r.b) for r in D.lsh_pairs_from_index(idx).collect()}
+    want = {(r.a, r.b) for r in D.minhash_lsh_pairs(corpus).collect()}
+    assert got == want
+    # partition pruning: band is a partition column
+    assert "band" in idx.columns
+    plan = idx.filter(idx.band == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "band" in plan
+    # incremental dedup against the index: near-dup of doc 1 dropped,
+    # novel doc kept — corpus text never read
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "an entirely novel document with no shared shingles here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in D.dedup_against_index(batch, idx).collect()}
+    assert kept == {11}
