@@ -328,6 +328,37 @@ def lsh_pairs_from_index(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _with_band_keys(
+    df: DataFrame, text_col: str, k: int, bands: int
+) -> DataFrame:
+    """Append the LSH band keys as ``_bkey_0.._bkey_{bands-1}`` COLUMNS
+    computed inline on each row (tokens → shingles → k×md5 mins → band
+    md5s) — pure row-wise expressions, no shuffle, no self-join, so it
+    runs unchanged on a STREAMING frame. Docs with < 3 tokens get NULL
+    keys (no shingles — trivially novel)."""
+    n, rows = 3, k // bands
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    )
+    out = df.withColumn("_g", grams)
+    hs = {
+        i: F.array_min(
+            F.transform(F.col("_g"), (lambda idx: lambda s: F.md5(F.concat(s, F.lit(f"#{idx}"))))(i))
+        )
+        for i in range(k)
+    }
+    for bi in range(bands):
+        out = out.withColumn(
+            f"_bkey_{bi}", F.md5(F.concat(*[hs[bi * rows + r] for r in range(rows)]))
+        )
+    return out.drop("_g")
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     corpus_index: DataFrame,
@@ -338,8 +369,29 @@ def dedup_against_index(
 ) -> DataFrame:
     """dedup_against, but probing a PRE-BUILT corpus bucket index
     (saved by save_bucket_index or the session table): the ingest batch
-    is shingled, the 100 TB corpus is not touched at all — one
-    anti-join keyed on (band, key) against the index."""
+    is shingled, the 100 TB corpus is not touched at all.
+
+    Batch shape: one (band, key) semi-join + one anti-join back on the
+    id. Streaming shape (``new_docs.isStreaming``): the band keys are
+    computed INLINE as row columns and each band probes the static
+    index with one stream-static left-outer join (band filter →
+    partition pruning on a saved index); a row survives iff every probe
+    missed. No state, no watermark — the ingest-dedup stream runs
+    bounded-memory forever."""
+    if new_docs.isStreaming:
+        probe = _with_band_keys(new_docs, text_col, k, bands)
+        for bi in range(bands):
+            idx_b = (
+                corpus_index.filter(F.col("band") == bi)
+                .select(F.col("key").alias(f"_bkey_{bi}"))
+                .dropDuplicates([f"_bkey_{bi}"])
+                .withColumn(f"_hit_{bi}", F.lit(True))
+            )
+            probe = probe.join(idx_b, on=f"_bkey_{bi}", how="left_outer")
+        clean = probe
+        for bi in range(bands):
+            clean = clean.filter(F.col(f"_hit_{bi}").isNull())
+        return clean.select(*new_docs.columns)
     new_bk = _band_buckets(new_docs, text_col, id_col, k, bands)
     dup_ids = (
         new_bk.join(

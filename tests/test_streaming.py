@@ -557,3 +557,47 @@ def test_compact_edge_ingest_whole_row_attribute_fold(spark, tmp_path):
     # struct max keeps the whole ('2024-01-02', 'aa') row intact
     assert got[(1, 2)] == (2, "2024-01-02", "aa")
     assert got[(3, 4)] == (1, "2024-01-05", "mm")
+
+
+def test_streaming_dedup_against_static_index(spark, tmp_path):
+    """Ingest-time dedup as a STREAM (round-8): a readStream batch
+    anti-joins the saved corpus bucket index (stream-static join — no
+    state, no watermark needed); near-dups of the corpus are dropped
+    from the stream, novel docs pass. The corpus text itself is never
+    read on the ingest path."""
+    from g4s_spark.functions import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text about spark and parquet tables"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    D.save_bucket_index(corpus, idx_path)
+    idx = D.load_bucket_index(spark, idx_path)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "an entirely novel document with no shared shingles here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src) + "/*")
+    kept = D.dedup_against_index(stream, idx)
+    out = str(tmp_path / "out")
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {11}
