@@ -237,8 +237,9 @@ _COND_STR = re.compile(
 # scalar function over a property in WHERE (extension):
 # toLower/toUpper/trim(b.p) <op> 'str'  |  size(b.p) <op> number
 _COND_FN = re.compile(
-    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size)\s*\(\s*"
-    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size|reverse|substring|left|right)\s*\(\s*"
+    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)\s*"
     r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
 )
@@ -247,6 +248,23 @@ _COND_IN = re.compile(
     r"IN\s*\[(?P<list>[^\]]*)\]\s*$"
 )
 _IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
+
+
+def _encode_scalar_fn(fn: str, a1: str | None, a2: str | None, ctx: str) -> str:
+    """Validate arity and encode a scalar function + integer args as the
+    US-separated spec store.apply_scalar_fn evaluates. substring takes
+    (start[, length]) 0-based per openCypher; left/right take (n)."""
+    if fn == "substring":
+        if a1 is None:
+            raise CypherParseError(f"substring() needs a start index: {ctx!r}")
+        return f"substring\x1f{a1}\x1f{a2 or ''}"
+    if fn in ("left", "right"):
+        if a1 is None or a2 is not None:
+            raise CypherParseError(f"{fn}() takes exactly (b.prop, n): {ctx!r}")
+        return f"{fn}\x1f{a1}"
+    if a1 is not None or a2 is not None:
+        raise CypherParseError(f"{fn}() takes a single property: {ctx!r}")
+    return fn
 
 
 def _arith_op_present(s: str) -> bool:
@@ -386,6 +404,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                 if fm:
                     check_binding(fm.group("b"), cond)
                     fn = fm.group("fn").lower()
+                    fn = _encode_scalar_fn(fn, fm.group("a1"), fm.group("a2"), cond)
                     raw = fm.group("val")
                     if raw[0] in "'\"":
                         value, is_num = raw[1:-1], False
@@ -840,8 +859,9 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.coalesce_returns.append((b, clm.group("p"), dflt, alias))
             continue
         sfm = re.fullmatch(
-            r"(?i)(?P<fn>toLower|toUpper|trim)\s*\(\s*"
-            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?i)(?P<fn>toLower|toUpper|trim|reverse|substring|left|right)\s*\(\s*"
+            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
         )
@@ -849,8 +869,25 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             b, fn = sfm.group("b"), sfm.group("fn").lower()
             if b not in qg.labels:
                 raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
+            spec = _encode_scalar_fn(fn, sfm.group("a1"), sfm.group("a2"), name)
             alias = sfm.group("alias") or f"{fn}_{b}_{sfm.group('p')}"
-            qg.string_fn_returns.append((fn, b, sfm.group("p"), alias))
+            qg.string_fn_returns.append((spec, b, sfm.group("p"), alias))
+            continue
+        rpm = re.fullmatch(
+            r"(?i)replace\s*\(\s*"
+            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+            r"'(?P<x>[^']*)'\s*,\s*'(?P<y>[^']*)'\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if rpm:
+            b = rpm.group("b")
+            if b not in qg.labels:
+                raise CypherParseError(f"replace() of unbound or non-node variable: {b!r}")
+            alias = rpm.group("alias") or f"replace_{b}_{rpm.group('p')}"
+            qg.string_fn_returns.append(
+                (f"replace\x1f{rpm.group('x')}\x1f{rpm.group('y')}", b, rpm.group("p"), alias)
+            )
             continue
         pm = re.fullmatch(
             r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"

@@ -45,6 +45,38 @@ _PRED_OPS = {
 }
 
 
+def apply_scalar_fn(spec: str, c: "F.Column") -> "F.Column":
+    """Evaluate an encoded scalar-function spec over a property column —
+    shared by WHERE pushdown (node_set) and RETURN projection
+    (string_fn_returns). Spec = fn name, optionally with
+    US-separated args: ``substring\\x1f<start>[\\x1f<len>]`` (0-based
+    per openCypher; Spark's substring is 1-based), ``replace\\x1f<search>
+    \\x1f<repl>``, ``left/right\\x1f<n>``, or a bare
+    toLower/toUpper/trim/size/reverse."""
+    parts = spec.split("\x1f")
+    fn, args = parts[0], parts[1:]
+    simple = {
+        "tolower": F.lower, "toupper": F.upper, "trim": F.trim,
+        "size": F.length, "reverse": F.reverse,
+    }
+    if fn in simple:
+        return simple[fn](c)
+    if fn == "substring":
+        start = int(args[0]) + 1
+        length = int(args[1]) if len(args) > 1 and args[1] != "" else (1 << 30)
+        return F.substring(c, start, length)
+    if fn == "replace":
+        return F.replace(c, F.lit(args[0]), F.lit(args[1]))
+    if fn == "left":
+        return F.substring(c, 1, int(args[0]))
+    if fn == "right":
+        n = int(args[0])
+        # openCypher right() of a shorter string is the whole string;
+        # Spark's negative-start substring skips strings shorter than n
+        return F.when(F.length(c) <= n, c).otherwise(F.substring(c, -n, n))
+    raise ValueError(f"unknown scalar function spec: {spec!r}")
+
+
 class PropertyGraph:
     def __init__(self, nodes: DataFrame, edges: DataFrame, spark: SparkSession | None = None):
         """nodes: (id long, label string, ...props); edges: (src long,
@@ -318,16 +350,11 @@ class PropertyGraph:
         if "props" not in df.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
 
-        _FNS = {
-            "tolower": F.lower, "toupper": F.upper,
-            "trim": F.trim, "size": F.length,
-        }
-
         def cond(f):
             c = F.col("props").getItem(f.prop)
             fn = getattr(f, "fn", None)
             if fn is not None:
-                c = _FNS[fn](c)
+                c = apply_scalar_fn(fn, c)
             if f.is_num:
                 c = c.cast("double")
             return _PRED_OPS[f.op](c, F.lit(f.value))

@@ -47,7 +47,7 @@ from ..cypher.parser import (
     parse,
     split_with,
 )
-from ..graph.store import PropertyGraph
+from ..graph.store import PropertyGraph, apply_scalar_fn
 from .cost import expand_card, step_cost
 
 BROADCAST_MAX_ROWS = 2_000_000  # label sets below this are broadcast
@@ -2297,10 +2297,9 @@ def plan_match(
         lc, rc = _expr_col(l), _expr_col(r)
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
-    _STR_FN = {"tolower": F.lower, "toupper": F.upper, "trim": F.trim}
     string_fn_aliases = []
     for fn, _b, _pp, a in qg.string_fn_returns:
-        out = out.withColumn(a, _STR_FN[fn](F.col(f"_sf_{a}")))
+        out = out.withColumn(a, apply_scalar_fn(fn, F.col(f"_sf_{a}")))
         string_fn_aliases.append(a)
     coalesce_aliases = []
     for _b, _pp, dflt, a in qg.coalesce_returns:

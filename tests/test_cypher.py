@@ -259,3 +259,54 @@ def test_aggregate_stdev_and_percentiles(spark):
     assert row.sdp == pytest.approx(math.sqrt(5.0))
     assert row.med == 5.0  # interpolated between 4 and 6
     assert row.dmed == 4.0  # ceil(0.5*4)=2nd element
+
+
+def test_string_functions_substring_replace_left_right(spark):
+    """openCypher string functions (round-8): substring (0-based),
+    replace, left/right, reverse — in RETURN projections and WHERE
+    pushdown."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "D", {"name": "alphabet"}), (1, "D", {"name": "beta"}),
+         (2, "D", {"name": "al"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    got = {
+        r.d: (r.s, r.rep, r.l2, r.r3, r.rev)
+        for r in run_cypher(
+            g,
+            "MATCH (d:D) RETURN d, substring(d.name, 1, 3) AS s, "
+            "replace(d.name, 'a', 'X') AS rep, left(d.name, 2) AS l2, "
+            "right(d.name, 3) AS r3, reverse(d.name) AS rev",
+        ).collect()
+    }
+    # replace() replaces ALL occurrences (openCypher)
+    assert got[0] == ("lph", "XlphXbet", "al", "bet", "tebahpla")
+    assert got[1] == ("eta", "betX", "be", "eta", "ateb")
+    # right() of a shorter string is the whole string (openCypher)
+    assert got[2] == ("l", "Xl", "al", "al", "la")
+    # WHERE pushdown forms
+    out = run_cypher(g, "MATCH (d:D) WHERE substring(d.name, 0, 2) = 'al' RETURN d")
+    assert sorted(r.d for r in out.collect()) == [0, 2]
+    out = run_cypher(g, "MATCH (d:D) WHERE left(d.name, 1) = 'b' RETURN d")
+    assert [r.d for r in out.collect()] == [1]
+    out = run_cypher(g, "MATCH (d:D) WHERE reverse(d.name) = 'ateb' RETURN d")
+    assert [r.d for r in out.collect()] == [1]
+
+
+def test_string_function_arity_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    g = PropertyGraph.from_tuples(spark, [(0, "D")], [])
+    with pytest.raises(CypherParseError, match="start index"):
+        run_cypher(g, "MATCH (d:D) RETURN d, substring(d.name) AS s")
+    with pytest.raises(CypherParseError, match="exactly"):
+        run_cypher(g, "MATCH (d:D) RETURN d, left(d.name) AS s")
+    with pytest.raises(CypherParseError, match="single property"):
+        run_cypher(g, "MATCH (d:D) WHERE toLower(d.name, 2) = 'x' RETURN d")
