@@ -315,3 +315,61 @@ def doc_frequency(
         .crossJoin(F.broadcast(tot))
         .select("token", "df", pround(F.col("df") / F.col("_n"), 6).alias("df_ratio"))
     )
+
+
+# --- privacy / normalization scrubbing (round-8) --------------------------
+
+# Deliberately simple, portable regexes (identical semantics in Java's
+# and DuckDB's engines — no lookaround, no \b-adjacent unicode classes):
+# good-enough recall for corpus hygiene reporting, NOT a compliance
+# boundary. At 100 TB each is one regexp_replace pass inside whole-stage
+# codegen — no UDFs, no shuffle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace email / phone-like / IPv4 spans with typed placeholder
+    tokens and count the replacements per document: (id, redacted,
+    n_email, n_phone, n_ipv4). Order matters: emails first (an email's
+    host would otherwise feed the looser patterns), then IPs, then
+    phone-like runs. Counting uses the same pattern via regexp_count,
+    evaluated BEFORE that pattern's replacement."""
+    c = F.col(text_col)
+    counts = {}
+    for kind in ("email", "ipv4", "phone"):
+        counts[kind] = F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        c.alias("redacted"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus hygiene normalization: strip control characters (except
+    \\t \\n), collapse runs of spaces/tabs, trim — returning (id, text,
+    n_control, n_collapsed) so the pipeline can ALSO report how dirty
+    the source was (mojibake/control density is a standard quality
+    signal). Pure column expressions; streaming-safe."""
+    raw = F.col(text_col)
+    ctrl = r"[\x00-\x08\x0b-\x1f\x7f]"
+    runs = r"[ \t]{2,}"
+    return df.select(
+        F.col(id_col),
+        F.trim(
+            F.regexp_replace(F.regexp_replace(raw, ctrl, ""), runs, " ")
+        ).alias("text"),
+        F.regexp_count(raw, F.lit(ctrl)).cast("long").alias("n_control"),
+        F.regexp_count(raw, F.lit(runs)).cast("long").alias("n_collapsed"),
+    )

@@ -446,3 +446,38 @@ def test_minhash_bucket_index_save_load_roundtrip(spark, tmp_path):
     )
     kept = {r.doc_id for r in D.dedup_against_index(batch, idx).collect()}
     assert kept == {11}
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    """PII scrubbing (round-8): typed placeholders + per-doc counts;
+    emails redact before the looser phone/IP patterns can eat them."""
+    from g4s_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe@example.com or call +1 (555) 123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 no contacts"),
+            (3, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.redact_pii(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ipv4 == 0
+    assert "<EMAIL>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert "john.doe" not in got[1].redacted
+    assert got[2].n_ipv4 == 2 and "<IPV4>" in got[2].redacted
+    assert got[3].redacted == "clean document"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 0)
+
+
+def test_normalize_text_control_and_whitespace(spark):
+    from g4s_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a\x00b\x07c   d\t\te "), (2, "ok")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.normalize_text(df).collect()}
+    assert got[1].text == "abc d e"
+    assert got[1].n_control == 2 and got[1].n_collapsed == 2
+    assert got[2].text == "ok" and got[2].n_control == 0
