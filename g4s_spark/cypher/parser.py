@@ -104,6 +104,8 @@ def expr_prop_leaves(expr: tuple) -> list[tuple[str, str]]:
         return expr_prop_leaves(expr[1])
     if kind == "strlen":
         return [(expr[1], expr[2])]
+    if kind == "fn1":
+        return expr_prop_leaves(expr[2])
     if kind == "case":
         out = []
         for cond_l, _op, _lit, then_e in expr[1]:
@@ -538,6 +540,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     case_spans
                     or _arith_op_present(c[:cmps[0].start()])
                     or _arith_op_present(c[cmps[0].end():])
+                    or re.match(r"(?i)\s*(?:abs|round|ceil|floor|sqrt)\s*\(", c)
                 ):
                     first = cmps[0]
                     lhs_txt, rhs_txt = c[:first.start()], c[first.end():]
@@ -592,7 +595,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
 
 _EXPR_TOKEN = re.compile(
     r"\s*(?:(?P<kw>(?i:CASE|WHEN|THEN|ELSE|END)\b)"
-    r"|(?P<fnword>(?i:size)\b)"
+    r"|(?P<fnword>(?i:size|abs|round|ceil|floor|sqrt)\b)"
     r"|(?P<num>\d+(?:\.\d+)?)"
     r"|(?P<str>'[^']*')"
     r"|(?P<prop>[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_][A-Za-z0-9_]*)"
@@ -676,6 +679,15 @@ def _parse_arith(toks: list, pos: int = 0) -> tuple[tuple, int]:
                 raise CypherParseError("size() takes exactly one binding.prop")
             b, p = toks[i + 2][1]
             return ("strlen", b, p), i + 4
+        if kind == "fn":
+            # numeric scalar functions (round-8): abs/round/ceil/floor/
+            # sqrt over any sub-expression -> ("fn1", name, child)
+            if i + 1 >= len(toks) or toks[i + 1] != ("op", "("):
+                raise CypherParseError(f"{val.lower()}() needs parentheses")
+            node, j = expr(i + 2)
+            if j >= len(toks) or toks[j] != ("op", ")"):
+                raise CypherParseError(f"unbalanced parentheses in {val.lower()}()")
+            return ("fn1", val.lower(), node), j + 1
         if kind == "num":
             return ("num", val), i + 1
         if kind == "prop":
@@ -904,8 +916,10 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             else:
                 raise CypherParseError(f"return of unbound variable: {b!r}")
             continue
-        if (re.search(r"[+*/-]", name) and "." in name) or re.search(
-            r"(?i)\bCASE\s+WHEN\b", name
+        if (
+            (re.search(r"[+*/-]", name) and "." in name)
+            or re.search(r"(?i)\bCASE\s+WHEN\b", name)
+            or re.match(r"(?i)\s*(?:abs|round|ceil|floor|sqrt)\s*\(", name)
         ):
             _try_parse_expr_item(qg, name)
             continue

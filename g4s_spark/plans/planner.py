@@ -197,6 +197,19 @@ _SET_ITEM_ANY = re.compile(
 )
 
 
+_NUM_FNS = {
+    "abs": F.abs, "round": F.round, "ceil": F.ceil,
+    "floor": F.floor, "sqrt": F.sqrt,
+}
+
+
+def _num_fn_col(name: str, c: "F.Column") -> "F.Column":
+    """Numeric scalar functions in expression trees (round-8) — results
+    cast to double so ceil/floor (Spark: LONG) stay type-identical to
+    the rest of the expression algebra and to the DuckDB oracles."""
+    return _NUM_FNS[name](c).cast("double")
+
+
 def _set_expr_col(node, binding: str) -> "F.Column":
     """Evaluate a SET expression RHS against the target node's own props
     map (``b.prop + 1``, property-from-property, size(), CASE). Leaves
@@ -212,6 +225,8 @@ def _set_expr_col(node, binding: str) -> "F.Column":
         return -_set_expr_col(node[1], binding)
     if kind == "strlen":
         return F.length(F.col("props").getItem(node[2])).cast("double")
+    if kind == "fn1":
+        return _num_fn_col(node[1], _set_expr_col(node[2], binding))
     if kind == "case":
         return _case_col(
             node,
@@ -336,6 +351,8 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
             return F.col(alias).cast("double")
         if k == "neg":
             return -_edge_expr_col(node[1], alias)
+        if k == "fn1":
+            return _num_fn_col(node[1], _edge_expr_col(node[2], alias))
         if k in ("strlen", "case"):
             raise CypherParseError(
                 "size()/CASE are unsupported in edge SET expressions"
@@ -795,6 +812,8 @@ def _run_merge_edge(graph: PropertyGraph, em: "re.Match") -> PropertyGraph:
                 return F.col("_curw").cast("double")
             if k == "neg":
                 return -_eval(node[1])
+            if k == "fn1":
+                return _num_fn_col(node[1], _eval(node[2]))
             if k in ("strlen", "case"):
                 raise CypherParseError(
                     "size()/CASE are unsupported in edge MERGE expressions"
@@ -2104,6 +2123,8 @@ def plan_match(
                 return -_leaf(nd[1])
             if kind == "strlen":
                 return F.length(F.col(f"_xf_{nd[1]}").getItem(nd[2])).cast("double")
+            if kind == "fn1":
+                return _num_fn_col(nd[1], _leaf(nd[2]))
             if kind == "case":
                 return _case_col(
                     nd, _leaf, lambda b, p: F.col(f"_xf_{b}").getItem(p)
@@ -2291,6 +2312,8 @@ def plan_match(
             return -_expr_col(node[1])
         if kind == "strlen":
             return F.length(F.col(f"_xp_{node[1]}_{node[2]}")).cast("double")
+        if kind == "fn1":
+            return _num_fn_col(node[1], _expr_col(node[2]))
         if kind == "case":
             return _case_col(node, _expr_col, lambda b, p: F.col(f"_xp_{b}_{p}"))
         _, op, l, r = node

@@ -310,3 +310,47 @@ def test_string_function_arity_errors(spark):
         run_cypher(g, "MATCH (d:D) RETURN d, left(d.name) AS s")
     with pytest.raises(CypherParseError, match="single property"):
         run_cypher(g, "MATCH (d:D) WHERE toLower(d.name, 2) = 'x' RETURN d")
+
+
+def test_numeric_functions_in_expressions(spark):
+    """abs/round/ceil/floor/sqrt in expression trees (round-8): RETURN
+    expressions, WHERE predicates, and SET RHS all share the factor
+    grammar; results are doubles."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_set
+
+    nodes = spark.createDataFrame(
+        [(0, "N", {"x": "-2.5", "y": "9"}), (1, "N", {"x": "1.2", "y": "16"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    got = {
+        r.n: (r.a, r.rt, r.c, r.f)
+        for r in run_cypher(
+            g,
+            "MATCH (n:N) RETURN n, abs(n.x) AS a, sqrt(n.y) AS rt, "
+            "ceil(n.x) AS c, floor(n.x) AS f",
+        ).collect()
+    }
+    assert got[0] == (2.5, 3.0, -2.0, -3.0)
+    assert got[1] == (1.2, 4.0, 2.0, 1.0)
+    # WHERE with a function over an expression
+    out = run_cypher(g, "MATCH (n:N) WHERE abs(n.x * 2) > 3 RETURN n")
+    assert [r.n for r in out.collect()] == [0]
+    # SET RHS
+    g2 = run_cypher_set(g, "MATCH (n:N) SET n.r = round(n.x + 0.4)")
+    got2 = {r.id: dict(r.props).get("r") for r in g2.nodes.collect()}
+    assert got2[0] == "-2.0" and got2[1] == "2.0"
+
+
+def test_numeric_function_parse_errors(spark):
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    g = PropertyGraph.from_tuples(spark, [(0, "N")], [])
+    with pytest.raises(CypherParseError):
+        run_cypher(g, "MATCH (n:N) RETURN n, abs n.x AS a")
+    with pytest.raises(CypherParseError, match="parenthes"):
+        run_cypher(g, "MATCH (n:N) RETURN n, abs(n.x AS a")
