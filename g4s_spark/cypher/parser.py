@@ -238,8 +238,12 @@ _COND_STR = re.compile(
 )
 # scalar function over a property in WHERE (extension):
 # toLower/toUpper/trim(b.p) <op> 'str'  |  size(b.p) <op> number
+_COND_EXISTS = re.compile(
+    r"(?is)^\s*exists\s*\(\s*"
+    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
 _COND_FN = re.compile(
-    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size|reverse|substring|left|right)\s*\(\s*"
+    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size|reverse|substring|left|right|toFloat|toInteger|toString)\s*\(\s*"
     r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)\s*"
     r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
@@ -394,10 +398,15 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     )
 
             def atoms_of(cond: str) -> list[PropFilter]:
-                nlm = _COND_NULL.match(cond)
+                nlm = _COND_NULL.match(cond) or _COND_EXISTS.match(cond)
                 if nlm:
                     check_binding(nlm.group("b"), cond)
-                    op = "is_not_null" if nlm.group("neg") else "is_null"
+                    # exists(b.prop) (openCypher 9) == b.prop IS NOT NULL;
+                    # NOT exists(...) arrives here with neg set by the
+                    # boolean splitter's NOT handling
+                    op = "is_not_null" if nlm.groupdict().get("neg") or (
+                        "exists" in nlm.re.pattern
+                    ) else "is_null"
                     return [PropFilter(
                         nlm.group("b"), nlm.group("p"), op, None, False,
                         clause=ci,
@@ -412,11 +421,12 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                         value, is_num = raw[1:-1], False
                     else:
                         value, is_num = float(raw), True
-                    if fn == "size" and not is_num:
+                    numeric_fns = ("size", "tofloat", "tointeger")
+                    if fn in numeric_fns and not is_num:
                         raise CypherParseError(
-                            f"size() compares against a number: {cond!r}"
+                            f"{fm.group('fn')}() compares against a number: {cond!r}"
                         )
-                    if fn != "size" and is_num:
+                    if fn not in numeric_fns and is_num:
                         raise CypherParseError(
                             f"{fm.group('fn')}() compares against a string: {cond!r}"
                         )
@@ -871,7 +881,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.coalesce_returns.append((b, clm.group("p"), dflt, alias))
             continue
         sfm = re.fullmatch(
-            r"(?i)(?P<fn>toLower|toUpper|trim|reverse|substring|left|right)\s*\(\s*"
+            r"(?i)(?P<fn>toLower|toUpper|trim|reverse|substring|left|right|toFloat|toInteger|toString)\s*\(\s*"
             r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
             r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",

@@ -58,6 +58,15 @@ def apply_scalar_fn(spec: str, c: "F.Column") -> "F.Column":
     simple = {
         "tolower": F.lower, "toupper": F.upper, "trim": F.trim,
         "size": F.length, "reverse": F.reverse,
+        # conversions (round-8): props are stored as strings; toFloat is
+        # the double read every numeric context uses, toInteger
+        # truncates toward zero per openCypher (toInteger('4.9') = 4),
+        # toString is the stored rendering itself. Each returns NULL for
+        # non-convertible input (try_cast), like openCypher.
+        "tofloat": lambda col: col.cast("string").try_cast("double"),
+        "tointeger": lambda col: col.cast("string")
+        .try_cast("double").cast("long"),
+        "tostring": lambda col: col.cast("string"),
     }
     if fn in simple:
         return simple[fn](c)

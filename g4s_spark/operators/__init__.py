@@ -11,6 +11,7 @@ from .algorithms import (
     neighborhood_jaccard,
     weighted_pagerank,
     clustering_coefficient,
+    closeness_centrality,
     degree_assortativity,
     label_assortativity,
     triangle_count,
@@ -18,5 +19,5 @@ from .algorithms import (
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "closeness_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
 ]

@@ -557,6 +557,23 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     )
 
 
+def closeness_centrality(graph, sources: list[int]) -> DataFrame:
+    """Closeness centrality of a seed set (round-8): one row
+    (closeness, n_reachable) where closeness = (r−1)/Σdist over the r
+    reachable nodes (Bavelas; the Wasserman–Faust disconnected
+    correction is the caller's multiply by (r−1)/(n−1)). Same shape as
+    harmonic centrality — ONE aggregation over the BFS fixpoint, so
+    batched seed sets share the frontier machinery at scale."""
+    d = bfs(graph, sources).filter(F.col("dist") > 0)
+    return d.agg(
+        F.when(
+            F.sum("dist") > 0,
+            F.count(F.lit(1)).cast("double") / F.sum("dist"),
+        ).alias("closeness"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )
+
+
 def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Degree assortativity stratified by endpoint labels (round-8,
     VERDICT r7 #7): for each (src_label, dst_label) stratum of the

@@ -353,3 +353,20 @@ def test_label_assortativity_strata_and_duplicates(spark):
     # single-edge stratum: zero variance -> NULL
     n, r = out[("B", "B")]
     assert n == 1 and r is None
+
+
+def test_closeness_centrality(spark):
+    """Chain 0->1->2->3: dists 1,2,3 from node 0 -> closeness
+    = 3/6 = 0.5; isolated seed -> NULL closeness, 0 reachable."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import closeness_centrality
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        [(0, "N"), (1, "N"), (2, "N"), (3, "N"), (9, "N")],
+        [(0, 1, "E"), (1, 2, "E"), (2, 3, "E")],
+    )
+    row = closeness_centrality(g, [0]).collect()[0]
+    assert row.closeness == pytest.approx(0.5) and row.n_reachable == 3
+    row = closeness_centrality(g, [9]).collect()[0]
+    assert row.closeness is None and row.n_reachable == 0

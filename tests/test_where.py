@@ -441,3 +441,33 @@ def test_where_is_null_and_is_not_null(spark):
         g, "MATCH (p:P)-[:E]->(q:Q) WHERE p.seg IS NOT NULL AND p.seg <> 'x' RETURN p, q"
     ))
     assert both == {(2, 10)}
+
+
+def test_where_exists_and_conversions(spark):
+    """exists(b.prop) == IS NOT NULL (round-8); toFloat/toInteger in
+    WHERE compare numerically, toString/toFloat/toInteger project in
+    RETURN (NULL for non-convertible input)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "N", {"v": "4.9"}), (1, "N", {"v": "7"}), (2, "N", {"w": "x"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    out = run_cypher(g, "MATCH (n:N) WHERE exists(n.v) RETURN n")
+    assert sorted(r.n for r in out.collect()) == [0, 1]
+    out = run_cypher(g, "MATCH (n:N) WHERE toFloat(n.v) > 5 RETURN n")
+    assert [r.n for r in out.collect()] == [1]
+    got = {
+        r.n: (r.f, r.i, r.s)
+        for r in run_cypher(
+            g,
+            "MATCH (n:N) RETURN n, toFloat(n.v) AS f, toInteger(n.v) AS i, "
+            "toString(n.v) AS s",
+        ).collect()
+    }
+    assert got[0] == (4.9, 4, "4.9")  # toInteger truncates toward zero
+    assert got[1] == (7.0, 7, "7")
+    assert got[2] == (None, None, None)  # absent prop -> NULL through
