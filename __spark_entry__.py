@@ -47,6 +47,7 @@ from g4s_spark.graph.tpch import (
 )
 from g4s_spark.operators import (
     bfs,
+    closeness_centrality,
     connected_components,
     hits,
     k_core,
@@ -808,6 +809,99 @@ def _rel(name: str):
     return run
 
 
+# --- round-8 session-2 debuts (register now, window in r9) -----------------
+
+def _q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality of the BFS seed: r/Σdist over reachable
+    nodes — the third one-aggregation-over-the-BFS-fixpoint centrality
+    (harmonic, closeness share the frontier machinery)."""
+    out = closeness_centrality(build_graph(spark, sf_dir), [BFS_START])
+    return out.select(
+        pround(F.col("closeness"), 9).alias("closeness"), "n_reachable"
+    )
+
+
+def _dirty_docs(df: DataFrame) -> DataFrame:
+    """The synthetic documents carry no PII / control chars / space runs
+    (verified: zero regex hits corpus-wide), so the hygiene gates append
+    a deterministic doc_id-derived dirty suffix — one email, one phone,
+    one IPv4, a control char and double-space runs — built by the same
+    string expression in the oracle. The operators under test then do
+    real, per-row-distinct work."""
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\x01 Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com  or +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7\tend  ."),
+        ).alias("text"),
+    )
+
+
+def _q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.redact_pii(_dirty_docs(load_table(spark, sf_dir, "documents")))
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.normalize_text(_dirty_docs(load_table(spark, sf_dir, "documents")))
+
+
+def _q_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup probing the PRE-BUILT persistent bucket index
+    (minhash_bucket_table) instead of re-shingling the corpus — the
+    durable-index twin of dedup_incremental (same oracle result by
+    construction; the point is the index path executes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = D.minhash_bucket_table(docs.filter(F.col("doc_id") < 250))
+    return D.dedup_against_index(
+        docs.filter(F.col("doc_id") >= 250), idx
+    ).select("doc_id", "lang", "source")
+
+
+def _q_cypher_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stDev/stDevP + percentileCont/percentileDisc aggregates (round-8).
+    Percentiles are cross-engine exact (sort-based interpolation matches
+    DuckDB quantile_cont/_disc bit-for-bit — NOTES.md r5); stddev is
+    co-moment accumulation-order dependent, so both sides round to 4."""
+    out = run_cypher(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n, stDev(c.acctbal) AS sd, stDevP(c.acctbal) AS sdp, "
+        "percentileCont(c.acctbal, 0.5) AS med, "
+        "percentileDisc(c.acctbal, 0.9) AS p90",
+    )
+    return out.select(
+        "n",
+        pround(F.col("sd"), 4).alias("sd"),
+        pround(F.col("sdp"), 4).alias("sdp"),
+        "med",
+        "p90",
+    )
+
+
+def _q_cypher_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT value aggregates in plan_match (round-8 — previously
+    parsed-and-ignored). Double sums are addition-order dependent across
+    engines, so sum/avg round (2/6); counts are exact."""
+    out = run_cypher(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n, count(DISTINCT c.mktsegment) AS n_seg, "
+        "sum(DISTINCT c.acctbal) AS s_bal, avg(DISTINCT c.acctbal) AS a_bal",
+    )
+    return out.select(
+        "n",
+        "n_seg",
+        pround(F.col("s_bal"), 2).alias("s_bal"),
+        pround(F.col("a_bal"), 6).alias("a_bal"),
+    )
+
+
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
 # Round-8 composition (VERDICT r7 #1): the six round-8 debuts (MERGE,
@@ -1297,6 +1391,14 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
             load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
         ),
+        # round-8 session-2 debuts (registered out-of-window; r9 leads
+        # with the six deferred r5 rows, then these)
+        "graph_closeness": _q_graph_closeness,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_normalize": _q_text_normalize,
+        "dedup_vs_index": _q_dedup_vs_index,
+        "cypher_stats_agg": _q_cypher_stats_agg,
+        "cypher_distinct_agg": _q_cypher_distinct_agg,
     }
 
 
@@ -1311,6 +1413,26 @@ _PID = f"CAST({PART_OFF} + l_partkey AS BIGINT)"
 _SID = f"CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT)"
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# PII / normalization regexes shared verbatim with functions/text.py
+# (portable subset: no lookaround, identical in Java regex and RE2;
+# DuckDB single-quoted strings keep backslashes literal)
+_PII_EM = TX.PII_PATTERNS["email"]
+_PII_IP = TX.PII_PATTERNS["ipv4"]
+_PII_PH = TX.PII_PATTERNS["phone"]
+_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
+_RUNS_RE = r"[ \t]{2,}"
+
+# deterministic dirty-text twin of __spark_entry__._dirty_docs (the
+# synthetic docs have zero PII/control/run hits, so the hygiene gates
+# append a doc_id-derived suffix on BOTH engines)
+_DIRTY_DOCS = (
+    "SELECT doc_id, text || chr(1) || ' Contact: user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com  or +1 (415) 555-01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7' || chr(9) || 'end  .' AS text "
+    "FROM documents"
+)
 _STOPLIST = "['" + "','".join(TX.STOPWORDS) + "']"
 
 _SHINGLES = """
@@ -3329,5 +3451,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # round-8 session-2 debuts
+        "graph_closeness": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            walk(id, d) AS (
+                SELECT CAST({BFS_START} AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN graph_edges e ON e.src = w.id
+                WHERE w.d < 12
+            ),
+            dist AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
+            SELECT floor(count(*) * 1.0 / sum(d) * 1000000000 + 0.5) / 1000000000 AS closeness,
+                   CAST(count(*) AS BIGINT) AS n_reachable
+            FROM dist WHERE d > 0
+        """,
+        "text_redact_pii": f"""
+            WITH dirty AS ({_DIRTY_DOCS})
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EM}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IPV4>', 'g'),
+                       '{_PII_PH}', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text, '{_PII_EM}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                       '{_PII_EM}', '<EMAIL>', 'g'),
+                       '{_PII_IP}', '<IPV4>', 'g'), '{_PII_PH}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(regexp_replace(text,
+                       '{_PII_EM}', '<EMAIL>', 'g'), '{_PII_IP}')) AS BIGINT) AS n_ipv4
+            FROM dirty
+        """,
+        "text_normalize": f"""
+            WITH dirty AS ({_DIRTY_DOCS})
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '{_CTRL_RE}', '', 'g'),
+                        '{_RUNS_RE}', ' ', 'g')) AS text,
+                   CAST(len(regexp_extract_all(text, '{_CTRL_RE}')) AS BIGINT) AS n_control,
+                   CAST(len(regexp_extract_all(text, '{_RUNS_RE}')) AS BIGINT) AS n_collapsed
+            FROM dirty
+        """,
+        # identical result to dedup_incremental by construction — the
+        # Spark side differs (probes the persistent bucket index)
+        "dedup_vs_index": f"""
+            WITH {_SHINGLES},
+            sig AS (SELECT doc_id, {{minhash_aggs}} FROM sh GROUP BY doc_id),
+            bands AS ({{band_rows}}),
+            dup AS (
+                SELECT DISTINCT n.doc_id FROM bands n
+                SEMI JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id < 250) c
+                  ON n.band = c.band AND n.key = c.key
+                WHERE n.doc_id >= 250
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        """.format(minhash_aggs=minhash_aggs, band_rows=band_rows),
+        "cypher_stats_agg": f"""
+            SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) AS n,
+                   floor(stddev_samp(CAST(c_acctbal AS DOUBLE)) * 10000 + 0.5) / 10000 AS sd,
+                   floor(stddev_pop(CAST(c_acctbal AS DOUBLE)) * 10000 + 0.5) / 10000 AS sdp,
+                   quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med,
+                   quantile_disc(CAST(c_acctbal AS DOUBLE), 0.9) AS p90
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "cypher_distinct_agg": f"""
+            SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) AS n,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_seg,
+                   floor(sum(DISTINCT CAST(c_acctbal AS DOUBLE)) * 100 + 0.5) / 100 AS s_bal,
+                   floor(avg(DISTINCT CAST(c_acctbal AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS a_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
         """,
     }
