@@ -927,16 +927,22 @@ _WINDOW_ORDER = [
     # round-8 debuts
     "cypher_merge", "cypher_set_edge_expr", "cypher_optional_agg",
     "graph_assort_label", "cypher_delete", "cypher_remove",
+    # round-8 session-2 debuts (a brand-new gate must debut immediately
+    # — the ledger test enforces it; these displace the 7 non-mandated
+    # r5 stragglers + text_vocab below, all of which the 4-round budget
+    # forces into the r9 window regardless)
+    "graph_closeness", "text_redact_pii", "text_normalize",
+    "dedup_vs_index", "cypher_stats_agg", "cypher_distinct_agg",
+    "cypher_introspect", "cypher_where_regex",
     # changed-code this round: persistent-bucket-index probe path
     "dedup_minhash_lsh",
     # the six r5 cypher rows displaced by the r7 rotation
     "cypher_with_having", "cypher_union", "cypher_unwind",
     "cypher_exists", "cypher_not_exists", "cypher_shortest_path",
-    # r5-era cypher stragglers (expression/edge/string predicates)
-    "cypher_edge_agg", "cypher_expr_return", "cypher_expr_revenue",
-    "cypher_undirected", "cypher_where_in", "cypher_where_string_fns",
-    # r5-era graph algorithms
-    "graph_ppr",
+    # (r5-era cypher stragglers cypher_edge_agg / cypher_expr_return /
+    # cypher_expr_revenue / cypher_undirected / cypher_where_in /
+    # cypher_where_string_fns + graph_ppr + text_vocab displaced to r9
+    # by the session-2 debuts)
     # r5-era dedup + ann
     "dedup_clusters", "dedup_embedding_lsh", "ann_ivf_topk",
     "ann_lsh_topk",
@@ -950,8 +956,8 @@ _WINDOW_ORDER = [
     "rel_q15_top_supplier", "rel_q16_supplier_cnt", "rel_q17_small_qty",
     "rel_q18_large_orders", "rel_q19_disjunctive", "rel_q20_part_share",
     "rel_q21_waiting", "rel_q22_idle_cust", "rel_quantiles",
-    # r5-era text
-    "text_bm25", "text_decontaminate", "text_repetition", "text_vocab",
+    # r5-era text (text_vocab displaced to r9, see session-2 note above)
+    "text_bm25", "text_decontaminate", "text_repetition",
 ]
 
 
@@ -1394,6 +1400,16 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 session-2 debuts (registered out-of-window; r9 leads
         # with the six deferred r5 rows, then these)
         "graph_closeness": _q_graph_closeness,
+        # round-8 session-2: graph-introspection fns + =~ regex WHERE
+        "cypher_introspect": _cypher(
+            "MATCH (x)-[e:FROM_NATION]->(n:Nation) "
+            "RETURN id(n) AS nid, labels(x) AS lx, type(e) AS t, "
+            "count(x) AS cnt"
+        ),
+        "cypher_where_regex": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "WHERE n.name =~ 'NATION_1[0-9]' RETURN n, count(c) AS n_cust"
+        ),
         "text_redact_pii": _q_text_redact_pii,
         "text_normalize": _q_text_normalize,
         "dedup_vs_index": _q_dedup_vs_index,
@@ -3513,6 +3529,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med,
                    quantile_disc(CAST(c_acctbal AS DOUBLE), 0.9) AS p90
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "cypher_introspect": f"""
+            SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) AS nid,
+                   'Customer' AS lx, 'FROM_NATION' AS t,
+                   count(*) AS cnt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) AS nid,
+                   'Supplier' AS lx, 'FROM_NATION' AS t,
+                   count(*) AS cnt
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "cypher_where_regex": f"""
+            SELECT CAST({NATION_OFF} + n_nationkey AS BIGINT) AS n,
+                   count(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE regexp_full_match(n_name, 'NATION_1[0-9]')
             GROUP BY 1
         """,
         "cypher_distinct_agg": f"""

@@ -189,6 +189,14 @@ class QueryGraph:
     # coalesce(b.prop, 'default') RETURN items (round-7): the NULL-fill
     # companion of OPTIONAL MATCH — (binding, prop, default, alias)
     coalesce_returns: list[tuple[str, str, str, str]] = field(default_factory=list)
+    # id(n) RETURN items (round-8): (binding, alias) — the binding's node
+    # id projected under the alias (ids ARE the binding columns)
+    id_returns: list[tuple[str, str]] = field(default_factory=list)
+    # labels(n) RETURN items (round-8): (binding, alias) — the node's
+    # label set rendered as a sorted comma-joined STRING (openCypher
+    # returns a list; the driver contract is scalar columns only —
+    # same deviation as collect()'s sorted rendering)
+    labels_returns: list[tuple[str, str]] = field(default_factory=list)
     # arithmetic WHERE predicates (extension): (lhs_expr, op, rhs_expr)
     # applied after the required chain binds every referenced binding
     # (the cross_filters slot; they cannot push to any single scan).
@@ -248,6 +256,14 @@ _COND_FN = re.compile(
     r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)\s*"
     r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
+)
+# regex predicate (openCypher =~): FULL-string match, per the spec —
+# the planner anchors the pattern (^(?:pat)$) before Spark's partial
+# rlike; oracles use regexp_full_match. Patterns must stay in the
+# Java∩RE2-portable subset (no lookaround) for oracle parity.
+_COND_REGEX = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"=~\s*(?P<val>'[^']*'|\"[^\"]*\")\s*$"
 )
 _COND_IN = re.compile(
     r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
@@ -445,6 +461,16 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     return [PropFilter(
                         wm.group("b"), wm.group("p"), wm.group("op"),
                         value, is_num, clause=ci,
+                    )]
+                rx = _COND_REGEX.match(cond)
+                if rx:
+                    check_binding(rx.group("b"), cond)
+                    # anchor HERE (openCypher =~ is a full match): the
+                    # planner's op lambdas receive the value as a lit()
+                    # Column, so the pattern must arrive ready-to-use
+                    return [PropFilter(
+                        rx.group("b"), rx.group("p"), "regex",
+                        f"^(?:{rx.group('val')[1:-1]})$", False, clause=ci,
                     )]
                 sm = _COND_STR.match(cond)
                 if sm:
@@ -911,6 +937,30 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 (f"replace\x1f{rpm.group('x')}\x1f{rpm.group('y')}", b, rpm.group("p"), alias)
             )
             continue
+        gfm = re.fullmatch(
+            r"(?i)(?P<fn>id|labels|type)\s*\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
+            name,
+        )
+        if gfm:
+            # graph-introspection functions (round-8): id(n) projects the
+            # binding's node id; labels(n) the sorted comma-joined label
+            # string (scalar-contract rendering of openCypher's list);
+            # type(r) rides the edge-property path — `type` is a physical
+            # column of the edge table, so the scan carries it for free
+            fn, b = gfm.group("fn").lower(), gfm.group("b")
+            alias = gfm.group("alias") or f"{fn}_{b}"
+            if fn == "type":
+                if b not in _edge_names(qg):
+                    raise CypherParseError(f"type() of non-edge variable: {b!r}")
+                qg.edge_prop_returns.append((b, "type", alias))
+            elif b not in qg.labels:
+                raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
+            elif fn == "id":
+                qg.id_returns.append((b, alias))
+            else:
+                qg.labels_returns.append((b, alias))
+            continue
         pm = re.fullmatch(
             r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
@@ -945,7 +995,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
     if not (
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
         or qg.path_lengths or qg.expr_returns or qg.string_fn_returns
-        or qg.coalesce_returns
+        or qg.coalesce_returns or qg.id_returns or qg.labels_returns
     ):
         raise CypherParseError("empty RETURN")
 
@@ -961,6 +1011,8 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {it.alias for it in qg.expr_returns}
         | {a for _, _, _, a in qg.string_fn_returns}
         | {a for _, _, _, a in qg.coalesce_returns}
+        | {a for _, a in qg.id_returns}
+        | {a for _, a in qg.labels_returns}
     )
 
 

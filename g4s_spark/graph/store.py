@@ -22,7 +22,7 @@ same.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .stats import GraphStats
@@ -42,6 +42,11 @@ _PRED_OPS = {
     # IS [NOT] NULL (round-7): missing map key == NULL property
     "is_null": lambda c, v: c.isNull(),
     "is_not_null": lambda c, v: c.isNotNull(),
+    # =~ regex (round-8): the parser pre-anchors the pattern
+    # (openCypher's =~ is a full match; regexp alone is partial).
+    # regexp_like accepts the lit() Column cond() passes (rlike is
+    # str-only)
+    "regex": lambda c, v: F.regexp_like(c, v if isinstance(v, Column) else F.lit(v)),
 }
 
 

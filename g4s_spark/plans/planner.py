@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 import re
@@ -977,6 +977,10 @@ _OPS = {
     # IS [NOT] NULL (round-7)
     "is_null": lambda c, v: c.isNull(),
     "is_not_null": lambda c, v: c.isNotNull(),
+    # =~ regex (round-8): the parser anchors the pattern (openCypher's
+    # =~ is a FULL-string match; regexp alone is partial). regexp_like
+    # accepts the lit() Column every call site passes (rlike is str-only)
+    "regex": lambda c, v: F.regexp_like(c, v if isinstance(v, Column) else F.lit(v)),
 }
 
 
@@ -1923,7 +1927,9 @@ def plan_match(
 
     prop_bindings = [b for b, _, _ in qg.prop_returns] + [
         b for _, b, _, _ in qg.string_fn_returns
-    ] + [b for b, _, _, _ in qg.coalesce_returns]
+    ] + [b for b, _, _, _ in qg.coalesce_returns] + [
+        b for b, _ in qg.id_returns
+    ] + [b for b, _ in qg.labels_returns]
     agg_bindings = [
         a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
     ]
@@ -2320,6 +2326,33 @@ def plan_match(
         lc, rc = _expr_col(l), _expr_col(r)
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
 
+    # id(b): the binding column IS the node id — a zero-cost projection
+    id_aliases = []
+    for b, a in qg.id_returns:
+        out = out.withColumn(a, F.col(b))
+        id_aliases.append(a)
+    # labels(b): one per-id label-set lookup table (sorted comma-joined —
+    # multi-label nodes are several (id,label) rows), left-joined per
+    # binding like the props resolution above; shuffles on node id, the
+    # same scale shape as resolve_props
+    labels_aliases = []
+    if qg.labels_returns:
+        ldf = (
+            graph.nodes.select("id", "label")
+            .dropDuplicates(["id", "label"])
+            .groupBy("id")
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_set("label"))).alias("_lbls")
+            )
+        )
+        for b, a in qg.labels_returns:
+            out = out.join(
+                ldf.select(F.col("id").alias(b), F.col("_lbls").alias(a)),
+                on=b,
+                how="left",
+            )
+            labels_aliases.append(a)
+            steps.append(("resolve_labels", b))
     string_fn_aliases = []
     for fn, _b, _pp, a in qg.string_fn_returns:
         out = out.withColumn(a, apply_scalar_fn(fn, F.col(f"_sf_{a}")))
@@ -2339,7 +2372,7 @@ def plan_match(
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
         + path_len_aliases + plain_expr_aliases + string_fn_aliases
-        + coalesce_aliases + carry_extras
+        + coalesce_aliases + id_aliases + labels_aliases + carry_extras
     )
     expr_aggs = [it for it in qg.expr_returns if it.agg is not None]
     if qg.aggregates or expr_aggs:
@@ -2425,6 +2458,7 @@ def plan_match(
     elif (
         qg.prop_returns or qg.edge_prop_returns or qg.expr_returns
         or qg.string_fn_returns or qg.coalesce_returns
+        or qg.id_returns or qg.labels_returns
     ):
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is

@@ -354,3 +354,80 @@ def test_numeric_function_parse_errors(spark):
         run_cypher(g, "MATCH (n:N) RETURN n, abs n.x AS a")
     with pytest.raises(CypherParseError, match="parenthes"):
         run_cypher(g, "MATCH (n:N) RETURN n, abs(n.x AS a")
+
+
+def test_graph_introspection_functions(spark):
+    """id(n)/labels(n)/type(r) (round-8): id projects the binding
+    column; labels renders the sorted comma-joined label set (scalar
+    contract — openCypher returns a list); type rides the edge-property
+    path (`type` is a physical edge column)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "x"}), (1, "X", {"name": "x"}),
+         (2, "A", {"name": "y"}), (10, "B", {"name": "b"}), (11, "B", {"name": "c"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (1, 11, "F"), (2, 10, "E")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = {(r.ai, r.bi) for r in run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN id(a) AS ai, id(b) AS bi"
+    ).collect()}
+    assert got == {(1, 10), (2, 10)}
+    # multi-label node renders both labels, sorted
+    got = {(r.b, r.la) for r in run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN b, labels(a) AS la"
+    ).collect()}
+    assert got == {(10, "A,X"), (10, "A")}
+    # type() over an untyped edge variable carries the scan's type column
+    got = {(r.a, r.b, r.t) for r in run_cypher(
+        g, "MATCH (a:A)-[r]->(b:B) RETURN a, b, type(r) AS t"
+    ).collect()}
+    assert got == {(1, 10, "E"), (1, 11, "F"), (2, 10, "E")}
+    # introspection aliases group like any other return item
+    got = {(r.la, r.n) for r in run_cypher(
+        g, "MATCH (a)-[:E]->(b:B) RETURN labels(a) AS la, count(b) AS n"
+    ).collect()}
+    assert got == {("A,X", 1), ("A", 1)}
+    # errors: type() of a node, labels()/id() of an edge or unbound var
+    from g4s_spark.cypher import CypherParseError
+    with pytest.raises(CypherParseError, match="non-edge"):
+        run_cypher(g, "MATCH (a:A)-[r]->(b) RETURN type(a)")
+    with pytest.raises(CypherParseError, match="unbound or non-node"):
+        run_cypher(g, "MATCH (a:A)-[r]->(b) RETURN labels(r)")
+    with pytest.raises(CypherParseError, match="unbound or non-node"):
+        run_cypher(g, "MATCH (a:A) RETURN id(zz)")
+
+
+def test_where_regex_predicate(spark):
+    """=~ (round-8): FULL-string semantics per openCypher — the pattern
+    is anchored, so a bare substring pattern matches nothing unless it
+    spans the whole value; scan-pushed like the other string ops."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "NATION_1"}), (2, "A", {"name": "NATION_2"}),
+         (3, "A", {"name": "XNATION_1X"}), (10, "B", {"name": "b"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (2, 10, "E"), (3, 10, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    q = lambda c: sorted(
+        r.a for r in run_cypher(g, f"MATCH (a:A) WHERE {c} RETURN a").collect()
+    )
+    assert q("a.name =~ 'NATION_[12]'") == [1, 2]
+    assert q("a.name =~ 'NATION'") == []          # full match, not substring
+    assert q("a.name =~ '.*NATION.*'") == [1, 2, 3]
+    assert q("(a.name =~ 'NATION_1' OR a.name = 'NATION_2')") == [1, 2]
+    # composes with a pattern join
+    got = run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) WHERE a.name =~ 'NATION_1' RETURN a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(1, 10)]
