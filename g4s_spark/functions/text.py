@@ -373,3 +373,70 @@ def normalize_text(
         F.regexp_count(raw, F.lit(ctrl)).cast("long").alias("n_control"),
         F.regexp_count(raw, F.lit(runs)).cast("long").alias("n_collapsed"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/CCNet pass): drop every
+    segment that appears verbatim in >= ``min_docs`` DISTINCT documents
+    (boilerplate: headers, nav bars, license blocks), reassemble each
+    document from its surviving segments in original order. Returns
+    (id, text, n_kept, n_removed); a document whose every segment is
+    boilerplate keeps an empty text rather than vanishing.
+
+    ``sep`` is a literal separator (escaped before Spark's regex
+    split); the default splits on newlines.
+
+    Scale shape: posexplode (narrow, ~lines-per-doc fanout) -> ONE
+    shuffle on the segment value for the distinct-doc counts -> anti
+    join on segment (shuffle join; the common-segment side is tiny but
+    unbounded, so no broadcast assumption) -> ONE shuffle back on doc
+    id for the ordered reassembly. Nothing is pairwise; 100 TB of
+    documents is ~3 segment-keyed passes. The segment groupBy combines
+    map-side (count-distinct per segment over sorted ids)."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(common, on="line", how="left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_total")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .join(totals, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

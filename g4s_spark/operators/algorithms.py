@@ -34,6 +34,11 @@ from ..graph.store import PropertyGraph
 # delta sets), so being size-aware costs nothing.
 BROADCAST_SET_MAX_ROWS = 1_000_000
 
+# inner-fixpoint bound shared by the iterative operators (matches the
+# planner's closure bound): hitting it raises rather than returning a
+# silently-unconverged result
+MAX_CLOSURE_ITERS = 64
+
 
 def _bc(df: DataFrame, n_rows: int, broadcast: bool | None):
     """broadcast=None -> size-aware (default); True/False -> forced."""
@@ -782,3 +787,127 @@ def hits(graph: PropertyGraph, iters: int = 3) -> DataFrame:
     return hub.select("id", F.col("s").alias("hub")).join(
         auth.select("id", F.col("s").alias("auth")), on="id"
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """Exact SCC over a DIRECTED edge set by forward-coloring +
+    backward-confinement (the distributed "coloring" algorithm —
+    Orzan's SCC decomposition, the standard Pregel/GraphX formulation;
+    the reference has no directed-component operator, so this extends
+    the algorithm family like k-core/LPA). Returns (id, scc) with
+    scc = the component's minimum member id.
+
+    Per peel round over the still-unassigned subgraph:
+    (1) forward min-id fixpoint: color[v] = min id that reaches v;
+    (2) from each color root (id == color) walk the REVERSED edges
+        confined to same-color nodes — a node v is reached iff v
+        reaches its root through nodes of the same color, and color
+        equality already means the root reaches v, so the reached set
+        is EXACTLY the root's SCC (any intermediate node of a v->root
+        path lies in the same SCC, hence same color — confinement
+        loses nothing);
+    (3) assign those nodes, drop them, repeat. Every color class peels
+    its root's SCC each round, so rounds are bounded by the depth of
+    the condensation DAG, not by the SCC count.
+
+    Scale shape: each inner step is one shuffle on dst (forward) or
+    src (backward) plus a semi/anti join — the BFS/HashMin shape every
+    fixpoint here uses; lineage is cut per iteration (iter_checkpoint)
+    and the subgraph restriction is two semi-joins, so 100 TB of edges
+    never re-materializes more than the active subgraph."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).cache()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    assigned: DataFrame | None = None
+    remaining = iter_checkpoint(nodes)
+    try:
+        for _outer in range(max_iters):
+            if remaining.limit(1).count() == 0:
+                break
+            sub = (
+                e.join(
+                    remaining.select(F.col("id").alias("src")),
+                    on="src", how="left_semi",
+                ).join(
+                    remaining.select(F.col("id").alias("dst")),
+                    on="dst", how="left_semi",
+                )
+            ).cache()
+            # (1) forward min-id coloring to fixpoint
+            color = remaining.select("id", F.col("id").alias("color"))
+            for _ in range(MAX_CLOSURE_ITERS):
+                neighbor_min = (
+                    color.join(sub, color.id == sub.src)
+                    .select(F.col("dst").alias("id"), F.col("color"))
+                    .groupBy("id")
+                    .agg(F.min("color").alias("nmin"))
+                )
+                new_color = color.join(neighbor_min, on="id", how="left").select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce(F.col("nmin"), F.col("color"))
+                    ).alias("color"),
+                )
+                new_color = iter_checkpoint(new_color)
+                changed = (
+                    new_color.alias("n")
+                    .join(color.alias("o"), on="id")
+                    .filter(F.col("n.color") != F.col("o.color"))
+                    .limit(1)
+                    .count()
+                )
+                color = new_color
+                if changed == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    "scc coloring did not converge within "
+                    f"{MAX_CLOSURE_ITERS} iterations"
+                )
+            # (2) backward confinement: semi-naive frontier from the roots
+            reach = iter_checkpoint(
+                color.filter(F.col("id") == F.col("color"))
+            )
+            frontier = reach
+            for _ in range(MAX_CLOSURE_ITERS):
+                step = (
+                    frontier.join(sub, frontier.id == sub.dst)
+                    .select(F.col("src").alias("id"), F.col("color"))
+                    .dropDuplicates(["id", "color"])
+                    .join(color, on=["id", "color"], how="left_semi")
+                    .join(reach, on=["id"], how="left_anti")
+                )
+                step = iter_checkpoint(step)
+                if step.limit(1).count() == 0:
+                    break
+                reach = iter_checkpoint(reach.unionByName(step))
+                frontier = step
+            else:
+                raise RuntimeError(
+                    "scc backward walk did not converge within "
+                    f"{MAX_CLOSURE_ITERS} iterations"
+                )
+            scc = reach.select("id", F.col("color").alias("scc"))
+            assigned = (
+                scc if assigned is None else assigned.unionByName(scc)
+            )
+            assigned = iter_checkpoint(assigned)
+            remaining = iter_checkpoint(
+                remaining.join(scc.select("id"), on="id", how="left_anti")
+            )
+            sub.unpersist()
+        else:
+            raise RuntimeError(
+                f"scc did not peel every component within {max_iters} "
+                "rounds; raise max_iters"
+            )
+    finally:
+        e.unpersist()
+    if assigned is None:
+        return nodes.select("id", F.col("id").alias("scc"))
+    return assigned

@@ -370,3 +370,33 @@ def test_closeness_centrality(spark):
     assert row.closeness == pytest.approx(0.5) and row.n_reachable == 3
     row = closeness_centrality(g, [9]).collect()[0]
     assert row.closeness is None and row.n_reachable == 0
+
+
+def test_strongly_connected_components(spark):
+    """SCC (round-8): coloring + backward confinement. Covers a 3-cycle
+    feeding a 2-cycle (two peel rounds through the condensation DAG),
+    path singletons, a self-loop, and an all-singleton DAG."""
+    from g4s_spark.operators import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6), (6, 7), (7, 7)],
+        "src long, dst long",
+    )
+    got = sorted(
+        (r.id, r.scc) for r in strongly_connected_components(edges).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)]
+    # DAG: every node its own component
+    dag = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    got = sorted(
+        (r.id, r.scc) for r in strongly_connected_components(dag).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    # two disjoint cycles peel in ONE round (each color class has a root)
+    two = spark.createDataFrame(
+        [(10, 11), (11, 10), (20, 21), (21, 20)], "src long, dst long"
+    )
+    got = sorted(
+        (r.id, r.scc) for r in strongly_connected_components(two).collect()
+    )
+    assert got == [(10, 10), (11, 10), (20, 20), (21, 20)]

@@ -481,3 +481,33 @@ def test_normalize_text_control_and_whitespace(spark):
     assert got[1].text == "abc d e"
     assert got[1].n_control == 2 and got[1].n_collapsed == 2
     assert got[2].text == "ok" and got[2].n_control == 0
+
+
+def test_dedup_lines(spark):
+    """Line-level corpus dedup (round-8): segments verbatim-shared by
+    >= min_docs distinct docs are dropped, survivors reassemble in
+    original order, fully-boilerplate docs keep empty text."""
+    from g4s_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "intro\nCOMMON HEADER\nbody one\nCOMMON FOOTER"),
+         (2, "COMMON HEADER\nbody two\nCOMMON FOOTER"),
+         (3, "solo doc\nall original"),
+         (4, "COMMON HEADER\nCOMMON FOOTER"),
+         # same line twice in ONE doc: distinct-doc count is 1, kept
+         (5, "repeat me\nrepeat me")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept, r.n_removed)
+           for r in dedup_lines(df, min_docs=2).collect()}
+    assert got[1] == ("intro\nbody one", 2, 2)
+    assert got[2] == ("body two", 1, 2)
+    assert got[3] == ("solo doc\nall original", 2, 0)
+    assert got[4] == ("", 0, 2)
+    assert got[5] == ("repeat me\nrepeat me", 2, 0)
+    # custom literal separator (escaped before the regex split)
+    df2 = spark.createDataFrame(
+        [(1, "a|b|x"), (2, "a|c|x")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.text for r in dedup_lines(df2, sep="|").collect()}
+    assert got2 == {1: "b", 2: "c"}
