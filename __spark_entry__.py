@@ -950,7 +950,7 @@ _WINDOW_ORDER = [
     "graph_closeness", "text_redact_pii", "text_normalize",
     "dedup_vs_index", "cypher_stats_agg", "cypher_distinct_agg",
     "cypher_introspect", "cypher_where_regex", "dedup_lines",
-    "graph_scc",
+    "graph_scc", "cypher_concat", "cypher_id_where",
     # changed-code this round: persistent-bucket-index probe path
     "dedup_minhash_lsh",
     # the six r5 cypher rows displaced by the r7 rotation
@@ -963,9 +963,9 @@ _WINDOW_ORDER = [
     # r5-era dedup + ann
     "dedup_clusters", "dedup_embedding_lsh", "ann_ivf_topk",
     "ann_lsh_topk",
-    # r5-era events
-    "events_anomalies", "events_enrich", "events_followups",
-    "events_session_window", "events_trending",
+    # r5-era events (events_followups / events_trending displaced to r9
+    # by the session-2 debuts, same policy as the other displacements)
+    "events_anomalies", "events_enrich", "events_session_window",
     # r5-era relational family
     "rel_q2_min_cost", "rel_q4_priority", "rel_q7_volume",
     "rel_q8_market_share", "rel_q9_profit", "rel_q11_important_stock",
@@ -1441,6 +1441,16 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "documents"), sep=" the ", min_docs=2
         ),
         "graph_scc": _q_graph_scc,
+        # string concatenation + id() point lookups (round-8 session-2)
+        "cypher_concat": _cypher(
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "RETURN c, n.name + '/' + c.mktsegment AS tag"
+        ),
+        "cypher_id_where": _cypher(
+            f"MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            f"WHERE id(c) <= {CUSTOMER_OFF + 50} "
+            f"RETURN c, count(o) AS n_orders"
+        ),
     }
 
 
@@ -3555,6 +3565,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med,
                    quantile_disc(CAST(c_acctbal AS DOUBLE), 0.9) AS p90
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "cypher_concat": f"""
+            SELECT {_CID} AS c, n_name || '/' || c_mktsegment AS tag
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "cypher_id_where": f"""
+            SELECT {_CID} AS c, count(*) AS n_orders
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_custkey <= 50
             GROUP BY 1
         """,
         # exact SCC oracle: pairwise transitive closure (fine at sf0.01's

@@ -192,6 +192,10 @@ class QueryGraph:
     # id(n) RETURN items (round-8): (binding, alias) — the binding's node
     # id projected under the alias (ids ARE the binding columns)
     id_returns: list[tuple[str, str]] = field(default_factory=list)
+    # string-concatenation RETURN items (round-8): `a.p + '_' + b.q AS x`
+    # — (parts, alias) where parts is a tuple of ("prop", binding, prop)
+    # and ("lit", text) nodes; NULL-propagating like openCypher's +
+    concat_returns: list[tuple[tuple, str]] = field(default_factory=list)
     # labels(n) RETURN items (round-8): (binding, alias) — the node's
     # label set rendered as a sorted comma-joined STRING (openCypher
     # returns a list; the driver contract is scalar columns only —
@@ -269,6 +273,14 @@ _COND_IN = re.compile(
     r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
     r"IN\s*\[(?P<list>[^\]]*)\]\s*$"
 )
+# id(b) <op> integer (round-8): point/range lookups on the node id —
+# still a scan-pushed PropFilter; the store maps the \x1did sentinel to
+# the physical id column (no props access)
+_COND_ID = re.compile(
+    r"(?is)^\s*id\s*\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+    r"(?P<op><>|!=|<=|>=|=|<|>)\s*(?P<val>-?\d+)\s*$"
+)
+ID_PROP = "\x1did"
 _IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
 
 
@@ -461,6 +473,18 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     return [PropFilter(
                         wm.group("b"), wm.group("p"), wm.group("op"),
                         value, is_num, clause=ci,
+                    )]
+                idm = _COND_ID.match(cond)
+                if idm:
+                    b = idm.group("b")
+                    check_binding(b, cond)
+                    if b not in qg.labels:
+                        raise CypherParseError(
+                            f"id() in WHERE needs a node variable: {b!r}"
+                        )
+                    return [PropFilter(
+                        b, ID_PROP, idm.group("op"),
+                        float(idm.group("val")), True, clause=ci,
                     )]
                 rx = _COND_REGEX.match(cond)
                 if rx:
@@ -937,6 +961,39 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 (f"replace\x1f{rpm.group('x')}\x1f{rpm.group('y')}", b, rpm.group("p"), alias)
             )
             continue
+        ccm = None
+        if re.search(r"'[^']*'|\"[^\"]*\"", name):
+            # a quoted literal + a top-level '+' = string concatenation
+            # (must run BEFORE the arithmetic branch, which would try to
+            # evaluate the chain as numbers)
+            ccm = re.fullmatch(
+                r"(?is)(?P<body>.+?)\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)",
+                name,
+            )
+            if ccm and "+" not in _strip_quoted(ccm.group("body")):
+                ccm = None
+        if ccm:
+            parts = []
+            for piece in _split_plus_quoted(ccm.group("body")):
+                if piece and piece[0] in "'\"" and piece[-1] == piece[0]:
+                    parts.append(("lit", piece[1:-1]))
+                    continue
+                ppm = re.fullmatch(
+                    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)",
+                    piece,
+                )
+                if not ppm:
+                    raise CypherParseError(
+                        f"string concatenation takes b.prop and quoted "
+                        f"literals only: {piece!r}"
+                    )
+                if ppm.group("b") not in qg.labels:
+                    raise CypherParseError(
+                        f"concat of unbound or non-node variable: {ppm.group('b')!r}"
+                    )
+                parts.append(("prop", ppm.group("b"), ppm.group("p")))
+            qg.concat_returns.append((tuple(parts), ccm.group("alias")))
+            continue
         gfm = re.fullmatch(
             r"(?i)(?P<fn>id|labels|type)\s*\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
@@ -996,8 +1053,35 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
         or qg.path_lengths or qg.expr_returns or qg.string_fn_returns
         or qg.coalesce_returns or qg.id_returns or qg.labels_returns
+        or qg.concat_returns
     ):
         raise CypherParseError("empty RETURN")
+
+
+def _strip_quoted(s: str) -> str:
+    """The string with quoted spans removed — for operator detection
+    outside literals."""
+    return re.sub(r"'[^']*'|\"[^\"]*\"", "", s)
+
+
+def _split_plus_quoted(s: str) -> list[str]:
+    """Split on '+' outside quoted literals."""
+    parts, cur, inq = [], [], None
+    for ch in s:
+        if inq:
+            cur.append(ch)
+            if ch == inq:
+                inq = None
+        elif ch in "'\"":
+            inq = ch
+            cur.append(ch)
+        elif ch == "+":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
 
 
 def out_columns(qg: QueryGraph) -> set[str]:
@@ -1013,6 +1097,7 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {a for _, _, _, a in qg.coalesce_returns}
         | {a for _, a in qg.id_returns}
         | {a for _, a in qg.labels_returns}
+        | {a for _, a in qg.concat_returns}
     )
 
 

@@ -358,13 +358,26 @@ class PropertyGraph:
         return ids
 
     def _node_set_filtered(self, label: str | None, prop_filters=(), or_groups=()) -> DataFrame:
+        from ..cypher.parser import ID_PROP
+
         df = self.nodes
         if label is not None:
             df = df.filter(F.col("label") == label)
-        if "props" not in df.columns:
+        needs_props = any(
+            f.prop != ID_PROP
+            for fs in (prop_filters, *or_groups)
+            for f in fs
+        )
+        if needs_props and "props" not in df.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
 
         def cond(f):
+            if f.prop == ID_PROP:
+                # id(b) predicate (round-8): the physical id column —
+                # exact for ids < 2^53 under the double comparison
+                return _PRED_OPS[f.op](
+                    F.col("id").cast("double"), F.lit(f.value)
+                )
             c = F.col("props").getItem(f.prop)
             fn = getattr(f, "fn", None)
             if fn is not None:

@@ -38,6 +38,7 @@ import re
 from ..checkpointing import iter_checkpoint
 from ..cypher.parser import (
     CypherParseError,
+    ID_PROP,
     expr_prop_leaves,
     PatternEdge,
     QueryGraph,
@@ -1719,6 +1720,13 @@ def plan_match(
         for f in filters_by_binding().get(binding, ()):
             if f.fn is not None:
                 continue  # function-wrapped prop: unestimated (bound kept)
+            if f.prop == ID_PROP:
+                # id(b) equality hits exactly one node of the label set
+                if f.op == "=":
+                    card = stats.label_card(qg.labels.get(binding))
+                    if card:
+                        sel *= 1.0 / card
+                continue  # range/inequality on id: unestimated
             s = stats.pred_sel(
                 graph.nodes, qg.labels.get(binding), f.prop, f.op, f.value, f.is_num
             )
@@ -1929,7 +1937,9 @@ def plan_match(
         b for _, b, _, _ in qg.string_fn_returns
     ] + [b for b, _, _, _ in qg.coalesce_returns] + [
         b for b, _ in qg.id_returns
-    ] + [b for b, _ in qg.labels_returns]
+    ] + [b for b, _ in qg.labels_returns] + [
+        p[1] for parts, _ in qg.concat_returns for p in parts if p[0] == "prop"
+    ]
     agg_bindings = [
         a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
     ]
@@ -2297,6 +2307,10 @@ def plan_match(
         prop_cols.setdefault(b, []).append((pp, f"_sf_{a}"))
     for b, pp, _dflt, a in qg.coalesce_returns:
         prop_cols.setdefault(b, []).append((pp, f"_cl_{a}"))
+    for parts, a in qg.concat_returns:
+        for i, p in enumerate(parts):
+            if p[0] == "prop":
+                prop_cols.setdefault(p[1], []).append((p[2], f"_cc_{a}_{i}"))
     for b, cols in prop_cols.items():
         n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))
         out = out.join(n, on=b, how="left")
@@ -2361,6 +2375,16 @@ def plan_match(
     for _b, _pp, dflt, a in qg.coalesce_returns:
         out = out.withColumn(a, F.coalesce(F.col(f"_cl_{a}"), F.lit(dflt)))
         coalesce_aliases.append(a)
+    # string concatenation (round-8): NULL-propagating like openCypher's
+    # + (and SQL ||) — F.concat is NULL if any operand is NULL
+    concat_aliases = []
+    for parts, a in qg.concat_returns:
+        cols = [
+            F.lit(p[1]) if p[0] == "lit" else F.col(f"_cc_{a}_{i}")
+            for i, p in enumerate(parts)
+        ]
+        out = out.withColumn(a, F.concat(*cols))
+        concat_aliases.append(a)
     plain_expr_aliases = []
     for it in qg.expr_returns:
         col = _expr_col(it.expr)
@@ -2372,7 +2396,8 @@ def plan_match(
     group_cols = (
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
         + path_len_aliases + plain_expr_aliases + string_fn_aliases
-        + coalesce_aliases + id_aliases + labels_aliases + carry_extras
+        + coalesce_aliases + concat_aliases + id_aliases + labels_aliases
+        + carry_extras
     )
     expr_aggs = [it for it in qg.expr_returns if it.agg is not None]
     if qg.aggregates or expr_aggs:
@@ -2458,7 +2483,7 @@ def plan_match(
     elif (
         qg.prop_returns or qg.edge_prop_returns or qg.expr_returns
         or qg.string_fn_returns or qg.coalesce_returns
-        or qg.id_returns or qg.labels_returns
+        or qg.id_returns or qg.labels_returns or qg.concat_returns
     ):
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is

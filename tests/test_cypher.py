@@ -431,3 +431,71 @@ def test_where_regex_predicate(spark):
         g, "MATCH (a:A)-[:E]->(b:B) WHERE a.name =~ 'NATION_1' RETURN a, b"
     ).collect()
     assert [(r.a, r.b) for r in got] == [(1, 10)]
+
+
+def test_string_concatenation_return(spark):
+    """`a.p + '_' + b.q AS x` (round-8): string-concat chains of props
+    and quoted literals; NULL-propagating like openCypher's + (a NULL
+    prop nulls the whole result, it does not render as 'null')."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "ann", "seg": "S1"}), (2, "A", {"name": "bob"}),
+         (10, "B", {"name": "x"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (2, 10, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = sorted((r.a, r.tag) for r in run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN a, a.name + '_' + b.name AS tag"
+    ).collect())
+    assert got == [(1, "ann_x"), (2, "bob_x")]
+    got = sorted((r.a, r.tag) for r in run_cypher(
+        g, "MATCH (a:A) RETURN a, a.seg + '!' AS tag"
+    ).collect())
+    assert got == [(1, "S1!"), (2, None)]
+    # concat result as a grouping key
+    got = run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN b.name + '!' AS bn, count(a) AS n"
+    ).collect()
+    assert [(r.bn, r.n) for r in got] == [("x!", 2)]
+    # numeric arithmetic is NOT hijacked by the concat branch
+    nodes2 = spark.createDataFrame(
+        [(1, "N", {"x": "2"})], "id long, label string, props map<string,string>"
+    )
+    g2 = PropertyGraph(nodes2, spark.createDataFrame([], "src long, dst long, type string"), spark)
+    assert run_cypher(g2, "MATCH (n:N) RETURN n, n.x + 1 AS y").collect()[0].y == 3.0
+    from g4s_spark.cypher import CypherParseError
+    with pytest.raises(CypherParseError, match="concat"):
+        run_cypher(g, "MATCH (a:A) RETURN a, a.name + '_' + 3 AS t")
+
+
+def test_where_id_predicate(spark):
+    """WHERE id(b) <op> n (round-8): scan-pushed point/range lookups on
+    the node id."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"v": "a"}), (2, "A", {"v": "b"}), (3, "A", {"v": "c"}),
+         (10, "B", {"v": "x"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (2, 10, "E"), (3, 10, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    q = lambda c: sorted(
+        r.a for r in run_cypher(g, f"MATCH (a:A) WHERE {c} RETURN a").collect()
+    )
+    assert q("id(a) = 2") == [2]
+    assert q("id(a) <= 2") == [1, 2]
+    assert q("id(a) <> 2") == [1, 3]
+    # combines with prop predicates and pattern joins
+    got = run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) WHERE id(a) >= 2 AND a.v = 'b' RETURN a, b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [(2, 10)]

@@ -120,7 +120,7 @@ def test_window_ledger_history_is_append_only():
         # CORRECTNESS_r08 exists yet): session-2 debuts swapped in for
         # the non-mandated r5 stragglers. Only PAST (driver-checked)
         # rounds are immutable.
-        "8": "fa9c2e12efd832f6",
+        "8": "806d7d6bc63c4b82",
     }
     ledger = json.load(open("/root/repo/WINDOW_LEDGER.json"))
     assert set(ledger) == set(digests), (
