@@ -196,6 +196,10 @@ class QueryGraph:
     # — (parts, alias) where parts is a tuple of ("prop", binding, prop)
     # and ("lit", text) nodes; NULL-propagating like openCypher's +
     concat_returns: list[tuple[tuple, str]] = field(default_factory=list)
+    # keys(n) / properties(n) RETURN items (round-8): (binding, alias,
+    # with_values) — sorted comma-joined key list, or k=v pair list
+    # (scalar-contract rendering of openCypher's list/map, like labels)
+    keys_returns: list[tuple[str, str, bool]] = field(default_factory=list)
     # labels(n) RETURN items (round-8): (binding, alias) — the node's
     # label set rendered as a sorted comma-joined STRING (openCypher
     # returns a list; the driver contract is scalar columns only —
@@ -995,7 +999,8 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
             qg.concat_returns.append((tuple(parts), ccm.group("alias")))
             continue
         gfm = re.fullmatch(
-            r"(?i)(?P<fn>id|labels|type)\s*\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?i)(?P<fn>id|labels|type|keys|properties)\s*\(\s*"
+            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
             r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
             name,
         )
@@ -1015,8 +1020,11 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
             elif fn == "id":
                 qg.id_returns.append((b, alias))
-            else:
+            elif fn == "labels":
                 qg.labels_returns.append((b, alias))
+            else:
+                # keys()/properties(): sorted comma-joined rendering
+                qg.keys_returns.append((b, alias, fn == "properties"))
             continue
         pm = re.fullmatch(
             r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
@@ -1053,7 +1061,7 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         qg.returns or qg.prop_returns or qg.edge_prop_returns or qg.aggregates
         or qg.path_lengths or qg.expr_returns or qg.string_fn_returns
         or qg.coalesce_returns or qg.id_returns or qg.labels_returns
-        or qg.concat_returns
+        or qg.concat_returns or qg.keys_returns
     ):
         raise CypherParseError("empty RETURN")
 
@@ -1098,6 +1106,7 @@ def out_columns(qg: QueryGraph) -> set[str]:
         | {a for _, a in qg.id_returns}
         | {a for _, a in qg.labels_returns}
         | {a for _, a in qg.concat_returns}
+        | {a for _, a, _w in qg.keys_returns}
     )
 
 

@@ -911,3 +911,67 @@ def strongly_connected_components(
     if assigned is None:
         return nodes.select("id", F.col("id").alias("scc"))
     return assigned
+
+
+def eigenvector_centrality(
+    graph: PropertyGraph, iters: int = 10
+) -> DataFrame:
+    """Fixed-iteration eigenvector centrality by power iteration on the
+    IN-edge sum (Bonacich): x_{t+1}(v) = Σ_{u->v} x_t(u), L1-normalized
+    each step (the normalization order is pinned — sum first, divide
+    after — so an unrolled-SQL oracle reproduces the doubles exactly up
+    to the usual aggregation-order rounding). Isolated/no-inlink nodes
+    decay to 0, per the standard definition on directed graphs. Returns
+    (id long, ec double).
+
+    Scale shape: identical to pagerank — each iteration is one join +
+    one dst-keyed aggregation with map-side combine, only the score
+    vector moves, periodic lineage cut."""
+    nodes = graph.nodes.select("id").dropDuplicates(["id"]).cache()
+    e = graph.edges.select("src", "dst").cache()
+    try:
+        n = nodes.count()
+        x = nodes.withColumn("ec", F.lit(1.0 / n))
+        for i in range(iters):
+            msgs = (
+                x.join(e, x.id == e.src)
+                .select(F.col("dst").alias("id"), F.col("ec"))
+                .groupBy("id")
+                .agg(F.sum("ec").alias("m"))
+            )
+            x = nodes.join(msgs, on="id", how="left").select(
+                "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("ec")
+            )
+            total = x.agg(F.sum("ec")).collect()[0][0]
+            if not total:
+                # no cycles feed back — every score hit 0; stop early
+                break
+            x = x.select("id", (F.col("ec") / F.lit(float(total))).alias("ec"))
+            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+                x = iter_checkpoint(x)
+    finally:
+        nodes.unpersist()
+        e.unpersist()
+    return x
+
+
+def condensation(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """The SCC-contracted quotient graph (condensation): each strongly
+    connected component becomes one node (its min member id), every
+    cross-component edge becomes one distinct (src_scc, dst_scc) edge.
+    The result is a DAG by construction — the standard preprocessing
+    step before topological layering / dependency scheduling. Returns
+    (src long, dst long) over component ids.
+
+    Scale shape: SCC (see strongly_connected_components) + two
+    id-keyed joins of the slim (id, scc) map onto the edge list + one
+    distinct — nothing beyond the SCC cost."""
+    scc = strongly_connected_components(edges, max_iters=max_iters)
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    return (
+        e.join(scc.withColumnRenamed("id", "src").withColumnRenamed("scc", "_s"), on="src")
+        .join(scc.withColumnRenamed("id", "dst").withColumnRenamed("scc", "_d"), on="dst")
+        .filter(F.col("_s") != F.col("_d"))
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )

@@ -1939,7 +1939,7 @@ def plan_match(
         b for b, _ in qg.id_returns
     ] + [b for b, _ in qg.labels_returns] + [
         p[1] for parts, _ in qg.concat_returns for p in parts if p[0] == "prop"
-    ]
+    ] + [b for b, _, _w in qg.keys_returns]
     agg_bindings = [
         a.binding for a in qg.aggregates if a.binding != "*" and not a.on_edge
     ]
@@ -2367,6 +2367,32 @@ def plan_match(
             )
             labels_aliases.append(a)
             steps.append(("resolve_labels", b))
+    # keys(b)/properties(b): one props-map join per binding (deduped on
+    # id — a multi-label node carries identical props on each label
+    # row), rendered sorted so the result is deterministic
+    keys_aliases = []
+    for b, a, with_values in qg.keys_returns:
+        n = (
+            graph.nodes.select(
+                F.col("id").alias(b), F.col("props").alias(f"_kp_{a}")
+            ).dropDuplicates([b])
+        )
+        out = out.join(n, on=b, how="left")
+        if with_values:
+            rendered = F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_entries(F.col(f"_kp_{a}"))),
+                    lambda s: F.concat(s.key, F.lit("="), s.value),
+                ),
+            )
+        else:
+            rendered = F.concat_ws(
+                ",", F.array_sort(F.map_keys(F.col(f"_kp_{a}")))
+            )
+        out = out.withColumn(a, rendered).drop(f"_kp_{a}")
+        keys_aliases.append(a)
+        steps.append(("resolve_keys", b, with_values))
     string_fn_aliases = []
     for fn, _b, _pp, a in qg.string_fn_returns:
         out = out.withColumn(a, apply_scalar_fn(fn, F.col(f"_sf_{a}")))
@@ -2397,7 +2423,7 @@ def plan_match(
         qg.returns + [a for _, _, a in qg.prop_returns] + sorted(edge_alias_set)
         + path_len_aliases + plain_expr_aliases + string_fn_aliases
         + coalesce_aliases + concat_aliases + id_aliases + labels_aliases
-        + carry_extras
+        + keys_aliases + carry_extras
     )
     expr_aggs = [it for it in qg.expr_returns if it.agg is not None]
     if qg.aggregates or expr_aggs:
@@ -2484,6 +2510,7 @@ def plan_match(
         qg.prop_returns or qg.edge_prop_returns or qg.expr_returns
         or qg.string_fn_returns or qg.coalesce_returns
         or qg.id_returns or qg.labels_returns or qg.concat_returns
+        or qg.keys_returns
     ):
         # distinct matches projected to properties; duplicates from shared
         # property values are kept (the match set, not the value set, is

@@ -400,3 +400,52 @@ def test_strongly_connected_components(spark):
         (r.id, r.scc) for r in strongly_connected_components(two).collect()
     )
     assert got == [(10, 10), (11, 10), (20, 20), (21, 20)]
+
+
+def test_eigenvector_centrality(spark):
+    """Power iteration on the in-edge sum, L1-normalized per step —
+    checked against a numpy replica on a small cyclic graph."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import eigenvector_centrality
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 1)]
+    nodes = spark.createDataFrame([(i, "N") for i in range(4)], "id long, label string")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    g = PropertyGraph(nodes, edges.withColumn("type", F.lit("E")), spark)
+    got = {r.id: r.ec for r in eigenvector_centrality(g, iters=8).collect()}
+
+    x = np.full(4, 0.25)
+    A = np.zeros((4, 4))
+    for s, d in edge_list:
+        A[s, d] = 1.0
+    for _ in range(8):
+        x = A.T @ x
+        x = x / x.sum()
+    for i in range(4):
+        assert got[i] == pytest.approx(x[i], rel=1e-9), i
+    # node 3 has no in-links: decays to 0
+    assert got[3] == 0.0
+    # a pure DAG: all mass dies, early-stop returns zeros
+    dag = PropertyGraph(
+        nodes, spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long").withColumn("type", F.lit("E")), spark
+    )
+    got = {r.id: r.ec for r in eigenvector_centrality(dag, iters=8).collect()}
+    assert set(got.values()) == {0.0}
+
+
+def test_condensation(spark):
+    """SCC-contracted quotient graph is a DAG with one edge per distinct
+    cross-component pair."""
+    from g4s_spark.operators import condensation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (4, 3), (4, 5)],
+        "src long, dst long",
+    )
+    got = sorted((r.src, r.dst) for r in condensation(edges).collect())
+    # components: {1,2} -> 1, {3,4} -> 3, {5} -> 5
+    assert got == [(1, 3), (3, 5)]

@@ -499,3 +499,29 @@ def test_where_id_predicate(spark):
         g, "MATCH (a:A)-[:E]->(b:B) WHERE id(a) >= 2 AND a.v = 'b' RETURN a, b"
     ).collect()
     assert [(r.a, r.b) for r in got] == [(2, 10)]
+
+
+def test_keys_properties_functions(spark):
+    """keys(n)/properties(n) (round-8): sorted comma-joined key list /
+    k=v pair list (scalar rendering, like labels())."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"b_key": "2", "a_key": "1"}), (2, "A", {}), (10, "B", {"z": "9"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (2, 10, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = {r.a: (r.ks, r.ps) for r in run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN a, keys(a) AS ks, properties(a) AS ps"
+    ).collect()}
+    assert got[1] == ("a_key,b_key", "a_key=1,b_key=2")
+    assert got[2] == ("", "")
+    # grouping key + combination with other introspection fns
+    got = run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) RETURN keys(b) AS ks, count(a) AS n"
+    ).collect()
+    assert [(r.ks, r.n) for r in got] == [("z", 2)]

@@ -583,3 +583,46 @@ def test_graphdb_update_routes_delete_and_remove(spark):
     assert all(
         r.props is None or "k" not in r.props for r in g2.nodes.collect()
     )
+
+
+def test_graph_save_load_roundtrip(spark, tmp_path):
+    """save_graph/load_graph (round-8): label/type-partitioned parquet
+    layout; a label scan after reload is DIRECTORY pruning (the filter
+    lands in PartitionFilters, not a row-level scan filter)."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.graph import PropertyGraph, load_graph, save_graph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"v": "x"}), (2, "A", {"v": "y"}), (10, "B", {"v": "z"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E", 1.5), (2, 10, "F", 2.5)],
+        "src long, dst long, type string, weight double",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    path = str(tmp_path / "g")
+    save_graph(g, path)
+    g2 = load_graph(spark, path)
+    assert sorted((r.id, r.label) for r in g2.nodes.collect()) == [
+        (1, "A"), (2, "A"), (10, "B")
+    ]
+    assert sorted((r.src, r.dst, r.type, r.weight) for r in g2.edges.collect()) == [
+        (1, 10, "E", 1.5), (2, 10, "F", 2.5)
+    ]
+    # queries run on the reloaded graph
+    got = run_cypher(g2, "MATCH (a:A)-[:E]->(b:B) RETURN a, b").collect()
+    assert [(r.a, r.b) for r in got] == [(1, 10)]
+    # the label predicate is partition pruning, not a data filter
+    plan = (
+        g2.nodes.filter(F.col("label") == "A")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:120]
+    # typed-edge scan prunes on the type partition the same way
+    plan = (
+        g2.typed_edges(["E"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "type" in plan.split("PartitionFilters")[1][:120]
