@@ -1066,6 +1066,66 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         raise CypherParseError("empty RETURN")
 
 
+_PARAM = re.compile(r"\$(?P<name>[A-Za-z_][A-Za-z0-9_]*)")
+
+
+def bind_params(query: str, params: dict | None) -> str:
+    """Substitute ``$name`` parameters with literals before parsing
+    (openCypher query parameters; the reference surface has none).
+    Values render as: str -> single-quoted (rejecting embedded quotes —
+    the grammar's literals carry no escapes), int/float -> plain
+    numeric, list -> bracket list of the same renderings (for IN).
+    Parameters inside quoted literals are left alone. A ``$name`` with
+    no binding raises; unused bindings are ignored (openCypher)."""
+    params = params or {}
+
+    def render(v) -> str:
+        if isinstance(v, bool):
+            raise CypherParseError(
+                "boolean parameters are unsupported (props are strings)"
+            )
+        if isinstance(v, str):
+            if "'" in v or '"' in v:
+                raise CypherParseError(
+                    f"string parameter contains a quote (literals carry "
+                    f"no escapes): {v!r}"
+                )
+            return f"'{v}'"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(render(x) for x in v) + "]"
+        raise CypherParseError(f"unsupported parameter type: {type(v).__name__}")
+
+    out, i, inq = [], 0, None
+    while i < len(query):
+        ch = query[i]
+        if inq:
+            out.append(ch)
+            if ch == inq:
+                inq = None
+            i += 1
+            continue
+        if ch in "'\"":
+            inq = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "$":
+            m = _PARAM.match(query, i)
+            if not m:
+                raise CypherParseError(f"bad parameter reference at: {query[i:i+20]!r}")
+            name = m.group("name")
+            if name not in params:
+                raise CypherParseError(f"missing query parameter: ${name}")
+            out.append(render(params[name]))
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _strip_quoted(s: str) -> str:
     """The string with quoted spans removed — for operator detection
     outside literals."""

@@ -560,3 +560,36 @@ def hard_negatives(
         (F.col("cos") >= min_sim) & (F.col("cos") < max_sim)
     )
     return _rank_topk(scored, k)
+
+
+def recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall of an ANN result against its exact baseline: per query,
+    the fraction of the exact neighbor set the approximate method
+    recovered — the evaluation loop every LSH/IVF parameter choice
+    should close (the r1->r5 ann_lsh recall fix was found exactly this
+    way). Inputs are (query, id) pair sets; returns (query, n_exact,
+    n_hit, recall). One semi-join + two slim aggregates — runs at any
+    scale the candidate sets themselves reach."""
+    pairs = [query_col, id_col]
+    ex = exact.select(*pairs).dropDuplicates(pairs)
+    hit = ex.join(
+        approx.select(*pairs).dropDuplicates(pairs), on=pairs, how="left_semi"
+    )
+    n_ex = ex.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hit.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_ex.join(n_hit, on=query_col, how="left")
+        .select(
+            query_col,
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )

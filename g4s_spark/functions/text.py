@@ -440,3 +440,68 @@ def dedup_lines(
             .alias("n_removed"),
         )
     )
+
+
+def common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The boilerplate-segment index dedup_lines derives internally:
+    one ``line`` column of segments appearing in >= ``min_docs``
+    distinct documents. Persist it (parquet) to reuse across ingest
+    batches — the corpus is scanned once, not per batch."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+
+
+def dedup_lines_against(
+    new_docs: DataFrame,
+    line_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """dedup_lines, but against a PRE-BUILT boilerplate index
+    (common_lines): the ingest batch is segmented and anti-joined on
+    the segment — the corpus is never rescanned; the line-level twin of
+    dedup_against_index. On a STREAMING ``new_docs`` the anti-join is
+    stream-static and stateless, and the surviving (id, pos, line) rows
+    are returned UN-reassembled (a per-doc reassembly aggregate would
+    be unbounded state; reassemble per micro-batch in foreachBatch)."""
+    import re as _re
+
+    lines = new_docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    kept = lines.join(
+        line_index.select("line").dropDuplicates(["line"]),
+        on="line", how="left_anti",
+    )
+    if new_docs.isStreaming:
+        return kept
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

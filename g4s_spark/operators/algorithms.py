@@ -975,3 +975,52 @@ def condensation(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+
+
+def topological_layers(edges: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Longest-path layering of a DAG: layer(v) = 0 for sources,
+    else 1 + max(layer of predecessors) — the canonical dependency-
+    scheduling order (run condensation() first if the graph may have
+    cycles; a cycle here raises rather than looping forever). Returns
+    (id long, layer long).
+
+    Scale shape: semi-naive max-propagation — each round relaxes only
+    edges out of last round's changed set (one src-keyed join + one
+    dst-keyed max aggregate), lineage cut per round; rounds = DAG
+    depth."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).cache()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    try:
+        layer = iter_checkpoint(nodes.withColumn("layer", F.lit(0).cast("long")))
+        delta = layer
+        for _ in range(max_iters):
+            cand = (
+                delta.join(e, delta.id == e.src)
+                .select(F.col("dst").alias("id"), (F.col("layer") + 1).alias("l"))
+                .groupBy("id")
+                .agg(F.max("l").alias("l"))
+            )
+            improved = (
+                cand.join(layer, on="id")
+                .filter(F.col("l") > F.col("layer"))
+                .select("id", F.col("l").alias("layer"))
+            )
+            improved = iter_checkpoint(improved)
+            if improved.limit(1).count() == 0:
+                return layer
+            layer = iter_checkpoint(
+                layer.join(improved.select("id"), on="id", how="left_anti")
+                .unionByName(improved)
+            )
+            delta = improved
+        raise RuntimeError(
+            f"topological_layers exceeded {max_iters} rounds — the input "
+            "has a cycle (or a longer critical path; raise max_iters). "
+            "Run condensation() first for a general directed graph."
+        )
+    finally:
+        e.unpersist()

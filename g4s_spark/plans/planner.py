@@ -39,6 +39,7 @@ from ..checkpointing import iter_checkpoint
 from ..cypher.parser import (
     CypherParseError,
     ID_PROP,
+    bind_params,
     expr_prop_leaves,
     PatternEdge,
     QueryGraph,
@@ -143,13 +144,21 @@ def _split_union(query: str) -> tuple[list[str], bool]:
     return segs, alls[0]
 
 
-def run_cypher(graph: PropertyGraph, query: str, resolve: bool = False) -> DataFrame:
+def run_cypher(
+    graph: PropertyGraph,
+    query: str,
+    resolve: bool = False,
+    params: dict | None = None,
+) -> DataFrame:
     """Parse + plan + emit. Result: one column per returned binding holding
     node ids; with resolve=True, payload rows (id + label per binding,
     Readme.md:66-70 result semantics). Queries with top-level WITH run as
     a stage pipeline; UNION [ALL] combines same-shaped sub-queries; a
     leading UNWIND over a literal list cross-multiplies the match rows
-    (all extensions beyond the reference surface)."""
+    (all extensions beyond the reference surface). ``params`` binds
+    ``$name`` query parameters as literals before parsing (round-8)."""
+    if params is not None:
+        query = bind_params(query, params)
     segs, union_all = _split_union(query)
     if len(segs) > 1:
         dfs = [run_cypher(graph, s, resolve=resolve) for s in segs]

@@ -449,3 +449,24 @@ def test_condensation(spark):
     got = sorted((r.src, r.dst) for r in condensation(edges).collect())
     # components: {1,2} -> 1, {3,4} -> 3, {5} -> 5
     assert got == [(1, 3), (3, 5)]
+
+
+def test_topological_layers(spark):
+    """Longest-path layering; cycles raise instead of spinning."""
+    import pytest as _pytest
+
+    from g4s_spark.operators import condensation, topological_layers
+
+    dag = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.id: r.layer for r in topological_layers(dag).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        topological_layers(cyc, max_iters=8)
+    # the documented recipe: condensation first, then layer
+    got = {r.id: r.layer for r in topological_layers(condensation(cyc.unionByName(
+        spark.createDataFrame([(2, 3)], "src long, dst long")
+    ))).collect()}
+    assert got == {1: 0, 3: 1}

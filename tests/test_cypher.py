@@ -525,3 +525,35 @@ def test_keys_properties_functions(spark):
         g, "MATCH (a:A)-[:E]->(b:B) RETURN keys(b) AS ks, count(a) AS n"
     ).collect()
     assert [(r.ks, r.n) for r in got] == [("z", 2)]
+
+
+def test_query_parameters(spark):
+    """$param binding (round-8): literals substituted outside quotes;
+    strings quote, numbers stay numeric, lists feed IN."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "ann", "bal": "5"}),
+         (2, "A", {"name": "bob", "bal": "9"})],
+        "id long, label string, props map<string,string>",
+    )
+    g = PropertyGraph(
+        nodes, spark.createDataFrame([], "src long, dst long, type string"), spark
+    )
+    q = "MATCH (a:A) WHERE a.name = $nm RETURN a"
+    assert [r.a for r in run_cypher(g, q, params={"nm": "bob"}).collect()] == [2]
+    q = "MATCH (a:A) WHERE a.bal >= $min RETURN a"
+    assert sorted(r.a for r in run_cypher(g, q, params={"min": 5}).collect()) == [1, 2]
+    q = "MATCH (a:A) WHERE a.name IN $names RETURN a"
+    assert sorted(
+        r.a for r in run_cypher(g, q, params={"names": ["ann", "bob"]}).collect()
+    ) == [1, 2]
+    # $ inside a quoted literal is data, not a parameter
+    q = "MATCH (a:A) WHERE a.name = '$nm' RETURN a"
+    assert run_cypher(g, q, params={"nm": "x"}).collect() == []
+    from g4s_spark.cypher import CypherParseError
+    with pytest.raises(CypherParseError, match="missing query parameter"):
+        run_cypher(g, "MATCH (a:A) WHERE a.name = $nope RETURN a", params={})
+    with pytest.raises(CypherParseError, match="quote"):
+        run_cypher(g, "MATCH (a:A) WHERE a.name = $nm RETURN a", params={"nm": "x'y"})

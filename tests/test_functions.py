@@ -511,3 +511,38 @@ def test_dedup_lines(spark):
     )
     got2 = {r.doc_id: r.text for r in dedup_lines(df2, sep="|").collect()}
     assert got2 == {1: "b", 2: "c"}
+
+
+def test_common_lines_and_dedup_against(spark):
+    """Prebuilt boilerplate index + batch/stream probes (round-8)."""
+    from g4s_spark.functions.text import common_lines, dedup_lines_against
+
+    corpus = spark.createDataFrame(
+        [(1, "HEADER\nbody a\nFOOTER"), (2, "HEADER\nbody b\nFOOTER")],
+        "doc_id long, text string",
+    )
+    idx = common_lines(corpus, min_docs=2)
+    assert sorted(r.line for r in idx.collect()) == ["FOOTER", "HEADER"]
+    new = spark.createDataFrame(
+        [(10, "HEADER\nfresh text\nFOOTER"), (11, "HEADER\nFOOTER")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept)
+           for r in dedup_lines_against(new, idx).collect()}
+    assert got[10] == ("fresh text", 1)
+    assert 11 not in got  # every segment was boilerplate; no kept rows
+
+
+def test_recall_report(spark):
+    from g4s_spark.functions.similarity import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], "query_id long, vec_id long"
+    )
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall)
+           for r in recall_report(approx, exact).collect()}
+    assert got[1] == (3, 2, pytest.approx(2 / 3))
+    assert got[2] == (1, 0, 0.0)
