@@ -1048,6 +1048,17 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
         ):
             _try_parse_expr_item(qg, name)
             continue
+        am = re.fullmatch(
+            r"(?i)(?P<n>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+            r"(?P<a>[A-Za-z_][A-Za-z0-9_]*)",
+            name,
+        )
+        if am and am.group("n") in qg.labels:
+            # RETURN b AS alias (round-8): the binding's id column under
+            # a new name — shares id()'s zero-cost projection path (the
+            # shape UNION sides need to line their columns up)
+            qg.id_returns.append((am.group("n"), am.group("a")))
+            continue
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name in qg.paths or name in qg.opt_paths:

@@ -3,6 +3,7 @@ from .planner import (
     PlannedQuery,
     plan_match,
     run_cypher,
+    explain_cypher,
     run_cypher_delete,
     run_cypher_merge,
     run_cypher_remove,
@@ -10,7 +11,7 @@ from .planner import (
 )
 
 __all__ = [
-    "run_cypher", "run_cypher_set", "run_cypher_merge", "run_cypher_delete",
+    "run_cypher", "explain_cypher", "run_cypher_set", "run_cypher_merge", "run_cypher_delete",
     "run_cypher_remove", "plan_match", "PlannedQuery", "expand_card",
     "filter_card", "step_cost",
 ]

@@ -2846,3 +2846,47 @@ def _choose_join_order(edges, edge_est) -> list:
             if key not in best or new_cost < best[key][0]:
                 best[key] = (new_cost, new_card, order + (j,))
     return [edges[i] for i in best[full][2]]
+
+
+def explain_cypher(
+    graph: PropertyGraph,
+    query: str,
+    params: dict | None = None,
+    spark_plan: bool = False,
+) -> str:
+    """EXPLAIN for the Cypher front-end (round-8): the planner's
+    logical step trace — scans (with reuse), label semi-joins, the
+    chosen join order (chain vs bushy), optional groups, property
+    resolution, aggregation, order/limit — plus the cost-model
+    estimate, and optionally Spark's own plan underneath
+    (``spark_plan=True``). Compound queries (UNION / leading UNWIND /
+    WITH pipelines) explain each segment-planned DataFrame only at the
+    Spark level; the single-MATCH form carries the full step trace.
+
+    This is the user-facing twin of the plan-shape tests: the steps
+    come from the SAME PlannedQuery.steps channel those tests pin, so
+    what EXPLAIN prints is what the planner provably did."""
+    if params is not None:
+        query = bind_params(query, params)
+    lines: list[str] = []
+    segs, _union_all = _split_union(query)
+    compound = len(segs) > 1 or _UNWIND.match(query) or split_with(query) is not None
+    if compound:
+        df = run_cypher(graph, query)
+        lines.append(
+            "compound query (UNION / UNWIND / WITH pipeline): stage-level "
+            "step traces are internal; Spark plan reflects the composed job"
+        )
+        spark_plan = True
+    else:
+        qg = parse(query)
+        planned = plan_match(graph, qg)
+        df = planned.df
+        lines.append(f"estimated cost: {planned.cost:,.1f}")
+        for s in planned.steps:
+            kind, args = s[0], s[1:]
+            lines.append(f"  {kind}: " + ", ".join(repr(a) for a in args))
+    if spark_plan:
+        lines.append("-- spark physical plan --")
+        lines.append(df._jdf.queryExecution().simpleString())
+    return "\n".join(lines)

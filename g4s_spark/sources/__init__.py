@@ -7,10 +7,14 @@ from .snapshots import (
     snapshot_corpus,
     snapshot_diff,
 )
-from .tables import DEFAULT_SF_DIR, TABLES, load_table, load_tables, register_views
+from .tables import (
+    DEFAULT_SF_DIR, DOCUMENTS_SCHEMA, TABLES, load_table, load_tables,
+    read_documents_jsonl, register_views, write_documents_jsonl,
+)
 
 __all__ = [
-    "DEFAULT_SF_DIR", "TABLES", "load_table", "load_tables", "register_views",
+    "DEFAULT_SF_DIR", "DOCUMENTS_SCHEMA", "TABLES", "load_table", "load_tables",
+    "read_documents_jsonl", "register_views", "write_documents_jsonl",
     "write_graph", "read_graph", "write_graph_bucketed", "read_graph_bucketed",
     "compact_parquet",
     "snapshot_corpus", "load_snapshot", "snapshot_diff", "read_manifest",

@@ -66,3 +66,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# the engine's documents schema (TESTDATA.md): explicit everywhere —
+# schema INFERENCE on JSON is itself a full scan, never acceptable at
+# 100 TB, so readers always declare it
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, source: str | None = None
+) -> DataFrame:
+    """Line-delimited JSON corpus ingest (the de-facto training-data
+    interchange format) under the engine's documents schema. The schema
+    is declared, not inferred (no sampling pre-scan). Missing fields
+    repair deterministically: ``source`` from the argument, ``doc_id``
+    as xxhash64(source, text) — stable across re-ingests of the same
+    file, so downstream exact-dedup collapses accidental double loads —
+    and ``n_chars`` from the text. Narrow column expressions only."""
+    df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if source is not None:
+        df = df.withColumn("source", F.coalesce(F.col("source"), F.lit(source)))
+    return df.withColumn(
+        "doc_id",
+        F.coalesce(F.col("doc_id"), F.xxhash64(F.col("source"), F.col("text"))),
+    ).withColumn(
+        "n_chars",
+        F.coalesce(F.col("n_chars"), F.length(F.col("text")).cast("long")),
+    )
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: tuple[str, ...] = ("source",),
+) -> None:
+    """Export a documents table as JSONL partitioned by source (each
+    source a prunable directory — the layout downstream per-source
+    samplers and mix designers read without touching other sources)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

@@ -546,3 +546,39 @@ def test_recall_report(spark):
            for r in recall_report(approx, exact).collect()}
     assert got[1] == (3, 2, pytest.approx(2 / 3))
     assert got[2] == (1, 0, 0.0)
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    """JSONL corpus ingest/export (round-8): declared schema (no
+    inference scan), deterministic doc_id/n_chars repair, source
+    partitioning on export."""
+    import json
+    import os
+
+    from g4s_spark.sources import read_documents_jsonl, write_documents_jsonl
+
+    raw = tmp_path / "in.jsonl"
+    raw.write_text(
+        "\n".join([
+            json.dumps({"doc_id": 7, "text": "hello world", "lang": "en",
+                        "source": "web", "n_chars": 11}),
+            json.dumps({"text": "no id here"}),          # everything missing
+            json.dumps({"text": "no id here"}),          # duplicate line
+        ])
+    )
+    df = read_documents_jsonl(spark, str(raw), source="crawl")
+    rows = {(r.doc_id, r.text): (r.source, r.n_chars) for r in df.collect()}
+    assert rows[(7, "hello world")] == ("web", 11)       # present fields kept
+    # repaired rows: deterministic id (same for the duplicate), source + len
+    repaired = [k for k in rows if k[1] == "no id here"]
+    # the duplicate line got the SAME deterministic id -> one dict key
+    assert len(repaired) == 1
+    assert rows[repaired[0]] == ("crawl", 10)
+    # export partitions by source
+    out = tmp_path / "out"
+    write_documents_jsonl(df, str(out))
+    assert sorted(d for d in os.listdir(out) if d.startswith("source=")) == [
+        "source=crawl", "source=web"
+    ]
+    back = spark.read.json(str(out))
+    assert back.count() == 3

@@ -349,3 +349,44 @@ def test_edge_predicate_selectivity_flips_anchor(spark):
         g, parse("MATCH (a:A)-[e:X]->(b:B)-[:Y]->(c:C) WHERE e.weight < 3 RETURN c")
     )
     assert steps_of(sel, "scan")[0][1] == ("a", "b"), sel.steps
+
+
+def test_explain_cypher(spark):
+    """explain_cypher (round-8): the step trace comes from the same
+    PlannedQuery.steps channel the plan-shape tests pin."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import explain_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"v": "1"}), (10, "B", {"v": "2"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([(1, 10, "E")], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    txt = explain_cypher(g, "MATCH (a:A)-[:E]->(b:B) RETURN a, count(b) AS n")
+    assert "estimated cost" in txt
+    assert "semi" in txt and "aggregate" in txt
+    assert "spark physical plan" not in txt
+    txt = explain_cypher(g, "MATCH (a:A) RETURN a", spark_plan=True)
+    assert "spark physical plan" in txt and "Physical Plan" in txt
+    # compound queries fall back to the Spark-level plan
+    txt = explain_cypher(
+        g, "MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b AS a"
+    )
+    assert "compound query" in txt and "Physical Plan" in txt
+
+
+def test_return_binding_alias(spark):
+    """RETURN b AS alias (round-8): zero-cost id projection — the shape
+    UNION sides need to align columns."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {}), (10, "B", {})], "id long, label string, props map<string,string>"
+    )
+    edges = spark.createDataFrame([(1, 10, "E")], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    out = run_cypher(g, "MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b AS a")
+    assert out.columns == ["a"]
+    assert sorted(r.a for r in out.collect()) == [1, 10]
