@@ -593,3 +593,57 @@ def recall_report(
             ).alias("recall"),
         )
     )
+
+
+def save_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = LSH_BAND_PLANES,
+    n_bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> None:
+    """Persist the LSH corpus index (lsh_bucketed_corpus) as parquet
+    partitioned by band — the durable twin of the per-session cache,
+    mirroring the MinHash save_bucket_index: the 100 TB corpus is
+    banded ONCE, every later session/query probes the saved index. Band
+    partitioning means a per-band probe is directory pruning."""
+    lsh_bucketed_corpus(
+        emb, n_planes, n_bands, id_col, vec_col, use_cache=False
+    ).write.partitionBy("band").mode(mode).parquet(path)
+
+
+def load_ann_index(spark, path: str) -> DataFrame:
+    """Read a save_ann_index layout: (id, v, band, key)."""
+    df = spark.read.parquet(path)
+    return df.select("id", "v", "band", "key")
+
+
+def lsh_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = LSH_BAND_PLANES,
+    n_bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_topk probing a PRE-BUILT index (load_ann_index or the
+    session table) — the corpus embeddings are never re-banded. Same
+    candidate join + exact re-rank as lsh_topk."""
+    c = index.select(
+        F.col("id").alias("n_id"), F.col("v").alias("nv"), "band", "key"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+        )
+        .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    cand = c.join(F.broadcast(q), on=["band", "key"]).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
+    return _rank_topk(scored, k)

@@ -237,3 +237,27 @@ class GraphStats:
                 continue
             total += c
         return total
+
+
+def stats_to_dict(s: "GraphStats") -> dict:
+    """JSON-safe rendering (triplet keys join on \\x1f — labels/types
+    are identifiers, so the separator cannot collide)."""
+    return {
+        "node_count": s.node_count,
+        "edge_count": s.edge_count,
+        "label_counts": s.label_counts,
+        "type_counts": s.type_counts,
+        "triplet_counts": {
+            "\x1f".join(k): v for k, v in s.triplet_counts.items()
+        },
+    }
+
+
+def stats_from_dict(d: dict) -> "GraphStats":
+    return GraphStats(
+        d["node_count"],
+        d["edge_count"],
+        dict(d.get("label_counts", {})),
+        dict(d.get("type_counts", {})),
+        {tuple(k.split("\x1f")): v for k, v in d.get("triplet_counts", {}).items()},
+    )

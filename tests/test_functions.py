@@ -582,3 +582,48 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     ]
     back = spark.read.json(str(out))
     assert back.count() == 3
+
+
+def test_ann_index_save_load(spark, tmp_path):
+    """Durable LSH index (round-8): saved/loaded index probes return
+    the same top-k as the in-session lsh_topk; the saved layout is
+    band-partitioned."""
+    import os
+
+    from g4s_spark.functions.similarity import (
+        load_ann_index, lsh_topk, lsh_topk_from_index, save_ann_index,
+    )
+    from g4s_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    path = str(tmp_path / "annidx")
+    save_ann_index(emb, path)
+    assert any(d.startswith("band=") for d in os.listdir(path))
+    idx = load_ann_index(spark, path)
+    a = sorted(
+        (r.q_id, r.n_id) for r in lsh_topk_from_index(idx, queries, k=3).collect()
+    )
+    b = sorted((r.q_id, r.n_id) for r in lsh_topk(emb, queries, k=3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_graph_stats_persistence(spark, tmp_path):
+    """save_graph ANALYZE (round-8): load_graph pre-warms the cost
+    model from stats.json — no recompute scan."""
+    from g4s_spark.graph import PropertyGraph, load_graph, save_graph
+
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (10, "B")], "id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (2, 10, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    path = str(tmp_path / "g")
+    save_graph(g, path)
+    g2 = load_graph(spark, path)
+    assert g2._stats is not None  # warm before any query
+    assert g2.stats.label_counts == {"A": 2, "B": 1}
+    assert g2.stats.type_counts == {"E": 2}
+    assert g2.stats.triplet_counts == {("A", "E", "B"): 2}
