@@ -233,3 +233,36 @@ def deterministic_shuffle(
         )
         .drop("_h", "_shard")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column
+    whose value is a pure function of (key, seed) and the cumulative
+    weight intervals — stable across reruns, engines, partitionings and
+    cluster sizes (the property leakage-free evaluation sets need: a
+    document can NEVER migrate between train and test when the corpus
+    is re-processed). Weights must sum to 1 (±1e-9); interval order is
+    the sorted split name order, so the assignment is reproducible from
+    the weights dict alone. Narrow column expression — no shuffle, no
+    sampling pass."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    bucket = _md5_bucket(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < F.lit(int(acc * _SAMPLE_SPACE))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -3,6 +3,7 @@ from .algorithms import (
     eigenvector_centrality,
     condensation,
     topological_layers,
+    k_truss,
     bfs,
     connected_components,
     pagerank,
@@ -23,5 +24,5 @@ from .algorithms import (
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "closeness_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "closeness_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
 ]

@@ -1024,3 +1024,56 @@ def topological_layers(edges: DataFrame, max_iters: int = 64) -> DataFrame:
         )
     finally:
         e.unpersist()
+
+
+def k_truss(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
+    """The k-truss: the maximal subgraph in which every edge closes at
+    least k-2 triangles WITHIN the subgraph (undirected; Cohen 2008) —
+    the edge-level cohesion peel that pairs with node-level k_core.
+    Input edges are symmetrized; the result is the canonical (src <
+    dst) surviving edge set.
+
+    Each round: per-edge support = |N(src) ∩ N(dst)| by the standard
+    wedge join (edge ⋈ adjacency on src, semi-join the (dst, neighbor)
+    pair back against adjacency — the triangle_count shape, bounded by
+    wedge count, never |V|²), then drop edges under k-2 and repeat
+    until stable. Rounds are peel depth; lineage cut per round."""
+    if k < 3:
+        raise ValueError("k_truss needs k >= 3 (k-2 triangle support)")
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    e = iter_checkpoint(e)
+    for _ in range(max_iters):
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        )
+        wedges = e.join(
+            adj.withColumnRenamed("u", "a").withColumnRenamed("w", "x"), on="a"
+        ).filter(F.col("x") != F.col("b"))
+        closed = wedges.join(
+            adj.select(F.col("u").alias("b"), F.col("w").alias("x")),
+            on=["b", "x"],
+            how="left_semi",
+        )
+        support = closed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
+        kept = (
+            e.join(support, on=["a", "b"], how="left")
+            .filter(F.coalesce(F.col("_sup"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+        kept = iter_checkpoint(kept)
+        n_kept = kept.count()
+        if n_kept == e.count():
+            return kept.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        e = kept
+        if n_kept == 0:
+            return e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    raise RuntimeError(
+        f"k_truss did not stabilize within {max_iters} peel rounds; "
+        "raise max_iters"
+    )

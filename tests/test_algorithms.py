@@ -470,3 +470,31 @@ def test_topological_layers(spark):
         spark.createDataFrame([(2, 3)], "src long, dst long")
     ))).collect()}
     assert got == {1: 0, 3: 1}
+
+
+def test_k_truss(spark):
+    """k-truss peel: K4 is a 4-truss; pendant and bridge edges peel at
+    k=3; peeling cascades (an edge's support drops when its triangle
+    partners are removed)."""
+    import pytest as _pytest
+
+    from g4s_spark.operators import k_truss
+
+    # K4 on {1,2,3,4} plus a pendant edge 4-5
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+    got = sorted((r.src, r.dst) for r in k_truss(edges, k=3).collect())
+    assert got == sorted(k4)           # pendant edge peeled
+    got = sorted((r.src, r.dst) for r in k_truss(edges, k=4).collect())
+    assert got == sorted(k4)           # every K4 edge has support 2
+    got = k_truss(edges, k=5).collect()
+    assert got == []                   # nothing has support 3
+    # cascade: triangle 1-2-3 with a tail triangle 3-4-5 sharing node 3
+    # only via edge 3-4 — removing weak edges cascades
+    tri2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], "src long, dst long"
+    )
+    got = sorted((r.src, r.dst) for r in k_truss(tri2, k=3).collect())
+    assert got == [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+    with _pytest.raises(ValueError, match="k >= 3"):
+        k_truss(edges, k=2)

@@ -223,3 +223,27 @@ def test_token_budget_rates_validates_inputs(spark):
         token_budget_rates(docs, {"a": 1.0}, total_tokens=0)
     with _pytest.raises(ValueError, match="weight"):
         token_budget_rates(docs, {}, total_tokens=10)
+
+
+def test_split_corpus(spark):
+    """Deterministic train/val/test splits (round-8): stable across
+    reruns, proportions approximately honored, weights validated."""
+    import pytest as _pytest
+
+    from g4s_spark.functions.sampling import split_corpus
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in split_corpus(df, w).collect()}
+    b = {r.doc_id: r.split for r in split_corpus(df, w).collect()}
+    assert a == b                      # pure function of (key, seed)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 <= c["train"] / 2000 <= 0.85
+    assert 0.06 <= c["val"] / 2000 <= 0.14
+    # different seed reshuffles membership but keeps proportions
+    d = {r.doc_id: r.split for r in split_corpus(df, w, seed=7).collect()}
+    assert d != a
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.5})
