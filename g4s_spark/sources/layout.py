@@ -14,23 +14,54 @@ partition-only layout works with plain parquet paths.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 
+from ..graph.stats import stats_from_dict, stats_to_dict
 from ..graph.store import PropertyGraph
 
 
-def write_graph(g: PropertyGraph, path: str) -> None:
-    """Partition-pruned parquet layout (path-based, catalog-free)."""
+def write_graph(g: PropertyGraph, path: str, with_stats: bool = True) -> None:
+    """Partition-pruned parquet layout (path-based, catalog-free).
+
+    ``with_stats`` (default, round-8) also ANALYZEs the graph —
+    label/type cards and the exact (srcLabel, type, dstLabel) triplet
+    counts the cost model prefers — into <path>/stats.json, so a
+    read_graph'ed graph plans with a warm cost model instead of paying
+    the stats scan per session (the StatsStore-at-rest the reference
+    keeps only in memory, StatsStore.scala:111-255). Written via temp +
+    os.replace (the snapshot manifests' atomic-commit discipline)."""
     g.nodes.write.mode("overwrite").partitionBy("label").parquet(f"{path}/nodes")
     g.edges.write.mode("overwrite").partitionBy("type").parquet(f"{path}/edges")
+    if with_stats:
+        tmp = f"{path}/stats.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats_to_dict(g.stats), fh)
+        os.replace(tmp, f"{path}/stats.json")
 
 
 def read_graph(spark: SparkSession, path: str) -> PropertyGraph:
-    return PropertyGraph(
-        spark.read.parquet(f"{path}/nodes"),
-        spark.read.parquet(f"{path}/edges"),
-        spark,
+    """Read a write_graph layout back. Partition columns return last in
+    read order, so the canonical (id, label, ...) / (src, dst, type,
+    ...) order is restored explicitly; a stats.json (see write_graph)
+    pre-warms the planner's cost model."""
+    nodes = spark.read.parquet(f"{path}/nodes")
+    nodes = nodes.select(
+        "id", "label", *[c for c in nodes.columns if c not in ("id", "label")]
     )
+    edges = spark.read.parquet(f"{path}/edges")
+    edges = edges.select(
+        "src", "dst", "type",
+        *[c for c in edges.columns if c not in ("src", "dst", "type")],
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    stats_path = f"{path}/stats.json"
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            g._stats = stats_from_dict(json.load(fh))
+    return g
 
 
 def write_graph_bucketed(
