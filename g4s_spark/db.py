@@ -20,6 +20,7 @@ from .cypher.parser import parse, split_with
 from .graph.store import PropertyGraph
 from .plans.planner import (
     PlannedQuery,
+    explain_cypher,
     plan_match,
     run_cypher,
     run_cypher_delete,
@@ -33,8 +34,11 @@ class GraphDB:
     def __init__(self, graph: PropertyGraph):
         self.graph = graph
 
-    def query(self, cypher: str, resolve: bool = False) -> DataFrame:
-        return run_cypher(self.graph, cypher, resolve=resolve)
+    def query(
+        self, cypher: str, resolve: bool = False, params: dict | None = None
+    ) -> DataFrame:
+        """``params`` binds ``$name`` query parameters (round-8)."""
+        return run_cypher(self.graph, cypher, resolve=resolve, params=params)
 
     def update(self, cypher: str) -> "GraphDB":
         """Mutation statements — ``MATCH ... SET b.prop = value``,
@@ -63,9 +67,15 @@ class GraphDB:
             )
         return plan_match(self.graph, parse(cypher))
 
-    def explain(self, cypher: str) -> str:
-        planned = self.plan(cypher)
-        lines = [f"cost≈{planned.cost:.1f}"]
-        for s in planned.steps:
-            lines.append("  " + " ".join(str(x) for x in s))
-        return "\n".join(lines)
+    def explain(
+        self,
+        cypher: str,
+        params: dict | None = None,
+        spark_plan: bool = False,
+    ) -> str:
+        """Step trace + cost estimate (round-8: now covers compound
+        queries, $params, and an optional Spark physical plan — see
+        plans.explain_cypher)."""
+        return explain_cypher(
+            self.graph, cypher, params=params, spark_plan=spark_plan
+        )
