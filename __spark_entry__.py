@@ -873,9 +873,12 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
     sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
     fwd = li.select(pid.alias("src"), sid.alias("dst"))
-    back = li.filter(F.col("l_returnflag") == "R").select(
-        sid.alias("src"), pid.alias("dst")
-    )
+    # first-line returned items only: all-'R' back-edges collapse the
+    # whole graph into ONE giant SCC (a trivial answer); this keeps a
+    # giant SCC plus ~480 satellite components and a real condensation
+    back = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+    ).select(sid.alias("src"), pid.alias("dst"))
     return strongly_connected_components(fwd.unionByName(back))
 
 
@@ -3587,7 +3590,8 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
                        CAST({PART_OFF} + l_partkey AS BIGINT)
-                FROM lineitem WHERE l_returnflag = 'R'
+                FROM lineitem
+                WHERE l_returnflag = 'R' AND l_linenumber = 1
             ),
             nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             reach(a, b) AS (

@@ -1,0 +1,260 @@
+"""Round-9 debut-gate staging area.
+
+Every gate here is BUILT AND ORACLE-VERIFIED in round 8 but must not be
+registered in __spark_entry__ yet: the contract suite requires a newly
+registered gate to debut in the CURRENT driver window, and round 8's 50
+slots are full (12 session-2 debuts already displaced 12 r5-age gates).
+Round 9 lifts these dicts into _queries_unordered / oracle_sql verbatim
+(and into _WINDOW_ORDER, after the 18 forced age-4 rotations — see
+NOTES.md "Round 8 session-2").
+
+Verify locally:  python scripts/r9_queue.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g4s_spark.functions import sampling as SM
+from g4s_spark.functions import text as TX
+from g4s_spark.functions.rounding import pround
+from g4s_spark.graph import build_graph
+from g4s_spark.graph.tpch import (
+    CUSTOMER_OFF,
+    EDGES_SQL_CTE,
+    NATION_OFF,
+    PART_OFF,
+    SUPPLIER_OFF,
+)
+from g4s_spark.operators import (
+    condensation,
+    eigenvector_centrality,
+    topological_layers,
+)
+from g4s_spark.plans import run_cypher
+from g4s_spark.sources import load_table
+
+EIG_ITERS = 3
+
+
+def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived part<->supplier graph graph_scc gates on (forward
+    edges from every lineitem, reverse edges from returned items)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
+    sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
+    fwd = li.select(pid.alias("src"), sid.alias("dst"))
+    back = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+    ).select(sid.alias("src"), pid.alias("dst"))
+    return fwd.unionByName(back)
+
+
+# SCC + condensed-edge CTE shared by graph_condense / graph_layers —
+# identical to the graph_scc oracle's closure construction
+_SCC_CTES = f"""
+    e AS (
+        SELECT DISTINCT CAST({PART_OFF} + l_partkey AS BIGINT) AS src,
+               CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT) AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
+               CAST({PART_OFF} + l_partkey AS BIGINT)
+        FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a AS id, r1.b AS m
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    scc AS (
+        SELECT n.id, least(n.id, coalesce(min(m.m), n.id)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.id = n.id
+        GROUP BY n.id
+    ),
+    cond AS (
+        SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+        FROM e JOIN scc s1 ON s1.id = e.src JOIN scc s2 ON s2.id = e.dst
+        WHERE s1.scc <> s2.scc
+    )
+"""
+
+
+def _eig_oracle(iters: int) -> str:
+    ctes = [
+        f"WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()}",
+        # explicit DISTINCT: under WITH RECURSIVE DuckDB gives the
+        # base-UNION-step form special treatment and the dedup is lost
+        "graph_nodes AS (SELECT DISTINCT id FROM (SELECT src AS id "
+        "FROM graph_edges UNION ALL SELECT dst FROM graph_edges))",
+        "x0 AS (SELECT id, 1.0 / (SELECT count(*) FROM graph_nodes) AS ec "
+        "FROM graph_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT e.dst AS id, sum(x{i-1}.ec) AS m "
+            f"FROM x{i-1} JOIN graph_edges e ON e.src = x{i-1}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT g.id, "
+            f"coalesce(m.m, 0) / (SELECT sum(m) FROM m{i}) AS ec "
+            f"FROM graph_nodes g LEFT JOIN m{i} m ON m.id = g.id)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT id, floor(ec * 1000000000 + 0.5) / 1000000000 AS ec FROM x{iters}"
+    )
+
+
+def _q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over exactly the graph the EDGES_SQL_CTE
+    oracle walks: node set = edge endpoints (an isolated node would
+    score 0 on the Spark side but be absent from the oracle's rows)."""
+    from g4s_spark.graph import PropertyGraph
+
+    g = build_graph(spark, sf_dir)
+    endpoints = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionByName(g.edges.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    ec = eigenvector_centrality(
+        PropertyGraph(endpoints, g.edges, spark), iters=EIG_ITERS
+    )
+    return ec.select("id", pround(F.col("ec"), 9).alias("ec"))
+
+
+QUEUE_QUERIES = {
+    "graph_eigenvector": _q_graph_eigenvector,
+    "graph_condense": lambda spark, sf_dir: condensation(
+        _ps_edges(spark, sf_dir)
+    ),
+    "graph_layers": lambda spark, sf_dir: topological_layers(
+        condensation(_ps_edges(spark, sf_dir))
+    ),
+    "sample_split": lambda spark, sf_dir: SM.split_corpus(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "source", "split"),
+    "cypher_keys": lambda spark, sf_dir: run_cypher(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN c, keys(c) AS kc, properties(n) AS ps",
+    ),
+    "dedup_lines_index": lambda spark, sf_dir: TX.dedup_lines_against(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250),
+        TX.common_lines(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250),
+            sep=" the ", min_docs=2,
+        ),
+        sep=" the ",
+    ),
+}
+
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+# thresholds replicate split_corpus's float ACCUMULATION exactly
+# (0.1 + 0.8 = 0.9000000000000001 — int() of that is not int(0.9 * SPACE))
+_ACC1 = 0.1
+_ACC2 = 0.1 + 0.8
+_T1 = int(_ACC1 * SM._SAMPLE_SPACE)
+_T2 = int(_ACC2 * SM._SAMPLE_SPACE)
+
+QUEUE_ORACLES = {
+    "graph_eigenvector": _eig_oracle(EIG_ITERS),
+    "graph_condense": f"""
+        WITH RECURSIVE {_SCC_CTES.strip()}
+        SELECT src, dst FROM cond
+    """,
+    "graph_layers": f"""
+        WITH RECURSIVE {_SCC_CTES.strip()},
+        cnodes AS (SELECT src AS id FROM cond UNION SELECT dst FROM cond),
+        walk(id, d) AS (
+            SELECT id, CAST(0 AS BIGINT) FROM cnodes
+            WHERE id NOT IN (SELECT dst FROM cond)
+            UNION ALL
+            SELECT c.dst, w.d + 1 FROM walk w JOIN cond c ON c.src = w.id
+        )
+        SELECT id, max(d) AS layer FROM walk GROUP BY id
+    """,
+    # sorted split names (test, train, val) with cumulative thresholds
+    # 0.1 / 0.9 — the exact interval arithmetic split_corpus performs
+    "sample_split": f"""
+        SELECT doc_id, source,
+               CASE WHEN {_SPLIT_BUCKET} < {_T1} THEN 'test'
+                    WHEN {_SPLIT_BUCKET} < {_T2} THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents
+    """,
+    "cypher_keys": f"""
+        SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS c,
+               'acctbal,mktsegment,name' AS kc,
+               'name=' || n_name AS ps
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "dedup_lines_index": """
+        WITH ls AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+        lines AS (
+            SELECT doc_id, i AS pos, l[i] AS line
+            FROM ls, unnest(generate_series(1, len(l))) AS u(i)
+        ),
+        common AS (
+            SELECT line FROM lines WHERE doc_id < 250 GROUP BY line
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        kept AS (
+            SELECT doc_id, pos, line FROM lines
+            WHERE doc_id >= 250 AND line NOT IN (SELECT line FROM common)
+        )
+        SELECT doc_id,
+               string_agg(line, ' the ' ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    """,
+}
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo/scripts")
+    import check_correctness as cc
+    import duckdb
+    import time
+
+    from g4s_spark.session import get_spark
+
+    spark = get_spark("r9_queue")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{cc.SF_DIR}/{t}.parquet'")
+    failed = 0
+    for name, fn in QUEUE_QUERIES.items():
+        t0 = time.time()
+        sdf = fn(spark, cc.SF_DIR)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        rel = con.sql(QUEUE_ORACLES[name])
+        ocols, orows = rel.columns, rel.fetchall()
+        sh, sn = cc.value_hash(scols, srows)
+        oh, on = cc.value_hash(ocols, orows)
+        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
+        failed += 0 if ok else 1
+        print(f"{'ok  ' if ok else 'FAIL'}  {name}: {sn} vs {on} rows, "
+              f"hash {'match' if sh == oh else 'MISMATCH'}  "
+              f"({time.time() - t0:.1f}s)")
+    print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
