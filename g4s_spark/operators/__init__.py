@@ -4,6 +4,7 @@ from .algorithms import (
     condensation,
     topological_layers,
     k_truss,
+    betweenness_centrality,
     bfs,
     connected_components,
     pagerank,
@@ -24,5 +25,5 @@ from .algorithms import (
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "closeness_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "betweenness_centrality", "closeness_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
 ]

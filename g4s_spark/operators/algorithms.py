@@ -1077,3 +1077,119 @@ def k_truss(edges: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
         f"k_truss did not stabilize within {max_iters} peel rounds; "
         "raise max_iters"
     )
+
+
+def betweenness_centrality(
+    graph: PropertyGraph,
+    sources: list[int] | None = None,
+    max_depth: int = MAX_CLOSURE_ITERS,
+) -> DataFrame:
+    """Directed betweenness centrality by BATCHED multi-source Brandes
+    (Brandes 2001; the standard Pregel-style batching): every source's
+    BFS runs in the SAME DataFrame keyed by (s, v), so the layer count
+    — not the source count — bounds the number of Spark jobs.
+
+    ``sources=None`` runs every node as a source (exact betweenness —
+    fine locally/small graphs); at 100 TB pass a seed SAMPLE: sampled-
+    source Brandes is the standard approximation (estimate scales by
+    n/|S|), and the per-layer shuffles are keyed on (s, v) pairs so
+    added sources widen the shuffle rather than adding rounds.
+
+    Forward phase per layer d: frontier ⋈ edges, path counts sigma
+    accumulate map-side (sum per (s, dst)); a node joins the layer the
+    first time any path reaches it (BFS shortest-path DAG). Backward
+    phase walks layers deepest-first: dependency
+    delta(u) += sigma(u)/sigma(w) · (1 + delta(w)) over DAG edges
+    u(d-1) -> w(d). Returns (id long, bc double) with the endpoints-
+    excluded convention (sources contribute dependencies, not scores).
+    """
+    e = graph.edges.select("src", "dst").dropDuplicates(["src", "dst"]).cache()
+    spark = graph.spark
+    if sources is None:
+        seeds = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .dropDuplicates(["id"])
+            .select(F.col("id").alias("s"))
+        )
+    else:
+        seeds = spark.createDataFrame([(int(x),) for x in sources], "s long")
+    try:
+        layer0 = iter_checkpoint(
+            seeds.select(
+                "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
+            )
+        )
+        layers = [layer0]  # layers[d]: (s, v, sigma) at distance d
+        visited = layer0.select("s", "v")
+        frontier = layer0
+        for _d in range(max_depth):
+            nxt = (
+                frontier.join(e, frontier.v == e.src)
+                .select("s", F.col("dst").alias("v"), "sigma")
+                .groupBy("s", "v")
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, on=["s", "v"], how="left_anti")
+            )
+            nxt = iter_checkpoint(nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            layers.append(nxt)
+            visited = iter_checkpoint(visited.unionByName(nxt.select("s", "v")))
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                f"betweenness forward phase exceeded {max_depth} layers; "
+                "raise max_depth"
+            )
+        # backward accumulation, deepest layer first
+        delta_next: DataFrame | None = None  # (s, v, delta) at layer d+1... current deepest processed
+        acc: DataFrame | None = None  # accumulated per-(s,v) dependency
+        for d in range(len(layers) - 1, 0, -1):
+            w = layers[d].select(
+                "s", F.col("v").alias("w"), F.col("sigma").alias("sig_w")
+            )
+            if delta_next is not None:
+                w = w.join(
+                    delta_next.select("s", F.col("v").alias("w"), "delta"),
+                    on=["s", "w"],
+                    how="left",
+                ).select(
+                    "s", "w", "sig_w",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+            else:
+                w = w.select("s", "w", "sig_w", F.lit(0.0).alias("delta"))
+            u = layers[d - 1].select(
+                "s", F.col("v").alias("u"), F.col("sigma").alias("sig_u")
+            )
+            contrib = (
+                u.join(e, u.u == e.src)
+                .select("s", "u", "sig_u", F.col("dst").alias("w"))
+                .join(w, on=["s", "w"])
+                .select(
+                    "s", F.col("u").alias("v"),
+                    (
+                        F.col("sig_u") / F.col("sig_w")
+                        * (F.lit(1.0) + F.col("delta"))
+                    ).alias("c"),
+                )
+                .groupBy("s", "v")
+                .agg(F.sum("c").alias("delta"))
+            )
+            delta_next = iter_checkpoint(contrib)
+            # sources' own dependencies are not betweenness scores
+            scored = delta_next.filter(F.col("v") != F.col("s"))
+            acc = (
+                scored if acc is None
+                else iter_checkpoint(acc.unionByName(scored))
+            )
+        if acc is None:
+            return seeds.select(F.col("s").alias("id")).select(
+                "id", F.lit(0.0).alias("bc")
+            ).limit(0)
+        return acc.groupBy(F.col("v").alias("id")).agg(
+            F.sum("delta").alias("bc")
+        )
+    finally:
+        e.unpersist()

@@ -498,3 +498,66 @@ def test_k_truss(spark):
     assert got == [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
     with _pytest.raises(ValueError, match="k >= 3"):
         k_truss(edges, k=2)
+
+
+def _brandes_ref(edge_list, nodes):
+    """Pure-python directed Brandes (the literature algorithm) as the
+    test oracle."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s_, d_ in edge_list:
+        adj[s_].append(d_)
+    bc = defaultdict(float)
+    for s in nodes:
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        q = deque([s])
+        preds = defaultdict(list)
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return dict(bc)
+
+
+def test_betweenness_centrality(spark):
+    """Batched multi-source Brandes vs a pure-python replica: diamond
+    with a tail (split path counts), plus a sampled-sources run."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import betweenness_centrality
+
+    edge_list = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 5)]
+    nodes = [1, 2, 3, 4, 5]
+    g = PropertyGraph(
+        spark.createDataFrame([(n, "N") for n in nodes], "id long, label string"),
+        spark.createDataFrame(edge_list, "src long, dst long").withColumn(
+            "type", F.lit("E")
+        ),
+        spark,
+    )
+    want = _brandes_ref(edge_list, nodes)
+    got = {r.id: r.bc for r in betweenness_centrality(g).collect()}
+    for n in nodes:
+        assert got.get(n, 0.0) == pytest.approx(want.get(n, 0.0)), n
+    # sampled sources: only their dependencies count
+    want2 = _brandes_ref(edge_list, [1, 3])
+    got2 = {r.id: r.bc for r in betweenness_centrality(g, sources=[1, 3]).collect()}
+    for n in nodes:
+        assert got2.get(n, 0.0) == pytest.approx(want2.get(n, 0.0)), n
