@@ -1188,6 +1188,18 @@ def _run_carry_stage(carried: DataFrame | None, items_text: str) -> DataFrame:
             keys.append(F.col(nm.group("n")).alias(a))
             key_names.append(a)
             continue
+        idm = re.fullmatch(
+            r"(?i)id\s*\(\s*(?P<n>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+            r"(?:\s+AS\s+(?P<a>[A-Za-z_][A-Za-z0-9_]*))?",
+            it.strip(),
+        )
+        if idm and idm.group("n") in carried.columns:
+            # id(x) over a carried binding column is the column itself
+            # (binding columns ARE node ids) — round-8
+            a = idm.group("a") or f"id_{idm.group('n')}"
+            keys.append(F.col(idm.group("n")).alias(a))
+            key_names.append(a)
+            continue
         am = _CARRY_AGG.match(it)
         if am:
             fn, col, alias = am.group("fn").lower(), am.group("col"), am.group("alias")
@@ -1268,6 +1280,10 @@ def _new_out_col(qg: QueryGraph, marks: tuple[int, ...]) -> str:
         [it.alias for it in qg.expr_returns],
         [a for _, _, _, a in qg.string_fn_returns],
         [a for _, _, _, a in qg.coalesce_returns],
+        [a for _, a in qg.id_returns],
+        [a for _, a in qg.labels_returns],
+        [a for _, a in qg.concat_returns],
+        [a for _, a, _w in qg.keys_returns],
         list(qg.returns),
     )
     for prev_len, cur in zip(marks, lists):
@@ -1364,7 +1380,9 @@ def _run_stage(
             len(qg.aggregates), len(qg.prop_returns),
             len(qg.edge_prop_returns), len(qg.path_lengths),
             len(qg.expr_returns), len(qg.string_fn_returns),
-            len(qg.coalesce_returns), len(qg.returns),
+            len(qg.coalesce_returns), len(qg.id_returns),
+            len(qg.labels_returns), len(qg.concat_returns),
+            len(qg.keys_returns), len(qg.returns),
         )
         _parse_returns(qg, it)
         out = _new_out_col(qg, marks)
@@ -1374,6 +1392,8 @@ def _run_stage(
         qg.returns or qg.prop_returns or qg.edge_prop_returns
         or qg.aggregates or qg.path_lengths or qg.expr_returns
         or qg.string_fn_returns or qg.coalesce_returns
+        or qg.id_returns or qg.labels_returns or qg.concat_returns
+        or qg.keys_returns
     ):
         # carried-only projection over a new pattern = existence check;
         # plan needs at least one emitted binding, then it is dropped
@@ -1566,6 +1586,17 @@ def _run_with_pipeline(
                 if nm and nm.group("n") in carried.columns:
                     a = nm.group("a") or nm.group("n")
                     sel_cols.append(F.col(nm.group("n")).alias(a))
+                    cols.append(a)
+                    continue
+                idm = re.fullmatch(
+                    r"(?i)id\s*\(\s*(?P<n>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+                    r"(?:\s+AS\s+(?P<a>[A-Za-z_][A-Za-z0-9_]*))?",
+                    it,
+                )
+                if idm and idm.group("n") in carried.columns:
+                    # id(x) over a carried binding = the column (round-8)
+                    a = idm.group("a") or f"id_{idm.group('n')}"
+                    sel_cols.append(F.col(idm.group("n")).alias(a))
                     cols.append(a)
                     continue
                 am = re.fullmatch(

@@ -456,3 +456,37 @@ def test_carry_stage_sum_of_empty_is_zero(gopt):
         "WITH c, o.v AS v WITH sum(v) AS total RETURN total",
     ))
     assert got == [(14.0,)]
+
+
+def test_with_stage_introspection_and_concat(spark):
+    """Round-8 item kinds inside WITH pipelines: labels()/concat as
+    stage grouping keys, id() over carried bindings in the final
+    RETURN (and in carry-only stages)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "ann"}), (2, "A", {"name": "bob"}),
+         (10, "B", {"name": "x"}), (11, "B", {"name": "y"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "E"), (1, 11, "E"), (2, 10, "E")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    got = sorted(map(tuple, run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) WITH labels(a) AS la, count(b) AS n "
+           "RETURN la, n"
+    ).collect()))
+    assert got == [("A", 3)]
+    got = sorted(map(tuple, run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) WITH a.name + '#' AS tag, count(b) AS n "
+           "RETURN tag, n"
+    ).collect()))
+    assert got == [("ann#", 2), ("bob#", 1)]
+    got = sorted(map(tuple, run_cypher(
+        g, "MATCH (a:A)-[:E]->(b:B) WITH a, count(b) AS n WHERE n >= 2 "
+           "RETURN id(a) AS ai, n"
+    ).collect()))
+    assert got == [(1, 2)]
