@@ -562,19 +562,37 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     )
 
 
-def closeness_centrality(graph, sources: list[int]) -> DataFrame:
+def closeness_centrality(
+    graph, sources: list[int], weighted: bool = False
+) -> DataFrame:
     """Closeness centrality of a seed set (round-8): one row
     (closeness, n_reachable) where closeness = (r−1)/Σdist over the r
     reachable nodes (Bavelas; the Wasserman–Faust disconnected
     correction is the caller's multiply by (r−1)/(n−1)). Same shape as
     harmonic centrality — ONE aggregation over the BFS fixpoint, so
-    batched seed sets share the frontier machinery at scale."""
-    d = bfs(graph, sources).filter(F.col("dist") > 0)
+    batched seed sets share the frontier machinery at scale.
+    ``weighted`` swaps the hop-count BFS for the min-plus SSSP
+    fixpoint (edge weights as distances) — same aggregation."""
+    d = (sssp if weighted else bfs)(graph, sources).filter(F.col("dist") > 0)
     return d.agg(
         F.when(
             F.sum("dist") > 0,
             F.count(F.lit(1)).cast("double") / F.sum("dist"),
         ).alias("closeness"),
+        F.count(F.lit(1)).cast("long").alias("n_reachable"),
+    )
+
+
+def harmonic_centrality(
+    graph, sources: list[int], weighted: bool = False
+) -> DataFrame:
+    """Harmonic centrality of a seed set: Σ 1/dist over reachable
+    nodes — the disconnected-robust centrality (Boldi–Vigna). One
+    aggregation over the BFS (or, ``weighted``, min-plus SSSP)
+    fixpoint, like closeness."""
+    d = (sssp if weighted else bfs)(graph, sources).filter(F.col("dist") > 0)
+    return d.agg(
+        F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
         F.count(F.lit(1)).cast("long").alias("n_reachable"),
     )
 

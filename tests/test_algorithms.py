@@ -561,3 +561,27 @@ def test_betweenness_centrality(spark):
     got2 = {r.id: r.bc for r in betweenness_centrality(g, sources=[1, 3]).collect()}
     for n in nodes:
         assert got2.get(n, 0.0) == pytest.approx(want2.get(n, 0.0)), n
+
+
+def test_weighted_closeness_and_harmonic(spark):
+    """weighted=True routes through the min-plus SSSP fixpoint."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.operators import closeness_centrality, harmonic_centrality
+
+    nodes = spark.createDataFrame(
+        [(i, "N") for i in range(4)], "id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "E", 2.0), (1, 2, "E", 3.0), (0, 3, "E", 10.0), (1, 3, "E", 1.0)],
+        "src long, dst long, type string, weight double",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    # dists from 0: 1->2, 2->5, 3->3 (through 1, not the direct 10)
+    r = closeness_centrality(g, [0], weighted=True).collect()[0]
+    assert r.n_reachable == 3
+    assert r.closeness == pytest.approx(3 / (2 + 5 + 3))
+    h = harmonic_centrality(g, [0], weighted=True).collect()[0]
+    assert h.harmonic == pytest.approx(1 / 2 + 1 / 5 + 1 / 3)
+    # unweighted twin counts hops
+    h2 = harmonic_centrality(g, [0]).collect()[0]
+    assert h2.harmonic == pytest.approx(1 + 1 + 1 / 2)
