@@ -601,3 +601,43 @@ def test_streaming_dedup_against_static_index(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {11}
+
+
+def test_dedup_lines_against_stream(spark, tmp_path):
+    """Streaming line-level dedup (round-8): the stream-static anti-join
+    drops boilerplate segments statelessly; surviving (id, pos, line)
+    rows reassemble per micro-batch in the sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from g4s_spark.functions.text import common_lines, dedup_lines_against
+
+    corpus = spark.createDataFrame(
+        [(1, "HEADER\nbody a\nFOOTER"), (2, "HEADER\nbody b\nFOOTER")],
+        "doc_id long, text string",
+    )
+    idx = common_lines(corpus, min_docs=2)
+    new_rows = [(10, "HEADER\nfresh one\nFOOTER"), (11, "HEADER\nFOOTER")]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in new_rows],
+                  "text": [r[1] for r in new_rows]}),
+        str(src / "b0.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out = dedup_lines_against(stream, idx)
+    assert out.isStreaming
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.doc_id, r.pos, r.line) for r in df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(10, 1, "fresh one")]
