@@ -23,6 +23,7 @@ from .plans.planner import (
     explain_cypher,
     plan_match,
     run_cypher,
+    run_cypher_create,
     run_cypher_delete,
     run_cypher_merge,
     run_cypher_remove,
@@ -52,6 +53,10 @@ class GraphDB:
             r"(?is)\bMERGE\s*\(", cypher
         ):
             return GraphDB(run_cypher_merge(self.graph, cypher))
+        if re.match(r"(?is)^\s*CREATE\b", cypher) or re.search(
+            r"(?is)\bCREATE\s*\(", cypher
+        ):
+            return GraphDB(run_cypher_create(self.graph, cypher))
         if re.search(r"(?is)\b(?:DETACH\s+)?DELETE\b", cypher):
             return GraphDB(run_cypher_delete(self.graph, cypher))
         if re.search(r"(?is)\bREMOVE\b", cypher):

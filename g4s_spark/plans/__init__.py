@@ -4,6 +4,7 @@ from .planner import (
     plan_match,
     run_cypher,
     explain_cypher,
+    run_cypher_create,
     run_cypher_delete,
     run_cypher_merge,
     run_cypher_remove,
@@ -11,7 +12,7 @@ from .planner import (
 )
 
 __all__ = [
-    "run_cypher", "explain_cypher", "run_cypher_set", "run_cypher_merge", "run_cypher_delete",
+    "run_cypher", "explain_cypher", "run_cypher_set", "run_cypher_merge", "run_cypher_create", "run_cypher_delete",
     "run_cypher_remove", "plan_match", "PlannedQuery", "expand_card",
     "filter_card", "step_cost",
 ]

@@ -615,6 +615,82 @@ def _split_on_clauses(tail: str) -> tuple[list[str], list[str]]:
     return on_create, on_match
 
 
+_CREATE_NODE_STMT = re.compile(r"(?is)^\s*CREATE\s+(?P<pats>\(.+\))\s*$")
+_CREATE_NODE_PAT = re.compile(
+    r"(?is)^\s*\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*:\s*"
+    r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\{(?P<props>[^}]*)\}\s*)?\)\s*$"
+)
+_CREATE_EDGE_STMT = re.compile(
+    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+CREATE\s+"
+    r"\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+    r"-\s*\[\s*:\s*(?P<type>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\{(?P<eprops>[^}]*)\}\s*)?\]\s*->\s*"
+    r"\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+
+def run_cypher_create(graph: PropertyGraph, query: str) -> PropertyGraph:
+    """openCypher CREATE (round-8; extension — the reference declares no
+    mutation at all, StatsStore.scala:172-177 ``???``). Two forms:
+
+    - ``CREATE (n:Label {props})[, (m:L2 {...}) ...]`` — unconditional
+      node creation; ids assigned from next_id() in pattern order.
+    - ``MATCH pattern [WHERE ...] CREATE (a)-[:T {weight: n}]->(b)`` —
+      one T edge per DISTINCT matched (a, b) pair, with an optional
+      literal weight. The engine's edge model carries existence
+      semantics (pattern matching deduplicates), so unlike openCypher
+      a re-run does NOT observably multiply matches — use MERGE for
+      explicit match-or-create.
+
+    Plan shape at scale: node form is a driver-literal append; edge
+    form is one planned MATCH projected to the distinct endpoint pair
+    plus an append — no shuffle beyond the match itself."""
+    em = _CREATE_EDGE_STMT.match(query)
+    if em:
+        qg = parse(f"MATCH {em.group('body')} RETURN {em.group('a')}, {em.group('b')}")
+        matched = plan_match(graph, qg).df
+        eprops = _parse_props_literal(em.group("eprops"))
+        for k in eprops:
+            if k != "weight":
+                raise CypherParseError(
+                    f"CREATE edge props support weight only, got: {k!r}"
+                )
+        pairs = matched.select(
+            F.col(em.group("a")).alias("src"),
+            F.col(em.group("b")).alias("dst"),
+        ).dropDuplicates(["src", "dst"])
+        rows = pairs.withColumn("type", F.lit(em.group("type")))
+        if "weight" in eprops:
+            rows = rows.withColumn(
+                "weight", F.lit(float(eprops["weight"][1])).cast("double")
+            )
+        return graph.insert_edges(rows)
+    nm = _CREATE_NODE_STMT.match(query)
+    if not nm:
+        raise CypherParseError(
+            "CREATE statement must be `CREATE (n:Label {props})[, ...]` or "
+            f"`MATCH ... CREATE (a)-[:T]->(b)`: {query!r}"
+        )
+    from ..cypher.parser import _split_patterns
+
+    rows = []
+    nid = graph.next_id()
+    for pat in _split_patterns(nm.group("pats")):
+        pm = _CREATE_NODE_PAT.match(pat)
+        if not pm:
+            raise CypherParseError(f"unsupported CREATE node pattern: {pat!r}")
+        props = {
+            k: v for k, (_kind, v) in _parse_props_literal(pm.group("props")).items()
+        }
+        rows.append((nid, pm.group("label"), props))
+        nid += 1
+    row_df = graph.spark.createDataFrame(
+        rows, "id long, label string, props map<string,string>"
+    )
+    return graph.insert_vertices(row_df)
+
+
 def run_cypher_merge(graph: PropertyGraph, query: str) -> PropertyGraph:
     """openCypher MERGE (match-or-create; extension — the reference
     declares no mutation at all, StatsStore.scala:172-177 ``???``),

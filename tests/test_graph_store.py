@@ -626,3 +626,45 @@ def test_graph_save_load_roundtrip(spark, tmp_path):
         g2.typed_edges(["E"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "type" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_cypher_create_statement(spark):
+    """CREATE (round-8): unconditional node creation with assigned ids;
+    MATCH ... CREATE edge per distinct matched pair, optional literal
+    weight; GraphDB.update routes the verb."""
+    import pytest as _pytest
+
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.db import GraphDB
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_create
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"name": "a0"}), (1, "B", {"name": "b0"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([(0, 1, "E")], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    g2 = run_cypher_create(
+        g, "CREATE (x:C {name: 'c1', rank: 3}), (y:C {name: 'c2'})"
+    )
+    got = {r.id: (r.label, dict(r.props)) for r in g2.nodes.collect()}
+    assert got[2] == ("C", {"name": "c1", "rank": "3"})
+    assert got[3] == ("C", {"name": "c2"})
+    # edge form: one edge per distinct matched pair, weighted
+    g3 = run_cypher_create(
+        g2, "MATCH (a:A), (c:C) CREATE (a)-[:LINKS {weight: 2.5}]->(c)"
+    )
+    new_edges = sorted(
+        (r.src, r.dst, r.type, r.weight)
+        for r in g3.edges.filter("type = 'LINKS'").collect()
+    )
+    assert new_edges == [(0, 2, "LINKS", 2.5), (0, 3, "LINKS", 2.5)]
+    # created nodes are queryable
+    out = run_cypher(g3, "MATCH (a:A)-[:LINKS]->(c:C) RETURN c.name AS n")
+    assert sorted(r.n for r in out.collect()) == ["c1", "c2"]
+    # GraphDB routing
+    db = GraphDB(g).update("CREATE (z:Z {k: 'v'})")
+    assert db.graph.nodes.filter("label = 'Z'").count() == 1
+    with _pytest.raises(CypherParseError, match="weight only"):
+        run_cypher_create(g2, "MATCH (a:A), (c:C) CREATE (a)-[:L {cost: 1}]->(c)")
