@@ -20,9 +20,11 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from g4s_spark.functions import dedup as D
 from g4s_spark.functions import sampling as SM
 from g4s_spark.functions import text as TX
 from g4s_spark.functions.rounding import pround
+from g4s_spark.functions.rounding import pround as PR
 from g4s_spark.graph import build_graph
 from g4s_spark.graph.tpch import (
     CUSTOMER_OFF,
@@ -151,6 +153,15 @@ QUEUE_QUERIES = {
         "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
         "RETURN c, keys(c) AS kc, properties(n) AS ps",
     ),
+    "sample_weighted": lambda spark, sf_dir: SM.weighted_sample(
+        load_table(spark, sf_dir, "documents").withColumn(
+            "q", F.least(F.col("n_chars") / 2000.0, F.lit(1.0))
+        ),
+        "q",
+    ).select("doc_id", "source"),
+    "dedup_kmv": lambda spark, sf_dir: D.kmv_distinct(
+        load_table(spark, sf_dir, "documents"), "text", ["source"], k=16
+    ).withColumn("estimate", PR(F.col("estimate"), 6)),
     "dedup_lines_index": lambda spark, sf_dir: TX.dedup_lines_against(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250),
         TX.common_lines(
@@ -196,6 +207,30 @@ QUEUE_ORACLES = {
                     WHEN {_SPLIT_BUCKET} < {_T2} THEN 'train'
                     ELSE 'val' END AS split
         FROM documents
+    """,
+    "sample_weighted": f"""
+        SELECT doc_id, source FROM documents
+        WHERE CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT)
+              < least(n_chars / 2000.0, 1.0) * 4294967296.0
+    """,
+    "dedup_kmv": f"""
+        WITH hashed AS (
+            SELECT DISTINCT source,
+                   CAST(CAST('0x' || substr(md5('0:' || text), 1, 15) AS BIGINT)
+                        AS DOUBLE) / 1152921504606846976.0 AS h
+            FROM documents
+        ),
+        topk AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hashed
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               floor((CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                           ELSE 15.0 / max(h) END) * 1000000 + 0.5) / 1000000
+                   AS estimate
+        FROM topk WHERE rn <= 16 GROUP BY source
     """,
     "cypher_keys": f"""
         SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS c,
