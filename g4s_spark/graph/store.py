@@ -199,6 +199,42 @@ class PropertyGraph:
         ).dropDuplicates(key)
         return self.insert_edges(missing)
 
+    def add_labels(self, ids: DataFrame, label: str) -> "PropertyGraph":
+        """``SET n:Label`` (round-8): each id gains an (id, label) row —
+        the multi-label model stores one row per label, so an added
+        label is an append carrying the node's existing props payload
+        (props are identical across a node's label rows; the planner's
+        resolve-props join dedupes on id). Idempotent via anti-join.
+        Scale shape: one broadcastable semi-join against the matched
+        id set + an append — the nodes table never shuffles."""
+        ids = ids.select("id").dropDuplicates(["id"])
+        payload = self.nodes.join(F.broadcast(ids), on="id", how="left_semi")
+        payload = payload.dropDuplicates(["id"]).withColumn("label", F.lit(label))
+        new_rows = payload.join(
+            self.nodes.filter(F.col("label") == label).select("id"),
+            on="id", how="left_anti",
+        )
+        return self.insert_vertices(new_rows)
+
+    def remove_labels(self, ids: DataFrame, label: str) -> "PropertyGraph":
+        """``REMOVE n:Label`` (round-8): drop the (id, label) rows for
+        the matched ids. A node whose LAST label row is removed leaves
+        the store entirely (this model has no label-less nodes) — its
+        incident edges are removed with it, like remove_vertices, so
+        patterns can never traverse a dangling endpoint."""
+        key = ids.select("id").dropDuplicates(["id"]).withColumn(
+            "label", F.lit(label)
+        )
+        keep = self.nodes.join(
+            F.broadcast(key), on=["id", "label"], how="left_anti"
+        )
+        g = PropertyGraph(keep, self.edges, self.spark)
+        gone = (
+            self.nodes.select("id").dropDuplicates(["id"])
+            .join(keep.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
+        )
+        return g.remove_vertices(gone) if gone.limit(1).count() else g
+
     def update_node_props(self, updates: DataFrame, replace: bool = False) -> "PropertyGraph":
         """Property update — the SET verb completing the mutation story
         (insert/delete exist above; the reference declares no mutation

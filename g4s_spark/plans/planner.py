@@ -197,6 +197,11 @@ def run_cypher(
 
 
 _SET_STMT = re.compile(r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+SET\s+(?P<sets>.+)$")
+# SET n:Label / REMOVE n:Label — label mutation (round-8)
+_SET_LABEL_ITEM = re.compile(
+    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*"
+    r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
 _SET_ITEM = re.compile(
     r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"=\s*(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
@@ -279,7 +284,12 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
 
     # prop -> ("lit", str) | ("expr", tree), per binding
     sets: dict[str, dict[str, tuple]] = {}
+    label_adds: list[tuple[str, str]] = []  # (binding, label) — SET n:L
     for item in _split_patterns(m.group("sets")):
+        lm_ = _SET_LABEL_ITEM.match(item)
+        if lm_:
+            label_adds.append((lm_.group("b"), lm_.group("label")))
+            continue
         sm = _SET_ITEM.match(item)
         if sm:
             raw = sm.group("val")
@@ -340,8 +350,14 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
                 edge_sets[b] = ("expr", v)
             continue
         raise CypherParseError(f"SET references unbound binding: {b!r}")
+    for b, _lbl in label_adds:
+        if b not in qg.labels:
+            raise CypherParseError(f"SET label references unbound binding: {b!r}")
+        if b not in qg.returns:
+            qg.returns.append(b)
     for b in sets:
-        qg.returns.append(b)
+        if b not in qg.returns:
+            qg.returns.append(b)
     for en, (kind, _v) in edge_sets.items():
         e = edge_by_name[en]
         for nb in (e.src, e.dst):
@@ -410,6 +426,10 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
                 entries.append(_set_expr_col(v, b).cast("string"))
         updates = upd.select("id", F.create_map(*entries).alias("props"))
         out = out.update_node_props(updates)
+    # SET n:Label (round-8): matched ids gain the label's (id, label)
+    # row (multi-label model; add_labels is an idempotent anti-join)
+    for b, lbl in label_adds:
+        out = out.add_labels(matched.select(F.col(b).alias("id")), lbl)
     return out
 
 
@@ -528,7 +548,19 @@ def run_cypher_remove(graph: PropertyGraph, query: str) -> PropertyGraph:
     _parse_clauses(m.group("body"), qg)
     edge_names = {e.name for e in qg.edges if e.name}
     removes: dict[str, list[str]] = {}
+    label_removes: list[tuple[str, str]] = []  # (binding, label)
     for item in _split_patterns(m.group("items")):
+        lm_ = _SET_LABEL_ITEM.match(item)
+        if lm_:
+            b = lm_.group("b")
+            if b not in qg.labels:
+                raise CypherParseError(
+                    f"REMOVE label references unbound binding: {b!r}"
+                )
+            label_removes.append((b, lm_.group("label")))
+            if b not in qg.returns:
+                qg.returns.append(b)
+            continue
         rm = _REMOVE_ITEM.match(item)
         if not rm:
             raise CypherParseError(f"unsupported REMOVE item (need b.prop): {item!r}")
@@ -548,6 +580,10 @@ def run_cypher_remove(graph: PropertyGraph, query: str) -> PropertyGraph:
     out = graph
     for b, keys in removes.items():
         out = out.remove_node_props(matched.select(F.col(b).alias("id")), keys)
+    # REMOVE n:Label (round-8): drop the (id, label) rows; a node whose
+    # last label goes leaves the store (incident edges removed with it)
+    for b, lbl in label_removes:
+        out = out.remove_labels(matched.select(F.col(b).alias("id")), lbl)
     return out
 
 
@@ -2428,7 +2464,12 @@ def plan_match(
             if p[0] == "prop":
                 prop_cols.setdefault(p[1], []).append((p[2], f"_cc_{a}_{i}"))
     for b, cols in prop_cols.items():
-        n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_props_{b}"))
+        # dedupe on id: a multi-label node is several (id, label) rows
+        # sharing ONE props payload — without this the resolve join
+        # multiplies match rows per extra label (surfaced by SET n:Label)
+        n = graph.nodes.select(
+            F.col("id").alias(b), F.col("props").alias(f"_props_{b}")
+        ).dropDuplicates([b])
         out = out.join(n, on=b, how="left")
         for p, a in cols:
             out = out.withColumn(a, F.col(f"_props_{b}").getItem(p))

@@ -668,3 +668,38 @@ def test_cypher_create_statement(spark):
     assert db.graph.nodes.filter("label = 'Z'").count() == 1
     with _pytest.raises(CypherParseError, match="weight only"):
         run_cypher_create(g2, "MATCH (a:A), (c:C) CREATE (a)-[:L {cost: 1}]->(c)")
+
+
+def test_label_mutation_statements(spark):
+    """SET n:Label / REMOVE n:Label (round-8): label rows append
+    idempotently with the node's props payload; removing a node's last
+    label removes the node (and its incident edges)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_remove, run_cypher_set
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"name": "a0"}), (1, "A", {"name": "a1"}), (2, "B", {"name": "b0"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2, "E"), (1, 2, "E")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    g2 = run_cypher_set(g, "MATCH (a:A) WHERE a.name = 'a0' SET a:VIP")
+    assert sorted(
+        (r.id, r.label) for r in g2.nodes.filter("label = 'VIP'").collect()
+    ) == [(0, "VIP")]
+    # the VIP row carries the payload: props resolve through either label
+    out = run_cypher(g2, "MATCH (v:VIP) RETURN v, v.name AS n")
+    assert [(r.v, r.n) for r in out.collect()] == [(0, "a0")]
+    # idempotent
+    g3 = run_cypher_set(g2, "MATCH (a:A) WHERE a.name = 'a0' SET a:VIP")
+    assert g3.nodes.filter("label = 'VIP'").count() == 1
+    # remove the extra label: node survives under A
+    g4 = run_cypher_remove(g3, "MATCH (v:VIP) REMOVE v:VIP")
+    assert g4.nodes.filter("label = 'VIP'").count() == 0
+    assert g4.nodes.filter("id = 0").count() == 1
+    # removing the LAST label removes node + incident edges
+    g5 = run_cypher_remove(g, "MATCH (b:B) REMOVE b:B")
+    assert g5.nodes.filter("id = 2").count() == 0
+    assert g5.edges.count() == 0
