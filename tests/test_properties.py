@@ -17,6 +17,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from g4s_spark import grblas as gb
 
 SETTINGS = dict(
@@ -500,3 +502,84 @@ def test_pipeline_front_end_never_crashes(spark, q):
             fn(g, q)
         except (CypherParseError, ValueError):
             pass
+
+
+# --- round-8 operator properties ------------------------------------------
+
+_WORD = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_WORD, min_size=0, max_size=5), min_size=1, max_size=6
+    ),
+    min_docs=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_dedup_lines_invariants(spark, docs, min_docs):
+    """For ANY corpus: n_kept + n_removed == segment count per doc, every
+    doc survives as a row, and kept text is a subsequence rendering of
+    the original segments (python replica oracle)."""
+    from collections import defaultdict
+
+    from g4s_spark.functions.text import dedup_lines
+
+    rows = [(i, "\n".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df, min_docs=min_docs).collect()}
+    # python replica
+    seg_docs = defaultdict(set)
+    for i, txt in rows:
+        for seg in txt.split("\n"):
+            seg_docs[seg].add(i)
+    common = {s for s, ds in seg_docs.items() if len(ds) >= min_docs}
+    for i, txt in rows:
+        segs = txt.split("\n")
+        kept = [s for s in segs if s not in common]
+        r = got[i]
+        assert r.n_kept + r.n_removed == len(segs)
+        assert r.text == "\n".join(kept)
+
+
+@given(
+    w=st.lists(
+        st.floats(0.05, 1.0, allow_nan=False), min_size=2, max_size=4
+    ).map(lambda xs: {f"s{i}": x / sum(xs) for i, x in enumerate(xs)}),
+    seed=st.integers(0, 10),
+)
+@settings(**SETTINGS)
+def test_split_corpus_partition_property(spark, w, seed):
+    """Splits are a PARTITION: every row gets exactly one split name,
+    assignments are deterministic, and membership depends only on
+    (key, seed) — not row order."""
+    from g4s_spark.functions.sampling import split_corpus
+
+    # weights must sum to exactly 1.0 for the validator: renormalize the
+    # last entry against float error
+    names = sorted(w)
+    w[names[-1]] = 1.0 - sum(w[n] for n in names[:-1])
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_corpus(df, w, seed=seed).collect()}
+    assert set(a) == set(range(300))
+    assert set(a.values()) <= set(w)
+    shuffled = df.orderBy(F.rand(42))
+    b = {r.doc_id: r.split
+         for r in split_corpus(shuffled, w, seed=seed).collect()}
+    assert a == b
+
+
+@given(values=st.sets(st.integers(0, 10**9), min_size=1, max_size=60),
+       k=st.integers(4, 32))
+@settings(**SETTINGS)
+def test_kmv_exact_under_k(spark, values, k):
+    """KMV is EXACT whenever the distinct count is under k, regardless
+    of duplication."""
+    from g4s_spark.functions.dedup import kmv_distinct
+
+    rows = [(v,) for v in values] + [(v,) for v in list(values)[: len(values) // 2]]
+    df = spark.createDataFrame(rows, "v long")
+    r = kmv_distinct(df, "v", k=k).collect()[0]
+    if len(values) < k:
+        assert r.n_kept == len(values) and r.estimate == float(len(values))
+    else:
+        assert r.n_kept == k
