@@ -29,6 +29,7 @@ from g4s_spark.graph import build_graph
 from g4s_spark.graph.tpch import (
     CUSTOMER_OFF,
     EDGES_SQL_CTE,
+    LINEITEM_OFF,
     NATION_OFF,
     PART_OFF,
     SUPPLIER_OFF,
@@ -38,7 +39,7 @@ from g4s_spark.operators import (
     eigenvector_centrality,
     topological_layers,
 )
-from g4s_spark.plans import run_cypher
+from g4s_spark.plans import run_cypher, run_cypher_create, run_cypher_set
 from g4s_spark.sources import load_table
 
 EIG_ITERS = 3
@@ -136,8 +137,41 @@ def _q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ec.select("id", pround(F.col("ec"), 9).alias("ec"))
 
 
+def _q_cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE then read back: two literal nodes (ids from next_id — the
+    max node id is lineitem's, so the oracle computes the same ids from
+    max(l_orderkey*8 + l_linenumber)) and VIP_OF edges created per
+    matched pair."""
+    g = build_graph(spark, sf_dir)
+    g2 = run_cypher_create(
+        g, "CREATE (x:Hub {name: 'h1', tier: 1}), (y:Hub {name: 'h2'})"
+    )
+    g3 = run_cypher_create(
+        g2,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_1' CREATE (c)-[:VIP_OF]->(n)",
+    )
+    return run_cypher(
+        g3,
+        "MATCH (h:Hub) RETURN h, h.name AS name "
+        "UNION ALL MATCH (c)-[:VIP_OF]->(n) RETURN c AS h, n.name AS name",
+    )
+
+
+def _q_cypher_set_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET c:VIP for rich customers, read back through the new label
+    (props resolve through either label row)."""
+    g2 = run_cypher_set(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 SET c:VIP",
+    )
+    return run_cypher(g2, "MATCH (v:VIP) RETURN v, v.mktsegment AS seg")
+
+
 QUEUE_QUERIES = {
     "graph_eigenvector": _q_graph_eigenvector,
+    "cypher_create": _q_cypher_create,
+    "cypher_set_label": _q_cypher_set_label,
     "graph_condense": lambda spark, sf_dir: condensation(
         _ps_edges(spark, sf_dir)
     ),
@@ -184,6 +218,24 @@ _T2 = int(_ACC2 * SM._SAMPLE_SPACE)
 
 QUEUE_ORACLES = {
     "graph_eigenvector": _eig_oracle(EIG_ITERS),
+    "cypher_create": f"""
+        WITH mx AS (
+            SELECT CAST({LINEITEM_OFF} AS BIGINT)
+                   + max(l_orderkey * 8 + l_linenumber) AS m
+            FROM lineitem
+        )
+        SELECT m + 1 AS h, 'h1' AS name FROM mx
+        UNION ALL SELECT m + 2, 'h2' FROM mx
+        UNION ALL
+        SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT), n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+    """,
+    "cypher_set_label": f"""
+        SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS v,
+               c_mktsegment AS seg
+        FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 9000
+    """,
     "graph_condense": f"""
         WITH RECURSIVE {_SCC_CTES.strip()}
         SELECT src, dst FROM cond
