@@ -361,6 +361,20 @@ class PropertyGraph:
         row = self.nodes.agg(F.max("id").alias("m")).collect()[0]
         return (row.m if row.m is not None else -1) + 1
 
+    def payload_nodes(self) -> DataFrame:
+        """The (id, props) payload projection deduped on id — one props
+        map per node regardless of label multiplicity (multi-label nodes
+        share their payload across label rows). Memoized per graph:
+        every property-resolution join, keys()/properties() lookup and
+        SET payload read reuses ONE deduped plan instead of re-paying
+        the dedup aggregate per query. Mutations return new graphs, so
+        the memo can never serve a stale payload."""
+        if getattr(self, "_payload_nodes", None) is None:
+            self._payload_nodes = self.nodes.select(
+                "id", "props"
+            ).dropDuplicates(["id"])
+        return self._payload_nodes
+
     # -- lookups (ConcurrentDirectedGraph.scala:55-80,104) -----------------
 
     def label_nodes(self, label: str | None) -> DataFrame:

@@ -415,7 +415,7 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
         if any(kind == "expr" for kind, _ in props.values()):
             # one left join onto the payload resolves every expression
             # leaf; multi-label nodes share one props map per id
-            payload = graph.nodes.select("id", "props").dropDuplicates(["id"])
+            payload = graph.payload_nodes()
             upd = upd.join(payload, on="id", how="left")
         entries = []
         for k, (kind, v) in sorted(props.items()):
@@ -833,7 +833,7 @@ def run_cypher_merge(graph: PropertyGraph, query: str) -> PropertyGraph:
     # as run_cypher_set's node path)
     upd = cand.select("id").dropDuplicates(["id"])
     if any(kind == "expr" for kind, _ in match_sets.values()):
-        payload = graph.nodes.select("id", "props").dropDuplicates(["id"])
+        payload = graph.payload_nodes()
         upd = upd.join(payload, on="id", how="left")
     entries = []
     for k, (kind, v) in sorted(match_sets.items()):
@@ -2464,12 +2464,12 @@ def plan_match(
             if p[0] == "prop":
                 prop_cols.setdefault(p[1], []).append((p[2], f"_cc_{a}_{i}"))
     for b, cols in prop_cols.items():
-        # dedupe on id: a multi-label node is several (id, label) rows
-        # sharing ONE props payload — without this the resolve join
-        # multiplies match rows per extra label (surfaced by SET n:Label)
-        n = graph.nodes.select(
+        # deduped payload (payload_nodes): a multi-label node is several
+        # (id, label) rows sharing ONE props map — the raw join would
+        # multiply match rows per extra label (surfaced by SET n:Label)
+        n = graph.payload_nodes().select(
             F.col("id").alias(b), F.col("props").alias(f"_props_{b}")
-        ).dropDuplicates([b])
+        )
         out = out.join(n, on=b, how="left")
         for p, a in cols:
             out = out.withColumn(a, F.col(f"_props_{b}").getItem(p))
@@ -2529,10 +2529,8 @@ def plan_match(
     # row), rendered sorted so the result is deterministic
     keys_aliases = []
     for b, a, with_values in qg.keys_returns:
-        n = (
-            graph.nodes.select(
-                F.col("id").alias(b), F.col("props").alias(f"_kp_{a}")
-            ).dropDuplicates([b])
+        n = graph.payload_nodes().select(
+            F.col("id").alias(b), F.col("props").alias(f"_kp_{a}")
         )
         out = out.join(n, on=b, how="left")
         if with_values:
