@@ -2464,10 +2464,16 @@ def plan_match(
             if p[0] == "prop":
                 prop_cols.setdefault(p[1], []).append((p[2], f"_cc_{a}_{i}"))
     for b, cols in prop_cols.items():
-        # deduped payload (payload_nodes): a multi-label node is several
-        # (id, label) rows sharing ONE props map — the raw join would
-        # multiply match rows per extra label (surfaced by SET n:Label)
-        n = graph.payload_nodes().select(
+        # Deliberately NOT deduped on id: property resolution is
+        # per STORE ROW — the driver testdata carries duplicate
+        # lineitem node rows (same id, distinct props; NOTES.md
+        # "testdata quirk") and the oracles aggregate the raw rows, so
+        # the fanout is the pinned semantic. Flip side: a node with
+        # several LABEL rows (multi-label / SET n:Label) duplicates
+        # its prop-resolved output per label row — the match set is
+        # distinct, the resolved row set is per-row (documented
+        # deviation; see test_label_mutation_statements).
+        n = graph.nodes.select(
             F.col("id").alias(b), F.col("props").alias(f"_props_{b}")
         )
         out = out.join(n, on=b, how="left")

