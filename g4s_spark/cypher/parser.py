@@ -512,7 +512,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                 if im:
                     check_binding(im.group("b"), cond)
                     atoms = []
-                    items = [x for x in im.group("list").split(",")]
+                    items = _split_patterns(im.group("list"))
                     if not im.group("list").strip():
                         raise CypherParseError(f"empty IN list: {cond!r}")
                     for item in items:
@@ -1352,10 +1352,20 @@ def _parse_pattern(
 
 
 def _split_patterns(s: str) -> list[str]:
-    """Split on top-level commas (commas can't nest in this grammar's
-    brackets, but be robust anyway)."""
-    parts, depth, cur = [], 0, []
+    """Split on top-level commas — bracket-depth AND quote aware
+    (round-8: a comma inside a string literal, e.g. a concat separator
+    `', '` or an IN-list item, is data, not a delimiter)."""
+    parts, depth, cur, inq = [], 0, [], None
     for ch in s:
+        if inq:
+            cur.append(ch)
+            if ch == inq:
+                inq = None
+            continue
+        if ch in "'\"":
+            inq = ch
+            cur.append(ch)
+            continue
         if ch in "([":
             depth += 1
         elif ch in ")]":

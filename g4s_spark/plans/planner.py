@@ -111,8 +111,10 @@ def _parse_range(txt: str) -> list[int]:
 def _parse_literal_list(items_txt: str) -> list:
     """The literal list of an UNWIND: quoted strings or numbers, one
     shared type."""
+    from ..cypher.parser import _split_patterns
+
     vals = []
-    for raw in items_txt.split(","):
+    for raw in _split_patterns(items_txt):
         m = _IN_ITEM.match(raw)
         if not m:
             raise CypherParseError(f"unsupported UNWIND list item: {raw!r}")

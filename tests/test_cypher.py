@@ -557,3 +557,34 @@ def test_query_parameters(spark):
         run_cypher(g, "MATCH (a:A) WHERE a.name = $nope RETURN a", params={})
     with pytest.raises(CypherParseError, match="quote"):
         run_cypher(g, "MATCH (a:A) WHERE a.name = $nm RETURN a", params={"nm": "x'y"})
+
+
+def test_commas_inside_quoted_literals(spark):
+    """Round-8: commas inside string literals are data, not item
+    delimiters — concat separators, IN-list items, UNWIND items, MERGE
+    prop literals."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_merge
+
+    nodes = spark.createDataFrame(
+        [(1, "A", {"name": "x"}), (2, "A", {"name": "y,z"})],
+        "id long, label string, props map<string,string>",
+    )
+    g = PropertyGraph(
+        nodes, spark.createDataFrame([], "src long, dst long, type string"), spark
+    )
+    got = {r.a: r.t for r in run_cypher(
+        g, "MATCH (a:A) RETURN a, a.name + ', ' + a.name AS t"
+    ).collect()}
+    assert got[1] == "x, x"
+    assert sorted(r.a for r in run_cypher(
+        g, "MATCH (a:A) WHERE a.name IN ['x', 'y,z'] RETURN a"
+    ).collect()) == [1, 2]
+    got = run_cypher(
+        g, "UNWIND ['p,q', 'r'] AS k MATCH (a:A) RETURN a, k"
+    ).collect()
+    assert sorted((r.a, r.k) for r in got) == [
+        (1, "p,q"), (1, "r"), (2, "p,q"), (2, "r")
+    ]
+    g2 = run_cypher_merge(g, "MERGE (n:B {name: 'v,w'})")
+    assert dict(g2.nodes.filter("label = 'B'").collect()[0].props) == {"name": "v,w"}
