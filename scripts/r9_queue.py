@@ -159,17 +159,31 @@ def _q_cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cypher_set_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SET c:VIP for rich customers, read back through the new label
-    (props resolve through either label row)."""
+    """SET c:VIP for rich customers, read back through the new label.
+    Binding-only RETURN: property resolution is per STORE ROW, so a
+    two-label node would duplicate a prop-projected row (the documented
+    deviation) — the binding projection is distinct."""
     g2 = run_cypher_set(
         build_graph(spark, sf_dir),
         "MATCH (c:Customer) WHERE c.acctbal >= 9000 SET c:VIP",
     )
-    return run_cypher(g2, "MATCH (v:VIP) RETURN v, v.mktsegment AS seg")
+    return run_cypher(
+        g2, "MATCH (v:VIP)-[:FROM_NATION]->(n:Nation) RETURN v, n"
+    )
+
+
+def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source betweenness from the BFS seed (batched Brandes with
+    |S| = 1 — the oracle unrolls the layered recurrence)."""
+    from g4s_spark.operators import betweenness_centrality
+
+    bc = betweenness_centrality(build_graph(spark, sf_dir), sources=[BC_SRC])
+    return bc.select("id", pround(F.col("bc"), 9).alias("bc"))
 
 
 QUEUE_QUERIES = {
     "graph_eigenvector": _q_graph_eigenvector,
+    "graph_betweenness": _q_graph_betweenness,
     "cypher_create": _q_cypher_create,
     "cypher_set_label": _q_cypher_set_label,
     "graph_condense": lambda spark, sf_dir: condensation(
@@ -218,6 +232,7 @@ _T2 = int(_ACC2 * SM._SAMPLE_SPACE)
 
 QUEUE_ORACLES = {
     "graph_eigenvector": _eig_oracle(EIG_ITERS),
+    "graph_betweenness": None,  # generated below (needs BC_DEPTH defined)
     "cypher_create": f"""
         WITH mx AS (
             SELECT CAST({LINEITEM_OFF} AS BIGINT)
@@ -233,7 +248,7 @@ QUEUE_ORACLES = {
     """,
     "cypher_set_label": f"""
         SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS v,
-               c_mktsegment AS seg
+               CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
         FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 9000
     """,
     "graph_condense": f"""
@@ -341,6 +356,72 @@ def main() -> None:
               f"({time.time() - t0:.1f}s)")
     print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
     sys.exit(1 if failed else 0)
+
+
+
+
+# --- betweenness oracle: unrolled layered Brandes (single source) ---------
+
+BC_DEPTH = 8  # TPC-H depth from the customer seed is 6; 2 spare layers
+# (oracle planning cost grows ~3x per layer — 12 was minutes, 8 is ~5 s;
+# an insufficient depth cannot silently pass: the hash gate would differ)
+BC_SRC = CUSTOMER_OFF + 1
+
+
+def _bc_oracle(depth: int) -> str:
+    """Single-source Brandes unrolled over a BFS dist table: the
+    recursive walk (same shape as the harmonic oracle) assigns layers,
+    sigma accumulates forward along dist-increasing edges, and the
+    dependency recurrence walks layers deepest-first. Rounded to 9
+    like the other double aggregates."""
+    edges_cte = EDGES_SQL_CTE.strip().rstrip().replace(
+        "AS (", "AS MATERIALIZED (", 1
+    )
+    ctes = [
+        f"WITH RECURSIVE {edges_cte}",
+        f"""walk(id, d) AS (
+            SELECT CAST({BC_SRC} AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT e.dst, w.d + 1
+            FROM walk w JOIN graph_edges e ON e.src = w.id
+            WHERE w.d < {depth}
+        )""",
+        "dist AS MATERIALIZED (SELECT id, min(d) AS d FROM walk GROUP BY id)",
+        # DISTINCT: the Spark side walks the deduped (src, dst) edge
+        # set (duplicate lineitem rows duplicate edges in the raw CTE)
+        "dag AS MATERIALIZED ("
+        " SELECT DISTINCT e.src, e.dst, ds.d AS dsrc FROM graph_edges e"
+        " JOIN dist ds ON ds.id = e.src JOIN dist dd ON dd.id = e.dst"
+        " AND dd.d = ds.d + 1)",
+        f"d0 AS (SELECT CAST({BC_SRC} AS BIGINT) AS id, 1.0 AS sigma)",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT g.dst AS id, sum(s.sigma) AS sigma "
+            f"FROM d{i-1} s JOIN dag g ON g.src = s.id AND g.dsrc = {i-1} "
+            f"GROUP BY g.dst)"
+        )
+    ctes.append(f"delta{depth} AS (SELECT id, 0.0 AS delta FROM d{depth})")
+    for i in range(depth - 1, -1, -1):
+        ctes.append(
+            f"delta{i} AS MATERIALIZED ("
+            f"SELECT u.id, sum(u.sigma / w.sigma * (1.0 + coalesce(dl.delta, 0.0))) AS delta "
+            f"FROM d{i} u JOIN dag g ON g.src = u.id AND g.dsrc = {i} "
+            f"JOIN d{i+1} w ON w.id = g.dst "
+            f"LEFT JOIN delta{i+1} dl ON dl.id = w.id "
+            f"GROUP BY u.id)"
+        )
+    alldelta = " UNION ALL ".join(
+        f"SELECT id, delta FROM delta{i}" for i in range(1, depth + 1)
+    )
+    return (
+        ",\n".join(ctes)
+        + "\nSELECT id, floor(sum(delta) * 1000000000 + 0.5) / 1000000000 AS bc"
+        + f"\nFROM ({alldelta}) GROUP BY id"
+    )
+
+
+QUEUE_ORACLES["graph_betweenness"] = _bc_oracle(BC_DEPTH)
 
 
 if __name__ == "__main__":
