@@ -285,3 +285,54 @@ def weighted_sample(
         _md5_bucket(F.col(key_col), seed)
         < (F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)) * _SAMPLE_SPACE)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    ascending: bool = True,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Curriculum position: rank the corpus by a difficulty/quality
+    score (easy-to-hard when ascending) into a global 0-based
+    ``curriculum_pos``, ties broken by key so the order is total and
+    reproducible.
+
+    Scale: the same sharded two-phase rank as deterministic_shuffle,
+    but range-sharded on the SCORE — per-shard boundaries come from
+    exact quantiles of the score column (one percentile aggregate),
+    ranking runs per-shard in parallel, and global positions add
+    driver-side shard offsets. No single global sort."""
+    s = F.col(score_col).cast("double")
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bounds = df.agg(
+        F.percentile(s, F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).collect()[0]["b"] or []
+    shard = F.lit(0)
+    for i, b in enumerate(bounds):
+        shard = F.when(s > F.lit(float(b)), F.lit(i + 1)).otherwise(shard)
+    if not ascending:
+        s_order = F.col("_s").desc()
+        shard_rank = {i: len(bounds) - i for i in range(len(bounds) + 1)}
+    else:
+        s_order = F.col("_s").asc()
+        shard_rank = {i: i for i in range(len(bounds) + 1)}
+    base = df.withColumn("_s", s).withColumn("_shard", shard.cast("long"))
+    counts = {
+        r["_shard"]: r["count"] for r in base.groupBy("_shard").count().collect()
+    }
+    offsets, acc = {}, 0
+    for sh in sorted(counts, key=lambda x: shard_rank.get(x, x)):
+        offsets[sh] = acc
+        acc += counts[sh]
+    off_col = F.create_map(
+        *[x for sh, off in sorted(offsets.items()) for x in (F.lit(sh), F.lit(off))]
+    )[F.col("_shard")]
+    w = Window.partitionBy("_shard").orderBy(s_order, F.col(key_col).asc())
+    return (
+        base.withColumn(
+            "curriculum_pos", (off_col + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_s", "_shard")
+    )

@@ -247,3 +247,24 @@ def test_split_corpus(spark):
     assert d != a
     with _pytest.raises(ValueError, match="sum to 1"):
         split_corpus(df, {"train": 0.5})
+
+
+def test_curriculum_order(spark):
+    """Global score rank without a global sort: positions are the exact
+    total order (score, key), ascending or descending."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.functions.sampling import curriculum_order
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "score", (F.col("doc_id") * 37 % 101).cast("double")
+    )
+    rows = curriculum_order(df, "score", n_shards=8).collect()
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    assert [r.curriculum_pos for r in by_pos] == list(range(500))
+    seq = [(r.score, r.doc_id) for r in by_pos]
+    assert seq == sorted(seq)
+    rows = curriculum_order(df, "score", ascending=False, n_shards=8).collect()
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    seq = [(-r.score, r.doc_id) for r in by_pos]
+    assert seq == sorted(seq)
