@@ -647,3 +647,49 @@ def lsh_topk_from_index(
     )
     scored = cand.withColumn("cos", cosine_expr(F.col("qv"), F.col("nv")))
     return _rank_topk(scored, k)
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize the embedding column in place (unit vectors make
+    cosine a plain dot product downstream). Pure column expressions —
+    one transform over the array, no shuffle; zero vectors stay zero
+    rather than dividing by 0."""
+    n = norm_expr(F.col(vec_col))
+    unit = F.when(
+        n > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    return df.withColumn(vec_col, unit)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (class centroids — the seed step for
+    nearest-centroid classification or a supervised IVF). posexplode ->
+    one (label, pos) aggregate with map-side combine -> reassemble in
+    pos order. Returns (label, centroid array<double>, n_vectors).
+    Scale shape: the exploded shuffle is dim x rows slim rows keyed on
+    (label, pos) — no vector ever collects to the driver."""
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    comp = pos.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid"),
+            F.max("n").cast("long").alias("n_vectors"),
+        )
+    )

@@ -1211,3 +1211,23 @@ def betweenness_centrality(
         )
     finally:
         e.unpersist()
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of edges whose reverse
+    edge also exists (1.0 = symmetric graph, 0.0 = no mutual pairs).
+    One self-semi-join on the swapped key + exact counts — one row
+    (n_edges, n_mutual, reciprocity)."""
+    e = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).dropDuplicates(["src", "dst"])
+    mutual = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        on=["src", "dst"], how="left_semi",
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    ).select(
+        "n_edges", "n_mutual",
+        (F.col("n_mutual") / F.col("n_edges")).alias("reciprocity"),
+    )

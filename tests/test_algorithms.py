@@ -585,3 +585,15 @@ def test_weighted_closeness_and_harmonic(spark):
     # unweighted twin counts hops
     h2 = harmonic_centrality(g, [0]).collect()[0]
     assert h2.harmonic == pytest.approx(1 + 1 + 1 / 2)
+
+
+def test_reciprocity(spark):
+    from g4s_spark.operators import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5)], "src long, dst long"
+    )
+    r = reciprocity(edges).collect()[0]
+    # self-loop excluded; mutual: (1,2),(2,1),(3,4),(4,3)
+    assert (r.n_edges, r.n_mutual) == (5, 4)
+    assert r.reciprocity == pytest.approx(0.8)

@@ -669,3 +669,22 @@ def test_kmv_distinct(spark):
         .withColumn("v", F.col("id"))
     got = {r.grp: r.n_kept for r in kmv_distinct(g, "v", ["grp"], k=64).collect()}
     assert got == {0: 64, 1: 64, 2: 64}
+
+
+def test_normalize_embeddings_and_centroids(spark):
+    import math
+
+    from g4s_spark.functions.similarity import label_centroids, normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [0.0, 0.0], 0), (3, [1.0, 1.0], 1), (4, [3.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: list(r.embedding) for r in normalize_embeddings(df).collect()}
+    assert got[1] == pytest.approx([0.6, 0.8])
+    assert got[2] == [0.0, 0.0]  # zero vector untouched
+    assert math.isclose(sum(x * x for x in got[3]), 1.0)
+    cent = {r.label: (list(r.centroid), r.n_vectors)
+            for r in label_centroids(df).collect()}
+    assert cent[1] == ([2.0, 1.0], 2)
+    assert cent[0] == ([1.5, 2.0], 2)
