@@ -46,20 +46,27 @@ class GraphDB:
         ``MERGE ...`` (with ON CREATE SET / ON MATCH SET), ``MATCH ...
         [DETACH] DELETE ...`` and ``MATCH ... REMOVE b.prop`` —
         returning a NEW GraphDB over the updated graph (immutable
-        rewrite; see the run_cypher_* statement runners in plans)."""
+        rewrite; see the run_cypher_* statement runners in plans).
+
+        Verb routing scans a literal-masked copy of the statement
+        (quoted spans blanked to a space so tokens never juxtapose):
+        a DELETE/MERGE/... keyword INSIDE a string value — ``SET c.note
+        = 'please DELETE'`` — must not hijack the route. The original
+        text is what executes."""
         import re
 
-        if re.match(r"(?is)^\s*MERGE\b", cypher) or re.search(
-            r"(?is)\bMERGE\s*\(", cypher
+        bare = re.sub(r"'[^']*'|\"[^\"]*\"", " ", cypher)
+        if re.match(r"(?is)^\s*MERGE\b", bare) or re.search(
+            r"(?is)\bMERGE\s*\(", bare
         ):
             return GraphDB(run_cypher_merge(self.graph, cypher))
-        if re.match(r"(?is)^\s*CREATE\b", cypher) or re.search(
-            r"(?is)\bCREATE\s*\(", cypher
+        if re.match(r"(?is)^\s*CREATE\b", bare) or re.search(
+            r"(?is)\bCREATE\s*\(", bare
         ):
             return GraphDB(run_cypher_create(self.graph, cypher))
-        if re.search(r"(?is)\b(?:DETACH\s+)?DELETE\b", cypher):
+        if re.search(r"(?is)\b(?:DETACH\s+)?DELETE\b", bare):
             return GraphDB(run_cypher_delete(self.graph, cypher))
-        if re.search(r"(?is)\bREMOVE\b", cypher):
+        if re.search(r"(?is)\bREMOVE\b", bare):
             return GraphDB(run_cypher_remove(self.graph, cypher))
         return GraphDB(run_cypher_set(self.graph, cypher))
 

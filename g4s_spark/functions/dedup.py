@@ -620,12 +620,16 @@ def kmv_distinct(
     hashed = df.select(*gcols, (h / F.lit(space)).alias("_h")).dropDuplicates(
         gcols + ["_h"]
     )
-    w = Window.partitionBy(*gcols).orderBy("_h") if gcols else (
-        Window.partitionBy(F.lit(1)).orderBy("_h")
-    )
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("_h")
+        topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        ).drop("_rn")
+    else:
+        # ungrouped: the global k smallest via orderBy+limit — Spark
+        # plans TakeOrderedAndProject (per-partition top-k, k-row merge),
+        # never a single-task global window (round-9, ADVICE r8)
+        topk = hashed.orderBy("_h").limit(k)
     agg = topk.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_kth")
     )

@@ -407,8 +407,12 @@ def dedup_lines(
             F.split(F.col(text_col), _re.escape(sep), -1)
         ).alias("pos", "line"),
     )
+    # empty / whitespace-only segments are STRUCTURE, not boilerplate
+    # (round-9, ADVICE r8): two documents sharing a blank line must not
+    # push it over min_docs, or paragraph breaks collapse on reassembly
     common = (
-        lines.groupBy("line")
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("line")
@@ -459,8 +463,11 @@ def common_lines(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("line"),
     )
+    # blank segments excluded: structural, never boilerplate (see
+    # dedup_lines — the index must match what it would strip)
     return (
-        lines.groupBy("line")
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("line")

@@ -920,10 +920,14 @@ def strongly_connected_components(
             )
             sub.unpersist()
         else:
-            raise RuntimeError(
-                f"scc did not peel every component within {max_iters} "
-                "rounds; raise max_iters"
-            )
+            # exhausted the round budget — but a run whose condensation
+            # depth EQUALS max_iters peels everything on the last round
+            # (round-9, ADVICE r8): only unfinished work is an error
+            if remaining.limit(1).count() != 0:
+                raise RuntimeError(
+                    f"scc did not peel every component within {max_iters} "
+                    "rounds; raise max_iters"
+                )
     finally:
         e.unpersist()
     if assigned is None:

@@ -402,6 +402,22 @@ def test_strongly_connected_components(spark):
     assert got == [(10, 10), (11, 10), (20, 20), (21, 20)]
 
 
+def test_scc_peels_on_final_allowed_round(spark):
+    """A condensation depth EQUAL to max_iters must succeed (round-9,
+    ADVICE r8 off-by-one): the 3-chain peels one singleton per round,
+    finishing exactly on round 3; one round short still raises."""
+    from g4s_spark.operators import strongly_connected_components
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = sorted(
+        (r.id, r.scc)
+        for r in strongly_connected_components(chain, max_iters=3).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    with pytest.raises(RuntimeError, match="peel"):
+        strongly_connected_components(chain, max_iters=2)
+
+
 def test_eigenvector_centrality(spark):
     """Power iteration on the in-edge sum, L1-normalized per step —
     checked against a numpy replica on a small cyclic graph."""

@@ -511,6 +511,16 @@ def test_dedup_lines(spark):
     )
     got2 = {r.doc_id: r.text for r in dedup_lines(df2, sep="|").collect()}
     assert got2 == {1: "b", 2: "c"}
+    # blank lines are paragraph STRUCTURE, not boilerplate (round-9,
+    # ADVICE r8): shared empty / whitespace-only segments survive
+    df3 = spark.createDataFrame(
+        [(1, "SAME\npara one\n\npara two"), (2, "SAME\nother\n\nmore")],
+        "doc_id long, text string",
+    )
+    got3 = {r.doc_id: (r.text, r.n_kept, r.n_removed)
+            for r in dedup_lines(df3, min_docs=2).collect()}
+    assert got3[1] == ("para one\n\npara two", 3, 1)
+    assert got3[2] == ("other\n\nmore", 3, 1)
 
 
 def test_common_lines_and_dedup_against(spark):
@@ -523,6 +533,12 @@ def test_common_lines_and_dedup_against(spark):
     )
     idx = common_lines(corpus, min_docs=2)
     assert sorted(r.line for r in idx.collect()) == ["FOOTER", "HEADER"]
+    # blank segments never enter the index (round-9)
+    blanky = spark.createDataFrame(
+        [(1, "X\n\n Y"), (2, "X\n\n Z"), (3, "  \nW")],
+        "doc_id long, text string",
+    )
+    assert [r.line for r in common_lines(blanky, min_docs=2).collect()] == ["X"]
     new = spark.createDataFrame(
         [(10, "HEADER\nfresh text\nFOOTER"), (11, "HEADER\nFOOTER")],
         "doc_id long, text string",

@@ -478,6 +478,37 @@ def test_graphdb_update_routes_merge(spark):
     assert db2.graph.nodes.count() == 2
 
 
+def test_graphdb_update_verb_routing_ignores_literals(spark):
+    """Verb keywords INSIDE quoted string values must not hijack the
+    route (round-9, VERDICT r8 #2): the router scans a literal-masked
+    copy of the statement, so ``SET c.note = 'please DELETE'`` executes
+    as SET and a DELETE whose WHERE compares against ``'CREATE (x)'``
+    still deletes."""
+    from g4s_spark.db import GraphDB
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"k": "CREATE (x)"}), (1, "B", {"k": "keep"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    db = GraphDB(PropertyGraph(nodes, edges, spark))
+
+    # every mutation keyword, inside a SET literal: must route to SET
+    for lit in ("please DELETE me", "then MERGE (x)", "REMOVE it",
+                "CREATE (y)", "DETACH DELETE all"):
+        db2 = db.update(f"MATCH (a:A) SET a.note = '{lit}'")
+        got = {r.id: dict(r.props) for r in db2.graph.nodes.collect()}
+        assert got[0]["note"] == lit, lit  # executed as SET
+        assert set(got) == {0, 1}, lit  # nothing deleted / created
+
+    # a real DELETE whose literal contains 'CREATE (' still deletes
+    db3 = db.update("MATCH (a:A) WHERE a.k = 'CREATE (x)' DETACH DELETE a")
+    assert {r.id for r in db3.graph.nodes.collect()} == {1}
+    # bare verbs still route (regression guard for the masking)
+    assert db.update("CREATE (n:C {k: 'v'})").graph.nodes.count() == 3
+    assert db.update("MERGE (n:A {k: 'new'})").graph.nodes.count() == 3
+
+
 def test_cypher_delete_edge_and_detach_node(spark):
     """[DETACH] DELETE (round-8): edge-variable deletes remove matched
     (src,dst,type) rows; DETACH DELETE cascades incident edges; input

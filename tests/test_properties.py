@@ -532,7 +532,11 @@ def test_dedup_lines_invariants(spark, docs, min_docs):
     for i, txt in rows:
         for seg in txt.split("\n"):
             seg_docs[seg].add(i)
-    common = {s for s, ds in seg_docs.items() if len(ds) >= min_docs}
+    # blank segments are structure, never boilerplate (round-9)
+    common = {
+        s for s, ds in seg_docs.items()
+        if len(ds) >= min_docs and s.strip() != ""
+    }
     for i, txt in rows:
         segs = txt.split("\n")
         kept = [s for s in segs if s not in common]
