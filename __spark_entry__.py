@@ -46,13 +46,17 @@ from g4s_spark.graph.tpch import (
     SUPPLIER_OFF,
 )
 from g4s_spark.operators import (
+    betweenness_centrality,
     bfs,
     closeness_centrality,
+    condensation,
     connected_components,
+    eigenvector_centrality,
     hits,
     k_core,
     label_propagation,
     neighborhood_jaccard,
+    topological_layers,
     weighted_pagerank,
     pagerank,
     personalized_pagerank,
@@ -60,7 +64,12 @@ from g4s_spark.operators import (
     strongly_connected_components,
     triangle_count,
 )
-from g4s_spark.plans import run_cypher
+from g4s_spark.plans import (
+    run_cypher,
+    run_cypher_create,
+    run_cypher_merge,
+    run_cypher_set,
+)
 from g4s_spark.sources import load_table, load_tables
 from g4s_spark import streaming as EV
 from g4s_spark.streaming import session_counts, session_window_counts, windowed_counts
@@ -864,22 +873,125 @@ def _q_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCC over a derived directed part<->supplier graph: every lineitem
-    contributes part -> supplier; returned items ('R' flag) contribute
-    the reverse supplier -> part edge, creating real multi-node SCCs
-    (the TPC-H relationship graph itself is acyclic)."""
+def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived directed part<->supplier graph graph_scc /
+    graph_condense / graph_layers gate on: every lineitem contributes
+    part -> supplier; returned items ('R' flag, first line only)
+    contribute the reverse supplier -> part edge, creating real
+    multi-node SCCs (the TPC-H relationship graph itself is acyclic;
+    all-'R' back-edges would collapse everything into ONE giant SCC —
+    first-line-only keeps a giant SCC plus ~480 satellites and a real
+    condensation DAG)."""
     li = load_table(spark, sf_dir, "lineitem")
     pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
     sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
     fwd = li.select(pid.alias("src"), sid.alias("dst"))
-    # first-line returned items only: all-'R' back-edges collapse the
-    # whole graph into ONE giant SCC (a trivial answer); this keeps a
-    # giant SCC plus ~480 satellite components and a real condensation
     back = li.filter(
         (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
     ).select(sid.alias("src"), pid.alias("dst"))
-    return strongly_connected_components(fwd.unionByName(back))
+    return fwd.unionByName(back)
+
+
+def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC over the derived part<->supplier graph (see _ps_edges)."""
+    return strongly_connected_components(_ps_edges(spark, sf_dir))
+
+
+# --- round-9 debuts (staged + oracle-verified in r8, scripts/r9_queue) ----
+
+EIG_ITERS = 3
+BC_DEPTH = 8  # TPC-H depth from the customer seed is 6; 2 spare layers
+# (an insufficient oracle depth cannot silently pass: the hash differs)
+
+
+def _q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over exactly the graph the EDGES_SQL_CTE
+    oracle walks: node set = edge endpoints (an isolated node would
+    score 0 on the Spark side but be absent from the oracle's rows)."""
+    from g4s_spark.graph import PropertyGraph
+
+    g = build_graph(spark, sf_dir)
+    endpoints = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionByName(g.edges.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    ec = eigenvector_centrality(
+        PropertyGraph(endpoints, g.edges, spark), iters=EIG_ITERS
+    )
+    return ec.select("id", pround(F.col("ec"), 9).alias("ec"))
+
+
+def _q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source betweenness from the BFS seed (batched Brandes with
+    |S| = 1 — the oracle unrolls the layered recurrence)."""
+    bc = betweenness_centrality(build_graph(spark, sf_dir), sources=[BFS_START])
+    return bc.select("id", pround(F.col("bc"), 9).alias("bc"))
+
+
+def _q_cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE then read back: two literal nodes (ids from next_id — the
+    max node id is lineitem's, so the oracle computes the same ids from
+    max(l_orderkey*8 + l_linenumber)) and VIP_OF edges created per
+    matched pair."""
+    g = build_graph(spark, sf_dir)
+    g2 = run_cypher_create(
+        g, "CREATE (x:Hub {name: 'h1', tier: 1}), (y:Hub {name: 'h2'})"
+    )
+    g3 = run_cypher_create(
+        g2,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_1' CREATE (c)-[:VIP_OF]->(n)",
+    )
+    return run_cypher(
+        g3,
+        "MATCH (h:Hub) RETURN h, h.name AS name "
+        "UNION ALL MATCH (c)-[:VIP_OF]->(n) RETURN c AS h, n.name AS name",
+    )
+
+
+def _q_cypher_set_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET c:VIP for rich customers, read back through the new label.
+    Binding-only RETURN: property resolution is per STORE ROW, so a
+    two-label node would duplicate a prop-projected row (the documented
+    deviation) — the binding projection is distinct."""
+    g2 = run_cypher_set(
+        build_graph(spark, sf_dir),
+        "MATCH (c:Customer) WHERE c.acctbal >= 9000 SET c:VIP",
+    )
+    return run_cypher(
+        g2, "MATCH (v:VIP)-[:FROM_NATION]->(n:Nation) RETURN v, n"
+    )
+
+
+def _q_cypher_merge_on_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with BOTH verb arms exercised at the driver (round-9,
+    VERDICT r8 #6): the first merge creates every qualifying VIP_OF
+    edge with the ON CREATE weight (2); the second merge matches them
+    all and ON MATCH SET bumps each weight to 3 — the read-back proves
+    the ON MATCH branch executed (a create-only re-run would read 2)."""
+    g = build_graph(spark, sf_dir)
+    stmt = (
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WHERE c.acctbal >= 9800 "
+        "MERGE (c)-[r:VIP_OF]->(n) "
+        "ON CREATE SET r.weight = 2 ON MATCH SET r.weight = r.weight + 1"
+    )
+    g2 = run_cypher_merge(run_cypher_merge(g, stmt), stmt)
+    return run_cypher(
+        g2, "MATCH (c:Customer)-[v:VIP_OF]->(n:Nation) RETURN c, n, v.weight AS w"
+    )
+
+
+def _q_graph_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted closeness of the BFS seed (round-9, VERDICT r8 #8): the
+    min-plus SSSP fixpoint supplies the distances — the weighted
+    centrality path's first driver row."""
+    out = closeness_centrality(
+        build_graph(spark, sf_dir), [BFS_START], weighted=True
+    )
+    return out.select(
+        pround(F.col("closeness"), 9).alias("closeness"), "n_reachable"
+    )
 
 
 def _q_cypher_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,62 +1035,43 @@ def _q_cypher_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-8 composition (VERDICT r7 #1): the six round-8 debuts (MERGE,
-# edge-SET expression RHS, OPTIONAL-binding prop aggregates, by-label
-# assortativity, DELETE, REMOVE — a brand-new gate must debut
-# immediately), the one changed-code gate (dedup_minhash_lsh now probes
-# the persistent bucket index), then 43 of the 49 gates whose last
-# driver row is r5 — everything the r7 verdict enumerated (the six
-# displaced cypher rows + the r5-era rel_*/text_*/events_*/dedup_*/
-# ann_* families) plus most unlisted r5 stragglers. Six r5 rows whose
-# code paths have NO diff since their last rows defer to r9 (knn_join,
-# multimodal_frames, pack_sequences, sample_stratified, graph_kcore,
-# pipeline_pretrain_mix — none in the verdict-enumerated families; all
-# six green in this round's local full check): the registry crossed the
-# 50-slot×3-round=150 sustainable ceiling at 154 gates, so the HARD
-# ledger budget is now 4 rounds (ceiling 200) while rotation practice
-# stays oldest-first (typical refresh still ~3 rounds). The
-# rotation history lives in WINDOW_LEDGER.json (append-only, digest-
-# pinned); tests/test_entry_contract.py enforces the budget.
-# Everything at 51+ is green in the local full check
-# (scripts/check_correctness.py).
+# Round-9 composition (VERDICT r8 #1, computed in NOTES.md "Concrete r9
+# window plan"): the 13 round-9 debuts (the 11 gates staged +
+# oracle-verified in r8 via scripts/r9_queue.py, plus the MERGE
+# ON MATCH SET and weighted-closeness rows VERDICT r8 #6/#8 asked for —
+# a brand-new gate must debut immediately), the one changed-code gate
+# (dedup_lines: blank segments no longer enter the boilerplate index),
+# the 18 HARD age-4 gates (r5 rows the 4-round ledger budget forces in),
+# and the 18 oldest r6-cohort gates (the r6 cypher block first — it
+# shares the most-churned planner paths; 25 r6 rows remain for r10
+# after this round's 5 retirements, see RETIRED_GATES.json). The
+# rotation history lives in WINDOW_LEDGER.json (append-only; rounds
+# with a published CORRECTNESS artifact are digest-pinned);
+# tests/test_entry_contract.py enforces the budget. Everything at 51+
+# is green in the local full check (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-8 debuts
-    "cypher_merge", "cypher_set_edge_expr", "cypher_optional_agg",
-    "graph_assort_label", "cypher_delete", "cypher_remove",
-    # round-8 session-2 debuts (a brand-new gate must debut immediately
-    # — the ledger test enforces it; these displace the 7 non-mandated
-    # r5 stragglers + text_vocab below, all of which the 4-round budget
-    # forces into the r9 window regardless)
-    "graph_closeness", "text_redact_pii", "text_normalize",
-    "dedup_vs_index", "cypher_stats_agg", "cypher_distinct_agg",
-    "cypher_introspect", "cypher_where_regex", "dedup_lines",
-    "graph_scc", "cypher_concat", "cypher_id_where",
-    # changed-code this round: persistent-bucket-index probe path
-    "dedup_minhash_lsh",
-    # the six r5 cypher rows displaced by the r7 rotation
-    "cypher_with_having", "cypher_union", "cypher_unwind",
-    "cypher_exists", "cypher_not_exists", "cypher_shortest_path",
-    # (r5-era cypher stragglers cypher_edge_agg / cypher_expr_return /
-    # cypher_expr_revenue / cypher_undirected / cypher_where_in /
-    # cypher_where_string_fns + graph_ppr + text_vocab displaced to r9
-    # by the session-2 debuts)
-    # r5-era dedup + ann
-    "dedup_clusters", "dedup_embedding_lsh", "ann_ivf_topk",
-    "ann_lsh_topk",
-    # r5-era events (events_followups / events_trending displaced to r9
-    # by the session-2 debuts, same policy as the other displacements)
-    "events_anomalies", "events_enrich", "events_session_window",
-    # r5-era relational family
-    "rel_q2_min_cost", "rel_q4_priority", "rel_q7_volume",
-    "rel_q8_market_share", "rel_q9_profit", "rel_q11_important_stock",
-    "rel_q12_priority_class", "rel_q13_order_dist",
-    "rel_q15_top_supplier", "rel_q16_supplier_cnt", "rel_q17_small_qty",
-    "rel_q18_large_orders", "rel_q19_disjunctive", "rel_q20_part_share",
-    "rel_q21_waiting", "rel_q22_idle_cust",
-    # r5-era text (text_vocab / text_repetition / rel_quantiles displaced
-    # to r9 by the session-2 debuts, same policy as the stragglers above)
-    "text_bm25", "text_decontaminate",
+    # round-9 debuts
+    "graph_eigenvector", "graph_betweenness", "cypher_create",
+    "cypher_set_label", "graph_condense", "graph_layers",
+    "sample_split", "cypher_keys", "sample_weighted", "dedup_kmv",
+    "dedup_lines_index", "cypher_merge_on_match",
+    "graph_closeness_weighted",
+    # changed-code this round: blank-segment boilerplate guard
+    "dedup_lines",
+    # the 18 HARD age-4 gates (r5 rows; contract test fails without them)
+    "cypher_edge_agg", "cypher_expr_return", "cypher_expr_revenue",
+    "cypher_undirected", "cypher_where_in", "cypher_where_string_fns",
+    "events_followups", "events_trending", "graph_kcore", "graph_ppr",
+    "knn_join", "multimodal_frames", "pack_sequences",
+    "pipeline_pretrain_mix", "rel_quantiles", "sample_stratified",
+    "text_repetition", "text_vocab",
+    # 18 oldest r6-cohort gates (cypher block first)
+    "cypher_1hop", "cypher_2hop_reverse", "cypher_agg_of_agg",
+    "cypher_case_priority", "cypher_closure", "cypher_collect",
+    "cypher_count_groups", "cypher_edge_where", "cypher_expr_cross",
+    "cypher_expr_where", "cypher_fork", "cypher_multi_return",
+    "cypher_multilabel", "cypher_multitype", "cypher_optional",
+    "cypher_optional_where", "cypher_prop_agg", "cypher_skip_limit",
 ]
 
 
@@ -1204,10 +1297,6 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN c, n"
         ),
         # pattern predicates: existence semi-join / negation anti-join
-        "cypher_where_string": _cypher(
-            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
-            "WHERE c.mktsegment = 'BUILDING' AND n.name <> 'NATION_1' RETURN c, n"
-        ),
         "cypher_edge_where": _cypher(
             "MATCH (o:Order)-[e:HAS_ITEM]->(l:Lineitem) "
             "WHERE e.weight >= 3 RETURN o, l, e.weight AS w"
@@ -1323,13 +1412,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # rest of the round-4 additions / LLM-pipeline block
         "multimodal_meta": _q_multimodal_meta,
-        "cypher_count_star": _cypher(
-            "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
-            "RETURN DISTINCT r, count(*) AS n_nations"
-        ),
-        "cypher_where_numeric": _cypher(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 RETURN o"
-        ),
+        # (cypher_count_star / cypher_where_numeric retired round-9 —
+        # RETIRED_GATES.json records the subsuming live gates)
         "events_window_agg": _q_events_window,
         "events_sessionize": _q_events_sessions,
         # cypher pattern matching (SURVEY §2.1/2.2)
@@ -1351,16 +1435,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_varlength": _cypher(
             "MATCH (c:Customer)-[:PLACED|HAS_ITEM*1..2]->(x) RETURN c, x"
         ),
-        "cypher_orderby_limit": _cypher(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.acctbal >= 5000 "
-            "RETURN o ORDER BY o DESC LIMIT 20"
-        ),
         "cypher_count_groups": _cypher(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c, count(o) AS n_orders"
-        ),
-        "cypher_prop_return": _cypher(
-            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
-            "RETURN c.name AS cname, n.name AS nname"
         ),
         "cypher_prop_agg": _cypher(
             "MATCH (o:Order)-[:HAS_ITEM]->(l:Lineitem) "
@@ -1444,6 +1520,49 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "documents"), sep=" the ", min_docs=2
         ),
         "graph_scc": _q_graph_scc,
+        # round-9 debuts: the 11 gates staged + oracle-verified in r8
+        # (scripts/r9_queue.py) plus the MERGE ON MATCH SET and
+        # weighted-closeness driver rows (VERDICT r8 #6/#8)
+        "graph_eigenvector": _q_graph_eigenvector,
+        "graph_betweenness": _q_graph_betweenness,
+        "cypher_create": _q_cypher_create,
+        "cypher_set_label": _q_cypher_set_label,
+        "cypher_merge_on_match": _q_cypher_merge_on_match,
+        "graph_closeness_weighted": _q_graph_closeness_weighted,
+        "graph_condense": lambda spark, sf_dir: condensation(
+            _ps_edges(spark, sf_dir)
+        ),
+        "graph_layers": lambda spark, sf_dir: topological_layers(
+            condensation(_ps_edges(spark, sf_dir))
+        ),
+        "sample_split": lambda spark, sf_dir: SM.split_corpus(
+            load_table(spark, sf_dir, "documents"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).select("doc_id", "source", "split"),
+        "cypher_keys": lambda spark, sf_dir: run_cypher(
+            build_graph(spark, sf_dir),
+            "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+            "RETURN c, keys(c) AS kc, properties(n) AS ps",
+        ),
+        "sample_weighted": lambda spark, sf_dir: SM.weighted_sample(
+            load_table(spark, sf_dir, "documents").withColumn(
+                "q", F.least(F.col("n_chars") / 2000.0, F.lit(1.0))
+            ),
+            "q",
+        ).select("doc_id", "source"),
+        "dedup_kmv": lambda spark, sf_dir: D.kmv_distinct(
+            load_table(spark, sf_dir, "documents"), "text", ["source"], k=16
+        ).withColumn("estimate", pround(F.col("estimate"), 6)),
+        "dedup_lines_index": lambda spark, sf_dir: TX.dedup_lines_against(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250),
+            TX.common_lines(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") < 250
+                ),
+                sep=" the ", min_docs=2,
+            ),
+            sep=" the ",
+        ),
         # string concatenation + id() point lookups (round-8 session-2)
         "cypher_concat": _cypher(
             "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
@@ -1835,6 +1954,133 @@ def _components_oracle(iters: int = 30) -> str:
         {",".join(its)}
         SELECT id, comp AS component FROM {prev}
     """
+
+
+# --- round-9 debut oracle helpers (lifted from scripts/r9_queue.py) -------
+
+# SCC + condensed-edge CTE shared by graph_condense / graph_layers —
+# identical to the graph_scc oracle's closure construction
+_SCC_CTES = f"""
+    e AS (
+        SELECT DISTINCT CAST({PART_OFF} + l_partkey AS BIGINT) AS src,
+               CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT) AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
+               CAST({PART_OFF} + l_partkey AS BIGINT)
+        FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a AS id, r1.b AS m
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    scc AS (
+        SELECT n.id, least(n.id, coalesce(min(m.m), n.id)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.id = n.id
+        GROUP BY n.id
+    ),
+    cond AS (
+        SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+        FROM e JOIN scc s1 ON s1.id = e.src JOIN scc s2 ON s2.id = e.dst
+        WHERE s1.scc <> s2.scc
+    )
+"""
+
+
+def _eig_oracle(iters: int) -> str:
+    ctes = [
+        f"WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()}",
+        # explicit DISTINCT: under WITH RECURSIVE DuckDB gives the
+        # base-UNION-step form special treatment and the dedup is lost
+        "graph_nodes AS (SELECT DISTINCT id FROM (SELECT src AS id "
+        "FROM graph_edges UNION ALL SELECT dst FROM graph_edges))",
+        "x0 AS (SELECT id, 1.0 / (SELECT count(*) FROM graph_nodes) AS ec "
+        "FROM graph_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS (SELECT e.dst AS id, sum(x{i-1}.ec) AS m "
+            f"FROM x{i-1} JOIN graph_edges e ON e.src = x{i-1}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT g.id, "
+            f"coalesce(m.m, 0) / (SELECT sum(m) FROM m{i}) AS ec "
+            f"FROM graph_nodes g LEFT JOIN m{i} m ON m.id = g.id)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT id, floor(ec * 1000000000 + 0.5) / 1000000000 AS ec FROM x{iters}"
+    )
+
+
+def _bc_oracle(depth: int) -> str:
+    """Single-source Brandes unrolled over a BFS dist table: the
+    recursive walk (same shape as the harmonic oracle) assigns layers,
+    sigma accumulates forward along dist-increasing edges, and the
+    dependency recurrence walks layers deepest-first. Rounded to 9
+    like the other double aggregates. Oracle planning cost grows ~3x
+    per layer — depth 12 was minutes, 8 is ~5 s; an insufficient depth
+    cannot silently pass: the hash gate would differ."""
+    edges_cte = EDGES_SQL_CTE.strip().rstrip().replace(
+        "AS (", "AS MATERIALIZED (", 1
+    )
+    ctes = [
+        f"WITH RECURSIVE {edges_cte}",
+        f"""walk(id, d) AS (
+            SELECT CAST({BFS_START} AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT e.dst, w.d + 1
+            FROM walk w JOIN graph_edges e ON e.src = w.id
+            WHERE w.d < {depth}
+        )""",
+        "dist AS MATERIALIZED (SELECT id, min(d) AS d FROM walk GROUP BY id)",
+        # DISTINCT: the Spark side walks the deduped (src, dst) edge
+        # set (duplicate lineitem rows duplicate edges in the raw CTE)
+        "dag AS MATERIALIZED ("
+        " SELECT DISTINCT e.src, e.dst, ds.d AS dsrc FROM graph_edges e"
+        " JOIN dist ds ON ds.id = e.src JOIN dist dd ON dd.id = e.dst"
+        " AND dd.d = ds.d + 1)",
+        f"d0 AS (SELECT CAST({BFS_START} AS BIGINT) AS id, 1.0 AS sigma)",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT g.dst AS id, sum(s.sigma) AS sigma "
+            f"FROM d{i-1} s JOIN dag g ON g.src = s.id AND g.dsrc = {i-1} "
+            f"GROUP BY g.dst)"
+        )
+    ctes.append(f"delta{depth} AS (SELECT id, 0.0 AS delta FROM d{depth})")
+    for i in range(depth - 1, -1, -1):
+        ctes.append(
+            f"delta{i} AS MATERIALIZED ("
+            f"SELECT u.id, sum(u.sigma / w.sigma * (1.0 + coalesce(dl.delta, 0.0))) AS delta "
+            f"FROM d{i} u JOIN dag g ON g.src = u.id AND g.dsrc = {i} "
+            f"JOIN d{i+1} w ON w.id = g.dst "
+            f"LEFT JOIN delta{i+1} dl ON dl.id = w.id "
+            f"GROUP BY u.id)"
+        )
+    alldelta = " UNION ALL ".join(
+        f"SELECT id, delta FROM delta{i}" for i in range(1, depth + 1)
+    )
+    return (
+        ",\n".join(ctes)
+        + "\nSELECT id, floor(sum(delta) * 1000000000 + 0.5) / 1000000000 AS bc"
+        + f"\nFROM ({alldelta}) GROUP BY id"
+    )
+
+
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+# thresholds replicate split_corpus's float ACCUMULATION exactly
+# (0.1 + 0.8 = 0.9000000000000001 — int() of that is not int(0.9 * SPACE))
+_SPLIT_T1 = int(0.1 * SM._SAMPLE_SPACE)
+_SPLIT_T2 = int((0.1 + 0.8) * SM._SAMPLE_SPACE)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2296,10 +2542,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM cust JOIN e e1 ON e1.src = cust.c JOIN e e2 ON e2.src = e1.dst
             )
         """,
-        "cypher_prop_return": """
-            SELECT c_name AS cname, n_name AS nname
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-        """,
         "cypher_prop_agg": """
             SELECT o_orderpriority AS prio, sum(l_quantity) AS sum_qty,
                    avg(l_quantity) AS avg_qty, min(l_quantity) AS min_qty,
@@ -2321,32 +2563,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT r.src AS c, r.dst AS x
             FROM reach r JOIN customer ON r.src = {_CID}
         """,
-        "cypher_count_star": f"""
-            SELECT CAST({REGION_OFF} + n_regionkey AS BIGINT) AS r,
-                   count(DISTINCT n_nationkey) AS n_nations
-            FROM nation GROUP BY n_regionkey
-        """,
-        "cypher_orderby_limit": f"""
-            SELECT DISTINCT {_OID} AS o
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            WHERE c_acctbal >= 5000
-            ORDER BY o DESC LIMIT 20
-        """,
         "cypher_count_groups": f"""
             SELECT c, CAST(count(*) AS BIGINT) AS n_orders FROM (
                 SELECT DISTINCT {_CID} AS c, {_OID} AS o
                 FROM orders JOIN customer ON o_custkey = c_custkey
             ) GROUP BY c
-        """,
-        "cypher_where_numeric": f"""
-            SELECT DISTINCT {_OID} AS o
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            WHERE c_acctbal >= 5000
-        """,
-        "cypher_where_string": f"""
-            SELECT DISTINCT {_CID} AS c, CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            WHERE c_mktsegment = 'BUILDING' AND n_name <> 'NATION_1'
         """,
         "cypher_edge_where": f"""
             SELECT DISTINCT CAST({ORDER_OFF} + l_orderkey AS BIGINT) AS o,
@@ -3607,6 +3828,128 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mutual m ON m.id = n.id
             GROUP BY n.id
         """,
+        # round-9 debuts (oracle-verified while staged in r8)
+        "graph_eigenvector": _eig_oracle(EIG_ITERS),
+        "graph_betweenness": _bc_oracle(BC_DEPTH),
+        "cypher_create": f"""
+            WITH mx AS (
+                SELECT CAST({LINEITEM_OFF} AS BIGINT)
+                       + max(l_orderkey * 8 + l_linenumber) AS m
+                FROM lineitem
+            )
+            SELECT m + 1 AS h, 'h1' AS name FROM mx
+            UNION ALL SELECT m + 2, 'h2' FROM mx
+            UNION ALL
+            SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT), n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+        """,
+        "cypher_set_label": f"""
+            SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS v,
+                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
+            FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 9000
+        """,
+        # round-9: both MERGE arms — first run ON CREATE SET weight 2,
+        # second run matches everything and ON MATCH SET bumps to 3
+        "cypher_merge_on_match": f"""
+            SELECT {_CID} AS c,
+                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n,
+                   CAST(3 AS DOUBLE) AS w
+            FROM customer WHERE c_acctbal >= 9800
+        """,
+        # round-9: weighted closeness — the min-plus walk of the
+        # graph_sssp oracle feeding the closeness aggregation
+        "graph_closeness_weighted": f"""
+            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
+            walk(id, d) AS (
+                SELECT CAST({BFS_START} AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT e.dst, w.d + e.weight
+                FROM walk w JOIN graph_edges e ON e.src = w.id
+                WHERE w.d < 100
+            ),
+            dist AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
+            SELECT floor(count(*) * 1.0 / sum(d) * 1000000000 + 0.5)
+                       / 1000000000 AS closeness,
+                   CAST(count(*) AS BIGINT) AS n_reachable
+            FROM dist WHERE d > 0
+        """,
+        "graph_condense": f"""
+            WITH RECURSIVE {_SCC_CTES.strip()}
+            SELECT src, dst FROM cond
+        """,
+        "graph_layers": f"""
+            WITH RECURSIVE {_SCC_CTES.strip()},
+            cnodes AS (SELECT src AS id FROM cond UNION SELECT dst FROM cond),
+            walk(id, d) AS (
+                SELECT id, CAST(0 AS BIGINT) FROM cnodes
+                WHERE id NOT IN (SELECT dst FROM cond)
+                UNION ALL
+                SELECT c.dst, w.d + 1 FROM walk w JOIN cond c ON c.src = w.id
+            )
+            SELECT id, max(d) AS layer FROM walk GROUP BY id
+        """,
+        # sorted split names (test, train, val) with cumulative
+        # thresholds 0.1 / 0.9 — the exact interval arithmetic
+        # split_corpus performs
+        "sample_split": f"""
+            SELECT doc_id, source,
+                   CASE WHEN {_SPLIT_BUCKET} < {_SPLIT_T1} THEN 'test'
+                        WHEN {_SPLIT_BUCKET} < {_SPLIT_T2} THEN 'train'
+                        ELSE 'val' END AS split
+            FROM documents
+        """,
+        "sample_weighted": f"""
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT)
+                  < least(n_chars / 2000.0, 1.0) * 4294967296.0
+        """,
+        "dedup_kmv": f"""
+            WITH hashed AS (
+                SELECT DISTINCT source,
+                       CAST(CAST('0x' || substr(md5('0:' || text), 1, 15) AS BIGINT)
+                            AS DOUBLE) / 1152921504606846976.0 AS h
+                FROM documents
+            ),
+            topk AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM hashed
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   floor((CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                               ELSE 15.0 / max(h) END) * 1000000 + 0.5) / 1000000
+                       AS estimate
+            FROM topk WHERE rn <= 16 GROUP BY source
+        """,
+        "cypher_keys": f"""
+            SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS c,
+                   'acctbal,mktsegment,name' AS kc,
+                   'name=' || n_name AS ps
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "dedup_lines_index": """
+            WITH ls AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+            lines AS (
+                SELECT doc_id, i AS pos, l[i] AS line
+                FROM ls, unnest(generate_series(1, len(l))) AS u(i)
+            ),
+            common AS (
+                SELECT line FROM lines
+                WHERE doc_id < 250 AND trim(line) <> ''
+                GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM lines
+                WHERE doc_id >= 250 AND line NOT IN (SELECT line FROM common)
+            )
+            SELECT doc_id,
+                   string_agg(line, ' the ' ORDER BY pos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        """,
         "dedup_lines": """
             WITH ls AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
             lines AS (
@@ -3614,7 +3957,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM ls, unnest(generate_series(1, len(l))) AS u(i)
             ),
             common AS (
-                SELECT line FROM lines GROUP BY line
+                SELECT line FROM lines WHERE trim(line) <> ''
+                GROUP BY line
                 HAVING count(DISTINCT doc_id) >= 2
             ),
             kept AS (

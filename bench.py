@@ -53,6 +53,33 @@ HEADLINE = [
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load averages — recorded so a contended driver run
+    self-documents (round-9, VERDICT r8 #7: r8's 54 s 'regression' burned
+    an adjudication cycle on regression-or-noise)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (ms). local[*] means the driver JVM IS the
+    executor, so deltas around a sample attribute its GC cost exactly —
+    the instrument VERDICT r8 #5 asked for on the pagerank bimodality."""
+    try:
+        total = 0
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        for i in range(beans.size()):
+            t = beans.get(i).getCollectionTime()
+            if t > 0:
+                total += t
+        return total
+    except Exception:
+        return -1
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -85,16 +112,24 @@ def main():
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         print(f"# [warmup] {name}: {time.time() - t0:.2f}s", file=sys.stderr)
 
+    load_start = _loadavg()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    gc_ms: dict[str, list[int]] = {name: [] for name in HEADLINE}
     for rep in range(REPEATS):
         for name in HEADLINE:
             fn = qs[name]
+            gc0 = _gc_millis(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = round(time.time() - t0, 3)
+            gcd = _gc_millis(spark) - gc0 if gc0 >= 0 else -1
             samples[name].append(dt)
-            print(f"# [{rep + 1}/{REPEATS}] {name}: {dt:.2f}s", file=sys.stderr)
+            gc_ms[name].append(gcd)
+            print(
+                f"# [{rep + 1}/{REPEATS}] {name}: {dt:.2f}s (gc {gcd}ms)",
+                file=sys.stderr,
+            )
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -105,6 +140,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        "gc_ms": gc_ms,
+        "loadavg": {"start": load_start, "end": _loadavg()},
         "repeats": REPEATS,
         "sf": sf,
     }))
