@@ -952,9 +952,10 @@ def _q_cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cypher_set_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET c:VIP for rich customers, read back through the new label.
-    Binding-only RETURN: property resolution is per STORE ROW, so a
-    two-label node would duplicate a prop-projected row (the documented
-    deviation) — the binding projection is distinct."""
+    (Historical: this gate was staged binding-only because resolution
+    used to fan out per label row; since the round-9 payload_rows fix a
+    two-label node resolves props once — see cypher_multilabel_props,
+    which pins exactly that.)"""
     g2 = run_cypher_set(
         build_graph(spark, sf_dir),
         "MATCH (c:Customer) WHERE c.acctbal >= 9000 SET c:VIP",
@@ -979,6 +980,53 @@ def _q_cypher_merge_on_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = run_cypher_merge(run_cypher_merge(g, stmt), stmt)
     return run_cypher(
         g2, "MATCH (c:Customer)-[v:VIP_OF]->(n:Nation) RETURN c, n, v.weight AS w"
+    )
+
+
+def _q_cypher_multilabel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-label nodes project props WITHOUT fanout (round-9, VERDICT
+    r8 #4): Premium customers carry a second label row sharing the SAME
+    payload — property resolution dedupes on (id, payload)
+    (store.payload_rows), so the match yields exactly one row per
+    (premium customer, nation) pair, openCypher semantics. A fanout
+    regression doubles the row count and the hash gate fails."""
+    from g4s_spark.graph import PropertyGraph
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cid = (F.lit(CUSTOMER_OFF) + F.col("c_custkey")).cast("long")
+    cprops = F.create_map(
+        F.lit("name"), F.col("c_name").cast("string"),
+        F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+    )
+    nodes = (
+        customer.select(
+            cid.alias("id"), F.lit("Customer").alias("label"), cprops.alias("props")
+        )
+        .unionByName(
+            customer.filter(F.col("c_acctbal") > 5000).select(
+                cid.alias("id"), F.lit("Premium").alias("label"),
+                cprops.alias("props"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                (F.lit(NATION_OFF) + F.col("n_nationkey")).cast("long").alias("id"),
+                F.lit("Nation").alias("label"),
+                F.create_map(F.lit("name"), F.col("n_name")).alias("props"),
+            )
+        )
+    )
+    edges = customer.select(
+        cid.alias("src"),
+        (F.lit(NATION_OFF) + F.col("c_nationkey")).cast("long").alias("dst"),
+        F.lit("FROM_NATION").alias("type"),
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    return run_cypher(
+        g,
+        "MATCH (c:Customer:Premium)-[:FROM_NATION]->(n:Nation) "
+        "RETURN c, c.name AS cname, n.name AS nname",
     )
 
 
@@ -1055,7 +1103,7 @@ _WINDOW_ORDER = [
     "cypher_set_label", "graph_condense", "graph_layers",
     "sample_split", "cypher_keys", "sample_weighted", "dedup_kmv",
     "dedup_lines_index", "cypher_merge_on_match",
-    "graph_closeness_weighted",
+    "graph_closeness_weighted", "cypher_multilabel_props",
     # changed-code this round: blank-segment boilerplate guard
     "dedup_lines",
     # the 18 HARD age-4 gates (r5 rows; contract test fails without them)
@@ -1065,13 +1113,14 @@ _WINDOW_ORDER = [
     "knn_join", "multimodal_frames", "pack_sequences",
     "pipeline_pretrain_mix", "rel_quantiles", "sample_stratified",
     "text_repetition", "text_vocab",
-    # 18 oldest r6-cohort gates (cypher block first)
+    # 17 oldest r6-cohort gates (cypher block first; cypher_skip_limit
+    # defers to r10's HARD set — displaced by cypher_multilabel_props)
     "cypher_1hop", "cypher_2hop_reverse", "cypher_agg_of_agg",
     "cypher_case_priority", "cypher_closure", "cypher_collect",
     "cypher_count_groups", "cypher_edge_where", "cypher_expr_cross",
     "cypher_expr_where", "cypher_fork", "cypher_multi_return",
     "cypher_multilabel", "cypher_multitype", "cypher_optional",
-    "cypher_optional_where", "cypher_prop_agg", "cypher_skip_limit",
+    "cypher_optional_where", "cypher_prop_agg",
 ]
 
 
@@ -1528,6 +1577,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_create": _q_cypher_create,
         "cypher_set_label": _q_cypher_set_label,
         "cypher_merge_on_match": _q_cypher_merge_on_match,
+        "cypher_multilabel_props": _q_cypher_multilabel_props,
         "graph_closeness_weighted": _q_graph_closeness_weighted,
         "graph_condense": lambda spark, sf_dir: condensation(
             _ps_edges(spark, sf_dir)
@@ -3848,6 +3898,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({CUSTOMER_OFF} + c_custkey AS BIGINT) AS v,
                    CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n
             FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 9000
+        """,
+        # round-9: two-label nodes share ONE payload — resolution
+        # dedupes on (id, payload), so exactly one row per match
+        "cypher_multilabel_props": f"""
+            SELECT {_CID} AS c, c_name AS cname, n_name AS nname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(c_acctbal AS DOUBLE) > 5000
         """,
         # round-9: both MERGE arms — first run ON CREATE SET weight 2,
         # second run matches everything and ON MATCH SET bumps to 3

@@ -2260,7 +2260,9 @@ def plan_match(
         if "props" not in graph.nodes.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
         for b in bs:
-            n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_cf_{b}"))
+            n = graph.payload_rows().select(
+                F.col("id").alias(b), F.col("props").alias(f"_cf_{b}")
+            )
             df = df.join(n, on=b, how="left")
         acc = None
         for a in grp:
@@ -2280,7 +2282,9 @@ def plan_match(
         if "props" not in graph.nodes.columns:
             raise ValueError("graph nodes carry no props column; WHERE unsupported")
         for b in bs:
-            n = graph.nodes.select(F.col("id").alias(b), F.col("props").alias(f"_xf_{b}"))
+            n = graph.payload_rows().select(
+                F.col("id").alias(b), F.col("props").alias(f"_xf_{b}")
+            )
             df = df.join(n, on=b, how="left")
 
         def _leaf(nd):
@@ -2466,16 +2470,14 @@ def plan_match(
             if p[0] == "prop":
                 prop_cols.setdefault(p[1], []).append((p[2], f"_cc_{a}_{i}"))
     for b, cols in prop_cols.items():
-        # Deliberately NOT deduped on id: property resolution is
-        # per STORE ROW — the driver testdata carries duplicate
-        # lineitem node rows (same id, distinct props; NOTES.md
-        # "testdata quirk") and the oracles aggregate the raw rows, so
-        # the fanout is the pinned semantic. Flip side: a node with
-        # several LABEL rows (multi-label / SET n:Label) duplicates
-        # its prop-resolved output per label row — the match set is
-        # distinct, the resolved row set is per-row (documented
-        # deviation; see test_label_mutation_statements).
-        n = graph.nodes.select(
+        # Resolution is per DISTINCT (id, payload) row (round-9,
+        # VERDICT r8 #4): a multi-label node (several LABEL rows, one
+        # shared payload) projects its props ONCE per match — openCypher
+        # semantics, no fanout. The driver testdata's duplicate
+        # lineitem rows (same id, genuinely DISTINCT props; NOTES.md
+        # "testdata quirk") survive the payload dedup, so the oracles'
+        # per-raw-row aggregation still hash-matches.
+        n = graph.payload_rows().select(
             F.col("id").alias(b), F.col("props").alias(f"_props_{b}")
         )
         out = out.join(n, on=b, how="left")
@@ -2533,11 +2535,12 @@ def plan_match(
             labels_aliases.append(a)
             steps.append(("resolve_labels", b))
     # keys(b)/properties(b): one props-map join per binding (deduped on
-    # id — a multi-label node carries identical props on each label
-    # row), rendered sorted so the result is deterministic
+    # (id, payload) like every resolution join — a multi-label node
+    # carries one shared payload), rendered sorted so the result is
+    # deterministic
     keys_aliases = []
     for b, a, with_values in qg.keys_returns:
-        n = graph.payload_nodes().select(
+        n = graph.payload_rows().select(
             F.col("id").alias(b), F.col("props").alias(f"_kp_{a}")
         )
         out = out.join(n, on=b, how="left")

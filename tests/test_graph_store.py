@@ -701,6 +701,51 @@ def test_cypher_create_statement(spark):
         run_cypher_create(g2, "MATCH (a:A), (c:C) CREATE (a)-[:L {cost: 1}]->(c)")
 
 
+def test_multilabel_prop_projection_no_fanout(spark):
+    """openCypher: one row per match (round-9, VERDICT r8 #4). A node
+    with SEVERAL label rows sharing one payload must project / filter /
+    aggregate its props exactly once — across plain prop returns,
+    property aggregates, arithmetic WHERE, and properties() — while
+    same-id rows with genuinely DISTINCT payloads (the driver lineitem
+    quirk) keep per-row semantics."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [
+            (0, "A", {"name": "x", "v": "10.0"}),
+            (0, "Big", {"name": "x", "v": "10.0"}),  # same payload, 2nd label
+            (1, "A", {"name": "y", "v": "3.0"}),
+            (7, "L", {"v": "1.0"}),  # anomalous: same id, DISTINCT payloads
+            (7, "L", {"v": "2.0"}),
+            (9, "T", {"name": "t"}),
+        ],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 9, "E"), (1, 9, "E"), (7, 9, "E")],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    # prop projection: the two-label node yields ONE row
+    out = run_cypher(g, "MATCH (a:A)-[:E]->(t:T) RETURN a, a.name AS n")
+    assert sorted((r.a, r.n) for r in out.collect()) == [(0, "x"), (1, "y")]
+    # property aggregate: payload counted once per match
+    out = run_cypher(g, "MATCH (a:A)-[:E]->(t:T) RETURN t, sum(a.v) AS s")
+    assert [(r.t, r.s) for r in out.collect()] == [(9, 13.0)]
+    # arithmetic WHERE resolves through the same deduped payload
+    out = run_cypher(g, "MATCH (a:A)-[:E]->(t:T) WHERE a.v * 2 > 8 RETURN a")
+    assert sorted(r.a for r in out.collect()) == [0]
+    # properties() renders the shared payload once
+    out = run_cypher(g, "MATCH (a:A) RETURN a, properties(a) AS ps")
+    assert sorted((r.a, r.ps) for r in out.collect()) == [
+        (0, "name=x,v=10.0"), (1, "name=y,v=3.0"),
+    ]
+    # DISTINCT payloads on one id stay per-row (pinned driver semantics)
+    out = run_cypher(g, "MATCH (l:L)-[:E]->(t:T) RETURN t, sum(l.v) AS s")
+    assert [(r.t, r.s) for r in out.collect()] == [(9, 3.0)]
+
+
 def test_label_mutation_statements(spark):
     """SET n:Label / REMOVE n:Label (round-8): label rows append
     idempotently with the node's props payload; removing a node's last
@@ -720,12 +765,11 @@ def test_label_mutation_statements(spark):
     assert sorted(
         (r.id, r.label) for r in g2.nodes.filter("label = 'VIP'").collect()
     ) == [(0, "VIP")]
-    # the VIP row carries the payload: props resolve through either
-    # label row — resolution is per STORE ROW (the oracle-pinned
-    # semantic), so the two label rows yield the same resolved tuple
-    # twice; the distinct VALUE set is the single payload
+    # the VIP row carries the payload; resolution is per DISTINCT
+    # (id, payload) (round-9, VERDICT r8 #4) — the two label rows share
+    # one payload, so the match projects exactly ONE row (openCypher)
     out = run_cypher(g2, "MATCH (v:VIP) RETURN v, v.name AS n")
-    assert set((r.v, r.n) for r in out.collect()) == {(0, "a0")}
+    assert [(r.v, r.n) for r in out.collect()] == [(0, "a0")]
     # idempotent
     g3 = run_cypher_set(g2, "MATCH (a:A) WHERE a.name = 'a0' SET a:VIP")
     assert g3.nodes.filter("label = 'VIP'").count() == 1
