@@ -512,3 +512,115 @@ def dedup_lines_against(
         ).alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (round-9): tf(d,t) ×
+    rational idf (N+1)/(df_t+1) — like bm25_score, the classic log() is
+    monotone in this ratio, so the keyword RANKING is identical while
+    every score stays a product/quotient of exact integer-derived
+    doubles (an ANSI-SQL oracle reproduces scores and ranks
+    bit-for-bit; ln differs in the last ulp across engines). Ties break
+    on token text. Returns (id, token, rank, score), rank 1 = top
+    keyword.
+
+    Scale shape: one explode + groupBy(id, token) for tf (map-side
+    combine), token-keyed groupBy for df over the already-aggregated tf
+    table, broadcast 1-row N, then a per-document ranked window —
+    partitioned by doc id, never global."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * ((F.col("_n") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "rank", "score")
+    )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    threshold: float = 1e-4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram language-model rarity signal (round-9): the
+    corpus's own Laplace-smoothed bigram model p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V) scores every bigram of every document; a
+    document's quality signal is its share of RARE bigrams (p <
+    threshold) — high rare_ratio = atypical/garbled text relative to
+    the corpus (the decision the perplexity filters of C4/Gopher make).
+    Everything is counts and one rational per bigram — no ln/exp, so
+    the oracle is bit-exact: perplexity proper is exp(-mean ln p),
+    monotone DEcreasing in these probabilities, and the threshold count
+    is the decision-relevant summary. Returns (id, n_bigrams, n_rare,
+    rare_ratio, min_p): min/max of exactly-computed doubles and integer
+    counts are reduction-order independent, unlike a sum of logs.
+
+    Scale shape: posexplode + per-doc lead() window (partitioned by doc
+    id, bounded by doc length) -> two token-keyed groupBys for the
+    model counts (map-side combine) -> two joins back on (w1[,w2]) ->
+    one groupBy(id). All shuffles key on tokens or doc ids; the model
+    tables are |vocab|- and |bigram-vocab|-sized, tiny next to a 100 TB
+    corpus scan."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = big.select(F.col("w1").alias("t")).unionByName(
+        big.select(F.col("w2").alias("t"))
+    )
+    v = vocab.agg(F.count_distinct("t").alias("_v"))
+    p = (
+        big.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .join(F.broadcast(v))
+        .withColumn(
+            "p", (F.col("c12") + 1.0) / (F.col("c1") + F.col("_v") + 0.0)
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("p") < threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+        (
+            F.sum(F.when(F.col("p") < threshold, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_ratio"),
+        F.min("p").alias("min_p"),
+    )

@@ -704,3 +704,53 @@ def test_normalize_embeddings_and_centroids(spark):
             for r in label_centroids(df).collect()}
     assert cent[1] == ([2.0, 1.0], 2)
     assert cent[0] == ([1.5, 2.0], 2)
+
+
+def test_tfidf_keywords(spark):
+    """Per-doc top-k TF-IDF keywords (round-9): rational idf
+    (N+1)/(df+1), deterministic token tie-break, python replica."""
+    from g4s_spark.functions.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry cherry common")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.token, r.score)
+           for r in tfidf_keywords(df, k=2).collect()}
+    # N=3; df: apple 1, banana 2, cherry 2, common 3
+    # idf: apple 4/2=2, banana 4/3, cherry 4/3, common 4/4=1
+    # doc1: apple 2*2=4, banana 4/3, common 1 -> top2 apple, banana
+    assert got[(1, 1)] == ("apple", 4.0)
+    assert got[(1, 2)] == ("banana", 4.0 / 3.0)
+    # doc2: banana 4/3, cherry 4/3, common 1 -> tie broken by token asc
+    assert got[(2, 1)] == ("banana", 4.0 / 3.0)
+    assert got[(2, 2)] == ("cherry", 4.0 / 3.0)
+    # doc3: cherry 3*4/3=4, common 1
+    assert got[(3, 1)] == ("cherry", 4.0)
+    assert got[(3, 2)] == ("common", 1.0)
+
+
+def test_bigram_rarity(spark):
+    """Self-trained bigram LM rarity (round-9): Laplace-smoothed
+    p(w2|w1) vs a python replica; counts exact, min_p exact."""
+    from collections import Counter
+
+    from g4s_spark.functions.text import bigram_rarity
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # python replica
+    bigs = {i: list(zip(t.split(), t.split()[1:])) for i, t in rows}
+    allb = [b for bs in bigs.values() for b in bs]
+    c12, c1 = Counter(allb), Counter(b[0] for b in allb)
+    vocab = {w for b in allb for w in b}
+    V = len(vocab)
+    p = lambda b: (c12[b] + 1.0) / (c1[b[0]] + V)  # noqa: E731
+    got = {r.doc_id: r for r in bigram_rarity(df, threshold=0.5).collect()}
+    for i, bs in bigs.items():
+        assert got[i].n_bigrams == len(bs), i
+        assert got[i].n_rare == sum(1 for b in bs if p(b) < 0.5), i
+        assert got[i].min_p == min(p(b) for b in bs), i
+        assert got[i].rare_ratio == got[i].n_rare / got[i].n_bigrams, i
