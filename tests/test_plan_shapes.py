@@ -390,3 +390,50 @@ def test_return_binding_alias(spark):
     out = run_cypher(g, "MATCH (a:A) RETURN a UNION MATCH (b:B) RETURN b AS a")
     assert out.columns == ["a"]
     assert sorted(r.a for r in out.collect()) == [1, 10]
+
+
+def test_kmv_ungrouped_plans_take_ordered(spark):
+    """kmv_distinct without group cols must plan TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a single-task global
+    window (round-9, ADVICE r8)."""
+    from g4s_spark.functions.dedup import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+    plan = kmv_distinct(df, "v", k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_tfidf_broadcasts_corpus_total(spark):
+    """tfidf_keywords joins the 1-row N aggregate as a broadcast, and the
+    only Window is the per-document rank (partitioned by the id col,
+    never a global sort)."""
+    from g4s_spark.functions.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = tfidf_keywords(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_payload_rows_memoized_and_deduped(spark):
+    """payload_rows (round-9): one deduped plan per graph (memo
+    identity), payload-level dedup (multi-label collapses, distinct
+    payloads survive)."""
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"k": "1"}), (0, "B", {"k": "1"}), (7, "L", {"k": "a"}),
+         (7, "L", {"k": "b"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    p1, p2 = g.payload_rows(), g.payload_rows()
+    assert p1 is p2  # memoized: every resolution join reuses ONE plan
+    rows = sorted((r.id, dict(r.props)["k"]) for r in p1.collect())
+    assert rows == [(0, "1"), (7, "a"), (7, "b")]
