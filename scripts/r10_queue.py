@@ -114,7 +114,34 @@ def _q_cypher_merge_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss of the co-purchase part graph (every edge closes >= 3
+    triangles within the surviving subgraph). Converges in 4 peel
+    rounds at sf0.01 (python replica); the oracle unrolls 5 — the peel
+    is idempotent at its fixpoint, and an INSUFFICIENT depth cannot
+    silently pass (the hash would differ)."""
+    from g4s_spark.graph.tpch import PART_OFF  # noqa: F401 (doc parity)
+    from g4s_spark.operators import k_truss
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("src"),
+            F.col("l2.l_partkey").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return k_truss(pairs, k=5)
+
+
 QUEUE_QUERIES = {
+    "graph_ktruss": _q_graph_ktruss,
     "text_tfidf": _q_text_tfidf,
     "text_bigram_rarity": _q_text_bigram_rarity,
     "graph_reciprocity": _q_graph_reciprocity,
@@ -192,7 +219,49 @@ def _bc_oracle_multi(depth: int, srcs: list[int]) -> str:
     )
 
 
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: per round, per-edge support = the
+    common-neighbor count via two adjacency joins (triangle_count's
+    wedge shape), keep support >= k-2. MATERIALIZED so each level
+    evaluates once."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""adj{p} AS MATERIALIZED (
+                SELECT a AS u, b AS w FROM e{p}
+                UNION ALL SELECT b, a FROM e{p}
+            )"""
+        )
+        ctes.append(
+            f"""sup{i} AS MATERIALIZED (
+                SELECT e.a, e.b, count(*) AS s
+                FROM e{p} e
+                JOIN adj{p} n1 ON n1.u = e.a
+                JOIN adj{p} n2 ON n2.u = e.b AND n2.w = n1.w
+                GROUP BY e.a, e.b
+            )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT s.a, s.b FROM sup{i} s WHERE s.s >= {k - 2}
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS src, b AS dst FROM e{rounds}"
+    )
+
+
 QUEUE_ORACLES = {
+    "graph_ktruss": _ktruss_oracle(5, 5),
     # rational idf (N+1)/(df+1); rank ties broken by token text. The
     # arithmetic shape (tf * (ratio)) matches tfidf_keywords exactly.
     "text_tfidf": f"""
