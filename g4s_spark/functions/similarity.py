@@ -377,6 +377,42 @@ def _dots_general(vec: Column, C: list[list[float]]) -> Column:
     ])
 
 
+def ivf_cells_topn_expr(
+    vec: Column, nprobe: int, n_centroids: int = 8, dim: int = EMB_DIM,
+    seed: int = IVF_SEED, centroids: list[list[float]] | None = None,
+) -> Column:
+    """The ``nprobe`` nearest cell ids of one vector (round-9), as an
+    array<long> ordered best-first: multi-probe IVF queries the top-n
+    coarse cells instead of one — the standard recall lever when the
+    true neighbor sits just across a cell boundary. Sort key is
+    (−dot asc, cell asc): double negation is IEEE-exact, so the ranking
+    is bit-reproducible, and the index tie-break keeps equal-dot cells
+    deterministic. Pure column expression — the argmax chain of
+    ivf_cell_expr generalized through one array_sort over n_centroids
+    structs (coarse-quantizer sized, not data sized)."""
+    C = centroids if centroids is not None else projection_matrix(n_centroids, dim, seed)
+    n_centroids = len(C)
+    nprobe = min(nprobe, n_centroids)
+    dots = (
+        _dots_general(vec, C)
+        if centroids is not None
+        else _masked_dots(vec, C, dim)
+    )
+
+    def ranked(ds: Column) -> Column:
+        arr = F.array(*[
+            F.struct(
+                (-ds[c]).alias("nd"), F.lit(c).cast("long").alias("i")
+            )
+            for c in range(n_centroids)
+        ])
+        return F.slice(
+            F.transform(F.array_sort(arr), lambda s: s.i), 1, nprobe
+        )
+
+    return F.transform(F.array(dots), ranked)[0]
+
+
 # Cell-assigned corpus memo — same rationale as _LSH_CORPUS_CACHE: the
 # IVF index is built once per session, queried many times.
 _IVF_CORPUS_CACHE: dict[tuple, DataFrame] = {}
@@ -422,18 +458,36 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int = EMB_DIM,
     seed: int = IVF_SEED,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF search: candidates restricted to the query's coarse cell, then
     exact cosine rank within the cell — the classic two-stage ANN index.
     At scale the corpus is PARTITIONED by cell (writers bucket on the
     cell id), so a query touches one partition: the cell equality join
-    here is that partition pruning expressed relationally."""
-    cell_c = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed)
+    here is that partition pruning expressed relationally.
+
+    ``nprobe`` > 1 (round-9) probes the query's n nearest cells — the
+    corpus stays single-assigned, so a candidate can never appear
+    twice; each extra probe is one more pruned partition read, the
+    linear recall-for-reads trade every IVF index exposes."""
     c = (
         ivf_cells_corpus(emb, n_centroids, id_col, vec_col, dim, seed)
         .select(F.col("id").alias("n_id"), F.col("v").alias("nv"), "cell")
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), cell_c.alias("cell"))
+    if nprobe <= 1:
+        cell_c = ivf_cell_expr(F.col(vec_col), n_centroids, dim, seed)
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            cell_c.alias("cell"),
+        )
+    else:
+        cells = ivf_cells_topn_expr(
+            F.col(vec_col), nprobe, n_centroids, dim, seed
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            F.explode(cells).alias("cell"),
+        )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("q_id") != F.col("n_id"))
