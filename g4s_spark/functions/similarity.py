@@ -496,9 +496,14 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
-def ivf_assign_sql(n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED) -> str:
+def ivf_assign_sql(
+    n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEED,
+    nprobe: int = 1,
+) -> str:
     """DuckDB query over `embeddings` computing the same cell assignment
-    as ivf_assign (same seeded centroid literals, same tie-break)."""
+    as ivf_assign (same seeded centroid literals, same tie-break).
+    ``nprobe`` > 1 emits the top-n ranked cells per vector — the oracle
+    twin of ivf_cells_topn_expr (round-9 multi-probe)."""
     C = projection_matrix(n_centroids, dim, seed)
     dot_list = ",\n                ".join(
         "list_dot_product(embedding, [" + ",".join(f"{w:.1f}" for w in row) + "])"
@@ -517,7 +522,8 @@ def ivf_assign_sql(n_centroids: int = 8, dim: int = EMB_DIM, seed: int = IVF_SEE
                    row_number() OVER (PARTITION BY vec_id ORDER BY val DESC, idx ASC) AS rn
             FROM ex
         )
-        SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell FROM ranked WHERE rn = 1
+        SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell
+        FROM ranked WHERE rn <= {nprobe}
     """
 
 

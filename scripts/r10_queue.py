@@ -140,7 +140,17 @@ def _q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(pairs, k=5)
 
 
+def _q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (round-9, nprobe=2): each query scans its two
+    nearest coarse cells; the corpus stays single-assigned."""
+    from g4s_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
 QUEUE_QUERIES = {
+    "ann_ivf_nprobe": _q_ann_ivf_nprobe,
     "graph_ktruss": _q_graph_ktruss,
     "text_tfidf": _q_text_tfidf,
     "text_bigram_rarity": _q_text_bigram_rarity,
@@ -260,7 +270,47 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     )
 
 
+def _ann_ivf_nprobe_oracle(nprobe: int = 2, k: int = 5) -> str:
+    from g4s_spark.functions import similarity as S
+
+    def cos(a: str, b: str, dim: int = 64) -> str:
+        def dot(x: str, y: str) -> str:
+            return " + ".join(
+                f"CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)"
+                for i in range(1, dim + 1)
+            )
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    probes_sql = S.ivf_assign_sql(nprobe=nprobe)
+    return f"""
+        WITH cells AS ({S.ivf_assign_sql()}),
+        probes AS ({probes_sql}),
+        q AS (
+            SELECT p.vec_id AS q_id, e.embedding AS qv, p.cell
+            FROM probes p JOIN embeddings e USING (vec_id)
+            WHERE p.vec_id < 10
+        ),
+        scored AS (
+            SELECT q.q_id, c2.vec_id AS n_id,
+                   {cos('q.qv', 'ne.embedding')} AS cos
+            FROM q
+            JOIN cells c2 ON c2.cell = q.cell
+            JOIN embeddings ne ON ne.vec_id = c2.vec_id
+            WHERE c2.vec_id != q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, n_id, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+               floor(cos * 10000 + 0.5) / 10000 AS cos
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 QUEUE_ORACLES = {
+    "ann_ivf_nprobe": _ann_ivf_nprobe_oracle(),
     "graph_ktruss": _ktruss_oracle(5, 5),
     # rational idf (N+1)/(df+1); rank ties broken by token text. The
     # arithmetic shape (tf * (ratio)) matches tfidf_keywords exactly.
