@@ -587,3 +587,80 @@ def test_kmv_exact_under_k(spark, values, k):
         assert r.n_kept == len(values) and r.estimate == float(len(values))
     else:
         assert r.n_kept == k
+
+
+# --- cypher pipeline vs pure-python replica (round-9 fuzz) ----------------
+
+_EDGE = st.tuples(st.integers(0, 7), st.integers(0, 7))
+
+
+def _fuzz_graph(spark, edges):
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = [(i, "A" if i % 2 == 0 else "B") for i in range(8)]
+    dedup = sorted({(s, d, "T") for s, d in edges if s != d})
+    return PropertyGraph.from_tuples(spark, nodes, dedup), dedup
+
+
+@given(edges=st.lists(_EDGE, min_size=0, max_size=20))
+@settings(**SETTINGS)
+def test_cypher_one_hop_matches_replica(spark, edges):
+    """For ANY random digraph: MATCH (a:A)-[:T]->(b:B) RETURN a, b is
+    exactly the distinct (even, odd) edge set — parser, planner, label
+    semi-joins and existence dedup fuzzed together."""
+    from g4s_spark.plans import run_cypher
+
+    g, e = _fuzz_graph(spark, edges)
+    out = run_cypher(g, "MATCH (a:A)-[:T]->(b:B) RETURN a, b")
+    got = sorted((r.a, r.b) for r in out.collect())
+    want = sorted({(s, d) for s, d, _ in e if s % 2 == 0 and d % 2 == 1})
+    assert got == want
+
+
+@given(edges=st.lists(_EDGE, min_size=0, max_size=20))
+@settings(**SETTINGS)
+def test_cypher_two_hop_existence_matches_replica(spark, edges):
+    """MATCH (a:A)-[:T]->(b:B)-[:T]->(c:A) RETURN a, c: the DISTINCT
+    endpoint-pair set (ANY_PAIR existence — path multiplicity must
+    never leak into binding-only projections), any join order the
+    cost model picks."""
+    from g4s_spark.plans import run_cypher
+
+    g, e = _fuzz_graph(spark, edges)
+    out = run_cypher(g, "MATCH (a:A)-[:T]->(b:B)-[:T]->(c:A) RETURN a, c")
+    got = sorted((r.a, r.c) for r in out.collect())
+    adj = {(s, d) for s, d, _ in e}
+    want = sorted({
+        (a, c)
+        for a, b in adj if a % 2 == 0 and b % 2 == 1
+        for b2, c in adj if b2 == b and c % 2 == 0
+    })
+    assert got == want
+
+
+@given(edges=st.lists(_EDGE, min_size=0, max_size=20))
+@settings(**SETTINGS)
+def test_cypher_fork_and_agg_match_replica(spark, edges):
+    """Fork pattern (two branches off one binding) + grouped count:
+    bushy DP trees and the aggregate path against brute force."""
+    from g4s_spark.plans import run_cypher
+
+    g, e = _fuzz_graph(spark, edges)
+    adj = {(s, d) for s, d, _ in e}
+    out = run_cypher(
+        g, "MATCH (b:B)-[:T]->(x:A), (b)-[:T]->(y:B) RETURN b, x, y"
+    )
+    got = sorted((r.b, r.x, r.y) for r in out.collect())
+    want = sorted({
+        (b, x, y)
+        for b, x in adj if b % 2 == 1 and x % 2 == 0
+        for b2, y in adj if b2 == b and y % 2 == 1
+    })
+    assert got == want
+    agg = run_cypher(g, "MATCH (a:A)-[:T]->(b:B) RETURN a, count(b) AS n")
+    got_n = sorted((r.a, r.n) for r in agg.collect())
+    from collections import Counter
+
+    cnt = Counter(s for s, d in adj if s % 2 == 0 and d % 2 == 1)
+    want_n = sorted(cnt.items())
+    assert got_n == want_n
