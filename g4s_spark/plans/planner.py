@@ -188,13 +188,25 @@ def run_cypher(
         df = plan_match(graph, qg).df
         bindings = set(qg.labels)
     if resolve:
+        # sorted comma-joined label SET per id (round-9): the same
+        # aggregated lookup labels() uses — a multi-label node resolves
+        # to one row carrying all its labels, never a fanout
+        ldf = (
+            graph.nodes.select("id", "label")
+            .dropDuplicates(["id", "label"])
+            .groupBy("id")
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_set("label"))).alias("_lbls")
+            )
+        )
         for b in df.columns:
             if b not in bindings:
                 continue
-            n = graph.nodes.select(
-                F.col("id").alias(b), F.col("label").alias(f"{b}_label")
+            df = df.join(
+                ldf.select(F.col("id").alias(b), F.col("_lbls").alias(f"{b}_label")),
+                on=b,
+                how="left",
             )
-            df = df.join(n, on=b, how="left")
     return df
 
 

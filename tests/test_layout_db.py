@@ -228,3 +228,21 @@ def test_list_snapshots_tolerates_truncated_manifest(spark, tmp_path):
     with open(os.path.join(root, "v2", "manifest.json"), "w") as f:
         f.write('{"version": "2", "n_rows"')  # truncated
     assert [m["version"] for m in list_snapshots(root)] == ["1"]
+
+
+def test_resolve_multilabel_single_row(spark):
+    """resolve=True (round-9): a multi-label node resolves to ONE row
+    whose label column is the sorted comma-joined label set — the same
+    shape labels() returns, never a per-label-row fanout."""
+    from g4s_spark.db import GraphDB
+    from g4s_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(0, "A"), (0, "VIP"), (1, "B")], "id long, label string"
+    )
+    edges = spark.createDataFrame([(0, 1, "X")], "src long, dst long, type string")
+    db = GraphDB(PropertyGraph(nodes, edges, spark))
+    rows = db.query("MATCH (a:A)-[:X]->(b:B) RETURN a, b", resolve=True).collect()
+    assert len(rows) == 1
+    assert rows[0].a_label == "A,VIP"
+    assert rows[0].b_label == "B"
