@@ -664,3 +664,50 @@ def test_cypher_fork_and_agg_match_replica(spark, edges):
     cnt = Counter(s for s, d in adj if s % 2 == 0 and d % 2 == 1)
     want_n = sorted(cnt.items())
     assert got_n == want_n
+
+
+@given(
+    edges=st.lists(_EDGE, min_size=0, max_size=20),
+    vals=st.lists(st.integers(0, 9), min_size=8, max_size=8),
+    cut=st.integers(0, 9),
+)
+@settings(**SETTINGS)
+def test_cypher_where_pushdown_matches_replica(spark, edges, vals, cut):
+    """WHERE on both bindings' props (scan pushdown) and a cross-binding
+    arithmetic predicate (post-join resolution) vs brute force, on
+    random graphs with random property values."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", {"v": str(float(vals[i]))})
+         for i in range(8)],
+        "id long, label string, props map<string,string>",
+    )
+    dedup = sorted({(s, d) for s, d in edges if s != d})
+    edf = spark.createDataFrame(
+        [(s, d, "T") for s, d in dedup] or [],
+        "src long, dst long, type string",
+    )
+    g = PropertyGraph(nodes, edf, spark)
+    out = run_cypher(
+        g,
+        f"MATCH (a:A)-[:T]->(b:B) WHERE a.v >= {cut} AND b.v < {cut} "
+        "RETURN a, b",
+    )
+    got = sorted((r.a, r.b) for r in out.collect())
+    want = sorted({
+        (s, d) for s, d in dedup
+        if s % 2 == 0 and d % 2 == 1 and vals[s] >= cut and vals[d] < cut
+    })
+    assert got == want
+    # cross-binding arithmetic WHERE (resolves via payload_rows joins)
+    out2 = run_cypher(
+        g, "MATCH (a:A)-[:T]->(b:B) WHERE a.v + b.v > 9 RETURN a, b"
+    )
+    got2 = sorted((r.a, r.b) for r in out2.collect())
+    want2 = sorted({
+        (s, d) for s, d in dedup
+        if s % 2 == 0 and d % 2 == 1 and vals[s] + vals[d] > 9
+    })
+    assert got2 == want2
