@@ -624,3 +624,56 @@ def bigram_rarity(
         ).alias("rare_ratio"),
         F.min("p").alias("min_p"),
     )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents against a trained vocabulary (round-9): the
+    apply side of build_vocab — every token maps to its vocab_id,
+    out-of-vocabulary tokens to ``unk_id`` (the <unk> convention).
+    Returns (id, ids, n_tokens, n_unk) with ``ids`` an array<long> in
+    original token order — the tensor-ready encode step a pretraining
+    pipeline runs after tokenizer training.
+
+    Scale shape: posexplode -> ONE broadcastable join on token (the
+    vocab is |V| rows — tiny; beyond broadcast it's a token-keyed
+    shuffle join) -> one groupBy(id) reassembling order via the sorted
+    (pos, id) collect — the dedup_lines reassembly shape, bounded by
+    doc length."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "vocab_id")), on="token", how="left"
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    enc = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.tid,
+        ).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == unk_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+    )
+    # empty docs keep an empty encoding rather than vanishing
+    return (
+        df.select(id_col)
+        .join(enc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("ids"), F.array().cast("array<long>")).alias("ids"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_unk"), F.lit(0)).cast("long").alias("n_unk"),
+        )
+    )

@@ -149,7 +149,24 @@ def _q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
 
 
+def _q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary train + encode roundtrip: top-50 vocab over the corpus,
+    every document encoded to ordered vocab ids (OOV -> -1); ids render
+    comma-joined (gates cannot emit array columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, size=50)
+    enc = TX.encode_docs(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("ids"), lambda i: i.cast("string")), ",")
+        .alias("ids"),
+        "n_tokens",
+        "n_unk",
+    )
+
+
 QUEUE_QUERIES = {
+    "text_encode": _q_text_encode,
     "ann_ivf_nprobe": _q_ann_ivf_nprobe,
     "graph_ktruss": _q_graph_ktruss,
     "text_tfidf": _q_text_tfidf,
@@ -310,6 +327,43 @@ def _ann_ivf_nprobe_oracle(nprobe: int = 2, k: int = 5) -> str:
 
 
 QUEUE_ORACLES = {
+    # vocab ids: count desc, token asc, id 0 = most frequent, top 50,
+    # min_count 2 (build_vocab defaults); OOV encodes as -1
+    "text_encode": f"""
+        WITH vocab AS (
+            SELECT token, vocab_id FROM (
+                SELECT token, count,
+                       CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
+                            AS BIGINT) AS vocab_id
+                FROM (
+                    SELECT u.token, CAST(count(*) AS BIGINT) AS count
+                    FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(token)
+                    GROUP BY 1
+                ) c WHERE count >= 2
+            ) WHERE vocab_id < 50
+        ),
+        toks AS (
+            SELECT doc_id, t[i] AS token, i AS pos
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 unnest(generate_series(1, len(t))) AS u(i)
+        ),
+        enc AS (
+            SELECT toks.doc_id, toks.pos,
+                   coalesce(v.vocab_id, -1) AS tid
+            FROM toks LEFT JOIN vocab v USING (token)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.ids, '') AS ids,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_unk, 0) AS n_unk
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     "ann_ivf_nprobe": _ann_ivf_nprobe_oracle(),
     "graph_ktruss": _ktruss_oracle(5, 5),
     # rational idf (N+1)/(df+1); rank ties broken by token text. The

@@ -795,3 +795,20 @@ def test_ivf_multiprobe(spark):
     # is still ranked by the same exact cosine; sets need not nest per
     # query, but the candidate pools do — check pool growth via counts
     assert len(p2) >= len(p1) - 3 * 5  # k * n_queries slack for re-ranks
+
+
+def test_encode_docs(spark):
+    """Vocabulary encode (round-9): order-preserving ids, OOV -> unk_id,
+    empty docs keep empty encodings."""
+    from g4s_spark.functions.text import build_vocab, encode_docs
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb aa"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(corpus, min_count=2)  # aa(3)->0, bb(2)->1; cc dropped
+    got = {r.doc_id: (list(r.ids), r.n_tokens, r.n_unk)
+           for r in encode_docs(corpus, vocab).collect()}
+    assert got[1] == ([0, 1, 0, -1], 4, 1)
+    assert got[2] == ([1, 0], 2, 0)
+    assert got[3] == ([], 0, 0)
