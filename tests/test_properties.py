@@ -711,3 +711,23 @@ def test_cypher_where_pushdown_matches_replica(spark, edges, vals, cut):
         if s % 2 == 0 and d % 2 == 1 and vals[s] + vals[d] > 9
     })
     assert got2 == want2
+
+
+@given(edges=st.lists(_EDGE, min_size=0, max_size=20))
+@settings(**SETTINGS)
+def test_cypher_optional_matches_replica(spark, edges):
+    """OPTIONAL MATCH: every :A node survives; unmatched rows carry
+    NULL — left-join semantics vs brute force on random graphs."""
+    from g4s_spark.plans import run_cypher
+
+    g, e = _fuzz_graph(spark, edges)
+    out = run_cypher(
+        g, "MATCH (a:A) OPTIONAL MATCH (a)-[:T]->(b:B) RETURN a, b"
+    )
+    got = sorted((r.a, r.b) for r in out.collect())
+    adj = {(s, d) for s, d, _ in e}
+    want = []
+    for a in range(0, 8, 2):
+        hits = sorted(d for s, d in adj if s == a and d % 2 == 1)
+        want += [(a, d) for d in hits] or [(a, None)]
+    assert got == sorted(want)
