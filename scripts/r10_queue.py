@@ -165,7 +165,50 @@ def _q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click event picks the user's latest purchase
+    at-or-before it (backward inclusive). The right side pre-aggregates
+    to one row per (user, ts) — max(value) — so the match is
+    deterministic; the oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from g4s_spark.functions.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: clicks landing inside any same-user error
+    window [error_ts, error_ts + 30 min] — the interval-containment
+    join, candidates pruned by (user, hour-bucket) equality before the
+    exact BETWEEN."""
+    from g4s_spark.functions.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    out = range_join(clicks, windows, on="user_id", bucket_s=3600)
+    return out.select("click_id", "user_id", "error_id")
+
+
 QUEUE_QUERIES = {
+    "events_asof": _q_events_asof,
+    "events_range_join": _q_events_range_join,
     "text_encode": _q_text_encode,
     "ann_ivf_nprobe": _q_ann_ivf_nprobe,
     "graph_ktruss": _q_graph_ktruss,
@@ -327,6 +370,32 @@ def _ann_ivf_nprobe_oracle(nprobe: int = 2, k: int = 5) -> str:
 
 
 QUEUE_ORACLES = {
+    # DuckDB's native ASOF LEFT JOIN is the independent oracle for the
+    # union-and-carry-forward Spark formulation
+    "events_asof": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, max(value) AS pvalue
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS ts_r, p.pvalue AS pvalue_r
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    # plain inequality join: the unbucketed ground truth the bucketed
+    # band join must reproduce exactly
+    "events_range_join": """
+        SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+    """,
     # vocab ids: count desc, token asc, id 0 = most frequent, top 50,
     # min_count 2 (build_vocab defaults); OOV encodes as -1
     "text_encode": f"""

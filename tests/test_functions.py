@@ -812,3 +812,59 @@ def test_encode_docs(spark):
     assert got[1] == ([0, 1, 0, -1], 4, 1)
     assert got[2] == ([1, 0], 2, 0)
     assert got[3] == ([], 0, 0)
+
+
+def test_asof_join(spark):
+    """AS-OF join (round-9): latest right row at-or-before each left
+    timestamp per key; inclusive equality; tolerance nulls stale
+    matches; unmatched rows keep NULLs."""
+    from g4s_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"),
+         (1, "2024-01-01 12:00:00", "l2"),
+         (2, "2024-01-01 09:00:00", "l3")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0),
+         (1, "2024-01-01 12:00:00", 20.0),   # equal ts: inclusive
+         (2, "2024-01-01 11:00:00", 30.0)],  # after the only left row
+        "k long, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.lv: (r.rv_r, r.ts_r is not None)
+           for r in asof_join(left, right, on="k").collect()}
+    assert got == {"l1": (10.0, True), "l2": (20.0, True), "l3": (None, False)}
+    # tolerance: l1's match is 30 min stale — a 10-min tolerance drops it
+    got2 = {r.lv: r.rv_r
+            for r in asof_join(left, right, on="k", tolerance_s=600).collect()}
+    assert got2 == {"l1": None, "l2": 20.0, "l3": None}
+
+
+def test_range_join(spark):
+    """Bucketed range join (round-9): points land in every containing
+    interval (inclusive ends), across bucket boundaries; left keeps
+    misses; equality keys respected."""
+    from g4s_spark.functions.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "p1"),
+         (1, "2024-01-01 23:00:00", "p2"),
+         (2, "2024-01-01 10:30:00", "p3")],
+        "k long, ts string, pv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "i1"),
+         # 14-hour interval spanning many 1h buckets
+         (1, "2024-01-01 09:00:00", "2024-01-01 23:00:00", "i2"),
+         (2, "2024-01-01 11:00:00", "2024-01-01 12:00:00", "i3")],
+        "k long, start string, end string, iname string",
+    ).withColumn("start", F.col("start").cast("timestamp")) \
+     .withColumn("end", F.col("end").cast("timestamp"))
+    got = sorted((r.pv, r.iname)
+                 for r in range_join(pts, iv, on="k").collect())
+    assert got == [("p1", "i1"), ("p1", "i2"), ("p2", "i2")]
+    # inclusive end boundary: p2 at exactly 23:00 matched i2 above
+    left = sorted((r.pv, r.iname)
+                  for r in range_join(pts, iv, on="k", how="left").collect())
+    assert left == [("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p3", None)]
