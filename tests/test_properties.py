@@ -731,3 +731,95 @@ def test_cypher_optional_matches_replica(spark, edges):
         hits = sorted(d for s, d in adj if s == a and d % 2 == 1)
         want += [(a, d) for d in hits] or [(a, None)]
     assert got == sorted(want)
+
+
+@given(
+    lts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                 min_size=1, max_size=12),
+    rts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                 min_size=1, max_size=12),
+    tol=st.one_of(st.none(), st.integers(1, 20)),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas(spark, lts, rts, tol):
+    """asof_join vs pandas.merge_asof (backward, inclusive, by-key,
+    optional tolerance) on random keyed time series."""
+    import pandas as pd
+
+    from g4s_spark.functions.temporal import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame({
+        "k": [k for k, _ in lts],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in lts],
+        "li": range(len(lts)),
+    })
+    rrows = sorted({(k, s) for k, s in rts})  # unique (key, ts) contract
+    rpdf = pd.DataFrame({
+        "k": [k for k, _ in rrows],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in rrows],
+        "rv": [float(k * 100 + s) for k, s in rrows],
+    })
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = {
+        r.li: (r.rv_r, r.ts_r)
+        for r in asof_join(
+            left, right, on="k",
+            tolerance_s=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol is not None else {}
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"), **kw
+    )
+    for _, row in exp.iterrows():
+        want_rv = None if pd.isna(row["rv"]) else row["rv"]
+        assert got[row["li"]][0] == want_rv, (row["li"], got[row["li"]], want_rv)
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)),
+                 min_size=1, max_size=10),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+    bucket=st.sampled_from([1, 7, 3600]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_brute_force(spark, pts, ivs, bucket):
+    """Bucketed band join == the naive containment join for ANY bucket
+    width — bucket-boundary straddles and inclusive ends fuzzed."""
+    import pandas as pd
+
+    from g4s_spark.functions.temporal import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    ppdf = pd.DataFrame({
+        "k": [k for k, _ in pts],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in pts],
+        "pi": range(len(pts)),
+    })
+    ipdf = pd.DataFrame({
+        "k": [k for k, _, _ in ivs],
+        "start": [base + pd.Timedelta(seconds=s) for _, s, _ in ivs],
+        "end": [base + pd.Timedelta(seconds=s + d) for _, s, d in ivs],
+        "ii": range(len(ivs)),
+    })
+    got = sorted(
+        (r.pi, r.ii)
+        for r in range_join(
+            spark.createDataFrame(ppdf), spark.createDataFrame(ipdf),
+            on="k", bucket_s=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, (pk, ps) in enumerate(pts)
+        for ii, (ik, is_, d) in enumerate(ivs)
+        if pk == ik and is_ <= ps <= is_ + d
+    )
+    assert got == want
