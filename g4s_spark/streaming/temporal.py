@@ -1,0 +1,53 @@
+"""Streaming temporal enrichment (round-9): AS-OF join of an arriving
+point stream against a static (or slowly-refreshed) dimension table —
+the point-in-time feature-lookup every event-driven training pipeline
+runs (attach the latest model score / price / profile at-or-before each
+event).
+
+foreachBatch, like streaming/dedup.dedup_against_stream: the AS-OF
+formulation is a keyed running window, which an append-mode stream
+cannot express mid-plan; per micro-batch it is the plain batch operator
+(functions.temporal.asof_join), so stream and batch results coincide
+batch-by-batch. State lives entirely in the static side — nothing
+accumulates across batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def asof_enrich_stream(
+    points_stream: DataFrame,
+    dim: DataFrame,
+    sink,
+    checkpoint: str,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+):
+    """Each micro-batch of ``points_stream`` is asof_join-ed (backward,
+    inclusive, optional tolerance) against the static ``dim`` and handed
+    to ``sink(enriched_df, batch_id)``. Returns the StreamingQuery;
+    callers own stop(). Batches are independent — the dimension is the
+    only join state, so a replayed batch re-enriches identically
+    (exactly-once downstream is the sink's checkpoint contract)."""
+    from ..functions.temporal import asof_join
+
+    def enrich_batch(batch_df, batch_id):
+        sink(
+            asof_join(
+                batch_df, dim, on=on, left_ts=left_ts,
+                right_ts=right_ts, tolerance_s=tolerance_s,
+            ),
+            batch_id,
+        )
+
+    return (
+        points_stream.writeStream.foreachBatch(enrich_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

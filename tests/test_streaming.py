@@ -641,3 +641,50 @@ def test_dedup_lines_against_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [(10, 1, "fresh one")]
+
+
+def test_asof_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming AS-OF enrichment drained once == the batch asof_join:
+    each arriving point carries the dimension's latest at-or-before row
+    (round-9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from g4s_spark.functions.temporal import asof_join
+    from g4s_spark.streaming import asof_enrich_stream
+    from pyspark.sql import functions as F2
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0),
+         (2, "2024-01-01 10:00:00", 5.0)],
+        "k long, ts string, price double",
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    pts = [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 12:00:00", 101),
+           (2, "2024-01-01 09:30:00", 102)]
+    src_dir = tmp_path / "pts_in"
+    src_dir.mkdir()
+    pq.write_table(
+        pa.table({"k": [p[0] for p in pts],
+                  "ts": [p[1] for p in pts],
+                  "pid": [p[2] for p in pts]}),
+        str(src_dir / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("k long, ts string, pid long")
+        .parquet(str(src_dir))
+        .withColumn("ts", F2.col("ts").cast("timestamp"))
+    )
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.pid, r.price_r) for r in df.collect())
+
+    q = asof_enrich_stream(stream, dim, sink, str(tmp_path / "chk"), on="k")
+    q.awaitTermination(120)
+    batch_pts = spark.createDataFrame(
+        pts, "k long, ts string, pid long"
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    want = sorted((r.pid, r.price_r)
+                  for r in asof_join(batch_pts, dim, on="k").collect())
+    assert sorted(got) == want
+    assert dict(got) == {100: 1.0, 101: 2.0, 102: None}
