@@ -48,8 +48,11 @@ def asof_join(
     Scale shape: tag + unionByName (narrow) -> ONE window shuffle on
     the key, ordered (ts, tag) so right rows sort before left rows at
     equal timestamps (inclusive at-or-before) -> running last(...,
-    ignorenulls) carries each right payload forward -> filter back to
-    left rows. State per key is one row, not a buffered history; at
+    ignorenulls) carries ONE STRUCT per right row forward (all payload
+    fields — including genuine NULLs — come from the single matched
+    row; carrying columns independently would let a NULL field inherit
+    a stale value from an older right row) -> filter back to left
+    rows. State per key is one row, not a buffered history; at
     100 TB this is exactly one exchange of both inputs keyed by the
     join key. The window is ROWS unbounded-preceding..current — a
     running accumulator, never a re-scan per row."""
@@ -57,6 +60,18 @@ def asof_join(
 
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys + [right_ts]]
+    clash = ({c + suffix for c in payload} | {right_ts + suffix}) & set(
+        left.columns
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join: left already has column(s) {sorted(clash)} that "
+            f"the suffixed right side would produce; rename them or pass "
+            f"a different suffix (mirrors pandas merge_asof's overlap check)"
+        )
+    reserved = {"_ats", "_tag", "_row"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"asof_join: column name(s) {sorted(reserved)} are reserved")
     r = (
         right.dropDuplicates(keys + [right_ts])
         .select(
@@ -64,6 +79,9 @@ def asof_join(
             F.col(right_ts).cast("timestamp").alias("_ats"),
             *[F.col(c).alias(c + suffix) for c in payload],
         )
+        # a NULL right timestamp can never be "at or before" anything
+        # (DuckDB ASOF / pandas merge_asof both ignore such rows)
+        .filter(F.col("_ats").isNotNull())
         .withColumn("_tag", F.lit(0))
     )
     l_ = left.withColumn("_ats", F.col(left_ts).cast("timestamp")).withColumn(
@@ -77,23 +95,32 @@ def asof_join(
     )
     is_r = F.col("_tag") == 0
     u = u.withColumn(
-        "_rts", F.last(F.when(is_r, F.col("_ats")), ignorenulls=True).over(w)
+        "_row",
+        F.last(
+            F.when(
+                is_r,
+                F.struct(
+                    F.col("_ats").alias("_rts"),
+                    *[F.col(c + suffix) for c in payload],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
     )
-    for c in payload:
-        u = u.withColumn(
-            c + suffix,
-            F.last(F.when(is_r, F.col(c + suffix)), ignorenulls=True).over(w),
-        )
     out = u.filter(F.col("_tag") == 1)
-    matched = F.col("_rts").isNotNull()
+    rts = F.col("_row").getField("_rts")
+    matched = F.col("_row").isNotNull()
     if tolerance_s is not None:
         matched = matched & (
-            (F.unix_micros(F.col("_ats")) - F.unix_micros(F.col("_rts")))
+            (F.unix_micros(F.col("_ats")) - F.unix_micros(rts))
             <= int(tolerance_s * 1_000_000)
         )
     cols = [F.col(c) for c in left.columns]
-    cols.append(F.when(matched, F.col("_rts")).alias(right_ts + suffix))
-    cols += [F.when(matched, F.col(c + suffix)).alias(c + suffix) for c in payload]
+    cols.append(F.when(matched, rts).alias(right_ts + suffix))
+    cols += [
+        F.when(matched, F.col("_row").getField(c + suffix)).alias(c + suffix)
+        for c in payload
+    ]
     return out.select(*cols)
 
 
@@ -123,8 +150,22 @@ def range_join(
     post-dedup is needed. Never the naive theta-join's full cross
     product per key."""
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = (set(intervals.columns) - set(keys)) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"range_join: non-key interval column(s) {sorted(clash)} collide "
+            f"with point columns — the output would hold two columns of the "
+            f"same name; rename one side first"
+        )
+    reserved = {"_pid", "_b"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(f"range_join: column name(s) {sorted(reserved)} are reserved")
     bucket_us = int(bucket_s) * 1_000_000
-    p = points.withColumn(
+    # surrogate row id: the left-outer miss set is computed by anti-join
+    # on THIS id alone (null-safe by construction — a point row whose
+    # own columns contain NULLs would fail a null-unsafe anti-join on
+    # all columns and be emitted twice)
+    p = points.withColumn("_pid", F.monotonically_increasing_id()).withColumn(
         "_b", F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / bucket_us)
     )
     iv = intervals.withColumn(
@@ -146,10 +187,10 @@ def range_join(
         return out
     if how != "left":
         raise ValueError("how must be 'inner' or 'left'")
-    hit = joined.select(*[p[c] for c in points.columns]).dropDuplicates(
-        points.columns
+    hit = joined.select(p["_pid"].alias("_pid")).dropDuplicates(["_pid"])
+    misses = p.join(hit, on="_pid", how="left_anti").select(
+        *[F.col(c) for c in points.columns]
     )
-    misses = points.join(hit, on=points.columns, how="left_anti")
     for c in ivpay:
         misses = misses.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return out.unionByName(misses)

@@ -270,11 +270,17 @@ def build_vocab(
     primitive (word-level here; BPE merges would iterate on top of these
     counts). Returns (token, count, vocab_id).
 
-    Scale shape: one explode + groupBy(token) with map-side combine;
-    the global rank is a single-partition window over the AGGREGATED
-    vocab (|tokens| rows, tiny next to the corpus) — the same
-    final-rank trade every distributed top-k makes. ``size`` caps the
-    vocabulary; ``min_count`` drops the long tail before ranking."""
+    Scale shape: one explode + groupBy(token) with map-side combine.
+    When ``size`` is set, the candidate set is pre-pruned with
+    orderBy().limit(size) — Spark's TakeOrderedAndProject: per-partition
+    top-k + a k-row merge on the driver side of the exchange — so the
+    ranking window only ever sees ``size`` rows (a 100 TB corpus can
+    carry 10^8+ unique tokens past min_count; sorting them in the
+    single-partition rank window would be the bottleneck). The ordering
+    (count desc, token asc) is total, so pruning at exactly ``size``
+    loses nothing to ties. Only the unbounded ``size=None`` path keeps
+    the full-vocab single-partition rank — the trade every distributed
+    dense-ranking makes, and the caller asked for every token."""
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -283,10 +289,12 @@ def build_vocab(
     )
     from pyspark.sql.window import Window
 
+    if size is not None:
+        counts = counts.orderBy(
+            F.col("count").desc(), F.col("token").asc()
+        ).limit(int(size))
     w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
     out = counts.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("long"))
-    if size is not None:
-        out = out.filter(F.col("vocab_id") < size)
     return out.select("token", "count", "vocab_id")
 
 

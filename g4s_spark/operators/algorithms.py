@@ -1105,14 +1105,18 @@ def betweenness_centrality(
     graph: PropertyGraph,
     sources: list[int] | None = None,
     max_depth: int = MAX_CLOSURE_ITERS,
+    max_exact_nodes: int = 10_000,
 ) -> DataFrame:
     """Directed betweenness centrality by BATCHED multi-source Brandes
     (Brandes 2001; the standard Pregel-style batching): every source's
     BFS runs in the SAME DataFrame keyed by (s, v), so the layer count
     — not the source count — bounds the number of Spark jobs.
 
-    ``sources=None`` runs every node as a source (exact betweenness —
-    fine locally/small graphs); at 100 TB pass a seed SAMPLE: sampled-
+    ``sources=None`` runs every node as a source (exact betweenness):
+    state is keyed (s, v) — O(|V| x reached) pairs, quadratic on a
+    connected graph — so this mode REFUSES graphs above
+    ``max_exact_nodes`` nodes rather than shipping the blow-up
+    silently into a pipeline. At 100 TB pass a seed SAMPLE: sampled-
     source Brandes is the standard approximation (estimate scales by
     n/|S|), and the per-layer shuffles are keyed on (s, v) pairs so
     added sources widen the shuffle rather than adding rounds.
@@ -1134,6 +1138,15 @@ def betweenness_centrality(
             .dropDuplicates(["id"])
             .select(F.col("id").alias("s"))
         )
+        n_nodes = seeds.count()
+        if n_nodes > max_exact_nodes:
+            raise ValueError(
+                f"betweenness_centrality(sources=None) is exact all-sources "
+                f"Brandes — O(|V| x reached) state — and the graph has "
+                f"{n_nodes} nodes (> max_exact_nodes={max_exact_nodes}). "
+                f"Pass a sampled `sources` list (estimates scale by "
+                f"n/|sources|) or raise max_exact_nodes explicitly."
+            )
     else:
         seeds = spark.createDataFrame([(int(x),) for x in sources], "s long")
     try:

@@ -577,6 +577,12 @@ def test_betweenness_centrality(spark):
     got2 = {r.id: r.bc for r in betweenness_centrality(g, sources=[1, 3]).collect()}
     for n in nodes:
         assert got2.get(n, 0.0) == pytest.approx(want2.get(n, 0.0)), n
+    # VERDICT r9 #2: exact all-sources mode refuses graphs above the
+    # threshold — the O(|V| x reached) state blow-up can't ship silently
+    with pytest.raises(ValueError, match="max_exact_nodes"):
+        betweenness_centrality(g, max_exact_nodes=3)
+    # explicit sources bypass the guard regardless of size
+    betweenness_centrality(g, sources=[1], max_exact_nodes=1).collect()
 
 
 def test_weighted_closeness_and_harmonic(spark):

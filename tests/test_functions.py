@@ -814,6 +814,34 @@ def test_encode_docs(spark):
     assert got[3] == ([], 0, 0)
 
 
+def test_build_vocab_size_preprunes_with_take_ordered(spark):
+    """VERDICT r9 #1 (the round's one `weak` perf mark): when ``size``
+    is set the candidate set must be pre-pruned with orderBy+limit —
+    TakeOrderedAndProject, per-partition top-k — BEFORE the rank
+    window, so a 100 TB vocab never sorts 10^8 tokens in one task; and
+    the sized result must equal the unbounded ranking's first `size`
+    rows (the ordering is total, so pruning loses nothing to ties)."""
+    from g4s_spark.functions.text import build_vocab
+
+    corpus = spark.createDataFrame(
+        [(i, f"t{i % 7} t{i % 5} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sized = build_vocab(corpus, size=4, min_count=1)
+    plan = sized._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    full = build_vocab(corpus, min_count=1)
+    want = sorted(
+        [(r.token, r["count"], r.vocab_id) for r in full.collect()],
+        key=lambda t: t[2],
+    )[:4]
+    got = sorted(
+        [(r.token, r["count"], r.vocab_id) for r in sized.collect()],
+        key=lambda t: t[2],
+    )
+    assert got == want
+
+
 def test_asof_join(spark):
     """AS-OF join (round-9): latest right row at-or-before each left
     timestamp per key; inclusive equality; tolerance nulls stale
@@ -868,3 +896,61 @@ def test_range_join(spark):
     left = sorted((r.pv, r.iname)
                   for r in range_join(pts, iv, on="k", how="left").collect())
     assert left == [("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p3", None)]
+
+
+def test_asof_join_null_payload_from_matched_row(spark):
+    """ADVICE r9 (high): a matched right row whose payload field is
+    genuinely NULL must yield NULL — not a stale value carried forward
+    from an older right row — and mixed payloads must all come from the
+    SAME matched row."""
+    from g4s_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "l1")], "k long, ts string, lv string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 10.0, "old"),
+         (1, "2024-01-01 11:00:00", None, "new")],  # matched row: rv NULL
+        "k long, ts string, rv double, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = asof_join(left, right, on="k").collect()
+    assert row.tag_r == "new" and row.rv_r is None, row
+    # tolerance measures against the MATCHED row's ts (11:00, 1h stale),
+    # not any older row
+    [row2] = asof_join(left, right, on="k", tolerance_s=7200).collect()
+    assert row2.tag_r == "new" and row2.rv_r is None
+    # a NULL right timestamp row is ignored, never "latest"
+    right3 = spark.createDataFrame(
+        [(1, None, 99.0, "null-ts")], "k long, ts string, rv double, tag string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row3] = asof_join(left, right3, on="k").collect()
+    assert row3.tag_r is None and row3.ts_r is None
+
+
+def test_temporal_join_collision_guards(spark):
+    """ADVICE r9 (low) + VERDICT r9 missing#5: suffixed right payload
+    names colliding with left columns (asof) and non-key interval
+    columns colliding with point columns (range) raise instead of
+    silently merging/duplicating columns."""
+    import pytest
+
+    from g4s_spark.functions.temporal import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], "k long, ts string, price_r double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0)], "k long, ts string, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="price_r"):
+        asof_join(left, right, on="k")
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "x")], "k long, ts string, label string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "y")],
+        "k long, start string, end string, label string",
+    ).withColumn("start", F.col("start").cast("timestamp")) \
+     .withColumn("end", F.col("end").cast("timestamp"))
+    with pytest.raises(ValueError, match="label"):
+        range_join(pts, iv, on="k")

@@ -509,6 +509,36 @@ def test_graphdb_update_verb_routing_ignores_literals(spark):
     assert db.update("MERGE (n:A {k: 'new'})").graph.nodes.count() == 3
 
 
+def test_graphdb_update_routing_escaped_quotes(spark):
+    """ADVICE r9 (low): a backslash-escaped quote inside a literal —
+    ``SET a.note = 'it\\'s a DELETE'`` — must never de-sync the mask and
+    misroute to the DELETE runner. The literal grammar can't execute
+    escaped quotes anyway (every literal regex repo-wide is '[^']*'),
+    so the router REJECTS them with a clear error instead of routing;
+    unbalanced quotes are likewise rejected, and the double-quote style
+    carries an apostrophe fine."""
+    import pytest
+
+    from g4s_spark.db import GraphDB
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"k": "v"})], "id long, label string, props map<string,string>"
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    db = GraphDB(PropertyGraph(nodes, edges, spark))
+    with pytest.raises(ValueError, match="escaped quotes"):
+        db.update(r"MATCH (a:A) SET a.note = 'it\'s a DELETE'")
+    with pytest.raises(ValueError, match="unbalanced"):
+        db.update("MATCH (a:A) SET a.note = 'truncated DELETE")
+    # nothing was deleted by either rejected statement
+    assert {r.id for r in db.graph.nodes.collect()} == {0}
+    # the supported spelling: apostrophe inside double quotes routes to
+    # SET even though the literal contains a DELETE keyword
+    db2 = db.update('MATCH (a:A) SET a.note = "it\'s a DELETE"')
+    got = {r.id: dict(r.props) for r in db2.graph.nodes.collect()}
+    assert got[0]["note"] == "it's a DELETE"
+
+
 def test_cypher_delete_edge_and_detach_node(spark):
     """[DETACH] DELETE (round-8): edge-variable deletes remove matched
     (src,dst,type) rows; DETACH DELETE cascades incident edges; input

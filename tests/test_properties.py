@@ -743,7 +743,11 @@ def test_cypher_optional_matches_replica(spark, edges):
 @settings(**SETTINGS)
 def test_asof_join_matches_pandas(spark, lts, rts, tol):
     """asof_join vs pandas.merge_asof (backward, inclusive, by-key,
-    optional tolerance) on random keyed time series."""
+    optional tolerance) on random keyed time series. The second payload
+    column is NULL on a third of the right rows: ADVICE r9 (high) — a
+    matched row's genuine NULL must come through as NULL, never a stale
+    value carried forward from an OLDER right row (the per-column
+    last(ignorenulls) formulation this pins against)."""
     import pandas as pd
 
     from g4s_spark.functions.temporal import asof_join
@@ -759,11 +763,12 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol):
         "k": [k for k, _ in rrows],
         "ts": [base + pd.Timedelta(seconds=s) for _, s in rrows],
         "rv": [float(k * 100 + s) for k, s in rrows],
+        "rv2": [None if s % 3 == 0 else float(s) for _, s in rrows],
     })
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)
     got = {
-        r.li: (r.rv_r, r.ts_r)
+        r.li: (r.rv_r, r.rv2_r, r.ts_r)
         for r in asof_join(
             left, right, on="k",
             tolerance_s=float(tol) if tol is not None else None,
@@ -777,7 +782,11 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol):
     )
     for _, row in exp.iterrows():
         want_rv = None if pd.isna(row["rv"]) else row["rv"]
+        want_rv2 = None if pd.isna(row["rv2"]) else row["rv2"]
         assert got[row["li"]][0] == want_rv, (row["li"], got[row["li"]], want_rv)
+        assert got[row["li"]][1] == want_rv2, (
+            row["li"], got[row["li"]], want_rv2,
+        )
 
 
 @given(
@@ -823,3 +832,57 @@ def test_range_join_matches_brute_force(spark, pts, ivs, bucket):
         if pk == ik and is_ <= ps <= is_ + d
     )
     assert got == want
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)),
+                 min_size=1, max_size=10),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 15)),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_range_join_left_null_point_columns(spark, pts, ivs):
+    """range_join(how='left') with a NULLABLE non-key point column:
+    ADVICE r9 (medium) — the miss set anti-joins on a surrogate row id,
+    so a matched point whose own payload is NULL must appear EXACTLY
+    once (the old all-columns null-unsafe anti-join emitted it twice).
+    Every point appears exactly max(1, n_matches) times."""
+    import pandas as pd
+
+    from g4s_spark.functions.temporal import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    ppdf = pd.DataFrame({
+        "k": [k for k, _ in pts],
+        "ts": [base + pd.Timedelta(seconds=s) for _, s in pts],
+        "pi": range(len(pts)),
+        # NULL on a third of the points — the anti-join hazard column
+        "note": [None if s % 3 == 0 else f"n{s}" for _, s in pts],
+    })
+    ipdf = pd.DataFrame({
+        "k": [k for k, _, _ in ivs],
+        "start": [base + pd.Timedelta(seconds=s) for _, s, _ in ivs],
+        "end": [base + pd.Timedelta(seconds=s + d) for _, s, d in ivs],
+        "ii": range(len(ivs)),
+    })
+    rows = range_join(
+        spark.createDataFrame(ppdf), spark.createDataFrame(ipdf),
+        on="k", bucket_s=7, how="left",
+    ).collect()
+    from collections import Counter
+
+    got = Counter(r.pi for r in rows)
+    matches = {
+        pi: sum(
+            1 for ik, is_, d in ivs if ik == pk and is_ <= ps <= is_ + d
+        )
+        for pi, (pk, ps) in enumerate(pts)
+    }
+    for pi, (pk, ps) in enumerate(pts):
+        assert got[pi] == max(1, matches[pi]), (pi, got[pi], matches[pi])
+    # miss rows carry NULL interval columns; hits carry real interval ids
+    for r in rows:
+        if matches[r.pi] == 0:
+            assert r.ii is None
