@@ -123,7 +123,8 @@ def test_window_ledger_history_is_append_only():
         "5": "40c8c458ebf7e473",
         "6": "aed49a003811890f",
         "7": "a0c1c876a75da582",
-        "8": "806d7d6bc63c4b82",  # final: CORRECTNESS_r08 published
+        "8": "806d7d6bc63c4b82",
+        "9": "5a8832e87d1bc3de",  # final: CORRECTNESS_r09 published
     }
     published = {
         str(n)
