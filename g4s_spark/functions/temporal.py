@@ -32,13 +32,21 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_s: float | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the single right row with the LARGEST
-    right_ts <= left_ts sharing the join key(s) (pandas merge_asof
-    'backward', inclusive), optionally only within ``tolerance_s``
-    seconds; unmatched left rows keep NULLs (left-outer semantics).
-    Right payload columns arrive suffixed; the matched right timestamp
-    arrives as ``right_ts + suffix``.
+    """For every left row, attach the single right row sharing the join
+    key(s) that is nearest in the given ``direction`` (pandas
+    merge_asof semantics, all inclusive):
+
+    - ``'backward'`` (default): largest right_ts <= left_ts
+    - ``'forward'`` (round-10): smallest right_ts >= left_ts
+    - ``'nearest'`` (round-10): whichever of the two is closer; exact
+      ties go to the backward candidate (pandas tie-break)
+
+    optionally only within ``tolerance_s`` seconds; unmatched left rows
+    keep NULLs (left-outer semantics). Right payload columns arrive
+    suffixed; the matched right timestamp arrives as
+    ``right_ts + suffix``.
 
     Right must be unique per (key, ts) — enforced by an internal
     dropDuplicates (which row of an exact duplicate wins is then
@@ -47,17 +55,24 @@ def asof_join(
 
     Scale shape: tag + unionByName (narrow) -> ONE window shuffle on
     the key, ordered (ts, tag) so right rows sort before left rows at
-    equal timestamps (inclusive at-or-before) -> running last(...,
+    equal timestamps (inclusive at-or-equal) -> running last(...,
     ignorenulls) carries ONE STRUCT per right row forward (all payload
     fields — including genuine NULLs — come from the single matched
     row; carrying columns independently would let a NULL field inherit
     a stale value from an older right row) -> filter back to left
     rows. State per key is one row, not a buffered history; at
     100 TB this is exactly one exchange of both inputs keyed by the
-    join key. The window is ROWS unbounded-preceding..current — a
-    running accumulator, never a re-scan per row."""
+    join key. The windows are ROWS unbounded-preceding..current — a
+    running accumulator, never a re-scan per row. 'nearest' evaluates
+    the ascending AND descending window over the SAME partitioning —
+    Catalyst plans one Exchange with two Sort+Window passes, still a
+    single shuffle of each input."""
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys + [right_ts]]
     clash = ({c + suffix for c in payload} | {right_ts + suffix}) & set(
@@ -69,7 +84,9 @@ def asof_join(
             f"the suffixed right side would produce; rename them or pass "
             f"a different suffix (mirrors pandas merge_asof's overlap check)"
         )
-    reserved = {"_ats", "_tag", "_row"} & (set(left.columns) | set(right.columns))
+    reserved = {"_ats", "_tag", "_bwd", "_fwd", "_pick"} & (
+        set(left.columns) | set(right.columns)
+    )
     if reserved:
         raise ValueError(f"asof_join: column name(s) {sorted(reserved)} are reserved")
     r = (
@@ -79,8 +96,8 @@ def asof_join(
             F.col(right_ts).cast("timestamp").alias("_ats"),
             *[F.col(c).alias(c + suffix) for c in payload],
         )
-        # a NULL right timestamp can never be "at or before" anything
-        # (DuckDB ASOF / pandas merge_asof both ignore such rows)
+        # a NULL right timestamp can never be "at or before/after"
+        # anything (DuckDB ASOF / pandas merge_asof both ignore such rows)
         .filter(F.col("_ats").isNotNull())
         .withColumn("_tag", F.lit(0))
     )
@@ -88,37 +105,67 @@ def asof_join(
         "_tag", F.lit(1)
     )
     u = l_.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_ats", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     is_r = F.col("_tag") == 0
-    u = u.withColumn(
-        "_row",
-        F.last(
-            F.when(
-                is_r,
-                F.struct(
-                    F.col("_ats").alias("_rts"),
-                    *[F.col(c + suffix) for c in payload],
-                ),
-            ),
-            ignorenulls=True,
-        ).over(w),
+    row_struct = F.when(
+        is_r,
+        F.struct(
+            F.col("_ats").alias("_rts"),
+            *[F.col(c + suffix) for c in payload],
+        ),
     )
-    out = u.filter(F.col("_tag") == 1)
-    rts = F.col("_row").getField("_rts")
-    matched = F.col("_row").isNotNull()
-    if tolerance_s is not None:
-        matched = matched & (
-            (F.unix_micros(F.col("_ats")) - F.unix_micros(rts))
-            <= int(tolerance_s * 1_000_000)
+    # _tag ascends in BOTH orderings, so at equal timestamps the right
+    # row sorts before the left row — inclusive at-or-equal either way
+    if direction in ("backward", "nearest"):
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("_ats"), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        u = u.withColumn("_bwd", F.last(row_struct, ignorenulls=True).over(w_b))
+    if direction in ("forward", "nearest"):
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.desc("_ats"), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_fwd", F.last(row_struct, ignorenulls=True).over(w_f))
+    out = u.filter(F.col("_tag") == 1)
+    tol_us = (
+        None if tolerance_s is None else int(tolerance_s * 1_000_000)
+    )
+
+    def _valid_and_delta(col_name: str, forward: bool):
+        cand = F.col(col_name)
+        rts = cand.getField("_rts")
+        delta = F.unix_micros(rts) - F.unix_micros(F.col("_ats"))
+        if not forward:
+            delta = -delta
+        valid = cand.isNotNull()
+        if tol_us is not None:
+            valid = valid & (delta <= tol_us)
+        return valid, delta
+
+    if direction == "backward":
+        valid, _ = _valid_and_delta("_bwd", forward=False)
+        pick = F.when(valid, F.col("_bwd"))
+    elif direction == "forward":
+        valid, _ = _valid_and_delta("_fwd", forward=True)
+        pick = F.when(valid, F.col("_fwd"))
+    else:
+        valid_b, delta_b = _valid_and_delta("_bwd", forward=False)
+        valid_f, delta_f = _valid_and_delta("_fwd", forward=True)
+        pick = (
+            F.when(valid_b & valid_f,
+                   F.when(delta_b <= delta_f, F.col("_bwd"))
+                   .otherwise(F.col("_fwd")))
+            .when(valid_b, F.col("_bwd"))
+            .when(valid_f, F.col("_fwd"))
+        )
+    out = out.withColumn("_pick", pick)
     cols = [F.col(c) for c in left.columns]
-    cols.append(F.when(matched, rts).alias(right_ts + suffix))
+    cols.append(F.col("_pick").getField("_rts").alias(right_ts + suffix))
     cols += [
-        F.when(matched, F.col("_row").getField(c + suffix)).alias(c + suffix)
+        F.col("_pick").getField(c + suffix).alias(c + suffix)
         for c in payload
     ]
     return out.select(*cols)

@@ -1,5 +1,5 @@
 from .dedup import dedup_against_stream, dedup_docs_batch, dedup_docs_stream
-from .temporal import asof_enrich_stream
+from .temporal import asof_enrich_stream, range_enrich_stream
 from .events import (
     compact_edge_ingest,
     enrich_events,
@@ -26,6 +26,7 @@ __all__ = [
     "read_events_stream", "stream_edges_into_graph", "compact_edge_ingest",
     "dedup_docs_stream", "dedup_docs_batch", "dedup_against_stream",
     "asof_enrich_stream",
+    "range_enrich_stream",
     "event_followups", "event_followups_stream", "funnel",
     "enrich_events", "trending_topk", "trending_topk_stream", "window_anomalies", "extract_props",
 ]

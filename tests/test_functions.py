@@ -898,6 +898,46 @@ def test_range_join(spark):
     assert left == [("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p3", None)]
 
 
+def test_asof_join_directions(spark):
+    """direction='forward'/'nearest' (round-10, pandas merge_asof
+    parity): forward picks the smallest right_ts >= left_ts; nearest
+    picks the closer side with exact ties going backward; tolerance
+    applies per candidate."""
+    from g4s_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"),   # bwd 09:00 (1h), fwd 10:30 (30m)
+         (1, "2024-01-01 12:00:00", "l2"),   # fwd only from 12:30
+         (1, "2024-01-01 09:45:00", "l3")],  # tie: 45m both ways
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0),
+         (1, "2024-01-01 10:30:00", 2.0),
+         (1, "2024-01-01 12:30:00", 3.0)],
+        "k long, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    fwd = {r.lv: r.rv_r
+           for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert fwd == {"l1": 2.0, "l2": 3.0, "l3": 2.0}
+    near = {r.lv: r.rv_r
+            for r in asof_join(left, right, on="k", direction="nearest").collect()}
+    # l1: 30m fwd beats 1h bwd; l2: 30m fwd beats 1h30 bwd; l3 ties -> bwd
+    assert near == {"l1": 2.0, "l2": 3.0, "l3": 1.0}
+    # tolerance nulls the far side: 20-min budget leaves only exact fits
+    near_tol = {
+        r.lv: r.rv_r
+        for r in asof_join(
+            left, right, on="k", direction="nearest", tolerance_s=1200
+        ).collect()
+    }
+    assert near_tol == {"l1": None, "l2": None, "l3": None}
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="sideways")
+
+
 def test_asof_join_null_payload_from_matched_row(spark):
     """ADVICE r9 (high): a matched right row whose payload field is
     genuinely NULL must yield NULL — not a stale value carried forward

@@ -739,15 +739,18 @@ def test_cypher_optional_matches_replica(spark, edges):
     rts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
                  min_size=1, max_size=12),
     tol=st.one_of(st.none(), st.integers(1, 20)),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 @settings(**SETTINGS)
-def test_asof_join_matches_pandas(spark, lts, rts, tol):
-    """asof_join vs pandas.merge_asof (backward, inclusive, by-key,
-    optional tolerance) on random keyed time series. The second payload
-    column is NULL on a third of the right rows: ADVICE r9 (high) — a
-    matched row's genuine NULL must come through as NULL, never a stale
-    value carried forward from an OLDER right row (the per-column
-    last(ignorenulls) formulation this pins against)."""
+def test_asof_join_matches_pandas(spark, lts, rts, tol, direction):
+    """asof_join vs pandas.merge_asof (ALL three directions, inclusive,
+    by-key, optional tolerance) on random keyed time series. The second
+    payload column is NULL on a third of the right rows: ADVICE r9
+    (high) — a matched row's genuine NULL must come through as NULL,
+    never a stale value carried forward from an OLDER right row (the
+    per-column last(ignorenulls) formulation this pins against).
+    'nearest' ties are fuzzed too (integer-second grids collide often)
+    and must follow pandas' backward tie-break."""
     import pandas as pd
 
     from g4s_spark.functions.temporal import asof_join
@@ -772,13 +775,14 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol):
         for r in asof_join(
             left, right, on="k",
             tolerance_s=float(tol) if tol is not None else None,
+            direction=direction,
         ).collect()
     }
     kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol is not None else {}
     exp = pd.merge_asof(
         lpdf.sort_values("ts", kind="stable"),
         rpdf.sort_values("ts", kind="stable"),
-        on="ts", by="k", direction="backward", suffixes=("", "_r"), **kw
+        on="ts", by="k", direction=direction, suffixes=("", "_r"), **kw
     )
     for _, row in exp.iterrows():
         want_rv = None if pd.isna(row["rv"]) else row["rv"]

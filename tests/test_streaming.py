@@ -688,3 +688,58 @@ def test_asof_enrich_stream_matches_batch(spark, tmp_path):
                   for r in asof_join(batch_pts, dim, on="k").collect())
     assert sorted(got) == want
     assert dict(got) == {100: 1.0, 101: 2.0, 102: None}
+
+
+def test_range_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming range enrichment drained once == the batch range_join
+    (round-10): each arriving point joins every containing static
+    interval; left misses survive with NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from g4s_spark.functions.temporal import range_join
+    from g4s_spark.streaming import range_enrich_stream
+    from pyspark.sql import functions as F2
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "i1"),
+         (1, "2024-01-01 10:30:00", "2024-01-01 23:00:00", "i2"),
+         (2, "2024-01-01 11:00:00", "2024-01-01 12:00:00", "i3")],
+        "k long, start string, end string, iname string",
+    ).withColumn("start", F2.col("start").cast("timestamp")) \
+     .withColumn("end", F2.col("end").cast("timestamp"))
+    pts = [(1, "2024-01-01 10:45:00", 100), (1, "2024-01-01 23:00:00", 101),
+           (2, "2024-01-01 09:30:00", 102)]
+    src_dir = tmp_path / "rpts_in"
+    src_dir.mkdir()
+    pq.write_table(
+        pa.table({"k": [p[0] for p in pts],
+                  "ts": [p[1] for p in pts],
+                  "pid": [p[2] for p in pts]}),
+        str(src_dir / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("k long, ts string, pid long")
+        .parquet(str(src_dir))
+        .withColumn("ts", F2.col("ts").cast("timestamp"))
+    )
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.pid, r.iname) for r in df.collect())
+
+    q = range_enrich_stream(
+        stream, iv, sink, str(tmp_path / "rchk"), on="k", how="left"
+    )
+    q.awaitTermination(120)
+    batch_pts = spark.createDataFrame(
+        pts, "k long, ts string, pid long"
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    want = sorted(
+        (r.pid, r.iname)
+        for r in range_join(batch_pts, iv, on="k", how="left").collect()
+    )
+    assert sorted(got) == want
+    # point 100 straddles two intervals; 101 is an inclusive end hit on
+    # the multi-bucket interval; 102 misses and survives with NULL
+    assert sorted(got) == [(100, "i1"), (100, "i2"), (101, "i2"), (102, None)]
