@@ -34,8 +34,11 @@ HEADLINE = [
     "rel_q1_pricing",
     "rel_top_orders",
     "rel_supplier_rank",
-    "events_window_agg",
+    # events_window_agg retired round-10 (subsumed by the sliding
+    # variant); the sliding window is the strictly-heavier twin
+    "events_sliding_window",
     "events_sessionize",
+    "events_asof",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -1,0 +1,170 @@
+"""Round-11 debut-gate staging area.
+
+Every gate here is BUILT AND ORACLE-VERIFIED in round 10 but must not be
+registered in __spark_entry__ yet: the contract suite requires a newly
+registered gate to debut in the CURRENT driver window, and round 10's 50
+slots are full. Round 11 lifts these dicts into _queries_unordered /
+oracle_sql verbatim (and into _WINDOW_ORDER alongside the 37 forced r7
+rotations — see NOTES.md "Concrete r11 window plan"). CAPACITY NOTE:
+registry is 184/190 — lifting all 3 lands on 187, so round 11 should
+also retire 2-3 more subsumed gates (RETIRED_GATES.json policy;
+cypher_untyped and cypher_id_where were inspected and REJECTED in
+round 10 — they hold unique planner branches).
+
+The three gates drive the round-10 asof_join direction/tolerance
+surface at the driver: forward and nearest directions (pandas
+merge_asof parity; DuckDB's native ASOF JOIN accepts any inequality, so
+forward gets the same native-oracle strength as events_asof), and the
+backward tolerance path (stale matches null out but rows survive) —
+previously pytest-only.
+
+Verify locally:  python scripts/r11_queue.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g4s_spark.functions.temporal import asof_join
+from g4s_spark.sources import load_table
+
+
+def _clicks_purchases(spark: SparkSession, sf_dir: str):
+    """The events_asof fixture: clicks as the point stream, purchases
+    pre-aggregated to one row per (user, ts) so the match is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return clicks, purchases
+
+
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click picks the user's EARLIEST purchase
+    at-or-after it; the oracle is DuckDB's native ASOF LEFT JOIN with
+    the inequality flipped (c.ts <= p.ts)."""
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", direction="forward")
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: closer of the backward/forward candidates, exact
+    ties to backward (pandas tie-break). The oracle ranks all same-user
+    purchases by |delta| with the backward-first tie-break."""
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", direction="nearest")
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance: a match staler than the
+    budget nulls out but the click row survives (left-outer) — the
+    tolerance is measured against the MATCHED row's timestamp."""
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", tolerance_s=3600)
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+QUEUE_QUERIES = {
+    "events_asof_forward": _q_events_asof_forward,
+    "events_asof_nearest": _q_events_asof_nearest,
+    "events_asof_tolerance": _q_events_asof_tolerance,
+}
+
+_CLICKS_PURCHASES_SQL = """
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+"""
+
+QUEUE_ORACLES = {
+    # native ASOF with the flipped inequality: smallest p.ts >= c.ts
+    "events_asof_forward": f"""
+        WITH {_CLICKS_PURCHASES_SQL}
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS ts_r, p.pvalue AS pvalue_r
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    # nearest: rank every same-user candidate by |delta|; the tie-break
+    # (p.ts ASC) selects the backward candidate on an exact tie — the
+    # pandas merge_asof convention the Spark side follows
+    "events_asof_nearest": f"""
+        WITH {_CLICKS_PURCHASES_SQL}
+        SELECT event_id, user_id, ts, ts_r, pvalue_r FROM (
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS ts_r, p.pvalue AS pvalue_r,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                                p.ts ASC
+                   ) AS rnk
+            FROM clicks c LEFT JOIN purchases p ON c.user_id = p.user_id
+        ) WHERE rnk = 1
+    """,
+    # backward + tolerance: the native ASOF picks the latest-at-or-
+    # before row, then a stale match (> 1 h) nulls out while the click
+    # row survives — exactly asof_join's left-outer tolerance semantics
+    "events_asof_tolerance": f"""
+        WITH {_CLICKS_PURCHASES_SQL}
+        SELECT c.event_id, c.user_id, c.ts,
+               CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                    THEN p.ts END AS ts_r,
+               CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                    THEN p.pvalue END AS pvalue_r
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+}
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo/scripts")
+    import time
+
+    import check_correctness as cc
+    import duckdb
+
+    from g4s_spark.session import get_spark
+
+    spark = get_spark("r11_queue")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{cc.SF_DIR}/{t}.parquet'")
+    failed = 0
+    for name, fn in QUEUE_QUERIES.items():
+        t0 = time.time()
+        sdf = fn(spark, cc.SF_DIR)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        rel = con.sql(QUEUE_ORACLES[name])
+        ocols, orows = rel.columns, rel.fetchall()
+        sh, sn = cc.value_hash(scols, srows)
+        oh, on = cc.value_hash(ocols, orows)
+        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
+        failed += 0 if ok else 1
+        print(f"{'ok  ' if ok else 'FAIL'}  {name}: {sn} vs {on} rows, "
+              f"hash {'match' if sh == oh else 'MISMATCH'}  "
+              f"({time.time() - t0:.1f}s)")
+    print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
