@@ -24,8 +24,9 @@ from .algorithms import (
     label_assortativity,
     triangle_count,
 )
+from .features import neighbor_agg
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "betweenness_centrality", "reciprocity", "closeness_centrality", "harmonic_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard",
+    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "betweenness_centrality", "reciprocity", "closeness_centrality", "harmonic_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard", "neighbor_agg",
 ]

@@ -30,7 +30,10 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from g4s_spark.functions.rounding import pround
 from g4s_spark.functions.temporal import asof_join
+from g4s_spark.graph.tpch import PART_OFF, SUPPLIER_OFF
+from g4s_spark.operators import neighbor_agg
 from g4s_spark.sources import load_table
 
 
@@ -77,10 +80,38 @@ def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
 
 
+def _q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor aggregation (round-10,
+    operators/features.py) on the part<->supplier digraph (the
+    graph_scc fixture): hop 1 sums each node's out-neighbors' balance
+    feature; hop 2 sums the hop-1 SUMMARIES (layered ego aggregation,
+    not the flat 2-hop multiset). Feature = s_acctbal on suppliers,
+    p_retailprice on parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
+    sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
+    fwd = li.select(pid.alias("src"), sid.alias("dst"))
+    back = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+    ).select(sid.alias("src"), pid.alias("dst"))
+    edges = fwd.unionByName(back).dropDuplicates(["src", "dst"])
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.lit(SUPPLIER_OFF) + F.col("s_suppkey")).cast("long").alias("id"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+    prt = load_table(spark, sf_dir, "part").select(
+        (F.lit(PART_OFF) + F.col("p_partkey")).cast("long").alias("id"),
+        F.col("p_retailprice").cast("double").alias("bal"),
+    )
+    out = neighbor_agg(edges, sup.unionByName(prt), agg="sum", hops=2)
+    return out.select("id", pround(F.col("bal"), 2).alias("bal2"))
+
+
 QUEUE_QUERIES = {
     "events_asof_forward": _q_events_asof_forward,
     "events_asof_nearest": _q_events_asof_nearest,
     "events_asof_tolerance": _q_events_asof_tolerance,
+    "graph_neighbor_agg": _q_graph_neighbor_agg,
 }
 
 _CLICKS_PURCHASES_SQL = """
@@ -130,6 +161,37 @@ QUEUE_ORACLES = {
                     THEN p.pvalue END AS pvalue_r
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    # two unrolled hop CTEs: hop 2 aggregates hop-1 aggregates (the
+    # layered ego-summary semantics neighbor_agg documents)
+    "graph_neighbor_agg": f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT CAST({PART_OFF} + l_partkey AS BIGINT) AS src,
+                   CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT) AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
+                   CAST({PART_OFF} + l_partkey AS BIGINT)
+            FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+        ),
+        f0 AS (
+            SELECT CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT) AS id,
+                   CAST(s_acctbal AS DOUBLE) AS bal
+            FROM supplier
+            UNION ALL
+            SELECT CAST({PART_OFF} + p_partkey AS BIGINT),
+                   CAST(p_retailprice AS DOUBLE)
+            FROM part
+        ),
+        f1 AS MATERIALIZED (
+            SELECT e.src AS id, sum(f0.bal) AS bal
+            FROM e JOIN f0 ON f0.id = e.dst GROUP BY e.src
+        ),
+        f2 AS (
+            SELECT e.src AS id, sum(f1.bal) AS bal
+            FROM e JOIN f1 ON f1.id = e.dst GROUP BY e.src
+        )
+        SELECT id, floor(bal * 100 + 0.5) / 100 AS bal2 FROM f2
     """,
 }
 

@@ -619,3 +619,36 @@ def test_reciprocity(spark):
     # self-loop excluded; mutual: (1,2),(2,1),(3,4),(4,3)
     assert (r.n_edges, r.n_mutual) == (5, 4)
     assert r.reciprocity == pytest.approx(0.8)
+
+
+def test_neighbor_agg(spark):
+    """GraphSAGE-style neighbor aggregation (round-10): hop 1 reduces
+    out-neighbor features; hop 2 aggregates hop-1 AGGREGATES (layered
+    ego summaries, not the flat 2-hop multiset); nodes with no
+    feature-carrying neighborhood drop (inner semantics)."""
+    from g4s_spark.operators import neighbor_agg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    feats = spark.createDataFrame(
+        [(2, 10.0, 1.0), (3, 20.0, 2.0), (4, 40.0, 4.0)],
+        "id long, x double, y double",
+    )
+    got = {r.id: (r.x, r.y)
+           for r in neighbor_agg(edges, feats, agg="sum").collect()}
+    # node 1 -> {2,3}: x 30, y 3; node 2 -> {3}; node 3 -> {4}
+    assert got == {1: (30.0, 3.0), 2: (20.0, 2.0), 3: (40.0, 4.0)}
+    got_mean = {r.id: r.x
+                for r in neighbor_agg(edges, feats, agg="mean").collect()}
+    assert got_mean == {1: 15.0, 2: 20.0, 3: 40.0}
+    # hop 2: node 1 aggregates the HOP-1 sums of {2, 3} = {20, 40}
+    got2 = {r.id: (r.x, r.y)
+            for r in neighbor_agg(edges, feats, agg="sum", hops=2).collect()}
+    assert got2 == {1: (60.0, 6.0), 2: (40.0, 4.0)}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="agg must be"):
+        neighbor_agg(edges, feats, agg="median")
+    with pt.raises(ValueError, match="hops"):
+        neighbor_agg(edges, feats, hops=0)
