@@ -890,3 +890,42 @@ def test_range_join_left_null_point_columns(spark, pts, ivs):
     for r in rows:
         if matches[r.pi] == 0:
             assert r.ii is None
+
+
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                   min_size=1, max_size=12, unique=True),
+    feats=st.lists(st.tuples(st.integers(0, 5), st.integers(-9, 9)),
+                   min_size=1, max_size=6, unique_by=lambda t: t[0]),
+    agg=st.sampled_from(["sum", "mean", "min", "max", "count"]),
+    hops=st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_neighbor_agg_matches_replica(spark, edges, feats, agg, hops):
+    """neighbor_agg vs a pure-python layered replica on random digraphs
+    (round-10): per hop, every featured node's out-neighborhood reduces
+    with the chosen aggregate; nodes whose neighborhood lost all
+    features drop (inner semantics)."""
+    import statistics
+
+    from g4s_spark.operators import neighbor_agg
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    f = spark.createDataFrame(
+        [(i, float(v)) for i, v in feats], "id long, x double"
+    )
+    got = {r.id: r.x for r in neighbor_agg(e, f, agg=agg, hops=hops).collect()}
+
+    cur = {i: float(v) for i, v in feats}
+    fns = {"sum": sum, "mean": statistics.mean, "min": min, "max": max,
+           "count": len}
+    for _ in range(hops):
+        nxt = {}
+        for s in {s for s, _ in edges}:
+            vals = [cur[d] for (s2, d) in edges if s2 == s and d in cur]
+            if vals:
+                nxt[s] = float(fns[agg](vals))
+        cur = nxt
+    assert set(got) == set(cur)
+    for k, v in cur.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), (k, got[k], v)
