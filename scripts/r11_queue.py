@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from g4s_spark.functions.rounding import pround
 from g4s_spark.functions.temporal import asof_join
-from g4s_spark.graph.tpch import PART_OFF, SUPPLIER_OFF
+from g4s_spark.graph.tpch import ORDER_OFF, PART_OFF, SUPPLIER_OFF
 from g4s_spark.operators import neighbor_agg
 from g4s_spark.sources import load_table
 
@@ -107,11 +107,53 @@ def _q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", pround(F.col("bal"), 2).alias("bal2"))
 
 
+def _q_cypher_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep semi-naive closure (VERDICT r9 #9): per-customer order
+    CHAINS (orders linked in (o_orderdate, o_orderkey) sequence) give
+    walk depths of 15-40 levels — far past the ~6 the TPC-H relation
+    graph reaches — so length(p) over [:NEXT*] exercises the
+    MAX_CLOSURE_ITERS=64 iteration guard well into its range; an early
+    bail-out could not silently pass (the deepest pairs would vanish
+    and the hash would differ)."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.graph.tpch import ORDER_OFF
+    from g4s_spark.plans import run_cypher
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        (F.lit(ORDER_OFF) + F.col("o_orderkey")).cast("long").alias("id"),
+        "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.lit("NEXT").alias("type"),
+        )
+    )
+    nodes = seq.select("id", F.lit("Order").alias("label"))
+    g = PropertyGraph(nodes, edges, spark)
+    return run_cypher(
+        g, "MATCH p = (a:Order)-[:NEXT*]->(b:Order) RETURN a, b, length(p) AS len"
+    )
+
+
 QUEUE_QUERIES = {
     "events_asof_forward": _q_events_asof_forward,
     "events_asof_nearest": _q_events_asof_nearest,
     "events_asof_tolerance": _q_events_asof_tolerance,
     "graph_neighbor_agg": _q_graph_neighbor_agg,
+    "cypher_deep_chain": _q_cypher_deep_chain,
 }
 
 _CLICKS_PURCHASES_SQL = """
@@ -192,6 +234,28 @@ QUEUE_ORACLES = {
             FROM e JOIN f1 ON f1.id = e.dst GROUP BY e.src
         )
         SELECT id, floor(bal * 100 + 0.5) / 100 AS bal2 FROM f2
+    """,
+    # acyclic per-customer chains: every (a, b) pair has EXACTLY one
+    # walk, so length(p) is the plain recursion depth — no min needed
+    "cypher_deep_chain": f"""
+        WITH RECURSIVE seq AS (
+            SELECT CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS id, o_custkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS rn
+            FROM orders
+        ),
+        chain AS MATERIALIZED (
+            SELECT a.id AS src, b.id AS dst
+            FROM seq a JOIN seq b
+              ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+        ),
+        walk(src, dst, d) AS (
+            SELECT src, dst, CAST(1 AS BIGINT) FROM chain
+            UNION ALL
+            SELECT w.src, c.dst, w.d + 1 FROM walk w JOIN chain c ON c.src = w.dst
+        )
+        SELECT src AS a, dst AS b, d AS len FROM walk
     """,
 }
 
