@@ -116,7 +116,6 @@ def _q_cypher_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bail-out could not silently pass (the deepest pairs would vanish
     and the hash would differ)."""
     from g4s_spark.graph import PropertyGraph
-    from g4s_spark.graph.tpch import ORDER_OFF
     from g4s_spark.plans import run_cypher
     from pyspark.sql.window import Window
 
