@@ -938,6 +938,38 @@ def test_asof_join_directions(spark):
         asof_join(left, right, on="k", direction="sideways")
 
 
+def test_temporal_join_empty_and_composite_keys(spark):
+    """Degenerate inputs: an empty right/interval side yields all-miss
+    left rows (asof) and pure-miss left range rows; composite join keys
+    route through the same plans."""
+    from g4s_spark.functions.temporal import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00", "l1")],
+        "k long, k2 string, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    empty_right = spark.createDataFrame(
+        [], "k long, k2 string, ts timestamp, rv double"
+    )
+    [row] = asof_join(left, empty_right, on=["k", "k2"]).collect()
+    assert row.rv_r is None and row.ts_r is None
+    # composite keys must BOTH match
+    right = spark.createDataFrame(
+        [(1, "a", "2024-01-01 09:00:00", 1.0),
+         (1, "b", "2024-01-01 09:30:00", 2.0)],  # k matches, k2 doesn't
+        "k long, k2 string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row2] = asof_join(left, right, on=["k", "k2"]).collect()
+    assert row2.rv_r == 1.0
+    empty_iv = spark.createDataFrame(
+        [], "k long, start timestamp, end timestamp, iname string"
+    )
+    pts = left.select("k", "ts", "lv")
+    assert range_join(pts, empty_iv, on="k").count() == 0
+    [miss] = range_join(pts, empty_iv, on="k", how="left").collect()
+    assert miss.iname is None and miss.lv == "l1"
+
+
 def test_asof_join_null_payload_from_matched_row(spark):
     """ADVICE r9 (high): a matched right row whose payload field is
     genuinely NULL must yield NULL — not a stale value carried forward
