@@ -641,3 +641,34 @@ def kmv_distinct(
         F.col("_n").cast("long").alias("n_kept"),
         est.alias("estimate"),
     )
+
+
+def select_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Keep ONE representative row per near-dup cluster — the step a
+    training pipeline runs after ``dedup_clusters``: the row with the
+    HIGHEST ``score_col`` wins (quality-aware keep — longest / highest
+    quality score), ties and ``score_col=None`` fall back to the lowest
+    id (the deterministic keep-first policy ``dedup_clusters``
+    documents). Returns df's surviving rows with ``cluster_col``
+    attached.
+
+    Scale shape: one equi-join on id + one groupBy(cluster) whose
+    max_by aggregate combines map-side (hot clusters never buffer
+    their members), + one semi-join back — never a per-cluster sort
+    window, never a members list in memory."""
+    j = df.join(clusters.select(id_col, cluster_col), on=id_col)
+    rank = (
+        F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))
+        if score_col is not None
+        else F.struct((-F.col(id_col)).alias("_negid"))
+    )
+    winners = j.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), rank).alias(id_col)
+    )
+    return j.join(winners, on=[cluster_col, id_col], how="left_semi")

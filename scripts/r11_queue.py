@@ -147,12 +147,29 @@ def _q_cypher_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (round-10,
+    dedup.select_canonical): MinHash-LSH clusters over the corpus, then
+    ONE surviving row per cluster — longest document wins, ties to the
+    lowest doc id. The oracle wraps the existing dedup_clusters SQL
+    twin with the same argmax."""
+    from g4s_spark.functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = D.dedup_clusters(docs)
+    out = D.select_canonical(
+        docs.select("doc_id", "source", "n_chars"), cl, score_col="n_chars"
+    )
+    return out.select("doc_id", "cluster", "source", "n_chars")
+
+
 QUEUE_QUERIES = {
     "events_asof_forward": _q_events_asof_forward,
     "events_asof_nearest": _q_events_asof_nearest,
     "events_asof_tolerance": _q_events_asof_tolerance,
     "graph_neighbor_agg": _q_graph_neighbor_agg,
     "cypher_deep_chain": _q_cypher_deep_chain,
+    "dedup_canonical": _q_dedup_canonical,
 }
 
 _CLICKS_PURCHASES_SQL = """
@@ -256,7 +273,32 @@ QUEUE_ORACLES = {
         )
         SELECT src AS a, dst AS b, d AS len FROM walk
     """,
+    "dedup_canonical": None,  # built below from the live dedup_clusters oracle
 }
+
+
+def _dedup_canonical_oracle() -> str:
+    """Wrap the registry's dedup_clusters SQL twin (min-id propagation
+    over the MinHash-LSH pair graph) with the quality argmax: per
+    cluster, keep max n_chars, ties -> min doc_id."""
+    import __spark_entry__ as E
+
+    base = E.oracle_sql()["dedup_clusters"]
+    return f"""
+        WITH cl AS ({base}),
+        j AS (
+            SELECT d.doc_id, cl.cluster, d.source, d.n_chars
+            FROM documents d JOIN cl USING (doc_id)
+        )
+        SELECT doc_id, cluster, source, n_chars FROM (
+            SELECT j.*, row_number() OVER (
+                PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+            ) AS rk FROM j
+        ) WHERE rk = 1
+    """
+
+
+QUEUE_ORACLES["dedup_canonical"] = _dedup_canonical_oracle()
 
 
 def main() -> None:

@@ -842,6 +842,27 @@ def test_build_vocab_size_preprunes_with_take_ordered(spark):
     assert got == want
 
 
+def test_select_canonical(spark):
+    """Quality-aware cluster representative (round-10): highest score
+    wins, ties fall to lowest id, score_col=None is pure keep-first;
+    singletons survive untouched."""
+    from g4s_spark.functions.dedup import select_canonical
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 50, "b"), (3, 50, "c"), (9, 7, "z")],
+        "doc_id long, q long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster long"
+    )
+    got = {(r.doc_id, r.cluster)
+           for r in select_canonical(df, clusters, score_col="q").collect()}
+    # cluster 1: q=50 tie between 2 and 3 -> lowest id (2); singleton 9
+    assert got == {(2, 1), (9, 9)}
+    first = {r.doc_id for r in select_canonical(df, clusters).collect()}
+    assert first == {1, 9}  # keep-first fallback
+
+
 def test_asof_join(spark):
     """AS-OF join (round-9): latest right row at-or-before each left
     timestamp per key; inclusive equality; tolerance nulls stale
