@@ -30,18 +30,27 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     text_col: str = "text",
     id_col: str = "doc_id",
+    rep_score_col: str | None = None,
 ) -> DataFrame:
     """Kept documents: (doc_id, pred_lang, quality) for documents that
     (1) score at least min_quality, (2) classify into one of ``langs``,
-    and (3) are their duplicate-cluster's representative (minimum doc id
-    — deterministic keep-first)."""
+    and (3) are their duplicate-cluster's representative — minimum doc
+    id (deterministic keep-first, the default), or the cluster's
+    highest-``rep_score_col`` row when one is named (round-10
+    quality-aware keep via dedup.select_canonical; ties still fall to
+    the lowest id)."""
     q = quality_score(df, text_col, id_col).select(id_col, "quality")
     l = lang_id(df, text_col, id_col)
-    reps = (
-        dedup_clusters(df, text_col, id_col)
-        .filter(F.col("cluster") == F.col(id_col))
-        .select(id_col)
-    )
+    clusters = dedup_clusters(df, text_col, id_col)
+    if rep_score_col is None:
+        reps = clusters.filter(F.col("cluster") == F.col(id_col)).select(id_col)
+    else:
+        from .dedup import select_canonical
+
+        reps = select_canonical(
+            df.select(id_col, rep_score_col), clusters,
+            score_col=rep_score_col, id_col=id_col,
+        ).select(id_col)
     return (
         df.select(id_col)
         .join(q.filter(F.col("quality") >= min_quality), on=id_col)

@@ -226,6 +226,13 @@ def test_curate_corpus(docs):
     assert 1 in kept      # the representative survives
     strict = {r.doc_id for r in PL.curate_corpus(docs, min_quality=0.99).collect()}
     assert strict == set()  # threshold filters everything in this tiny corpus
+    # quality-aware representative (round-10): make the LATER exact dup
+    # the higher-scored row — it must displace the min-id default
+    scored = docs.withColumn("prio", F.col("doc_id").cast("double"))
+    kept_q = {r.doc_id for r in PL.curate_corpus(
+        scored, min_quality=0.0, langs=("en", "und"), rep_score_col="prio"
+    ).collect()}
+    assert 4 in kept_q and 1 not in kept_q
 
 
 def test_knn_join_lsh_invariants_and_exact_cos(spark):
