@@ -570,31 +570,10 @@ def tfidf_keywords(
     )
 
 
-def bigram_rarity(
-    df: DataFrame,
-    threshold: float = 1e-4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Self-trained bigram language-model rarity signal (round-9): the
-    corpus's own Laplace-smoothed bigram model p(w2|w1) =
-    (c(w1,w2)+1)/(c(w1)+V) scores every bigram of every document; a
-    document's quality signal is its share of RARE bigrams (p <
-    threshold) — high rare_ratio = atypical/garbled text relative to
-    the corpus (the decision the perplexity filters of C4/Gopher make).
-    Everything is counts and one rational per bigram — no ln/exp, so
-    the oracle is bit-exact: perplexity proper is exp(-mean ln p),
-    monotone DEcreasing in these probabilities, and the threshold count
-    is the decision-relevant summary. Returns (id, n_bigrams, n_rare,
-    rare_ratio, min_p): min/max of exactly-computed doubles and integer
-    counts are reduction-order independent, unlike a sum of logs.
-
-    Scale shape: posexplode + per-doc lead() window (partitioned by doc
-    id, bounded by doc length) -> two token-keyed groupBys for the
-    model counts (map-side combine) -> two joins back on (w1[,w2]) ->
-    one groupBy(id). All shuffles key on tokens or doc ids; the model
-    tables are |vocab|- and |bigram-vocab|-sized, tiny next to a 100 TB
-    corpus scan."""
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs per document: posexplode + a
+    per-doc lead() window (partitioned by doc id, bounded by doc
+    length)."""
     from pyspark.sql.window import Window
 
     toks = df.select(
@@ -602,24 +581,64 @@ def bigram_rarity(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
-    big = toks.withColumn("w2", F.lead("w1").over(w)).filter(
+    return toks.withColumn("w2", F.lead("w1").over(w)).filter(
         F.col("w2").isNotNull()
     )
-    c12 = big.groupBy("w1", "w2").agg(
+
+
+def bigram_rarity(
+    df: DataFrame,
+    threshold: float = 1e-4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram language-model rarity signal (round-9): a Laplace-smoothed
+    bigram model p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) scores every bigram
+    of every document; a document's quality signal is its share of RARE
+    bigrams (p < threshold) — high rare_ratio = atypical/garbled text
+    relative to the model corpus (the decision the perplexity filters
+    of C4/Gopher make). By default the model is SELF-trained on ``df``;
+    pass ``train_df`` (round-10) to train the counts on a REFERENCE
+    corpus instead — the standard quality-filter setup (score the crawl
+    against a clean corpus' model). Under Laplace smoothing an unseen
+    bigram scores 1/(c(w1)+V) and an unseen first word 1/V — no zero
+    probabilities, no special-casing. Everything is counts and one
+    rational per bigram — no ln/exp, so the oracle is bit-exact:
+    perplexity proper is exp(-mean ln p), monotone DEcreasing in these
+    probabilities, and the threshold count is the decision-relevant
+    summary. Returns (id, n_bigrams, n_rare, rare_ratio, min_p): min/max
+    of exactly-computed doubles and integer counts are reduction-order
+    independent, unlike a sum of logs.
+
+    Scale shape: posexplode + per-doc lead() window -> two token-keyed
+    groupBys for the model counts (map-side combine) -> two joins back
+    on (w1[,w2]) -> one groupBy(id). All shuffles key on tokens or doc
+    ids; the model tables are |vocab|- and |bigram-vocab|-sized, tiny
+    next to a 100 TB corpus scan."""
+    big = _doc_bigrams(df, text_col, id_col)
+    model = big if train_df is None else _doc_bigrams(train_df, text_col, id_col)
+    c12 = model.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12")
     )
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    vocab = big.select(F.col("w1").alias("t")).unionByName(
-        big.select(F.col("w2").alias("t"))
+    c1 = model.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = model.select(F.col("w1").alias("t")).unionByName(
+        model.select(F.col("w2").alias("t"))
     )
     v = vocab.agg(F.count_distinct("t").alias("_v"))
-    p = (
-        big.join(c12, on=["w1", "w2"])
-        .join(c1, on="w1")
-        .join(F.broadcast(v))
-        .withColumn(
-            "p", (F.col("c12") + 1.0) / (F.col("c1") + F.col("_v") + 0.0)
+    if train_df is None:
+        # self-trained: every scored bigram exists in the model — inner
+        # joins keep the plan identical to the round-9 formulation
+        joined = big.join(c12, on=["w1", "w2"]).join(c1, on="w1")
+    else:
+        joined = (
+            big.join(c12, on=["w1", "w2"], how="left")
+            .join(c1, on="w1", how="left")
+            .withColumn("c12", F.coalesce(F.col("c12"), F.lit(0)))
+            .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
         )
+    p = joined.join(F.broadcast(v)).withColumn(
+        "p", (F.col("c12") + 1.0) / (F.col("c1") + F.col("_v") + 0.0)
     )
     return p.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -763,6 +763,26 @@ def test_bigram_rarity(spark):
         assert got[i].rare_ratio == got[i].n_rare / got[i].n_bigrams, i
 
 
+def test_bigram_rarity_cross_corpus(spark):
+    """train_df (round-10): the model trains on a REFERENCE corpus and
+    scores another; unseen bigrams get the Laplace floor 1/(c1+V),
+    unseen first words 1/V — no zeros, replica-exact."""
+    from g4s_spark.functions.text import bigram_rarity
+
+    ref = spark.createDataFrame(
+        [(10, "a b a b a c")], "doc_id long, text string"
+    )
+    # model: c12(a,b)=2 c12(b,a)=2 c12(a,c)=1; c1: a=3 b=2; V=3
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a z"), (3, "q r")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.min_p)
+           for r in bigram_rarity(score, threshold=0.3, train_df=ref).collect()}
+    assert got[1] == (1, (2 + 1.0) / (3 + 3))   # seen bigram
+    assert got[2] == (1, (0 + 1.0) / (3 + 3))   # seen w1, unseen bigram
+    assert got[3] == (1, (0 + 1.0) / (0 + 3))   # fully unseen -> 1/V
+
+
 def test_ivf_multiprobe(spark):
     """Multi-probe IVF (round-9): probing all cells recovers exactly the
     brute-force ranking (candidate set = whole corpus); the top-1 probe
