@@ -48,6 +48,16 @@ def test_no_gate_returns_array_or_map_columns(spark):
     assert not bad, bad
 
 
+def test_bench_headline_gates_are_registered():
+    """bench.py's HEADLINE list must name live registry gates: round-10
+    found the hard way that retiring a gate without updating the bench
+    breaks the driver's BENCH run (events_window_agg KeyError)."""
+    import bench
+
+    missing = [q for q in bench.HEADLINE if q not in E.oracle_sql()]
+    assert not missing, f"bench HEADLINE names unregistered gates: {missing}"
+
+
 def test_window_ledger_matches_current_window():
     """WINDOW_LEDGER.json records each round's driver window (rounds
     1..N-1 from the CORRECTNESS files, round N = the planned window).
