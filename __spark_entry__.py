@@ -743,23 +743,6 @@ def _q_cypher_set_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("bonus", F.col("bonus").cast("double"))
 
 
-def _q_cypher_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """openCypher MERGE statement (round-8, VERDICT r7 #4): edge
-    match-or-create with ON CREATE SET, run TWICE to prove idempotence
-    (the second merge matches everything and creates nothing), then the
-    merged edges read back through the normal query path with their
-    created weight."""
-    from g4s_spark.plans import run_cypher_merge
-
-    g = build_graph(spark, sf_dir)
-    stmt = (
-        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WHERE c.acctbal >= 9800 "
-        "MERGE (c)-[r:VIP_OF]->(n) ON CREATE SET r.weight = 2"
-    )
-    g2 = run_cypher_merge(run_cypher_merge(g, stmt), stmt)
-    return run_cypher(
-        g2, "MATCH (c:Customer)-[v:VIP_OF]->(n:Nation) RETURN c, n, v.weight AS w"
-    )
 
 
 def _q_cypher_set_edge_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,7 +1400,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_set_expr": _q_cypher_set_expr,
         # round-8: MERGE statement (match-or-create + ON CREATE SET),
         # run twice to prove idempotence before the read-back
-        "cypher_merge": _q_cypher_merge,
+        # (cypher_merge retired round-10 — byte-identical MATCH/MERGE
+        # statement and double-run fixture as cypher_merge_on_match,
+        # which adds the ON MATCH SET arm; RETIRED_GATES.json)
         # round-8: expression RHS on edge SET (the r7 node/edge SET
         # asymmetry closed), read back over all orders
         "cypher_set_edge_expr": _q_cypher_set_edge_expr,
@@ -2572,15 +2557,6 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_acctbal >= 9000
         """,
         # round-8: MERGE creates one VIP_OF edge per qualifying
-        # (customer, nation) pair with the ON CREATE weight; the
-        # idempotent re-run changes nothing, so the read-back is exactly
-        # the qualifying pairs
-        "cypher_merge": f"""
-            SELECT {_CID} AS c,
-                   CAST({NATION_OFF} + c_nationkey AS BIGINT) AS n,
-                   CAST(2 AS DOUBLE) AS w
-            FROM customer WHERE c_acctbal >= 9800
-        """,
         # round-8: edge SET expression RHS — matched orders' HAS_ITEM
         # weights (l_linenumber) become w*2+1, the rest keep theirs; the
         # coalesce(double, long) upsert makes every weight DOUBLE
