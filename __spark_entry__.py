@@ -58,6 +58,7 @@ from g4s_spark.operators import (
     k_core,
     k_truss,
     reciprocity,
+    neighbor_agg,
     label_propagation,
     neighborhood_jaccard,
     topological_layers,
@@ -804,16 +805,6 @@ def _rel(name: str):
 
 # --- round-8 session-2 debuts (register now, window in r9) -----------------
 
-def _q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closeness centrality of the BFS seed: r/Σdist over reachable
-    nodes — the third one-aggregation-over-the-BFS-fixpoint centrality
-    (harmonic, closeness share the frontier machinery)."""
-    out = closeness_centrality(build_graph(spark, sf_dir), [BFS_START])
-    return out.select(
-        pround(F.col("closeness"), 9).alias("closeness"), "n_reachable"
-    )
-
-
 def _dirty_docs(df: DataFrame) -> DataFrame:
     """The synthetic documents carry no PII / control chars / space runs
     (verified: zero regex hits corpus-wide), so the hygiene gates append
@@ -1226,48 +1217,170 @@ def _q_cypher_merge_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-11 debuts (staged + oracle-verified in r10, scripts/r11_queue) -
+
+def _asof_clicks_purchases(spark: SparkSession, sf_dir: str):
+    """The events_asof fixture shared by the direction gates: clicks as
+    the point stream, purchases pre-aggregated to one row per
+    (user, ts) so the match is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return clicks, purchases
+
+
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click picks the user's EARLIEST purchase
+    at-or-after it; the oracle is DuckDB's native ASOF LEFT JOIN with
+    the inequality flipped (c.ts <= p.ts)."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", direction="forward")
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: closer of the backward/forward candidates, exact
+    ties to backward (pandas tie-break). The oracle ranks all same-user
+    purchases by |delta| with the backward-first tie-break."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", direction="nearest")
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance: a match staler than the
+    budget nulls out but the click row survives (left-outer) — the
+    tolerance is measured against the MATCHED row's timestamp."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(clicks, purchases, on="user_id", tolerance_s=3600)
+    return out.select("event_id", "user_id", "ts", "ts_r", "pvalue_r")
+
+
+def _q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor aggregation (round-10,
+    operators/features.py) on the part<->supplier digraph (the
+    graph_scc fixture): hop 1 sums each node's out-neighbors' balance
+    feature; hop 2 sums the hop-1 SUMMARIES (layered ego aggregation,
+    not the flat 2-hop multiset). Feature = s_acctbal on suppliers,
+    p_retailprice on parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
+    sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
+    fwd = li.select(pid.alias("src"), sid.alias("dst"))
+    back = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+    ).select(sid.alias("src"), pid.alias("dst"))
+    edges = fwd.unionByName(back).dropDuplicates(["src", "dst"])
+    sup = load_table(spark, sf_dir, "supplier").select(
+        (F.lit(SUPPLIER_OFF) + F.col("s_suppkey")).cast("long").alias("id"),
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+    prt = load_table(spark, sf_dir, "part").select(
+        (F.lit(PART_OFF) + F.col("p_partkey")).cast("long").alias("id"),
+        F.col("p_retailprice").cast("double").alias("bal"),
+    )
+    out = neighbor_agg(edges, sup.unionByName(prt), agg="sum", hops=2)
+    return out.select("id", pround(F.col("bal"), 2).alias("bal2"))
+
+
+def _q_cypher_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep semi-naive closure (VERDICT r9 #9): per-customer order
+    CHAINS (orders linked in (o_orderdate, o_orderkey) sequence) give
+    walk depths of 15-40 levels — far past the ~6 the TPC-H relation
+    graph reaches — so length(p) over [:NEXT*] exercises the
+    MAX_CLOSURE_ITERS=64 iteration guard well into its range; an early
+    bail-out could not silently pass (the deepest pairs would vanish
+    and the hash would differ)."""
+    from pyspark.sql.window import Window
+
+    from g4s_spark.graph import PropertyGraph
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        (F.lit(ORDER_OFF) + F.col("o_orderkey")).cast("long").alias("id"),
+        "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.lit("NEXT").alias("type"),
+    )
+    nodes = seq.select("id", F.lit("Order").alias("label"))
+    g = PropertyGraph(nodes, edges, spark)
+    return run_cypher(
+        g, "MATCH p = (a:Order)-[:NEXT*]->(b:Order) RETURN a, b, length(p) AS len"
+    )
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (round-10,
+    dedup.select_canonical): MinHash-LSH clusters over the corpus, then
+    ONE surviving row per cluster — longest document wins, ties to the
+    lowest doc id. The oracle wraps the dedup_clusters SQL twin with
+    the same argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    cl = D.dedup_clusters(docs)
+    out = D.select_canonical(
+        docs.select("doc_id", "source", "n_chars"), cl, score_col="n_chars"
+    )
+    return out.select("doc_id", "cluster", "source", "n_chars")
+
+
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-10 composition (VERDICT r9 #1, computed in NOTES.md "Concrete
-# r10 window plan"): the 12 round-10 debuts (staged + oracle-verified in
-# r9 via scripts/r10_queue.py — incl. the temporal joins, whose oracle
-# for events_asof is DuckDB's NATIVE ASOF LEFT JOIN), the one
-# changed-code gate (text_vocab: build_vocab's sized path now pre-prunes
-# with TakeOrderedAndProject before the rank window — VERDICT r9 #1's
-# `weak` mark), the 24 HARD age-4 gates (the 26 r6 rows minus the two
-# retired this round: cypher_with_chain and events_window_agg, each
-# subsumed — RETIRED_GATES.json), and 13 r7-cohort refreshes (the full
-# grblas kernel family plus the two headline fixpoints — the r7 cohort
-# is 50 gates that ALL reach the age-4 budget at r11, so r10 spends its
-# free slots starting that refresh; the ~37 remaining r7 rows are
-# locally re-verified this round, see NOTES.md). Rotation history lives
-# in WINDOW_LEDGER.json (append-only; rounds with a published
-# CORRECTNESS artifact are digest-pinned); tests/test_entry_contract.py
-# enforces the budget. Everything at 51+ is green in the local full
-# check (scripts/check_correctness.py).
+# Round-11 composition (VERDICT r10 #1, lifted verbatim from NOTES.md
+# "Draft r11 _WINDOW_ORDER"): the 6 round-11 debuts (staged +
+# oracle-verified in r10 via scripts/r11_queue.py — the asof_join
+# forward/nearest/tolerance direction surface, whose forward oracle is
+# again DuckDB's NATIVE ASOF LEFT JOIN with the inequality flipped;
+# GraphSAGE-style neighbor_agg; the VERDICT r9 #9 deep-closure gate
+# cypher_deep_chain at 15-40 walk levels; and dedup_canonical), the 37
+# HARD age-4 gates (the r7 cohort remaining after r10's 13 early
+# refreshes — ALL 37 pre-verified hash-matching on final r10 code, see
+# NOTES.md "Round 10 FINAL verification"), and 7 r8-cohort refreshes
+# (the cypher mutation-runner block first — those share the
+# most-churned statement runners — plus the highest-value r8 rows),
+# which shrinks the r12 forced wave to ~41. graph_closeness retired
+# this round (byte-identical fixpoint body vs graph_harmonic —
+# RETIRED_GATES.json). Rotation history lives in WINDOW_LEDGER.json
+# (append-only; rounds with a published CORRECTNESS artifact are
+# digest-pinned); tests/test_entry_contract.py enforces the budget.
+# Everything at 51+ is green in the local full check
+# (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-10 debuts
-    "events_asof", "events_range_join", "text_encode", "ann_ivf_nprobe",
-    "graph_ktruss", "text_tfidf", "text_bigram_rarity",
-    "graph_reciprocity", "graph_harmonic_weighted",
-    "graph_betweenness_multi", "cypher_topk_agg", "cypher_merge_node",
-    # changed-code this round: sized-vocab TakeOrdered pre-prune
-    "text_vocab",
-    # the 24 HARD age-4 gates (r6 rows; contract test fails without them)
-    "ann_hard_negatives", "ann_ivf_cells", "cypher_skip_limit",
-    "cypher_string_fns", "cypher_unwind_collected", "cypher_varlength",
-    "cypher_where_cross", "cypher_where_fn", "cypher_where_or",
-    "cypher_with_expr", "dedup_incremental", "dedup_ngram_jaccard",
-    "events_funnel", "events_json_props", "events_sessionize",
-    "events_sliding_window", "graph_degree_hist", "graph_harmonic",
-    "graph_link_jaccard", "graph_lpa", "graph_wpagerank",
-    "multimodal_meta", "rel_q14_promo", "sample_deterministic",
-    # 13 r7-cohort refreshes: the grblas kernel family + headline
-    # fixpoints (starts the 50-gate r7 cohort ahead of its r11 cliff)
-    "mxm_any_pair", "mxm_plus_times", "mxm_masked", "mxm_kron",
-    "vxm_masked", "ewise_union_plus", "ewise_intersect_min",
-    "extract_submatrix", "extract_strided", "reduce_rows_plus",
-    "reduce_cols_max", "graph_bfs", "graph_pagerank",
+    # round-11 debuts
+    "events_asof_forward", "events_asof_nearest", "events_asof_tolerance",
+    "graph_neighbor_agg", "cypher_deep_chain", "dedup_canonical",
+    # the 37 HARD age-4 gates (r7 rows; contract test fails without them)
+    "ann_topk", "chunk_documents", "cypher_coalesce", "cypher_count_prop",
+    "cypher_orderby_prop", "cypher_path_length", "cypher_set_expr",
+    "cypher_untyped", "cypher_where_isnull", "cypher_with_optional",
+    "dedup_cross_source", "dedup_embedding", "dedup_exact", "dedup_simhash",
+    "graph_assortativity", "graph_clustering", "graph_components",
+    "graph_hits", "graph_sssp", "graph_triangles", "pipeline_corpus_report",
+    "pipeline_curate", "pipeline_token_budget", "pipeline_token_rates",
+    "rel_q10_returns", "rel_q1_pricing", "rel_q3_shipping",
+    "rel_q5_local_volume", "rel_q6_forecast", "rel_supplier_rank",
+    "rel_top_orders", "sample_shuffle", "text_doc_freq", "text_fingerprint",
+    "text_lang_id", "text_quality", "text_token_count",
+    # 7 r8-cohort refreshes: the mutation-runner block (shared statement
+    # runners are the most-churned code) + highest-value r8 rows
+    "cypher_delete", "cypher_remove", "cypher_set_edge_expr", "graph_scc",
+    "dedup_minhash_lsh", "text_bm25", "cypher_shortest_path",
 ]
 
 
@@ -1691,9 +1804,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
             load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
         ),
-        # round-8 session-2 debuts (registered out-of-window; r9 leads
-        # with the six deferred r5 rows, then these)
-        "graph_closeness": _q_graph_closeness,
+        # (graph_closeness retired round-11 — byte-identical
+        # `(sssp|bfs)(...).filter(dist>0).agg(...)` body as
+        # graph_harmonic save the final scalar aggregate expression;
+        # the weighted twins stay separately gated — RETIRED_GATES.json)
         # round-8 session-2: graph-introspection fns + =~ regex WHERE
         "cypher_introspect": _cypher(
             "MATCH (x)-[e:FROM_NATION]->(n:Nation) "
@@ -1788,6 +1902,16 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness_multi": _q_graph_betweenness_multi,
         "cypher_topk_agg": _q_cypher_topk_agg,
         "cypher_merge_node": _q_cypher_merge_node,
+        # round-11 debuts: staged + oracle-verified in r10
+        # (scripts/r11_queue.py) — the asof direction/tolerance surface,
+        # GraphSAGE neighbor aggregation, the deep-closure Cypher gate,
+        # and quality-aware canonical dedup selection
+        "events_asof_forward": _q_events_asof_forward,
+        "events_asof_nearest": _q_events_asof_nearest,
+        "events_asof_tolerance": _q_events_asof_tolerance,
+        "graph_neighbor_agg": _q_graph_neighbor_agg,
+        "cypher_deep_chain": _q_cypher_deep_chain,
+        "dedup_canonical": _q_dedup_canonical,
     }
 
 
@@ -1797,6 +1921,17 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CID = f"CAST({CUSTOMER_OFF} + c_custkey AS BIGINT)"
 _OID = f"CAST({ORDER_OFF} + o_orderkey AS BIGINT)"
+
+# shared fixture CTE for the events_asof direction/tolerance oracles
+_CLICKS_PURCHASES_SQL = """
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+"""
 _LID = f"CAST({LINEITEM_OFF} + l_orderkey*8 + l_linenumber AS BIGINT)"
 _PID = f"CAST({PART_OFF} + l_partkey AS BIGINT)"
 _SID = f"CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT)"
@@ -4068,20 +4203,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id
         """,
         # round-8 session-2 debuts
-        "graph_closeness": f"""
-            WITH RECURSIVE {EDGES_SQL_CTE.strip().rstrip()},
-            walk(id, d) AS (
-                SELECT CAST({BFS_START} AS BIGINT), CAST(0 AS BIGINT)
-                UNION ALL
-                SELECT e.dst, w.d + 1
-                FROM walk w JOIN graph_edges e ON e.src = w.id
-                WHERE w.d < 12
-            ),
-            dist AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
-            SELECT floor(count(*) * 1.0 / sum(d) * 1000000000 + 0.5) / 1000000000 AS closeness,
-                   CAST(count(*) AS BIGINT) AS n_reachable
-            FROM dist WHERE d > 0
-        """,
+        # (graph_closeness retired round-11 — subsumed by graph_harmonic,
+        # the byte-identical BFS fixpoint + one-row scalar aggregate;
+        # RETIRED_GATES.json)
         "text_redact_pii": f"""
             WITH dirty AS ({_DIRTY_DOCS})
             SELECT doc_id,
@@ -4527,5 +4651,113 @@ def oracle_sql() -> dict[str, str]:
                    + max(l_orderkey * 8 + l_linenumber) + 1 AS h,
                    'h1' AS name, '9' AS tier
             FROM lineitem
+        """,
+        # round-11 debuts (staged + verified in r10, scripts/r11_queue)
+        # native ASOF with the flipped inequality: smallest p.ts >= c.ts
+        "events_asof_forward": f"""
+            WITH {_CLICKS_PURCHASES_SQL}
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS ts_r, p.pvalue AS pvalue_r
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        # nearest: rank every same-user candidate by |delta|; the
+        # tie-break (p.ts ASC) selects the backward candidate on an
+        # exact tie — the pandas merge_asof convention Spark follows
+        "events_asof_nearest": f"""
+            WITH {_CLICKS_PURCHASES_SQL}
+            SELECT event_id, user_id, ts, ts_r, pvalue_r FROM (
+                SELECT c.event_id, c.user_id, c.ts,
+                       p.ts AS ts_r, p.pvalue AS pvalue_r,
+                       row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                                    p.ts ASC
+                       ) AS rnk
+                FROM clicks c LEFT JOIN purchases p ON c.user_id = p.user_id
+            ) WHERE rnk = 1
+        """,
+        # backward + tolerance: the native ASOF picks the latest-at-or-
+        # before row, then a stale match (> 1 h) nulls out while the
+        # click row survives — asof_join's left-outer tolerance semantics
+        "events_asof_tolerance": f"""
+            WITH {_CLICKS_PURCHASES_SQL}
+            SELECT c.event_id, c.user_id, c.ts,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                        THEN p.ts END AS ts_r,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                        THEN p.pvalue END AS pvalue_r
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # two unrolled hop CTEs: hop 2 aggregates hop-1 aggregates (the
+        # layered ego-summary semantics neighbor_agg documents)
+        "graph_neighbor_agg": f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT CAST({PART_OFF} + l_partkey AS BIGINT) AS src,
+                       CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT) AS dst
+                FROM lineitem
+                UNION
+                SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
+                       CAST({PART_OFF} + l_partkey AS BIGINT)
+                FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+            ),
+            f0 AS (
+                SELECT CAST({SUPPLIER_OFF} + s_suppkey AS BIGINT) AS id,
+                       CAST(s_acctbal AS DOUBLE) AS bal
+                FROM supplier
+                UNION ALL
+                SELECT CAST({PART_OFF} + p_partkey AS BIGINT),
+                       CAST(p_retailprice AS DOUBLE)
+                FROM part
+            ),
+            f1 AS MATERIALIZED (
+                SELECT e.src AS id, sum(f0.bal) AS bal
+                FROM e JOIN f0 ON f0.id = e.dst GROUP BY e.src
+            ),
+            f2 AS (
+                SELECT e.src AS id, sum(f1.bal) AS bal
+                FROM e JOIN f1 ON f1.id = e.dst GROUP BY e.src
+            )
+            SELECT id, floor(bal * 100 + 0.5) / 100 AS bal2 FROM f2
+        """,
+        # acyclic per-customer chains: every (a, b) pair has EXACTLY one
+        # walk, so length(p) is the plain recursion depth — no min needed
+        "cypher_deep_chain": f"""
+            WITH RECURSIVE seq AS (
+                SELECT CAST({ORDER_OFF} + o_orderkey AS BIGINT) AS id,
+                       o_custkey,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS rn
+                FROM orders
+            ),
+            chain AS MATERIALIZED (
+                SELECT a.id AS src, b.id AS dst
+                FROM seq a JOIN seq b
+                  ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+            ),
+            walk(src, dst, d) AS (
+                SELECT src, dst, CAST(1 AS BIGINT) FROM chain
+                UNION ALL
+                SELECT w.src, c.dst, w.d + 1
+                FROM walk w JOIN chain c ON c.src = w.dst
+            )
+            SELECT src AS a, dst AS b, d AS len FROM walk
+        """,
+        # the live dedup_clusters twin wrapped with the quality argmax:
+        # per cluster keep max n_chars, ties -> min doc_id
+        "dedup_canonical": f"""
+            WITH cl AS ({_dedup_clusters_oracle(minhash_aggs, band_rows)}),
+            j AS (
+                SELECT d.doc_id, cl.cluster, d.source, d.n_chars
+                FROM documents d JOIN cl USING (doc_id)
+            )
+            SELECT doc_id, cluster, source, n_chars FROM (
+                SELECT j.*, row_number() OVER (
+                    PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+                ) AS rk FROM j
+            ) WHERE rk = 1
         """,
     }

@@ -1,24 +1,25 @@
-"""Round-11 debut-gate staging area.
+"""Round-11 debut-gate staging area — LIFTED in round 11.
 
-Every gate here is BUILT AND ORACLE-VERIFIED in round 10 but must not be
-registered in __spark_entry__ yet: the contract suite requires a newly
-registered gate to debut in the CURRENT driver window, and round 10's 50
-slots are full. Round 11 lifts these dicts into _queries_unordered /
-oracle_sql verbatim (and into _WINDOW_ORDER alongside the 37 forced r7
-rotations — see NOTES.md "Concrete r11 window plan"). CAPACITY NOTE:
-registry is 184/190 — lifting all 3 lands on 187, so round 11 should
-also retire 2-3 more subsumed gates (RETIRED_GATES.json policy;
-cypher_untyped and cypher_id_where were inspected and REJECTED in
-round 10 — they hold unique planner branches).
+The SIX gates here were BUILT AND ORACLE-VERIFIED in round 10 and
+lifted verbatim into __spark_entry__._queries_unordered / oracle_sql at
+round 11 (they lead _WINDOW_ORDER alongside the 37 forced r7 rotations
+and 7 r8 refreshes — see NOTES.md "Draft r11 _WINDOW_ORDER"). CAPACITY
+after the lift: the registry was 183 entering round 11 (the
+cypher_merge retirement landed in round 10 itself); 183 + 6 debuts − 1
+retirement (graph_closeness → graph_harmonic, RETIRED_GATES.json) =
+188 of the 190 trip-wire.
 
-The three gates drive the round-10 asof_join direction/tolerance
+Three of the gates drive the round-10 asof_join direction/tolerance
 surface at the driver: forward and nearest directions (pandas
 merge_asof parity; DuckDB's native ASOF JOIN accepts any inequality, so
 forward gets the same native-oracle strength as events_asof), and the
-backward tolerance path (stale matches null out but rows survive) —
-previously pytest-only.
+backward tolerance path (stale matches null out but rows survive). The
+other three: graph_neighbor_agg (GraphSAGE layered ego aggregation),
+cypher_deep_chain (the VERDICT r9 #9 deep-closure gate, 15-40 walk
+levels), dedup_canonical (quality-aware cluster representatives).
 
-Verify locally:  python scripts/r11_queue.py
+This file stays as the standalone verification harness:
+    python scripts/r11_queue.py
 """
 
 from __future__ import annotations

@@ -134,7 +134,8 @@ def test_window_ledger_history_is_append_only():
         "6": "aed49a003811890f",
         "7": "a0c1c876a75da582",
         "8": "806d7d6bc63c4b82",
-        "9": "5a8832e87d1bc3de",  # final: CORRECTNESS_r09 published
+        "9": "5a8832e87d1bc3de",
+        "10": "af7e96d072039bb7",  # final: CORRECTNESS_r10 published
     }
     published = {
         str(n)
