@@ -93,6 +93,33 @@ def main():
     import __spark_entry__ as entrymod
     from g4s_spark.session import get_spark
 
+    # contention gate (VERDICT r10 #4: three straight driver rounds ran
+    # against loadavg 5-14 and every total needed manual adjudication):
+    # if the box is busy, wait briefly for it to quiet down, then run
+    # regardless — flagging the start state so a contended run
+    # self-labels instead of reading as a regression
+    wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "120"))
+    load_threshold = 4.0
+    waited = 0
+    la = _loadavg()
+    while la and la[0] > load_threshold and waited < wait_s:
+        print(
+            f"# [contention] loadavg(1)={la[0]:.1f} > {load_threshold}; "
+            f"waiting ({waited}/{wait_s}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        la = _loadavg()
+    contended = bool(la and la[0] > load_threshold)
+    if contended:
+        print(
+            f"# WARNING: starting contended (loadavg(1)={la[0]:.1f}); "
+            "totals are upper bounds — compare per-query medians, not "
+            "round-over-round totals",
+            file=sys.stderr,
+        )
+
     spark = get_spark("g4s_bench")
     # one trivial job outside the timed region: JVM/JIT + scheduler warmup
     # (otherwise the first query is charged several seconds of first-job
@@ -145,6 +172,7 @@ def main():
         "samples": samples,
         "gc_ms": gc_ms,
         "loadavg": {"start": load_start, "end": _loadavg()},
+        "contended_start": contended,
         "repeats": REPEATS,
         "sf": sf,
     }))

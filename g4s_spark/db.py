@@ -51,26 +51,31 @@ class GraphDB:
         Verb routing scans a literal-masked copy of the statement
         (quoted spans blanked to a space so tokens never juxtapose):
         a DELETE/MERGE/... keyword INSIDE a string value — ``SET c.note
-        = 'please DELETE'`` — must not hijack the route. The mask
-        consumes backslash escapes (``'it\\'s a DELETE'`` stays one
-        masked span — an escaped quote must not de-sync the mask), and
-        statements the literal grammar cannot execute anyway — escaped
-        quotes (unsupported repo-wide: every literal regex is
-        ``'[^']*'``) or an unbalanced quote — are REJECTED with a clear
-        error rather than routed on a partially-masked text. The
-        original text is what executes."""
+        = 'please DELETE'`` — must not hijack the route. The mask uses
+        the SAME literal grammar the statement runners execute
+        (``'[^']*'`` — no escapes), so routing and execution see
+        identical spans by construction; a literal whose content merely
+        ENDS in a backslash (``'dir\\'``) masks and executes fine
+        (ADVICE r10 — the r10 blanket ``\\'`` rejection over-fired on
+        it). A statement the grammar leaves with an unpaired quote —
+        including the escaped-quote style it does not support
+        (``'it\\'s a DELETE'`` parses as literal ``it\\`` + trailing
+        garbage) — is REJECTED with a clear error rather than routed on
+        a partially-masked text. The original text is what executes."""
         import re
 
-        bare = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", " ", cypher)
+        bare = re.sub(r"'[^']*'|\"[^\"]*\"", " ", cypher)
         if "'" in bare or '"' in bare:
+            esc = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", " ", cypher)
+            if "'" not in esc and '"' not in esc:
+                raise ValueError(
+                    "update(): backslash-escaped quotes are not supported by "
+                    "the literal grammar (every literal is '[^']*'); use the "
+                    "other quote style for the literal"
+                )
             raise ValueError(
                 "update(): unbalanced string literal in statement — refusing "
                 "to route a verb on a partially-masked text"
-            )
-        if re.search(r"\\['\"]", cypher):
-            raise ValueError(
-                "update(): backslash-escaped quotes are not supported by the "
-                "literal grammar; use the other quote style for the literal"
             )
         if re.match(r"(?is)^\s*MERGE\b", bare) or re.search(
             r"(?is)\bMERGE\s*\(", bare

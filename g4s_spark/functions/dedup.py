@@ -658,17 +658,25 @@ def select_canonical(
     documents). Returns df's surviving rows with ``cluster_col``
     attached.
 
-    Scale shape: one equi-join on id + one groupBy(cluster) whose
-    max_by aggregate combines map-side (hot clusters never buffer
-    their members), + one semi-join back — never a per-cluster sort
-    window, never a members list in memory."""
+    Scale shape: one equi-join on id, then map-side-combinable
+    aggregates only (hot clusters never buffer their members, never a
+    per-cluster sort window, never a members list in memory): the
+    scored path is a two-stage argmax — max(score) per cluster, then
+    min(id) among the score ties — because a single max_by over
+    (score, -id) would silently NULL-cast a non-numeric id column and
+    break the documented lowest-id tie-break (ADVICE r10); both stages
+    reduce to one row per cluster before the semi-join back. A cluster
+    whose scores are all NULL falls back to the lowest id (eqNullSafe
+    keeps its rows comparable)."""
     j = df.join(clusters.select(id_col, cluster_col), on=id_col)
-    rank = (
-        F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))
-        if score_col is not None
-        else F.struct((-F.col(id_col)).alias("_negid"))
-    )
-    winners = j.groupBy(cluster_col).agg(
-        F.max_by(F.col(id_col), rank).alias(id_col)
-    )
+    if score_col is None:
+        winners = j.groupBy(cluster_col).agg(F.min(id_col).alias(id_col))
+    else:
+        best = j.groupBy(cluster_col).agg(F.max(score_col).alias("_best"))
+        winners = (
+            j.join(best, on=cluster_col)
+            .filter(F.col(score_col).eqNullSafe(F.col("_best")))
+            .groupBy(cluster_col)
+            .agg(F.min(id_col).alias(id_col))
+        )
     return j.join(winners, on=[cluster_col, id_col], how="left_semi")

@@ -1074,3 +1074,101 @@ def test_temporal_join_collision_guards(spark):
      .withColumn("end", F.col("end").cast("timestamp"))
     with pytest.raises(ValueError, match="label"):
         range_join(pts, iv, on="k")
+
+
+def test_asof_join_null_left_timestamp(spark):
+    """ADVICE r10 (low): a LEFT row with a NULL timestamp matches
+    nothing in ANY direction (pandas merge_asof semantics) — without
+    the _ats validity guard the descending forward/nearest window sorts
+    null-ts rows after all right rows (desc = NULLS LAST) and the
+    running last() hands them a spurious smallest-right_ts match."""
+    from g4s_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ok"), (1, None, "null-ts")],
+        "k long, ts string, lv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0)],
+        "k long, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # 'ok' at 10:00 is 1h from both candidates -> nearest ties backward
+    for direction, want in [("backward", 1.0), ("forward", 2.0), ("nearest", 1.0)]:
+        got = {
+            r.lv: (r.rv_r, r.ts_r)
+            for r in asof_join(left, right, on="k", direction=direction).collect()
+        }
+        assert got["null-ts"] == (None, None), direction
+        assert got["ok"][0] == want, direction
+    # and with a generous tolerance (the NULL delta must not slip past)
+    got = {
+        r.lv: r.rv_r
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_s=86400
+        ).collect()
+    }
+    assert got == {"ok": 2.0, "null-ts": None}
+
+
+def test_range_join_fanout_guard_and_auto_bucket(spark):
+    """VERDICT r10 #2: an interval spanning more than ``max_fanout``
+    buckets fails the job with an explicit error — an executor-side
+    check inside the explode input, so a mis-chosen bucket_s can never
+    silently multiply the build side. ``bucket_s=None`` derives the
+    width from the median interval length and reproduces the explicit-
+    width result exactly."""
+    import pytest
+
+    from g4s_spark.functions.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-06-01 10:30:00", "p1"), (1, "2024-01-01 00:30:00", "p2")],
+        "k long, ts string, pv string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        # a year-long interval: 8784 one-hour buckets
+        [(1, "2024-01-01 00:00:00", "2024-12-31 00:00:00", "year")],
+        "k long, start string, end string, iname string",
+    ).withColumn("start", F.col("start").cast("timestamp")) \
+     .withColumn("end", F.col("end").cast("timestamp"))
+    with pytest.raises(Exception, match="max_fanout"):
+        range_join(pts, iv, on="k", bucket_s=3600).collect()
+    # a width sized to the interval passes the default guard
+    wide = sorted(
+        (r.pv, r.iname)
+        for r in range_join(pts, iv, on="k", bucket_s=7 * 86400).collect()
+    )
+    assert wide == [("p1", "year"), ("p2", "year")]
+    # bucket_s=None: the derived width (~the median interval length)
+    # gives fanout ~2 and the identical join result
+    auto = sorted(
+        (r.pv, r.iname)
+        for r in range_join(pts, iv, on="k", bucket_s=None).collect()
+    )
+    assert auto == wide
+
+
+def test_select_canonical_string_ids(spark):
+    """ADVICE r10 (low): the lowest-id tie-break must hold for STRING
+    doc ids too — the old ``-F.col(id)`` negation silently cast them to
+    NULL and made the documented tie-break nondeterministic. Also: a
+    cluster whose scores are all NULL falls back to the lowest id."""
+    from g4s_spark.functions.dedup import select_canonical
+
+    df = spark.createDataFrame(
+        [("d1", 50), ("d2", 50), ("d3", 10), ("x2", None), ("x1", None)],
+        "doc_id string, q long",
+    )
+    clusters = spark.createDataFrame(
+        [("d1", 1), ("d2", 1), ("d3", 1), ("x1", 2), ("x2", 2)],
+        "doc_id string, cluster long",
+    )
+    got = {
+        (r.doc_id, r.cluster)
+        for r in select_canonical(df, clusters, score_col="q").collect()
+    }
+    # cluster 1: q=50 tie between d1/d2 -> lowest id d1;
+    # cluster 2: all-NULL scores -> lowest id x1
+    assert got == {("d1", 1), ("x1", 2)}
+    first = {r.doc_id for r in select_canonical(df, clusters).collect()}
+    assert first == {"d1", "x1"}

@@ -516,7 +516,10 @@ def test_graphdb_update_routing_escaped_quotes(spark):
     escaped quotes anyway (every literal regex repo-wide is '[^']*'),
     so the router REJECTS them with a clear error instead of routing;
     unbalanced quotes are likewise rejected, and the double-quote style
-    carries an apostrophe fine."""
+    carries an apostrophe fine. ADVICE r10 (low): a literal whose
+    content merely ENDS in a backslash ('dir\\') is grammar-parseable
+    and must still EXECUTE — the r10 blanket \\' rejection over-fired
+    on it."""
     import pytest
 
     from g4s_spark.db import GraphDB
@@ -537,6 +540,11 @@ def test_graphdb_update_routing_escaped_quotes(spark):
     db2 = db.update('MATCH (a:A) SET a.note = "it\'s a DELETE"')
     got = {r.id: dict(r.props) for r in db2.graph.nodes.collect()}
     assert got[0]["note"] == "it's a DELETE"
+    # a trailing backslash inside a literal is NOT an escaped quote to
+    # the grammar ('[^']*' parses 'dir\' fine) — it routes and executes
+    db3 = db.update(r"MATCH (a:A) SET a.note = 'dir\'")
+    got3 = {r.id: dict(r.props) for r in db3.graph.nodes.collect()}
+    assert got3[0]["note"] == "dir\\"
 
 
 def test_cypher_delete_edge_and_detach_node(spark):
