@@ -22,6 +22,11 @@ HEAVY = [
     "mxm_any_pair", "mxm_plus_times", "graph_pagerank",
     "dedup_ngram_jaccard", "ann_lsh_topk", "rel_q5_local_volume",
     "rel_q9_profit", "text_bm25",
+    # round-11 debuts: the nearest-direction asof must show ONE
+    # Exchange feeding two Sort+Window passes; neighbor_agg one
+    # join + one HashAggregate pair per hop; dedup_canonical no
+    # window over cluster members (aggregates only)
+    "events_asof_nearest", "graph_neighbor_agg", "dedup_canonical",
 ]
 
 
