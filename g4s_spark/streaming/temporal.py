@@ -26,13 +26,16 @@ def asof_enrich_stream(
     left_ts: str = "ts",
     right_ts: str = "ts",
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ):
-    """Each micro-batch of ``points_stream`` is asof_join-ed (backward,
-    inclusive, optional tolerance) against the static ``dim`` and handed
-    to ``sink(enriched_df, batch_id)``. Returns the StreamingQuery;
-    callers own stop(). Batches are independent — the dimension is the
-    only join state, so a replayed batch re-enriches identically
-    (exactly-once downstream is the sink's checkpoint contract)."""
+    """Each micro-batch of ``points_stream`` is asof_join-ed (inclusive,
+    optional tolerance, any ``direction`` — backward/forward/nearest,
+    round-11 parity with the batch operator) against the static ``dim``
+    and handed to ``sink(enriched_df, batch_id)``. Returns the
+    StreamingQuery; callers own stop(). Batches are independent — the
+    dimension is the only join state, so a replayed batch re-enriches
+    identically (exactly-once downstream is the sink's checkpoint
+    contract)."""
     from ..functions.temporal import asof_join
 
     def enrich_batch(batch_df, batch_id):
@@ -40,6 +43,7 @@ def asof_enrich_stream(
             asof_join(
                 batch_df, dim, on=on, left_ts=left_ts,
                 right_ts=right_ts, tolerance_s=tolerance_s,
+                direction=direction,
             ),
             batch_id,
         )

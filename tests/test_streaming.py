@@ -688,6 +688,24 @@ def test_asof_enrich_stream_matches_batch(spark, tmp_path):
                   for r in asof_join(batch_pts, dim, on="k").collect())
     assert sorted(got) == want
     assert dict(got) == {100: 1.0, 101: 2.0, 102: None}
+    # direction passthrough (round-11 parity with the batch operator):
+    # forward picks the dimension's earliest at-or-after row per point
+    got_fwd = []
+
+    def sink_fwd(df, _bid):
+        got_fwd.extend((r.pid, r.price_r) for r in df.collect())
+
+    q2 = asof_enrich_stream(
+        stream, dim, sink_fwd, str(tmp_path / "chk_fwd"), on="k",
+        direction="forward",
+    )
+    q2.awaitTermination(120)
+    want_fwd = sorted(
+        (r.pid, r.price_r)
+        for r in asof_join(batch_pts, dim, on="k", direction="forward").collect()
+    )
+    assert sorted(got_fwd) == want_fwd
+    assert dict(got_fwd) == {100: 2.0, 101: None, 102: 5.0}
 
 
 def test_range_enrich_stream_matches_batch(spark, tmp_path):
