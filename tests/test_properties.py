@@ -734,8 +734,11 @@ def test_cypher_optional_matches_replica(spark, edges):
 
 
 @given(
-    lts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
-                 min_size=1, max_size=12),
+    lts=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.one_of(st.integers(0, 50), st.none())),
+        min_size=1, max_size=12,
+    ),
     rts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
                  min_size=1, max_size=12),
     tol=st.one_of(st.none(), st.integers(1, 20)),
@@ -750,7 +753,10 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol, direction):
     never a stale value carried forward from an OLDER right row (the
     per-column last(ignorenulls) formulation this pins against).
     'nearest' ties are fuzzed too (integer-second grids collide often)
-    and must follow pandas' backward tie-break."""
+    and must follow pandas' backward tie-break. Left timestamps are
+    nullable (ADVICE r10: previously unfuzzed) — merge_asof rejects
+    null merge keys outright, so the oracle splits: null-ts rows must
+    match NOTHING in any direction, the rest compare against pandas."""
     import pandas as pd
 
     from g4s_spark.functions.temporal import asof_join
@@ -758,7 +764,8 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol, direction):
     base = pd.Timestamp("2024-01-01")
     lpdf = pd.DataFrame({
         "k": [k for k, _ in lts],
-        "ts": [base + pd.Timedelta(seconds=s) for _, s in lts],
+        "ts": [pd.NaT if s is None else base + pd.Timedelta(seconds=s)
+               for _, s in lts],
         "li": range(len(lts)),
     })
     rrows = sorted({(k, s) for k, s in rts})  # unique (key, ts) contract
@@ -778,19 +785,24 @@ def test_asof_join_matches_pandas(spark, lts, rts, tol, direction):
             direction=direction,
         ).collect()
     }
+    lnull = lpdf[lpdf["ts"].isna()]
+    lval = lpdf[lpdf["ts"].notna()]
+    for li in lnull["li"]:
+        assert got[li] == (None, None, None), (li, got[li])
     kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol is not None else {}
-    exp = pd.merge_asof(
-        lpdf.sort_values("ts", kind="stable"),
-        rpdf.sort_values("ts", kind="stable"),
-        on="ts", by="k", direction=direction, suffixes=("", "_r"), **kw
-    )
-    for _, row in exp.iterrows():
-        want_rv = None if pd.isna(row["rv"]) else row["rv"]
-        want_rv2 = None if pd.isna(row["rv2"]) else row["rv2"]
-        assert got[row["li"]][0] == want_rv, (row["li"], got[row["li"]], want_rv)
-        assert got[row["li"]][1] == want_rv2, (
-            row["li"], got[row["li"]], want_rv2,
+    if len(lval):
+        exp = pd.merge_asof(
+            lval.sort_values("ts", kind="stable"),
+            rpdf.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction=direction, suffixes=("", "_r"), **kw
         )
+        for _, row in exp.iterrows():
+            want_rv = None if pd.isna(row["rv"]) else row["rv"]
+            want_rv2 = None if pd.isna(row["rv2"]) else row["rv2"]
+            assert got[row["li"]][0] == want_rv, (row["li"], got[row["li"]], want_rv)
+            assert got[row["li"]][1] == want_rv2, (
+                row["li"], got[row["li"]], want_rv2,
+            )
 
 
 @given(
