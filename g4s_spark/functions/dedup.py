@@ -549,6 +549,58 @@ def embedding_near_dups_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then drop
+    any vector whose cosine to a SAME-CLUSTER vector with a lower id
+    reaches ``threshold`` — one survivor per semantic near-duplicate
+    group, chosen greedily by lowest id (the paper picks by distance to
+    the centroid; lowest-id is the engine-deterministic variant this
+    repo's dedup family standardizes on, same keep-first policy as
+    ``dedup_clusters``). Returns the survivors as (id_col, cell).
+
+    Clusters are the session-cached IVF cell table
+    (similarity.ivf_cells_corpus — seeded-projection centroids, the
+    same assignment ivf_assign_sql reproduces in ANSI SQL, so the
+    operator is oracle-checkable end-to-end).
+
+    Scale shape: pairwise cosine is computed ONLY within a cell — the
+    pair space is Σ |cell|², never |N|², and the join shuffles on the
+    cell key like every bucketed dedup here. ``n_centroids`` is the
+    knob that bounds it: SemDeDup at corpus scale uses k ≈ √N clusters
+    so the expected cell stays ~√N; at 100 TB raise n_centroids with
+    the corpus (the centroid set remains plan literals — no driver
+    state, no fit job). A skewed hot cell is AQE-skew-splittable since
+    the candidate join is pure equality on the cell id."""
+    from .similarity import EMB_DIM, IVF_SEED, cosine_expr, ivf_cells_corpus
+
+    kw = {
+        "dim": EMB_DIM if dim is None else dim,
+        "seed": IVF_SEED if seed is None else seed,
+    }
+    c = ivf_cells_corpus(emb, n_centroids, id_col, vec_col, **kw)
+    l = c.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
+    r = c.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
+    drop = (
+        l.join(r, on="cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("b").alias("id"))
+        .dropDuplicates(["id"])
+    )
+    return c.join(drop, on="id", how="left_anti").select(
+        F.col("id").alias(id_col), "cell"
+    )
+
+
 def cross_source_overlap(
     df: DataFrame,
     source_col: str = "source",

@@ -1,0 +1,103 @@
+"""Round-13 debut-gate staging area (started early, in round 11).
+
+Gates here are BUILT AND ORACLE-VERIFIED but must wait for registry
+capacity: the registry is 188/190 after the r11 lift, r12 is planned to
+lift the two GrB gates from scripts/r12_queue.py (-> exactly 190), and
+events_range_stream (also in r12_queue) is already deferred to r13.
+Lifting ANYTHING beyond that requires either a retirement with a clean
+subsumption (none found in the r11 search — see NOTES.md "r12 capacity
+decision") or a deliberate raise of the 190 trip-wire with the
+arithmetic documented.
+
+- dedup_semantic: SemDeDup-style semantic deduplication
+  (dedup.semantic_dedup, round-11; arXiv:2303.09540) — coarse IVF-cell
+  clustering (the ivf_assign_sql-reproducible seeded assignment), then
+  within-cell cosine pruning, keep-lowest-id. threshold=0.3 on the
+  synthetic embeddings prunes 181/500 rows at sf0.01, so the gate
+  exercises the drop path, not just the passthrough.
+
+Verify locally:  python scripts/r13_queue.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+
+from g4s_spark.functions.dedup import semantic_dedup
+from g4s_spark.functions.similarity import ivf_assign_sql
+from g4s_spark.sources import load_table
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup survivors over the embeddings corpus: one
+    representative (lowest vec_id) per within-cell cosine>=0.3 group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3)
+
+
+QUEUE_QUERIES = {
+    "dedup_semantic": _q_dedup_semantic,
+}
+
+QUEUE_ORACLES = {
+    # same seeded-projection cell assignment as ivf_assign_sql (plan
+    # literals both sides), pairwise cosine via list_dot_product with
+    # the identical left-to-right accumulation order Spark's
+    # F.aggregate uses — bit-stable, like the dedup_embedding gate
+    "dedup_semantic": f"""
+        WITH cells AS ({ivf_assign_sql()}),
+        c AS (
+            SELECT e.vec_id AS id, e.embedding AS v, cells.cell
+            FROM embeddings e JOIN cells USING (vec_id)
+        ),
+        drop AS (
+            SELECT DISTINCT r.id
+            FROM c l JOIN c r ON l.cell = r.cell AND l.id < r.id
+            WHERE list_dot_product(l.v, r.v)
+                  / (sqrt(list_dot_product(l.v, l.v))
+                     * sqrt(list_dot_product(r.v, r.v)))
+                  >= 0.3
+        )
+        SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
+    """,
+}
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo/scripts")
+    import time
+
+    import check_correctness as cc
+    import duckdb
+
+    from g4s_spark.session import get_spark
+
+    spark = get_spark("r13_queue")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{cc.SF_DIR}/{t}.parquet'")
+    failed = 0
+    for name, fn in QUEUE_QUERIES.items():
+        t0 = time.time()
+        sdf = fn(spark, cc.SF_DIR)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        rel = con.sql(QUEUE_ORACLES[name])
+        ocols, orows = rel.columns, rel.fetchall()
+        sh, sn = cc.value_hash(scols, srows)
+        oh, on = cc.value_hash(ocols, orows)
+        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
+        failed += 0 if ok else 1
+        print(f"{'ok  ' if ok else 'FAIL'}  {name}: {sn} vs {on} rows, "
+              f"hash {'match' if sh == oh else 'MISMATCH'}  "
+              f"({time.time() - t0:.1f}s)")
+    print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1172,3 +1172,35 @@ def test_select_canonical_string_ids(spark):
     assert got == {("d1", 1), ("x1", 2)}
     first = {r.doc_id for r in select_canonical(df, clusters).collect()}
     assert first == {"d1", "x1"}
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup (round-11): exact duplicate embeddings land in the same
+    IVF cell by determinism and every copy above the lowest id is
+    dropped; orthogonal vectors (cosine 0) and a 45-degree neighbor
+    (cosine ~0.707 < threshold) survive regardless of cell."""
+    import math
+
+    from g4s_spark.functions.dedup import semantic_dedup
+
+    r2 = 1.0 / math.sqrt(2.0)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+        (6, [r2, r2, 0.0, 0.0]),     # cos 0.707 to 1 and 3 -> survives
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.95, n_centroids=2, dim=4)
+    got = {r.vec_id for r in out.collect()}
+    assert got == {1, 3, 4, 6}
+    # every survivor carries its cell id
+    assert all(r.cell is not None for r in out.collect())
+    # a laxer threshold also prunes the 45-degree neighbor IF it shares
+    # a cell with a lower-id vector within 0.7 — verify monotonicity
+    # instead of the cell draw: survivors can only shrink
+    lax = {r.vec_id for r in
+           semantic_dedup(emb, threshold=0.7, n_centroids=2, dim=4).collect()}
+    assert lax <= got
