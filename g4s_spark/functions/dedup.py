@@ -580,7 +580,9 @@ def semantic_dedup(
     the corpus (the centroid set remains plan literals — no driver
     state, no fit job). A skewed hot cell is AQE-skew-splittable since
     the candidate join is pure equality on the cell id."""
-    from .similarity import EMB_DIM, IVF_SEED, cosine_expr, ivf_cells_corpus
+    from .similarity import (
+        EMB_DIM, IVF_SEED, dot_expr, ivf_cells_corpus, norm_expr,
+    )
 
     kw = {
         "dim": EMB_DIM if dim is None else dim,
@@ -589,10 +591,19 @@ def semantic_dedup(
     c = ivf_cells_corpus(emb, n_centroids, id_col, vec_col, **kw)
     l = c.select(F.col("id").alias("a"), F.col("v").alias("va"), "cell")
     r = c.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cell")
+    # cosine guarded by when(): a zero-norm vector (padding/missing row)
+    # has no direction, duplicates nothing, and must not raise
+    # DIVIDE_BY_ZERO under ANSI mode — a bare conjunction would still
+    # evaluate the division on such rows
+    na, nb = norm_expr(F.col("va")), norm_expr(F.col("vb"))
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        dot_expr(F.col("va"), F.col("vb")) / (na * nb),
+    )
     drop = (
         l.join(r, on="cell")
         .filter(F.col("a") < F.col("b"))
-        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .filter(cos >= threshold)
         .select(F.col("b").alias("id"))
         .dropDuplicates(["id"])
     )
@@ -720,6 +731,8 @@ def select_canonical(
     reduce to one row per cluster before the semi-join back. A cluster
     whose scores are all NULL falls back to the lowest id (eqNullSafe
     keeps its rows comparable)."""
+    if "_best" in df.columns or "_best" in clusters.columns:
+        raise ValueError("select_canonical: column name '_best' is reserved")
     j = df.join(clusters.select(id_col, cluster_col), on=id_col)
     if score_col is None:
         winners = j.groupBy(cluster_col).agg(F.min(id_col).alias(id_col))

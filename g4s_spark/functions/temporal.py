@@ -176,6 +176,24 @@ def asof_join(
     return out.select(*cols)
 
 
+def derive_bucket_s(
+    intervals: DataFrame, start_ts: str = "start", end_ts: str = "end"
+) -> int:
+    """The bucket width range_join(bucket_s=None) uses: the MEDIAN
+    interval length in whole seconds (>= 1). One approxQuantile action
+    over the intervals side — the small/broadcastable one. Exposed so
+    long-lived callers (the streaming twin) can derive ONCE and reuse
+    across micro-batches."""
+    med = intervals.select(
+        (
+            F.unix_micros(F.col(end_ts).cast("timestamp"))
+            - F.unix_micros(F.col(start_ts).cast("timestamp"))
+        ).alias("_len_us")
+    ).approxQuantile("_len_us", [0.5], 0.01)
+    med_us = med[0] if med else None
+    return max(1, int(round((med_us or 1_000_000) / 1_000_000)))
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -227,14 +245,7 @@ def range_join(
     if reserved:
         raise ValueError(f"range_join: column name(s) {sorted(reserved)} are reserved")
     if bucket_s is None:
-        med = intervals.select(
-            (
-                F.unix_micros(F.col(end_ts).cast("timestamp"))
-                - F.unix_micros(F.col(start_ts).cast("timestamp"))
-            ).alias("_len_us")
-        ).approxQuantile("_len_us", [0.5], 0.01)
-        med_us = med[0] if med else None
-        bucket_s = max(1, int(round((med_us or 1_000_000) / 1_000_000)))
+        bucket_s = derive_bucket_s(intervals, start_ts, end_ts)
     bucket_us = int(bucket_s) * 1_000_000
     p = points.withColumn(
         "_b", F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / bucket_us)

@@ -82,8 +82,13 @@ def range_enrich_stream(
     band join explodes the STATIC side only, so per micro-batch it is
     exactly the batch operator — stream and batch results coincide
     batch-by-batch (pinned in tests), no state accumulates, and a
-    replayed batch re-joins identically."""
-    from ..functions.temporal import range_join
+    replayed batch re-joins identically. ``bucket_s=None`` is resolved
+    to a concrete width HERE, once — per-batch derivation would re-scan
+    the static intervals side for the same median every micro-batch."""
+    from ..functions.temporal import derive_bucket_s, range_join
+
+    if bucket_s is None:
+        bucket_s = derive_bucket_s(intervals, start_ts, end_ts)
 
     def join_batch(batch_df, batch_id):
         sink(

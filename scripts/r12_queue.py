@@ -131,7 +131,15 @@ def _q_events_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = range_enrich_stream(
         clicks, windows, sink, f"{base}/chk", on="user_id", bucket_s=3600
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a timed-out drain would otherwise fall through to reading a
+        # PARTIAL sink (with the query still appending behind the read)
+        # and report as a hash mismatch instead of a timeout
+        q.stop()
+        raise RuntimeError(
+            "events_range_stream: availableNow drain did not finish "
+            "within 600s; partial sink discarded"
+        )
     return spark.read.parquet(out_dir).select("click_id", "user_id", "error_id")
 
 
@@ -185,34 +193,9 @@ QUEUE_ORACLES = {
 
 def main() -> None:
     sys.path.insert(0, "/root/repo/scripts")
-    import time
+    from check_correctness import run_queue
 
-    import check_correctness as cc
-    import duckdb
-
-    from g4s_spark.session import get_spark
-
-    spark = get_spark("r12_queue")
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{cc.SF_DIR}/{t}.parquet'")
-    failed = 0
-    for name, fn in QUEUE_QUERIES.items():
-        t0 = time.time()
-        sdf = fn(spark, cc.SF_DIR)
-        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        rel = con.sql(QUEUE_ORACLES[name])
-        ocols, orows = rel.columns, rel.fetchall()
-        sh, sn = cc.value_hash(scols, srows)
-        oh, on = cc.value_hash(ocols, orows)
-        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
-        failed += 0 if ok else 1
-        print(f"{'ok  ' if ok else 'FAIL'}  {name}: {sn} vs {on} rows, "
-              f"hash {'match' if sh == oh else 'MISMATCH'}  "
-              f"({time.time() - t0:.1f}s)")
-    print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
-    sys.exit(1 if failed else 0)
+    run_queue(QUEUE_QUERIES, QUEUE_ORACLES, app_name="r12_queue")
 
 
 if __name__ == "__main__":

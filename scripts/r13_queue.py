@@ -69,34 +69,9 @@ QUEUE_ORACLES = {
 
 def main() -> None:
     sys.path.insert(0, "/root/repo/scripts")
-    import time
+    from check_correctness import run_queue
 
-    import check_correctness as cc
-    import duckdb
-
-    from g4s_spark.session import get_spark
-
-    spark = get_spark("r13_queue")
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{cc.SF_DIR}/{t}.parquet'")
-    failed = 0
-    for name, fn in QUEUE_QUERIES.items():
-        t0 = time.time()
-        sdf = fn(spark, cc.SF_DIR)
-        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        rel = con.sql(QUEUE_ORACLES[name])
-        ocols, orows = rel.columns, rel.fetchall()
-        sh, sn = cc.value_hash(scols, srows)
-        oh, on = cc.value_hash(ocols, orows)
-        ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh
-        failed += 0 if ok else 1
-        print(f"{'ok  ' if ok else 'FAIL'}  {name}: {sn} vs {on} rows, "
-              f"hash {'match' if sh == oh else 'MISMATCH'}  "
-              f"({time.time() - t0:.1f}s)")
-    print(f"\n{len(QUEUE_QUERIES) - failed} passed, {failed} failed")
-    sys.exit(1 if failed else 0)
+    run_queue(QUEUE_QUERIES, QUEUE_ORACLES, app_name="r13_queue")
 
 
 if __name__ == "__main__":

@@ -1191,11 +1191,14 @@ def test_semantic_dedup(spark):
         (4, [0.0, 0.0, 1.0, 0.0]),
         (5, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
         (6, [r2, r2, 0.0, 0.0]),     # cos 0.707 to 1 and 3 -> survives
+        (7, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: no direction, no dup —
+                                     # must SURVIVE, not DIVIDE_BY_ZERO
+                                     # under ANSI mode (review finding)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(emb, threshold=0.95, n_centroids=2, dim=4)
     got = {r.vec_id for r in out.collect()}
-    assert got == {1, 3, 4, 6}
+    assert got == {1, 3, 4, 6, 7}
     # every survivor carries its cell id
     assert all(r.cell is not None for r in out.collect())
     # a laxer threshold also prunes the 45-degree neighbor IF it shares
