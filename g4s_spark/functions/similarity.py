@@ -351,23 +351,27 @@ def ivf_cell_expr(
     ivf_assign and ivf_topk. ``centroids`` overrides the seeded ±1
     pseudo-centroids (e.g. kmeans_centroids output)."""
     C = centroids if centroids is not None else projection_matrix(n_centroids, dim, seed)
-    n_centroids = len(C)
     general = centroids is not None  # arbitrary floats: no ±1 bit-packing
 
-    def argmax(ds: Column) -> Column:
-        best_d, best_v = F.lit(0), ds[0]
-        for c in range(1, n_centroids):
-            is_better = ds[c] > best_v
-            best_d = F.when(is_better, F.lit(c)).otherwise(best_d)
-            best_v = F.when(is_better, ds[c]).otherwise(best_v)
-        return best_d
-
-    # dots bound once (see sign_lsh_bands) — the argmax chain references
-    # each dot up to n_centroids times. ±1 pseudo-centroids pack into
-    # sign bitmasks; trained (arbitrary-float) centroids use explicit
-    # literal arrays (k×dim literals — fine at coarse-quantizer k)
+    # linear argmax: position of the max dot in the dots array — FIRST
+    # index on exact ties (array_position returns the first match, and
+    # the probe value is bitwise an element of the array), the same
+    # (val DESC, idx ASC) ordering the SQL oracle's row_number uses.
+    # The old chained when(ds[c] > best_v, ...) fold embedded best_v
+    # into itself twice per step — 2^n expression nodes, an OOM at plan
+    # BUILD past ~30 centroids (found round-11 when raising n_centroids
+    # toward the SemDeDup √N rule). Struct-free on purpose: struct
+    # field aliases are dropped inside nested lambda contexts (the
+    # trained-centroid dots are themselves lambda expressions), which
+    # breaks a (−dot, idx)-struct formulation with FIELD_NOT_FOUND.
     dots = _dots_general(vec, C) if general else _masked_dots(vec, C, dim)
-    return F.transform(F.array(dots), argmax)[0].cast("long")
+    return (
+        F.transform(
+            F.array(dots),
+            lambda ds: F.array_position(ds, F.array_max(ds)),
+        )[0]
+        - F.lit(1)
+    ).cast("long")
 
 
 def _dots_general(vec: Column, C: list[list[float]]) -> Column:
