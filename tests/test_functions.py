@@ -139,6 +139,19 @@ def test_ivf_assign_deterministic_partition(spark):
     assert len(set(a.values())) > 1  # a real partition, not one cell
 
 
+def test_ivf_assign_large_n_centroids(spark):
+    """Round-11 regression: the argmax must stay LINEAR in n_centroids —
+    the old chained-when fold was 2^n expression nodes and OOMed the
+    plan build past ~30 centroids, making SemDeDup's √N cell rule (and
+    any real coarse quantizer) unusable."""
+    from g4s_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cells = {r.cell for r in S.ivf_assign(emb, n_centroids=128).collect()}
+    assert cells <= set(range(128))
+    assert len(cells) > 8  # 128 seeded centroids genuinely spread
+
+
 def test_multimodal_pipeline(docs):
     media = MM.to_media(docs.filter(F.col("doc_id") <= 2))
     feats = MM.extract_features(media, n_features=4).collect()
