@@ -34,9 +34,49 @@ def tokens(c: Column) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
-def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+# GPT-2-style pre-tokenizer, the portable (lookahead-free) form: an
+# optional leading space glued to a letter run, digit run, or
+# punctuation run. Java regex and DuckDB's RE2 both support every
+# construct here, so a SQL oracle reproduces the split exactly — the
+# full GPT-2 pattern's \s+(?!\S) lookahead does NOT exist in RE2 and is
+# deliberately omitted (BPE merges would iterate on top of these
+# pre-tokens; counting them is the budget estimate pipelines need).
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(c: Column) -> Column:
+    """array<string> of GPT-2-ish pre-tokens (case preserved)."""
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "word",
+) -> DataFrame:
+    """Per-document token counts under three tokenizers:
+
+    - ``'word'`` (default): [a-z0-9]+ runs of lower(text) — the corpus
+      statistics tokenizer every text_* operator here shares.
+    - ``'whitespace'``: \\S+ runs — the cheapest budget estimate.
+    - ``'bpe'``: GPT-2-style pre-tokens (BPE_TOKEN_RE) — the closest
+      no-vocab proxy for real tokenizer budgets (pre-tokens are what
+      BPE merges subdivide, so this UPPER-bounds word counts and
+      tracks real token counts much closer than whitespace).
+
+    All three are one regexp_extract_all + size per row — narrow
+    projection, no shuffle, whole-stage codegen."""
+    exprs = {
+        "word": lambda c: tokens(c),
+        "whitespace": lambda c: F.regexp_extract_all(c, F.lit(r"\S+"), 0),
+        "bpe": lambda c: bpe_tokens(c),
+    }
+    if mode not in exprs:
+        raise ValueError(f"mode must be one of {sorted(exprs)}, got {mode!r}")
     return df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+        F.col(id_col),
+        F.size(exprs[mode](F.col(text_col))).cast("long").alias("n_tokens"),
     )
 
 

@@ -31,6 +31,40 @@ def test_token_count(docs):
     assert got == {1: 9, 2: 9, 3: 5, 4: 9, 5: 0}
 
 
+def test_token_count_modes(spark):
+    """token_count tokenizer modes (round-11, the brief's
+    'whitespace + a BPE-ish regex' pair): whitespace counts \\S+ runs,
+    bpe counts GPT-2-ish pre-tokens (space-glued letter/digit/punct
+    runs — mixed alnum words split, punctuation detaches), and the
+    counts are verified against a Python re.findall of the SAME
+    pattern."""
+    import re as _re
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "Hello, world! It's 2024."),
+        (2, "  leading spaces\tand\ttabs  "),
+        (3, "abc123def"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ws = {r.doc_id: r.n_tokens
+          for r in TX.token_count(df, mode="whitespace").collect()}
+    assert ws == {1: 4, 2: 4, 3: 1, 4: 0}
+    bpe = {r.doc_id: r.n_tokens for r in TX.token_count(df, mode="bpe").collect()}
+    want = {i: len(_re.findall(TX.BPE_TOKEN_RE, t)) for i, t in rows}
+    assert bpe == want
+    # mixed-alnum splits into letter/digit runs; punctuation detaches
+    # ("Hello , world ! It ' s 2024 ." = 9 pre-tokens)
+    assert bpe[3] == 3 and bpe[1] == 9
+    # word mode unchanged (the gated tokenizer: [a-z0-9]+ keeps mixed
+    # alnum as ONE run)
+    assert {r.doc_id: r.n_tokens for r in TX.token_count(df).collect()}[3] == 1
+    with _pytest.raises(ValueError, match="mode"):
+        TX.token_count(df, mode="sentencepiece")
+
+
 def test_quality_empty_doc_safe(docs):
     rows = {r.doc_id: r for r in TX.quality_score(docs).collect()}
     assert rows[5].n_tokens == 0 and rows[5].stop_ratio == 0.0
