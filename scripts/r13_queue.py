@@ -9,6 +9,9 @@ subsumption (none found in the r11 search — see NOTES.md "r12 capacity
 decision") or a deliberate raise of the 190 trip-wire with the
 arithmetic documented.
 
+- text_token_bpe: token_count(mode='bpe') — GPT-2-style pre-token
+  counts; the lookahead-free pattern is engine-identical in Java regex
+  and DuckDB RE2 (cross-checked), so the oracle is exact.
 - dedup_semantic: SemDeDup-style semantic deduplication
   (dedup.semantic_dedup, round-11; arXiv:2303.09540) — coarse IVF-cell
   clustering (the ivf_assign_sql-reproducible seeded assignment), then
@@ -39,8 +42,20 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.3)
 
 
+def _q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-token counts (round-11 token_count mode='bpe'):
+    the lookahead-free pattern evaluates identically in Java regex and
+    DuckDB's RE2 (cross-checked round-11), so the oracle is the same
+    regexp_extract_all length."""
+    from g4s_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count(docs, mode="bpe")
+
+
 QUEUE_QUERIES = {
     "dedup_semantic": _q_dedup_semantic,
+    "text_token_bpe": _q_text_token_bpe,
 }
 
 QUEUE_ORACLES = {
@@ -63,6 +78,14 @@ QUEUE_ORACLES = {
                   >= 0.3
         )
         SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
+    """,
+    # same pattern, same engine semantics (verified Java == RE2 == re)
+    "text_token_bpe": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'
+               )) AS BIGINT) AS n_tokens
+        FROM documents
     """,
 }
 
