@@ -605,8 +605,10 @@ def semantic_dedup(
         .filter(F.col("a") < F.col("b"))
         .filter(cos >= threshold)
         .select(F.col("b").alias("id"))
-        .dropDuplicates(["id"])
     )
+    # no dedup on the drop set: anti-join semantics are already
+    # set-like on the build side — a dropDuplicates here would add a
+    # full shuffle+aggregate stage for zero effect
     return c.join(drop, on="id", how="left_anti").select(
         F.col("id").alias(id_col), "cell"
     )
@@ -731,8 +733,14 @@ def select_canonical(
     reduce to one row per cluster before the semi-join back. A cluster
     whose scores are all NULL falls back to the lowest id (eqNullSafe
     keeps its rows comparable)."""
-    if "_best" in df.columns or "_best" in clusters.columns:
-        raise ValueError("select_canonical: column name '_best' is reserved")
+    # '_best' is only materialized on the scored path, and clusters is
+    # projected to (id, cluster) before any join — guard exactly the
+    # shape that breaks, not the ones that always worked
+    if score_col is not None and "_best" in df.columns:
+        raise ValueError(
+            "select_canonical: column name '_best' is reserved when "
+            "score_col is set"
+        )
     j = df.join(clusters.select(id_col, cluster_col), on=id_col)
     if score_col is None:
         winners = j.groupBy(cluster_col).agg(F.min(id_col).alias(id_col))

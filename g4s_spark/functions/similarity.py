@@ -364,14 +364,18 @@ def ivf_cell_expr(
     # field aliases are dropped inside nested lambda contexts (the
     # trained-centroid dots are themselves lambda expressions), which
     # breaks a (−dot, idx)-struct formulation with FIELD_NOT_FOUND.
+    # NULL embedding -> all dots NULL (every dot folds the same vector)
+    # -> array_position probes NULL -> coalesce lands on cell 0, the
+    # SAME cell the old when()-fold assigned (NULL comparisons kept its
+    # index-0 initializer) and the SQL oracle's NULLS-LAST row_number
+    # picks — a NULL cell would instead silently drop the row from
+    # every cell equi-join (round-11 review finding)
     dots = _dots_general(vec, C) if general else _masked_dots(vec, C, dim)
-    return (
-        F.transform(
-            F.array(dots),
-            lambda ds: F.array_position(ds, F.array_max(ds)),
-        )[0]
-        - F.lit(1)
-    ).cast("long")
+    pos = F.transform(
+        F.array(dots),
+        lambda ds: F.array_position(ds, F.array_max(ds)),
+    )[0]
+    return (F.coalesce(pos, F.lit(1)) - F.lit(1)).cast("long")
 
 
 def _dots_general(vec: Column, C: list[list[float]]) -> Column:

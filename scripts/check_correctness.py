@@ -59,10 +59,17 @@ def run_queue(queries: dict, oracles: dict, app_name: str = "queue_check") -> No
     failed = 0
     for name, fn in queries.items():
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-        rel = con.sql(oracles[name])
-        ocols, orows = rel.columns, rel.fetchall()
+        # per-gate isolation like main(): one raising gate must report
+        # as ITS failure and let the rest verify (round-11 review)
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            rel = con.sql(oracles[name])
+            ocols, orows = rel.columns, rel.fetchall()
+        except Exception as e:
+            failed += 1
+            print(f"FAIL  {name}: error: {str(e)[:200]}")
+            continue
         sh, sn = value_hash(scols, srows)
         oh, on = value_hash(ocols, orows)
         ok = sorted(scols) == sorted(ocols) and sn == on and sh == oh

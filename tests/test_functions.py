@@ -186,6 +186,21 @@ def test_ivf_assign_large_n_centroids(spark):
     assert len(cells) > 8  # 128 seeded centroids genuinely spread
 
 
+def test_ivf_assign_null_embedding_keeps_cell_zero(spark):
+    """A NULL embedding must land in cell 0 — the assignment the old
+    when()-fold and the SQL oracle's NULLS-LAST row_number both give —
+    not a NULL cell that silently drops the row from every cell
+    equi-join (round-11 review finding on the linear-argmax rewrite)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell
+           for r in S.ivf_assign(df, n_centroids=4, dim=4).collect()}
+    assert got[2] == 0
+    assert got[1] is not None and 0 <= got[1] < 4
+
+
 def test_multimodal_pipeline(docs):
     media = MM.to_media(docs.filter(F.col("doc_id") <= 2))
     feats = MM.extract_features(media, n_features=4).collect()
