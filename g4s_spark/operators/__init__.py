@@ -16,6 +16,8 @@ from .algorithms import (
     hits,
     label_propagation,
     neighborhood_jaccard,
+    common_neighbor_scores,
+    random_walks,
     weighted_pagerank,
     clustering_coefficient,
     closeness_centrality,
@@ -28,5 +30,5 @@ from .features import neighbor_agg
 
 __all__ = [
     "bfs", "sssp", "reachable", "pagerank", "personalized_pagerank",
-    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "betweenness_centrality", "reciprocity", "closeness_centrality", "harmonic_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard", "neighbor_agg",
+    "connected_components", "strongly_connected_components", "eigenvector_centrality", "condensation", "topological_layers", "k_truss", "betweenness_centrality", "reciprocity", "closeness_centrality", "harmonic_centrality", "triangle_count", "clustering_coefficient", "degree_assortativity", "label_assortativity", "k_core", "label_propagation", "hits", "weighted_pagerank", "neighborhood_jaccard", "neighbor_agg", "common_neighbor_scores", "random_walks",
 ]

@@ -700,6 +700,128 @@ def neighborhood_jaccard(
     )
 
 
+def common_neighbor_scores(
+    pairs: DataFrame,
+    index: str = "resource_allocation",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Weighted common-neighbor link-prediction indexes over an
+    undirected graph given as canonical pairs (a < b) — the family
+    neighborhood_jaccard belongs to, with per-shared-neighbor weights:
+
+    - ``'common'``: |N(x) ∩ N(y)| (plain count)
+    - ``'resource_allocation'``: Σ_{w ∈ N(x)∩N(y)} 1/deg(w)
+      (Zhou/Lü/Zhang 2009 — one exact IEEE division per neighbor, so a
+      SQL oracle reproduces scores bit-for-bit)
+    - ``'adamic_adar'``: Σ 1/ln(deg(w)) (Adamic/Adar 2003 — ln differs
+      in the last ulp across engines; round before cross-engine
+      comparison)
+
+    A shared neighbor w of a pair x ≠ y is adjacent to both, so
+    deg(w) >= 2 and both 1/deg and 1/ln(deg) are well-defined.
+
+    Scale shape: the same inverted-index join as neighborhood_jaccard,
+    with the weight attached to the index rows by ONE degree equi-join
+    BEFORE the self-join — the pair aggregation is then a plain
+    map-side-combinable sum, candidates bounded by co-neighborhood,
+    never |V|²."""
+    weights = {
+        "common": F.lit(1.0),
+        "resource_allocation": 1.0 / F.col("nb_deg"),
+        "adamic_adar": 1.0 / F.log(F.col("nb_deg")),
+    }
+    if index not in weights:
+        raise ValueError(f"index must be one of {sorted(weights)}, got {index!r}")
+    pairs = iter_checkpoint(pairs)
+    sym = (
+        pairs.select(F.col("a").alias("n"), F.col("b").alias("x"))
+        .unionByName(pairs.select(F.col("b").alias("n"), F.col("a").alias("x")))
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("nb_deg"))
+    inv = (
+        sym.select(F.col("x").alias("nb"), F.col("n").alias("node"))
+        .join(deg.withColumnRenamed("n", "nb"), on="nb")
+        .withColumn("w", weights[index].cast("double"))
+    )
+    out = (
+        inv.alias("l")
+        .join(inv.alias("r"), on="nb")
+        .filter(F.col("l.node") < F.col("r.node"))
+        .groupBy(F.col("l.node").alias("x"), F.col("r.node").alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum(F.col("l.w")).alias("score"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )
+    return out.select("x", "y", "shared", "score")
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 3,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic "random" walks over a directed edge set — the
+    DeepWalk / node2vec corpus-generation step (Perozzi et al. 2014):
+    one walk (``walks_per_node`` replicas) starts at every distinct
+    source node; at step t the walk at node u moves to the out-neighbor
+    v minimizing md5(seed:start:rep:t:v) — a keyed pseudo-random draw
+    that is reproducible across engines (md5 is identical in Spark,
+    DuckDB, and hashlib), independent of partitioning, and different
+    per (walk, step). Dead ends truncate the walk. Returns
+    (start, rep, step, node) with step 0..length.
+
+    Scale shape: each step is ONE frontier⋈edges equi-join on the
+    current node + ONE min_by groupBy per walk — the pagerank-iteration
+    shuffle shape; state is one row per live walk, never a neighbor
+    list. ``length`` bounds the job count; the md5 draw keeps the
+    operator deterministic under AQE re-planning and retries (no
+    rand(), no monotonically_increasing_id)."""
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    e = iter_checkpoint(e)
+    starts = (
+        e.select(F.col("src").alias("start"))
+        .dropDuplicates(["start"])
+        .crossJoin(
+            # replica index via a literal sequence — tiny, broadcast
+            e.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("long").alias("rep")
+            )
+        )
+    )
+    frontier = starts.withColumn("node", F.col("start"))
+    out = frontier.withColumn("step", F.lit(0).cast("long"))
+    for t in range(1, length + 1):
+        cand = frontier.join(e, frontier.node == e.src).select(
+            "start", "rep", F.col("dst")
+        )
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("start").cast("string"),
+                F.col("rep").cast("string"),
+                F.lit(str(t)),
+                F.col("dst").cast("string"),
+            )
+        )
+        frontier = (
+            cand.groupBy("start", "rep")
+            .agg(F.min_by(F.col("dst"), key).alias("node"))
+        )
+        frontier = iter_checkpoint(frontier)
+        out = out.unionByName(
+            frontier.withColumn("step", F.lit(t).cast("long"))
+        )
+    return out.select("start", "rep", "step", "node")
+
+
 def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous label propagation over an undirected pair graph —
     the cheap community-detection baseline. Every node starts with its

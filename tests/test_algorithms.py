@@ -652,3 +652,103 @@ def test_neighbor_agg(spark):
         neighbor_agg(edges, feats, agg="median")
     with pt.raises(ValueError, match="hops"):
         neighbor_agg(edges, feats, hops=0)
+
+
+def test_common_neighbor_scores_vs_replica(spark):
+    """Weighted common-neighbor indexes (round-11): resource_allocation
+    Σ 1/deg(w) and adamic_adar Σ 1/ln(deg(w)) vs a per-pair python
+    replica on a small undirected graph; 'common' equals the shared
+    count; unknown index rejected."""
+    import math
+
+    import pytest as pt
+
+    from g4s_spark.operators import common_neighbor_scores
+
+    # square 0-1-2-3-0 plus diagonal 0-2 (canonical a < b)
+    pairs_py = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
+    pairs = spark.createDataFrame(pairs_py, "a long, b long")
+    adj = {}
+    for a, b in pairs_py:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def replica(weight):
+        want = {}
+        nodes = sorted(adj)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                shared = adj[x] & adj[y]
+                if shared:
+                    want[(x, y)] = (
+                        len(shared), sum(weight(len(adj[w])) for w in shared)
+                    )
+        return want
+
+    for index, weight in [
+        ("common", lambda d: 1.0),
+        ("resource_allocation", lambda d: 1.0 / d),
+        ("adamic_adar", lambda d: 1.0 / math.log(d)),
+    ]:
+        got = {
+            (r.x, r.y): (r.shared, r.score)
+            for r in common_neighbor_scores(pairs, index=index).collect()
+        }
+        want = replica(weight)
+        assert set(got) == set(want), index
+        for k in want:
+            assert got[k][0] == want[k][0], (index, k)
+            assert got[k][1] == pt.approx(want[k][1], rel=1e-12), (index, k)
+    with pt.raises(ValueError, match="index"):
+        common_neighbor_scores(pairs, index="katz")
+
+
+def test_random_walks_deterministic_vs_replica(spark):
+    """Deterministic walks (round-11): every step's neighbor choice is
+    argmin md5(seed:start:rep:t:v), reproduced here with hashlib —
+    engine-independent, partitioning-independent; dead ends truncate;
+    walks_per_node replicas draw independently."""
+    import hashlib
+
+    from g4s_spark.operators import random_walks
+
+    edges_py = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 0), (3, 3)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    out = {
+        (r.start, r.rep, r.step): r.node
+        for r in random_walks(edges, length=4, walks_per_node=2, seed=7).collect()
+    }
+    adj = {}
+    for s, d in edges_py:
+        adj.setdefault(s, []).append(d)
+
+    def pick(start, rep, t, u):
+        nbrs = adj.get(u, [])
+        if not nbrs:
+            return None
+        key = lambda v: hashlib.md5(f"7:{start}:{rep}:{t}:{v}".encode()).hexdigest()
+        return min(nbrs, key=key)
+
+    want = {}
+    for start in sorted({s for s, _ in edges_py}):
+        for rep in (0, 1):
+            u = start
+            want[(start, rep, 0)] = u
+            for t in range(1, 5):
+                u = pick(start, rep, t, u)
+                if u is None:
+                    break
+                want[(start, rep, t)] = u
+    assert out == want
+    # same inputs -> identical walks (no rand(), no partition effects)
+    out2 = {
+        (r.start, r.rep, r.step): r.node
+        for r in random_walks(edges, length=4, walks_per_node=2, seed=7).collect()
+    }
+    assert out2 == out
+    # a different seed genuinely changes at least one choice
+    out3 = {
+        (r.start, r.rep, r.step): r.node
+        for r in random_walks(edges, length=4, walks_per_node=2, seed=8).collect()
+    }
+    assert out3 != out
