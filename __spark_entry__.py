@@ -393,6 +393,50 @@ def _q_extract_strided(spark, sf_dir):
     return sub.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
 
 
+def _qty_matrix(spark, sf_dir):
+    """The order x part quantity matrix (same fixture as _li_matrices'
+    `a`, minus the bench-tuned repartition — the selection-algebra gates
+    below are filters/projections, not joins)."""
+    from g4s_spark.grblas import Matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Matrix.from_df(
+        li.groupBy("l_orderkey", "l_partkey").agg(F.sum("l_quantity").alias("v")),
+        "l_orderkey", "l_partkey", "v",
+    )
+
+
+def _q_grb_select_apply_reduce(spark, sf_dir):
+    """GrB select -> apply -> reduce composed (round-12 debut; closes the
+    last pytest-only SURVEY §2.3 kernel rows — MatrixOps.scala:46-106):
+    keep the upper triangle (orderkey <= partkey) with quantity sums
+    > 25, negate (ainv), then row-reduce with plus — exact
+    integer-valued arithmetic, so the oracle is bit-stable."""
+    from g4s_spark.grblas import apply, reduce_rows, select
+
+    a = _qty_matrix(spark, sf_dir)
+    t = select(select(a, "triu"), "gt", 25.0)
+    t = apply(t, "ainv")
+    out = reduce_rows(t, "plus")
+    return out.df.select("i", pround(F.col("v"), 2).alias("v"))
+
+
+def _q_grb_assign_extract(spark, sf_dir):
+    """GrB extract/assign roundtrip across the selection algebra
+    (round-12 debut, MatrixOps.scala:46-106): sub = -A[1..100, 1..100]
+    (re-based to 0), assigned into rows 101..200 x cols 1..100 of A
+    (anti-join out the region, re-map the sub positions), then extract
+    rows 90..210 spanning the seam (untouched 90..100, the assigned
+    block, untouched 201..210), re-based again."""
+    from g4s_spark.grblas import apply, assign, extract
+
+    a = _qty_matrix(spark, sf_dir)
+    sub = apply(extract(a, (1, 100), (1, 100)), "ainv")
+    b = assign(a, sub, (101, 200), (1, 100))
+    out = extract(b, (90, 210), None)
+    return out.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
+
+
 def _q_vxm_masked(spark, sf_dir):
     from g4s_spark.grblas import PLUS_TIMES, Matrix, Vector, vxm
 
@@ -611,10 +655,6 @@ def _q_dedup_minhash(spark, sf_dir):
 
 def _q_dedup_simhash(spark, sf_dir):
     return D.simhash(load_table(spark, sf_dir, "documents"))
-
-
-def _q_dedup_embedding(spark, sf_dir):
-    return D.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
@@ -1342,45 +1382,46 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-11 composition (VERDICT r10 #1, lifted verbatim from NOTES.md
-# "Draft r11 _WINDOW_ORDER"): the 6 round-11 debuts (staged +
-# oracle-verified in r10 via scripts/r11_queue.py — the asof_join
-# forward/nearest/tolerance direction surface, whose forward oracle is
-# again DuckDB's NATIVE ASOF LEFT JOIN with the inequality flipped;
-# GraphSAGE-style neighbor_agg; the VERDICT r9 #9 deep-closure gate
-# cypher_deep_chain at 15-40 walk levels; and dedup_canonical), the 37
-# HARD age-4 gates (the r7 cohort remaining after r10's 13 early
-# refreshes — ALL 37 pre-verified hash-matching on final r10 code, see
-# NOTES.md "Round 10 FINAL verification"), and 7 r8-cohort refreshes
-# (the cypher mutation-runner block first — those share the
-# most-churned statement runners — plus the highest-value r8 rows),
-# which shrinks the r12 forced wave to ~41. graph_closeness retired
-# this round (byte-identical fixpoint body vs graph_harmonic —
+# Round-12 composition (VERDICT r11 #1, lifted verbatim from NOTES.md
+# "Concrete r12 window plan"): the 2 round-12 GrB debuts (staged +
+# oracle-verified in r11 via scripts/r12_queue.py — select/apply/reduce
+# composed and the extract/assign selection-algebra roundtrip, closing
+# the last SURVEY §2.3 rows without a driver check), the 40 HARD age-4
+# gates (the full r8 cohort — ALL 40 pre-verified hash-matching TWICE
+# on final r11 code, NOTES.md "Round 11 FINAL verification"), and 8
+# r9-cohort refreshes (the 8 oldest by first appearance: the round-1
+# cypher originals), which trims r13's forced wave to ~40.
+# dedup_embedding retired this round (the one gated cartesian product —
+# VERDICT r11 "What's wrong" #1; dedup_embedding_lsh verifies
+# candidates through the identical exact-cosine path —
 # RETIRED_GATES.json). Rotation history lives in WINDOW_LEDGER.json
 # (append-only; rounds with a published CORRECTNESS artifact are
 # digest-pinned); tests/test_entry_contract.py enforces the budget.
 # Everything at 51+ is green in the local full check
 # (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-11 debuts
-    "events_asof_forward", "events_asof_nearest", "events_asof_tolerance",
-    "graph_neighbor_agg", "cypher_deep_chain", "dedup_canonical",
-    # the 37 HARD age-4 gates (r7 rows; contract test fails without them)
-    "ann_topk", "chunk_documents", "cypher_coalesce", "cypher_count_prop",
-    "cypher_orderby_prop", "cypher_path_length", "cypher_set_expr",
-    "cypher_untyped", "cypher_where_isnull", "cypher_with_optional",
-    "dedup_cross_source", "dedup_embedding", "dedup_exact", "dedup_simhash",
-    "graph_assortativity", "graph_clustering", "graph_components",
-    "graph_hits", "graph_sssp", "graph_triangles", "pipeline_corpus_report",
-    "pipeline_curate", "pipeline_token_budget", "pipeline_token_rates",
-    "rel_q10_returns", "rel_q1_pricing", "rel_q3_shipping",
-    "rel_q5_local_volume", "rel_q6_forecast", "rel_supplier_rank",
-    "rel_top_orders", "sample_shuffle", "text_doc_freq", "text_fingerprint",
-    "text_lang_id", "text_quality", "text_token_count",
-    # 7 r8-cohort refreshes: the mutation-runner block (shared statement
-    # runners are the most-churned code) + highest-value r8 rows
-    "cypher_delete", "cypher_remove", "cypher_set_edge_expr", "graph_scc",
-    "dedup_minhash_lsh", "text_bm25", "cypher_shortest_path",
+    # round-12 debuts
+    "grb_select_apply_reduce", "grb_assign_extract",
+    # the 40 HARD age-4 gates (r8 cohort; contract test fails without them)
+    "ann_ivf_topk", "ann_lsh_topk", "cypher_concat", "cypher_distinct_agg",
+    "cypher_exists", "cypher_id_where", "cypher_introspect",
+    "cypher_not_exists", "cypher_optional_agg", "cypher_stats_agg",
+    "cypher_union", "cypher_unwind", "cypher_where_regex",
+    "cypher_with_having", "dedup_clusters", "dedup_embedding_lsh",
+    "dedup_vs_index", "events_anomalies", "events_enrich",
+    "events_session_window", "graph_assort_label",
+    "rel_q11_important_stock", "rel_q12_priority_class",
+    "rel_q13_order_dist", "rel_q15_top_supplier", "rel_q16_supplier_cnt",
+    "rel_q17_small_qty", "rel_q18_large_orders", "rel_q19_disjunctive",
+    "rel_q20_part_share", "rel_q21_waiting", "rel_q22_idle_cust",
+    "rel_q2_min_cost", "rel_q4_priority", "rel_q7_volume",
+    "rel_q8_market_share", "rel_q9_profit", "text_decontaminate",
+    "text_normalize", "text_redact_pii",
+    # 8 r9-cohort refreshes (oldest-first by first appearance — the
+    # round-1 cypher originals)
+    "cypher_1hop", "cypher_2hop_reverse", "cypher_closure",
+    "cypher_count_groups", "cypher_fork", "cypher_multi_return",
+    "cypher_multitype", "cypher_prop_agg",
 ]
 
 
@@ -1777,6 +1818,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_cols_max": _q_reduce_cols_transpose,
         "extract_submatrix": _q_extract_submatrix,
         "extract_strided": _q_extract_strided,
+        "grb_select_apply_reduce": _q_grb_select_apply_reduce,
+        "grb_assign_extract": _q_grb_assign_extract,
         "vxm_masked": _q_vxm_masked,
         # relational analytics
         "rel_q1_pricing": _q_rel_q1,
@@ -1798,7 +1841,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
+        # (dedup_embedding retired round-12 — the crossJoin pair
+        # generator was the one gated cartesian product, VERDICT r11
+        # "What's wrong" #1; dedup_embedding_lsh verifies candidates with
+        # the identical exact-cosine expression and is the documented
+        # scale path. embedding_near_dups stays as the pytest recall
+        # baseline; RETIRED_GATES.json)
         "ann_topk": _q_ann_topk,
         "ann_ivf_cells": _q_ivf_cells,
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
@@ -3313,6 +3361,28 @@ def oracle_sql() -> dict[str, str]:
                    floor(v * 100 + 0.5) / 100 AS v
             FROM a WHERE i BETWEEN 100 AND 499 AND (i - 100) % 3 = 0
         """,
+        "grb_select_apply_reduce": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS j, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT i, floor(sum(-v) * 100 + 0.5) / 100 AS v
+            FROM a WHERE i <= j AND v > 25 GROUP BY i
+        """,
+        "grb_assign_extract": """
+            WITH a AS (SELECT l_orderkey AS i, l_partkey AS j, sum(l_quantity) AS v
+                       FROM lineitem GROUP BY 1, 2),
+            sub AS (
+                SELECT i - 1 AS i, j - 1 AS j, -v AS v
+                FROM a WHERE i BETWEEN 1 AND 100 AND j BETWEEN 1 AND 100
+            ),
+            b AS (
+                SELECT i, j, v FROM a
+                WHERE NOT (i BETWEEN 101 AND 200 AND j BETWEEN 1 AND 100)
+                UNION ALL
+                SELECT i + 101, j + 1, v FROM sub
+            )
+            SELECT i - 90 AS i, j, floor(v * 100 + 0.5) / 100 AS v
+            FROM b WHERE i BETWEEN 90 AND 210
+        """,
         "vxm_masked": """
             WITH x AS (SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS xv
                        FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'),
@@ -4003,12 +4073,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
-        """,
-        "dedup_embedding": f"""
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   floor(({_cos_explicit('a.embedding', 'b.embedding')}) * 10000 + 0.5) / 10000 AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_cos_explicit('a.embedding', 'b.embedding')} >= 0.4
         """,
         "dedup_embedding_lsh": f"""
             WITH bk AS {S.sign_lsh_bands_sql()},

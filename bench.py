@@ -164,13 +164,19 @@ def main():
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
 
+    # full per-sample detail goes to STDERR as a diagnostic: the driver
+    # archives only the last ~2000 chars of stdout, and r11's verbose
+    # line truncated mid-"samples" — cutting the medians off the
+    # artifact and failing its json parse (VERDICT r11 #7). The ONE
+    # stdout JSON line is kept compact (~800 chars for 24 queries) so
+    # the archived tail always holds the complete, parseable record.
+    print("# samples " + json.dumps(samples), file=sys.stderr)
+    print("# gc_ms " + json.dumps(gc_ms), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "samples": samples,
-        "gc_ms": gc_ms,
         "loadavg": {"start": load_start, "end": _loadavg()},
         "contended_start": contended,
         "repeats": REPEATS,

@@ -61,13 +61,23 @@ class GraphDB:
         including the escaped-quote style it does not support
         (``'it\\'s a DELETE'`` parses as literal ``it\\`` + trailing
         garbage) — is REJECTED with a clear error rather than routed on
-        a partially-masked text. The original text is what executes."""
+        a partially-masked text. The escape-aware mask is computed
+        UNCONDITIONALLY and compared against the no-escape mask
+        (ADVICE r11): an EVEN count of backslash-escaped quotes pairs
+        up wrongly under the no-escape grammar and leaks literal
+        content into the routing text with no unpaired quote left to
+        trip the balance check — the mask-divergence check catches
+        exactly that (the trailing-backslash ``'dir\\'`` literal still
+        passes: its escape-aware mask retains an unpaired quote, so
+        the masks diverge only where esc is NOT quote-free). The
+        original text is what executes."""
         import re
 
         bare = re.sub(r"'[^']*'|\"[^\"]*\"", " ", cypher)
+        esc = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", " ", cypher)
+        esc_clean = "'" not in esc and '"' not in esc
         if "'" in bare or '"' in bare:
-            esc = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"", " ", cypher)
-            if "'" not in esc and '"' not in esc:
+            if esc_clean:
                 raise ValueError(
                     "update(): backslash-escaped quotes are not supported by "
                     "the literal grammar (every literal is '[^']*'); use the "
@@ -76,6 +86,15 @@ class GraphDB:
             raise ValueError(
                 "update(): unbalanced string literal in statement — refusing "
                 "to route a verb on a partially-masked text"
+            )
+        if esc_clean and esc != bare:
+            # both masks quote-free but DIFFERENT: an even number of
+            # escaped quotes paired up wrongly under the no-escape
+            # grammar, leaking literal content into the routing text
+            raise ValueError(
+                "update(): backslash-escaped quotes are not supported by "
+                "the literal grammar (every literal is '[^']*'); use the "
+                "other quote style for the literal"
             )
         if re.match(r"(?is)^\s*MERGE\b", bare) or re.search(
             r"(?is)\bMERGE\s*\(", bare

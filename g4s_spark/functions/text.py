@@ -36,12 +36,21 @@ def tokens(c: Column) -> Column:
 
 # GPT-2-style pre-tokenizer, the portable (lookahead-free) form: an
 # optional leading space glued to a letter run, digit run, or
-# punctuation run. Java regex and DuckDB's RE2 both support every
-# construct here, so a SQL oracle reproduces the split exactly — the
-# full GPT-2 pattern's \s+(?!\S) lookahead does NOT exist in RE2 and is
-# deliberately omitted (BPE merges would iterate on top of these
-# pre-tokens; counting them is the budget estimate pipelines need).
-BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+# punctuation run, plus a TRAILING whitespace-run alternative (ADVICE
+# r11: without it an interior run of 2+ spaces/tabs/newlines
+# contributed zero pre-tokens, systematically undercounting budgets on
+# whitespace-heavy text — code, markdown, indented docs). Java regex
+# and DuckDB's RE2 both support every construct here and share
+# leftmost-first alternation, so a SQL oracle reproduces the split
+# exactly — the full GPT-2 pattern's \s+(?!\S) lookahead does NOT
+# exist in RE2 and is deliberately omitted; the only remaining
+# divergence from real GPT-2 pre-tokenization is that a whitespace run
+# directly before a token counts as ONE token here where GPT-2 may
+# split it (run-minus-glue + glued token) — same total count for
+# space-before-word, ±1 for tab/newline-before-token (BPE merges would
+# iterate on top of these pre-tokens; counting them is the budget
+# estimate pipelines need).
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 
 
 def bpe_tokens(c: Column) -> Column:
@@ -63,7 +72,9 @@ def token_count(
     - ``'bpe'``: GPT-2-style pre-tokens (BPE_TOKEN_RE) — the closest
       no-vocab proxy for real tokenizer budgets (pre-tokens are what
       BPE merges subdivide, so this UPPER-bounds word counts and
-      tracks real token counts much closer than whitespace).
+      tracks real token counts much closer than whitespace; interior
+      whitespace runs count one pre-token per run, so code/markdown
+      budgets include indentation like real GPT-2 tokenization does).
 
     All three are one regexp_extract_all + size per row — narrow
     projection, no shuffle, whole-stage codegen."""

@@ -1,14 +1,22 @@
-"""Round-13 debut-gate staging area (started early, in round 11).
+"""Round-13 debut-gate staging area (started in round 11; consolidated
+in round 12 after the GrB gates lifted and r12_queue.py was absorbed
+here).
 
 Gates here are BUILT AND ORACLE-VERIFIED but must wait for registry
-capacity: the registry is 188/190 after the r11 lift, r12 is planned to
-lift the two GrB gates from scripts/r12_queue.py (-> exactly 190), and
-events_range_stream (also in r12_queue) is already deferred to r13.
-Lifting ANYTHING beyond that requires either a retirement with a clean
-subsumption (none found in the r11 search — see NOTES.md "r12 capacity
-decision") or a deliberate raise of the 190 trip-wire with the
-arithmetic documented.
+capacity: after the r12 lift (+grb_select_apply_reduce,
++grb_assign_extract, −dedup_embedding retired) the registry is 189 of
+the 192 D=2 steady-state trip-wire (NOTES.md "Registry steady-state
+arithmetic", option 2). Lift schedule: TWO debuts at r13
+(events_range_stream + dedup_semantic → 191), ONE at r14
+(text_token_bpe → 192). graph_resource_alloc and graph_random_walks
+stay staged beyond that — landing them requires pairing each with a
+genuine-subsumption retirement or widening the staleness budget 4 → 5
+(capacity 240), both documented in NOTES.md.
 
+- events_range_stream: the range_enrich_stream twin DRAINED AT THE
+  DRIVER (availableNow -> parquet sink -> read back), value-hashed
+  against the SAME DuckDB oracle as the batch events_range_join —
+  stream==batch at the driver, not just in pytest.
 - text_token_bpe: token_count(mode='bpe') — GPT-2-style pre-token
   counts; the lookahead-free pattern is engine-identical in Java regex
   and DuckDB RE2 (cross-checked), so the oracle is exact.
@@ -40,6 +48,76 @@ from pyspark.sql import DataFrame, SparkSession
 from g4s_spark.functions.dedup import semantic_dedup
 from g4s_spark.functions.similarity import ivf_assign_sql
 from g4s_spark.sources import load_table
+
+
+def _q_events_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_range_join fixture routed through the STREAMING twin:
+    clicks arrive as an availableNow file stream, each micro-batch
+    range-joins the static same-user error windows, results land in a
+    parquet sink and are read back — so the driver value-hashes the
+    streaming path against the exact batch oracle.
+
+    The sink/checkpoint live under a DETERMINISTIC per-sf temp root
+    wiped at gate start (ADVICE r11): a fresh mkdtemp per call leaked
+    directories, and re-running against a survivor dir would
+    double-append rows into the hash. The nanosAsLong conf matches what
+    load_table pins session-wide on every call, so no restore is
+    needed — the session norm IS true."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from g4s_spark.sources.tables import normalize_ts
+    from g4s_spark.streaming import range_enrich_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a DIRECTORY; glob-filter it down to
+    # the one events file so sibling tables never enter the stream
+    ev = normalize_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        ["ts"],
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/g4s_range_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = f"{base}/out"
+
+    def sink(df: DataFrame, _batch_id: int) -> None:
+        df.select("click_id", "user_id", "error_id").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = range_enrich_stream(
+        clicks, windows, sink, f"{base}/chk", on="user_id", bucket_s=3600
+    )
+    if not q.awaitTermination(600):
+        # a timed-out drain would otherwise fall through to reading a
+        # PARTIAL sink (with the query still appending behind the read)
+        # and report as a hash mismatch instead of a timeout
+        q.stop()
+        raise RuntimeError(
+            "events_range_stream: availableNow drain did not finish "
+            "within 600s; partial sink discarded"
+        )
+    return spark.read.parquet(out_dir).select("click_id", "user_id", "error_id")
 
 
 def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +185,7 @@ def _q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUEUE_QUERIES = {
+    "events_range_stream": _q_events_range_stream,
     "dedup_semantic": _q_dedup_semantic,
     "text_token_bpe": _q_text_token_bpe,
     "graph_resource_alloc": _q_graph_resource_alloc,
@@ -114,6 +193,17 @@ QUEUE_QUERIES = {
 }
 
 QUEUE_ORACLES = {
+    # IDENTICAL to the batch events_range_join oracle: the streaming
+    # drain must reproduce the batch result bit-for-bit
+    "events_range_stream": """
+        SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+    """,
     # same seeded-projection cell assignment as ivf_assign_sql (plan
     # literals both sides), pairwise cosine via list_dot_product with
     # the identical left-to-right accumulation order Spark's
@@ -134,11 +224,13 @@ QUEUE_ORACLES = {
         )
         SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
     """,
-    # same pattern, same engine semantics (verified Java == RE2 == re)
+    # same pattern, same engine semantics (verified Java == RE2 == re;
+    # the trailing \s+ whitespace-run alternative added in r12 per
+    # ADVICE r11 — re-verified identical across all three engines)
     "text_token_bpe": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(
-                   text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'
+                   text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'
                )) AS BIGINT) AS n_tokens
         FROM documents
     """,

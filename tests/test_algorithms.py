@@ -702,6 +702,23 @@ def test_common_neighbor_scores_vs_replica(spark):
     with pt.raises(ValueError, match="index"):
         common_neighbor_scores(pairs, index="katz")
 
+    # defensive normalization (ADVICE r11): duplicate rows, mirrored
+    # (b,a) rows, and self-loops must NOT inflate deg(w) / scores —
+    # the noisy input yields byte-identical results to the clean one
+    noisy = spark.createDataFrame(
+        pairs_py + [(1, 0), (2, 0), (0, 1), (3, 3)], "a long, b long"
+    )
+    for index in ("common", "resource_allocation", "adamic_adar"):
+        clean = {
+            (r.x, r.y): (r.shared, r.score)
+            for r in common_neighbor_scores(pairs, index=index).collect()
+        }
+        got = {
+            (r.x, r.y): (r.shared, r.score)
+            for r in common_neighbor_scores(noisy, index=index).collect()
+        }
+        assert got == clean, index
+
 
 def test_random_walks_deterministic_vs_replica(spark):
     """Deterministic walks (round-11): every step's neighbor choice is

@@ -102,11 +102,19 @@ def test_no_gate_staler_than_four_rounds():
 def test_registry_under_sustainable_ledger_capacity():
     """50 window slots × 4-round budget = 200 gates max; past that the
     rotation arithmetic breaks and the staleness test becomes
-    unsatisfiable. Trip well before the cliff so the budget/window
-    design gets revisited deliberately (with debut slots reserved)."""
-    assert len(E.queries()) <= 190, (
-        "registry approaching the 200-gate ledger capacity: widen the "
-        "window or the budget deliberately before adding more gates"
+    unsatisfiable. Sustainable size with D debuts per round is
+    (50 − D) × 4: D=2 → 192, which is the steady state adopted in
+    round 12 (NOTES.md "Registry steady-state arithmetic", option 2 —
+    the same deliberate move round-8 made widening the budget 3 → 4):
+    at most TWO debuts per round from r13 on, staggering the verified
+    queue (events_range_stream + dedup_semantic at r13, text_token_bpe
+    at r14), still 8 gates under the absolute cliff. Raising past 192
+    requires either pairing every debut with a retirement or widening
+    the staleness budget to 5 — both documented in NOTES.md."""
+    assert len(E.queries()) <= 192, (
+        "registry at the D=2 sustainable capacity (50-2 slots x 4-round "
+        "budget): pair further debuts with retirements or widen the "
+        "budget deliberately before adding more gates"
     )
 
 
@@ -135,7 +143,8 @@ def test_window_ledger_history_is_append_only():
         "7": "a0c1c876a75da582",
         "8": "806d7d6bc63c4b82",
         "9": "5a8832e87d1bc3de",
-        "10": "af7e96d072039bb7",  # final: CORRECTNESS_r10 published
+        "10": "af7e96d072039bb7",
+        "11": "c33a255a5f96caba",  # final: CORRECTNESS_r11 published
     }
     published = {
         str(n)

@@ -47,11 +47,15 @@ def test_token_count_modes(spark):
         (2, "  leading spaces\tand\ttabs  "),
         (3, "abc123def"),
         (4, ""),
+        # whitespace-heavy shapes (ADVICE r11): interior runs of 2+
+        # spaces/tabs/newlines must contribute pre-tokens, not vanish
+        (5, "def f(x):\n    return x + 1\n\n"),
+        (6, "cols\t\tsep   wide"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ws = {r.doc_id: r.n_tokens
           for r in TX.token_count(df, mode="whitespace").collect()}
-    assert ws == {1: 4, 2: 4, 3: 1, 4: 0}
+    assert ws == {1: 4, 2: 4, 3: 1, 4: 0, 5: 6, 6: 3}
     bpe = {r.doc_id: r.n_tokens for r in TX.token_count(df, mode="bpe").collect()}
     want = {i: len(_re.findall(TX.BPE_TOKEN_RE, t)) for i, t in rows}
     assert bpe == want

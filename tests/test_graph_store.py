@@ -533,6 +533,13 @@ def test_graphdb_update_routing_escaped_quotes(spark):
         db.update(r"MATCH (a:A) SET a.note = 'it\'s a DELETE'")
     with pytest.raises(ValueError, match="unbalanced"):
         db.update("MATCH (a:A) SET a.note = 'truncated DELETE")
+    # ADVICE r11 (medium): an EVEN count of escaped quotes pairs up
+    # wrongly under the no-escape grammar and leaks literal content
+    # into the routing text with NO unpaired quote left — the
+    # mask-divergence check must reject it (before the fix this routed
+    # to the DELETE runner on leaked literal content)
+    with pytest.raises(ValueError, match="escaped quotes"):
+        db.update(r'MATCH (a:A) SET a.note = "x \" DETACH DELETE a \""')
     # nothing was deleted by either rejected statement
     assert {r.id for r in db.graph.nodes.collect()} == {0}
     # the supported spelling: apostrophe inside double quotes routes to
