@@ -375,15 +375,6 @@ def _q_mxm_masked(spark, sf_dir):
     )
 
 
-def _q_extract_submatrix(spark, sf_dir):
-    from g4s_spark.grblas import extract
-
-    _, a, _ = _li_matrices(spark, sf_dir)
-    # slice rows (orderkeys) 100..499, all columns; indices re-based to 0
-    sub = extract(a, (100, 499), None)
-    return sub.df.select("i", "j", pround(F.col("v"), 2).alias("v"))
-
-
 def _q_extract_strided(spark, sf_dir):
     from g4s_spark.grblas import extract
 
@@ -669,10 +660,6 @@ def _q_ann_topk(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-def _q_ivf_cells(spark, sf_dir):
-    return S.ivf_assign(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_cypher_multilabel(spark, sf_dir):
@@ -1816,7 +1803,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewise_intersect_min": _q_ewise_intersect,
         "reduce_rows_plus": _q_reduce_rows,
         "reduce_cols_max": _q_reduce_cols_transpose,
-        "extract_submatrix": _q_extract_submatrix,
+        # (extract_submatrix retired round-12 — its (range, All)
+        # selection is run verbatim inside grb_assign_extract's
+        # roundtrip, which adds assign + a second extract + apply on
+        # the same _apply_selection path; extract_strided stays for
+        # the stride/backwards arm. RETIRED_GATES.json)
         "extract_strided": _q_extract_strided,
         "grb_select_apply_reduce": _q_grb_select_apply_reduce,
         "grb_assign_extract": _q_grb_assign_extract,
@@ -1848,7 +1839,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale path. embedding_near_dups stays as the pytest recall
         # baseline; RETIRED_GATES.json)
         "ann_topk": _q_ann_topk,
-        "ann_ivf_cells": _q_ivf_cells,
+        # (ann_ivf_cells retired round-12 — ivf_assign is a bare select
+        # of ivf_cell_expr, which ann_ivf_topk evaluates verbatim on
+        # corpus AND queries before the cell join + exact ranking;
+        # ann_ivf_nprobe keeps the multi-probe arm. RETIRED_GATES.json)
         "pipeline_curate": lambda spark, sf_dir: PL.curate_corpus(
             load_table(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "und")
         ),
@@ -3347,13 +3341,6 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem GROUP BY 1, 2)
             SELECT k AS i, floor(max(v) * 100 + 0.5) / 100 AS v FROM a GROUP BY k
         """,
-        "extract_submatrix": """
-            WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
-                       FROM lineitem GROUP BY 1, 2)
-            SELECT CAST(i - 100 AS BIGINT) AS i, CAST(k AS BIGINT) AS j,
-                   floor(v * 100 + 0.5) / 100 AS v
-            FROM a WHERE i BETWEEN 100 AND 499
-        """,
         "extract_strided": """
             WITH a AS (SELECT l_orderkey AS i, l_partkey AS k, sum(l_quantity) AS v
                        FROM lineitem GROUP BY 1, 2)
@@ -4149,7 +4136,6 @@ def oracle_sql() -> dict[str, str]:
                    floor(cos * 10000 + 0.5) / 10000 AS cos
             FROM ranked WHERE rank <= 5
         """,
-        "ann_ivf_cells": S.ivf_assign_sql(),
         "ann_ivf_topk": f"""
             WITH cells AS ({S.ivf_assign_sql()}),
             q AS (

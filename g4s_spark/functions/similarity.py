@@ -167,12 +167,23 @@ def _masked_dots(vec: Column, P: list[list[float]], dim: int) -> Column:
 
 
 def sign_lsh_bands(
-    vec: Column, n_planes: int = LSH_BAND_PLANES, n_bands: int = LSH_BANDS,
+    vec: Column | str, n_planes: int = LSH_BAND_PLANES, n_bands: int = LSH_BANDS,
     dim: int = EMB_DIM, seed: int = LSH_SEED,
 ) -> Column:
     """Array of (band, key) structs — one sign-LSH key per band, all bands
     drawn from one seeded projection matrix. Explode and equality-join on
-    (band, key) for candidate generation."""
+    (band, key) for candidate generation.
+
+    ``vec`` as a plain column NAME takes the fast construction path: the
+    whole expression is rendered as ONE Spark-SQL string and parsed
+    JVM-side in a single py4j call. The Column path builds the same tree
+    operator-by-operator — ~2,400 py4j round-trips ≈ 400 ms of driver
+    time PER CALL (measured round-12; it was half of ann_lsh_topk's gate
+    latency) — and stays as the reference implementation for arbitrary
+    vector expressions; test_similarity pins the two paths to identical
+    results on real embeddings."""
+    if isinstance(vec, str):
+        return F.expr(_sign_lsh_bands_spark_sql(f"`{vec}`", n_planes, n_bands, dim, seed))
     P = projection_matrix(n_planes * n_bands, dim, seed)
 
     def keys(ds: Column) -> Column:
@@ -191,6 +202,40 @@ def sign_lsh_bands(
     # the n_planes·n_bands key references would otherwise inline its own
     # copy of the whole projection expression
     return F.transform(F.array(_masked_dots(vec, P, dim)), keys)[0]
+
+
+def _sign_lsh_bands_spark_sql(
+    vec_sql: str, n_planes: int, n_bands: int, dim: int, seed: int
+) -> str:
+    """The sign_lsh_bands expression as Spark SQL — the SAME packed-bitmask
+    dots (strictly left-to-right summation, ±1.0 exact) and the same
+    case/shift key folds as the Column path, so the two parse to
+    semantically identical plans; only the construction cost differs."""
+    P = projection_matrix(n_planes * n_bands, dim, seed)
+    los = "array(" + ",".join(
+        str(sum(1 << d for d in range(min(32, dim)) if row[d] > 0)) + "L" for row in P
+    ) + ")"
+    his = "array(" + ",".join(
+        str(sum(1 << (d - 32) for d in range(32, dim) if row[d] > 0)) + "L" for row in P
+    ) + ")"
+    dots = (
+        f"transform(sequence(0, {len(P) - 1}), h -> "
+        f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double), "
+        f"(acc, d) -> acc + cast({vec_sql}[d] as double) * "
+        f"cast(((case when d < 32 then getbit({los}[h], d) "
+        f"else getbit({his}[h], d - 32) end) * 2 - 1) as double)))"
+    )
+    bands = ", ".join(
+        f"named_struct('band', {t}, 'key', cast(0 as bigint)"
+        + "".join(
+            f" + (case when ds[{t * n_planes + h}] > 0 "
+            f"then cast({1 << h} as bigint) else 0 end)"
+            for h in range(n_planes)
+        )
+        + ")"
+        for t in range(n_bands)
+    )
+    return f"transform(array({dots}), ds -> array({bands}))[0]"
 
 
 def sign_lsh_bands_sql(
@@ -253,7 +298,7 @@ def lsh_bucketed_corpus(
     b = (
         emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+            F.explode(sign_lsh_bands(vec_col, n_planes, n_bands)).alias("bk"),
         )
         .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -284,7 +329,7 @@ def lsh_topk(
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+            F.explode(sign_lsh_bands(vec_col, n_planes, n_bands)).alias("bk"),
         )
         .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -619,7 +664,7 @@ def hard_negatives(
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+            F.explode(sign_lsh_bands(vec_col, n_planes, n_bands)).alias("bk"),
         )
         .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -706,7 +751,7 @@ def lsh_topk_from_index(
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-            F.explode(sign_lsh_bands(F.col(vec_col), n_planes, n_bands)).alias("bk"),
+            F.explode(sign_lsh_bands(vec_col, n_planes, n_bands)).alias("bk"),
         )
         .select("q_id", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )

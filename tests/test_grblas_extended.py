@@ -86,6 +86,86 @@ def test_assign_index_list_rows_range_cols_roundtrip(spark):
     assert gb.is_eq(back, A)
 
 
+# --- extract/assign descriptor tail (round-12, MatrixOps.scala:46-106) -----
+
+def test_extract_mask_accum_replace(spark):
+    """extract carries the same mask/accum/desc tail as mxm/apply: the
+    mask lives in the re-based OUTPUT space; accum_into merges with ⊕;
+    replace clears accum_into's off-mask cells."""
+    A = gb.Matrix.from_tuples(
+        spark, [(i, j, 10 * i + j) for i in range(4) for j in range(2)], 4, 2
+    )
+    # rows 1..3 re-based to 0..2
+    mask = gb.Matrix.from_tuples(spark, [(0, 0, 1), (2, 1, 1)], 3, 2)
+    sub = gb.extract(A, (1, 3), None, mask=mask)
+    assert as_dict(sub.to_tuples()) == {(0, 0): 10, (2, 1): 31}
+    # complemented mask: everything EXCEPT the two masked cells
+    subc = gb.extract(A, (1, 3), None, mask=mask, mask_complement=True)
+    assert as_dict(subc.to_tuples()) == {
+        (0, 1): 11, (1, 0): 20, (1, 1): 21, (2, 0): 30
+    }
+    # accum_into: C ⊕= Z inside the mask, C kept outside (replace=False)
+    C = gb.Matrix.from_tuples(spark, [(0, 0, 100), (1, 1, 200)], 3, 2)
+    out = gb.extract(
+        A, (1, 3), None, mask=mask,
+        accum_into=C, accum_op=gb.BINARY_OPS["plus"],
+    )
+    assert as_dict(out.to_tuples()) == {(0, 0): 110, (2, 1): 31, (1, 1): 200}
+    # replace=True clears C's off-mask cell (1,1)
+    outr = gb.extract(
+        A, (1, 3), None, mask=mask,
+        accum_into=C, accum_op=gb.BINARY_OPS["plus"], replace=True,
+    )
+    assert as_dict(outr.to_tuples()) == {(0, 0): 110, (2, 1): 31}
+
+
+def test_assign_mask_accum_replace(spark):
+    """assign's descriptor tail: the mask (C-coordinate space) gates
+    which region cells get written; off-mask region cells are kept
+    (replace=False) or cleared (replace=True); accum_op merges old
+    region values with the new ones inside the mask."""
+    A = gb.Matrix.from_tuples(
+        spark, [(i, j, 1) for i in range(4) for j in range(4)], 4, 4
+    )
+    sub = gb.Matrix.from_tuples(spark, [(0, 0, 7), (1, 1, 8)], 2, 2)
+    # region rows 0..1 x cols 0..1; mask covers only cell (0,0)
+    mask = gb.Matrix.from_tuples(spark, [(0, 0, 1)], 4, 4)
+    out = gb.assign(A, sub, (0, 1), (0, 1), mask=mask)
+    got = as_dict(out.to_tuples())
+    assert got[(0, 0)] == 7          # written through the mask
+    assert got[(1, 1)] == 1          # off-mask region cell KEPT
+    assert got[(0, 1)] == 1 and got[(1, 0)] == 1
+    assert got[(2, 2)] == 1          # outside region untouched
+    # replace=True: off-mask region cells cleared
+    outr = gb.assign(A, sub, (0, 1), (0, 1), mask=mask, replace=True)
+    gotr = as_dict(outr.to_tuples())
+    assert gotr[(0, 0)] == 7
+    assert (1, 1) not in gotr and (0, 1) not in gotr and (1, 0) not in gotr
+    assert gotr[(3, 3)] == 1         # outside region still untouched
+    # accum: old ⊕ new inside the mask; old region cells not in sub kept
+    outa = gb.assign(
+        A, sub, (0, 1), (0, 1), mask=mask, accum_op=gb.BINARY_OPS["plus"]
+    )
+    gota = as_dict(outa.to_tuples())
+    assert gota[(0, 0)] == 8         # 1 ⊕ 7
+    assert gota[(1, 1)] == 1         # off-mask kept
+    # no-mask accum: whole region merges, old cells without new kept
+    outna = gb.assign(A, sub, (0, 1), (0, 1), accum_op=gb.BINARY_OPS["plus"])
+    gotna = as_dict(outna.to_tuples())
+    assert gotna[(0, 0)] == 8 and gotna[(1, 1)] == 9
+    assert gotna[(0, 1)] == 1 and gotna[(1, 0)] == 1  # kept under accum
+
+
+def test_assign_valued_mask(spark):
+    """valued mask (Descriptor.scala:50-94): only truthy mask cells
+    write; falsy-valued mask cells behave as off-mask."""
+    A = gb.Matrix.from_tuples(spark, [(0, 0, 1), (0, 1, 1)], 1, 2)
+    sub = gb.Matrix.from_tuples(spark, [(0, 0, 5), (0, 1, 6)], 1, 2)
+    mask = gb.Matrix.from_tuples(spark, [(0, 0, 0), (0, 1, 1)], 1, 2)
+    out = gb.assign(A, sub, (0, 0), (0, 1), mask=mask, mask_valued=True)
+    assert as_dict(out.to_tuples()) == {(0, 0): 1, (0, 1): 6}
+
+
 # --- point element ops -----------------------------------------------------
 
 def test_matrix_point_set_get_remove(spark):

@@ -504,6 +504,100 @@ def test_pipeline_front_end_never_crashes(spark, q):
             pass
 
 
+# keyword-token fuzz (round-12, VERDICT r11 #8): compose statements from
+# the FULL keyword surface — including the r10/r11 additions
+# (shortestPath, ON CREATE/ON MATCH SET, DETACH, coalesce, IS NULL) the
+# character alphabets above are too sparse to generate — and require
+# every outcome to be a plan or a typed error.
+_CYPHER_TOKENS = [
+    "MATCH", "OPTIONAL MATCH", "RETURN", "WHERE", "WITH", "UNWIND",
+    "SET", "MERGE", "CREATE", "DELETE", "DETACH DELETE", "REMOVE",
+    "ORDER BY", "SKIP", "LIMIT", "UNION", "UNION ALL", "DISTINCT",
+    "shortestPath", "ON CREATE SET", "ON MATCH SET", "coalesce",
+    "IS NULL", "IS NOT NULL", "count", "sum", "CASE", "WHEN", "THEN",
+    "END", "EXISTS", "NOT", "AND", "OR", "IN", "AS", "=~", "STARTS WITH",
+    "(", ")", "[", "]", "{", "}", "-", "->", "<-", "--", ":", ",", "*",
+    "..", ".", "=", "<", ">", "|", "a", "b", "n", "r", "k", "A", "X",
+    "'x'", "1", "2", "$p", "*1..2", "NULL", "true",
+]
+
+
+@given(toks=st.lists(st.sampled_from(_CYPHER_TOKENS), min_size=1, max_size=24))
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_keyword_fuzz_plans_or_typed_error(spark, toks):
+    """Any token-soup statement either plans or raises
+    CypherParseError/ValueError from BOTH the query and the mutation
+    front-ends — no IndexError/KeyError/AttributeError/TypeError
+    escapes, no silent None."""
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher, run_cypher_set
+
+    q = " ".join(toks)
+    g = PropertyGraph.from_tuples(
+        spark, nodes=[(0, "A"), (1, "B")], edges=[(0, 1, "X")]
+    )
+    for fn in (run_cypher, run_cypher_set):
+        try:
+            out = fn(g, q)
+            assert out is not None
+        except (CypherParseError, ValueError):
+            pass
+
+
+def test_unsupported_opencypher_negative_corpus(spark):
+    """Round-12 (VERDICT r11 #8): the top unsupported openCypher
+    constructs must raise a TYPED CypherParseError — never a silent
+    wrong plan, never a foreign exception. Each entry was probed to be
+    genuinely unsupported; if one starts parsing, this test forces the
+    implementer to either finish the semantics or keep rejecting."""
+    import pytest as pt
+
+    from g4s_spark.cypher import CypherParseError
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    g = PropertyGraph.from_tuples(
+        spark, nodes=[(0, "A"), (1, "B")], edges=[(0, 1, "X")]
+    )
+    corpus = [
+        # iteration / subquery forms
+        "FOREACH (x IN [1,2] | SET n.p = x)",
+        "CALL db.labels() YIELD label RETURN label",
+        "CALL { MATCH (n:A) RETURN n } RETURN n",
+        "MATCH (a:A) CALL apoc.do.x(a) YIELD value RETURN value",
+        # comprehensions / quantifiers / reduce
+        "MATCH (a:A) RETURN [x IN range(1,3) | x*2] AS l",
+        "MATCH (a:A) RETURN [(a)-->(b) | b] AS l",
+        "MATCH (a:A) RETURN reduce(acc = 0, x IN [1,2] | acc + x) AS s",
+        "MATCH (a:A) WHERE any(x IN [1,2] WHERE x > 1) RETURN a",
+        "MATCH (a:A) RETURN all(x IN [1] WHERE x = 1) AS q",
+        # subquery EXISTS / path variants
+        "MATCH (a:A) WHERE EXISTS { MATCH (a)-[:X]->(:B) } RETURN a",
+        "MATCH p = allShortestPaths((a:A)-[*]->(b:B)) RETURN p",
+        "MATCH ((a:A)-[:X]->(b:B)){1,3} RETURN a",
+        # I/O, hints, multi-db
+        "LOAD CSV FROM 'file:///x.csv' AS row RETURN row",
+        "MATCH (a:A) USING INDEX a:A(k) WHERE a.k = 1 RETURN a",
+        "USE db2 MATCH (a:A) RETURN a",
+        "MANDATORY MATCH (a:A) RETURN a",
+        # operators / functions / projections
+        "MATCH (a:A) RETURN a.x XOR a.y AS z",
+        "MATCH (a:A) RETURN datetime() AS d",
+        "MATCH (a:A) RETURN a {.k, .v} AS m",
+        "MATCH (n:$label) RETURN n",
+        # mutation forms outside the runners' grammar
+        "MERGE (a:A)-[:R]-(b:B)",
+        "MATCH (a:A) SET a += {k: 1} RETURN a",
+        "MATCH (a:A)-[:X]->(b) DELETE a RETURN b",
+    ]
+    for q in corpus:
+        with pt.raises(CypherParseError):
+            run_cypher(g, q)
+
+
 # --- round-8 operator properties ------------------------------------------
 
 _WORD = st.text(alphabet="abcxyz", min_size=1, max_size=4)
