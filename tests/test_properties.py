@@ -177,6 +177,58 @@ def test_replace_descriptor_model(spark, ta, tb, tm, tc, replace):
 
 
 @given(
+    ta=coo(), tsub=coo(n=2), tm=bool_coo(),
+    lo_i=st.integers(0, 4), lo_j=st.integers(0, 4),
+    comp=st.booleans(), valued=st.booleans(),
+    accum=st.booleans(), replace=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_assign_descriptor_model(spark, ta, tsub, tm, lo_i, lo_j,
+                                 comp, valued, accum, replace):
+    """Round-12 assign descriptor tail vs a pure-python model across
+    every (mask, complement, valued, accum, replace) combination: the
+    C-space mask gates region writes; inside the effective mask old and
+    new merge under accum (new pattern wins without accum); off-mask
+    region cells survive iff not replace; cells outside the (I, J)
+    region never change."""
+    n = 6
+    A = gb.Matrix.from_tuples(spark, ta, n, n)
+    SUB = gb.Matrix.from_tuples(spark, tsub, 2, 2)
+    M = gb.Matrix.from_tuples(spark, tm, n, n, vtype="boolean")
+    rows, cols = (lo_i, lo_i + 1), (lo_j, lo_j + 1)
+
+    old = {(i, j): v for i, j, v in ta}
+    shifted = {(lo_i + si, lo_j + sj): v for si, sj, v in tsub}
+    region = {
+        (i, j) for i in range(lo_i, lo_i + 2) for j in range(lo_j, lo_j + 2)
+    }
+    eff = {(i, j) for i, j, v in tm if (v if valued else True)}
+    member = lambda c: (c in eff) != comp  # noqa: E731
+    z = {c: v for c, v in shifted.items() if member(c)}
+    old_region = {c: v for c, v in old.items() if c in region}
+    expect = {c: v for c, v in old.items() if c not in region}  # untouched
+    for c, v in old_region.items():
+        if member(c):
+            # in-mask: without accum the pattern BECOMES z's (old cell
+            # not in z is deleted); with accum, old survives (merged
+            # below if z also has the cell)
+            if accum and c not in z:
+                expect[c] = v
+        elif not replace:
+            expect[c] = v  # off-mask region cell kept unless replace
+    for c, v in z.items():
+        expect[c] = (old_region[c] + v) if (accum and c in old_region) else v
+
+    got = gb.assign(
+        A, SUB, rows, cols, mask=M, mask_complement=comp,
+        mask_valued=valued,
+        accum_op=(lambda x, y: x + y) if accum else None,
+        replace=replace,
+    )
+    assert {(i, j): v for i, j, v in got.to_tuples()} == expect
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
         min_size=1, max_size=14, unique=True,
