@@ -176,32 +176,50 @@ def test_replace_descriptor_model(spark, ta, tb, tm, tc, replace):
     assert {(i, j): v for i, j, v in got.to_tuples()} == expect
 
 
+@st.composite
+def _sel2(draw, n=6):
+    """A 2-position selection over [0, n): inclusive range, stride pair,
+    or index list (arbitrary order) — every form assign accepts."""
+    kind = draw(st.sampled_from(["range", "stride", "list"]))
+    if kind == "range":
+        lo = draw(st.integers(0, n - 2))
+        return (lo, lo + 1), [lo, lo + 1]
+    if kind == "stride":
+        lo = draw(st.integers(0, n - 3))
+        return (lo, lo + 2, 2), [lo, lo + 2]
+    idx = draw(
+        st.lists(st.integers(0, n - 1), min_size=2, max_size=2, unique=True)
+    )
+    return idx, idx
+
+
 @given(
     ta=coo(), tsub=coo(n=2), tm=bool_coo(),
-    lo_i=st.integers(0, 4), lo_j=st.integers(0, 4),
+    rows_sel=_sel2(), cols_sel=_sel2(),
     comp=st.booleans(), valued=st.booleans(),
     accum=st.booleans(), replace=st.booleans(),
 )
 @settings(**SETTINGS)
-def test_assign_descriptor_model(spark, ta, tsub, tm, lo_i, lo_j,
+def test_assign_descriptor_model(spark, ta, tsub, tm, rows_sel, cols_sel,
                                  comp, valued, accum, replace):
     """Round-12 assign descriptor tail vs a pure-python model across
-    every (mask, complement, valued, accum, replace) combination: the
-    C-space mask gates region writes; inside the effective mask old and
-    new merge under accum (new pattern wins without accum); off-mask
-    region cells survive iff not replace; cells outside the (I, J)
-    region never change."""
+    every (mask, complement, valued, accum, replace) combination AND
+    every selection form (range / stride / index list — position k of
+    the sub maps to the k-th selected coordinate): the C-space mask
+    gates region writes; inside the effective mask old and new merge
+    under accum (new pattern wins without accum); off-mask region cells
+    survive iff not replace; cells outside the (I, J) region never
+    change."""
     n = 6
+    rows, row_map = rows_sel
+    cols, col_map = cols_sel
     A = gb.Matrix.from_tuples(spark, ta, n, n)
     SUB = gb.Matrix.from_tuples(spark, tsub, 2, 2)
     M = gb.Matrix.from_tuples(spark, tm, n, n, vtype="boolean")
-    rows, cols = (lo_i, lo_i + 1), (lo_j, lo_j + 1)
 
     old = {(i, j): v for i, j, v in ta}
-    shifted = {(lo_i + si, lo_j + sj): v for si, sj, v in tsub}
-    region = {
-        (i, j) for i in range(lo_i, lo_i + 2) for j in range(lo_j, lo_j + 2)
-    }
+    shifted = {(row_map[si], col_map[sj]): v for si, sj, v in tsub}
+    region = {(i, j) for i in row_map for j in col_map}
     eff = {(i, j) for i, j, v in tm if (v if valued else True)}
     member = lambda c: (c in eff) != comp  # noqa: E731
     z = {c: v for c, v in shifted.items() if member(c)}
