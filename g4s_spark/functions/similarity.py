@@ -137,6 +137,17 @@ LSH_BAND_PLANES = 3
 LSH_BANDS = 8
 
 
+def _sign_masks(P: list[list[float]], dim: int) -> tuple[list[int], list[int]]:
+    """Pack each ±1 plane into two bigint sign bitmasks (bits 0-31 /
+    32-63) — the ONE packing shared by the Column builder
+    (_masked_dots) and the SQL-string builder
+    (_sign_lsh_bands_spark_sql), so the two construction paths can
+    never drift (round-12 review)."""
+    los = [sum(1 << d for d in range(min(32, dim)) if row[d] > 0) for row in P]
+    his = [sum(1 << (d - 32) for d in range(32, dim) if row[d] > 0) for row in P]
+    return los, his
+
+
 def _masked_dots(vec: Column, P: list[list[float]], dim: int) -> Column:
     """All |P| projections of ``vec`` as one array column.
 
@@ -148,12 +159,9 @@ def _masked_dots(vec: Column, P: list[list[float]], dim: int) -> Column:
     left-to-right over d with w ∈ {−1.0, +1.0} (multiplication by ±1.0
     is exact), so the result is bit-identical to the DuckDB oracle's
     list_dot_product over the same literal weights."""
-    los = F.array(*[
-        F.lit(sum(1 << d for d in range(min(32, dim)) if row[d] > 0)) for row in P
-    ])
-    his = F.array(*[
-        F.lit(sum(1 << (d - 32) for d in range(32, dim) if row[d] > 0)) for row in P
-    ])
+    lo_masks, hi_masks = _sign_masks(P, dim)
+    los = F.array(*[F.lit(m) for m in lo_masks])
+    his = F.array(*[F.lit(m) for m in hi_masks])
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(P) - 1)),
         lambda h: F.aggregate(
@@ -180,10 +188,20 @@ def sign_lsh_bands(
     operator-by-operator — ~2,400 py4j round-trips ≈ 400 ms of driver
     time PER CALL (measured round-12; it was half of ann_lsh_topk's gate
     latency) — and stays as the reference implementation for arbitrary
-    vector expressions; test_similarity pins the two paths to identical
-    results on real embeddings."""
+    vector expressions; test_sign_lsh_bands_sql_path_matches_column_path
+    pins the two paths to identical results on real embeddings. Only a
+    SIMPLE identifier takes the string path: a dotted/qualified name
+    ('meta.embedding') would backtick-quote as one identifier and fail
+    analysis, so those fall through to F.col, which resolves nested
+    references like before (round-12 review)."""
+    import re as _re
+
     if isinstance(vec, str):
-        return F.expr(_sign_lsh_bands_spark_sql(f"`{vec}`", n_planes, n_bands, dim, seed))
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec):
+            return F.expr(
+                _sign_lsh_bands_spark_sql(f"`{vec}`", n_planes, n_bands, dim, seed)
+            )
+        vec = F.col(vec)
     P = projection_matrix(n_planes * n_bands, dim, seed)
 
     def keys(ds: Column) -> Column:
@@ -212,12 +230,9 @@ def _sign_lsh_bands_spark_sql(
     case/shift key folds as the Column path, so the two parse to
     semantically identical plans; only the construction cost differs."""
     P = projection_matrix(n_planes * n_bands, dim, seed)
-    los = "array(" + ",".join(
-        str(sum(1 << d for d in range(min(32, dim)) if row[d] > 0)) + "L" for row in P
-    ) + ")"
-    his = "array(" + ",".join(
-        str(sum(1 << (d - 32) for d in range(32, dim) if row[d] > 0)) + "L" for row in P
-    ) + ")"
+    lo_masks, hi_masks = _sign_masks(P, dim)
+    los = "array(" + ",".join(f"{m}L" for m in lo_masks) + ")"
+    his = "array(" + ",".join(f"{m}L" for m in hi_masks) + ")"
     dots = (
         f"transform(sequence(0, {len(P) - 1}), h -> "
         f"aggregate(sequence(0, {dim - 1}), cast(0.0 as double), "

@@ -39,18 +39,23 @@ def tokens(c: Column) -> Column:
 # punctuation run, plus a TRAILING whitespace-run alternative (ADVICE
 # r11: without it an interior run of 2+ spaces/tabs/newlines
 # contributed zero pre-tokens, systematically undercounting budgets on
-# whitespace-heavy text — code, markdown, indented docs). Java regex
-# and DuckDB's RE2 both support every construct here and share
+# whitespace-heavy text — code, markdown, indented docs). Whitespace is
+# an EXPLICIT character class, not \s: Python/Java \s includes \x0B
+# (vertical tab) while RE2's does not, so a \s-based pattern diverges
+# across engines on \x0B-bearing text (round-12 review — found when
+# the |\s+ alternative made the divergence produce different COUNTS,
+# not just different token boundaries). [ \t\n\f\r] means the same
+# five characters in Java, RE2, and Python re; \x0B lands in the
+# punctuation class in all three. Java regex and DuckDB's RE2 share
 # leftmost-first alternation, so a SQL oracle reproduces the split
 # exactly — the full GPT-2 pattern's \s+(?!\S) lookahead does NOT
-# exist in RE2 and is deliberately omitted; the only remaining
-# divergence from real GPT-2 pre-tokenization is that a whitespace run
-# directly before a token counts as ONE token here where GPT-2 may
-# split it (run-minus-glue + glued token) — same total count for
-# space-before-word, ±1 for tab/newline-before-token (BPE merges would
-# iterate on top of these pre-tokens; counting them is the budget
-# estimate pipelines need).
-BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# exist in RE2 and is deliberately omitted; the remaining divergence
+# from real GPT-2 pre-tokenization is that a whitespace run directly
+# before a token counts as ONE token here where GPT-2 may split it —
+# same total count for space-before-word, ±1 for tab/newline-before-
+# token (BPE merges would iterate on top of these pre-tokens; counting
+# them is the budget estimate pipelines need).
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\f\r]+|[ \t\n\f\r]+"
 
 
 def bpe_tokens(c: Column) -> Column:

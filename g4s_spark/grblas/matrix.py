@@ -364,14 +364,27 @@ def _mask_accum(
     the effective mask; with a C operand (accum_into), inside the mask
     C ⊕ Z merges, while outside the mask C's old cells are KEPT when
     replace=False (the GraphBLAS default) and CLEARED when replace=True
-    (Descriptor.scala:50-94; mask/accum threading MatrixOps.scala:20-106)."""
+    (Descriptor.scala:50-94; mask/accum threading MatrixOps.scala:20-106).
+
+    With a C operand but NO accumulator, GraphBLAS semantics are a
+    masked WRITE: Z's pattern wins inside the effective mask (C cells
+    there not in Z are deleted), C's off-mask cells survive per replace
+    (round-12 review fix — this state was unreachable from mxm/ewise,
+    which default the accumulator, but extract/apply expose it and
+    previously dropped C entirely)."""
     out = _apply_mask(out, mask, complement, valued)
-    if accum_into is not None:
-        old = accum_into.df
-        if replace and mask is not None:
-            old = _apply_mask(old, mask, complement, valued)
-        out = _accum(old, out, accum)
-    return out
+    if accum_into is None:
+        return out
+    old = accum_into.df
+    if accum is None:
+        if mask is None or replace:
+            # C = Z wholesale (no mask), or off-mask C cleared (replace)
+            return out
+        kept = _apply_mask(old, mask, not complement, valued)
+        return kept.unionByName(out)
+    if replace and mask is not None:
+        old = _apply_mask(old, mask, complement, valued)
+    return _accum(old, out, accum)
 
 
 def _mask_accum_vec(
@@ -384,12 +397,18 @@ def _mask_accum_vec(
     accum: BinOp | None,
 ) -> DataFrame:
     out = _apply_mask_vec(out, mask, complement, valued)
-    if accum_into is not None:
-        old = accum_into.df
-        if replace and mask is not None:
-            old = _apply_mask_vec(old, mask, complement, valued)
-        out = _accum_vec(old, out, accum)
-    return out
+    if accum_into is None:
+        return out
+    old = accum_into.df
+    if accum is None:
+        # masked WRITE, like the matrix twin (round-12 review fix)
+        if mask is None or replace:
+            return out
+        kept = _apply_mask_vec(old, mask, not complement, valued)
+        return kept.unionByName(out)
+    if replace and mask is not None:
+        old = _apply_mask_vec(old, mask, complement, valued)
+    return _accum_vec(old, out, accum)
 
 
 def mxm(

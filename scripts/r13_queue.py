@@ -3,15 +3,18 @@ in round 12 after the GrB gates lifted and r12_queue.py was absorbed
 here).
 
 Gates here are BUILT AND ORACLE-VERIFIED but must wait for registry
-capacity: after the r12 lift (+grb_select_apply_reduce,
-+grb_assign_extract, −dedup_embedding retired) the registry is 189 of
-the 192 D=2 steady-state trip-wire (NOTES.md "Registry steady-state
-arithmetic", option 2). Lift schedule: TWO debuts at r13
-(events_range_stream + dedup_semantic → 191), ONE at r14
-(text_token_bpe → 192). graph_resource_alloc and graph_random_walks
-stay staged beyond that — landing them requires pairing each with a
-genuine-subsumption retirement or widening the staleness budget 4 → 5
-(capacity 240), both documented in NOTES.md.
+capacity: after the full r12 round (+grb_select_apply_reduce,
++grb_assign_extract; −dedup_embedding, −extract_submatrix,
+−ann_ivf_cells retired — three retirements, the last two found late
+in r12 once grb_assign_extract existed to subsume one of them) the
+registry is **187** of the 192 D=2 steady-state trip-wire (NOTES.md
+"Registry steady-state arithmetic", option 2). The WHOLE queue lands
+inside capacity with no budget widening: TWO debuts at r13
+(events_range_stream + dedup_semantic → 189), TWO at r14
+(text_token_bpe + graph_resource_alloc → 191), ONE at r15
+(graph_random_walks → 192, AT the trip-wire). From r15 on, new debuts
+pair with genuine-subsumption retirements or take the 4 → 5 staleness
+widening (capacity 240) — NOTES.md carries the arithmetic.
 
 - events_range_stream: the range_enrich_stream twin DRAINED AT THE
   DRIVER (availableNow -> parquet sink -> read back), value-hashed
@@ -224,13 +227,15 @@ QUEUE_ORACLES = {
         )
         SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
     """,
-    # same pattern, same engine semantics (verified Java == RE2 == re;
-    # the trailing \s+ whitespace-run alternative added in r12 per
-    # ADVICE r11 — re-verified identical across all three engines)
+    # same pattern, same engine semantics — whitespace as an EXPLICIT
+    # class because Python/Java \s includes \x0B and RE2's does not
+    # (round-12 review; re-verified identical across all three engines
+    # on \x0B/\x1c-bearing inputs)
     "text_token_bpe": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(
-                   text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'
+                   text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\f\r]+|[ \t\n\f\r]+'
                )) AS BIGINT) AS n_tokens
         FROM documents
     """,

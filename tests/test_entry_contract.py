@@ -106,11 +106,12 @@ def test_registry_under_sustainable_ledger_capacity():
     (50 − D) × 4: D=2 → 192, which is the steady state adopted in
     round 12 (NOTES.md "Registry steady-state arithmetic", option 2 —
     the same deliberate move round-8 made widening the budget 3 → 4):
-    at most TWO debuts per round from r13 on, staggering the verified
-    queue (events_range_stream + dedup_semantic at r13, text_token_bpe
-    at r14), still 8 gates under the absolute cliff. Raising past 192
-    requires either pairing every debut with a retirement or widening
-    the staleness budget to 5 — both documented in NOTES.md."""
+    at most TWO debuts per round from r13 on. With the three r12
+    retirements the registry sits at 187 and the whole verified queue
+    fits: r13 +2 → 189, r14 +2 → 191, r15 +1 → 192 (the trip-wire),
+    still 8 gates under the absolute cliff. Raising past 192 requires
+    either pairing every debut with a retirement or widening the
+    staleness budget to 5 — both documented in NOTES.md."""
     assert len(E.queries()) <= 192, (
         "registry at the D=2 sustainable capacity (50-2 slots x 4-round "
         "budget): pair further debuts with retirements or widen the "

@@ -51,11 +51,15 @@ def test_token_count_modes(spark):
         # spaces/tabs/newlines must contribute pre-tokens, not vanish
         (5, "def f(x):\n    return x + 1\n\n"),
         (6, "cols\t\tsep   wide"),
+        # \x0B (vertical tab): Python/Java \s includes it, RE2's does
+        # not — the explicit character classes put it in the PUNCT
+        # class in all three engines (round-12 review)
+        (7, "x\x0b\x0b."),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ws = {r.doc_id: r.n_tokens
           for r in TX.token_count(df, mode="whitespace").collect()}
-    assert ws == {1: 4, 2: 4, 3: 1, 4: 0, 5: 6, 6: 3}
+    assert ws == {1: 4, 2: 4, 3: 1, 4: 0, 5: 6, 6: 3, 7: 2}
     bpe = {r.doc_id: r.n_tokens for r in TX.token_count(df, mode="bpe").collect()}
     want = {i: len(_re.findall(TX.BPE_TOKEN_RE, t)) for i, t in rows}
     assert bpe == want
@@ -188,6 +192,18 @@ def test_sign_lsh_bands_sql_path_matches_column_path(spark):
     ref = collect(F.col("embedding"))
     emb.unpersist()
     assert fast == ref and len(fast) > 0
+
+    # a dotted name must NOT take the string path (it would backtick as
+    # one identifier and fail analysis) — it falls back to F.col, which
+    # resolves nested struct fields (round-12 review)
+    nested = spark.createDataFrame(
+        [(1, ([1.0] * 64,))],
+        "vec_id long, meta struct<embedding: array<double>>",
+    )
+    got = nested.select(
+        F.explode(S.sign_lsh_bands("meta.embedding")).alias("bk")
+    ).count()
+    assert got == 8  # one struct per band
 
 
 def test_ivf_assign_deterministic_partition(spark):

@@ -156,6 +156,34 @@ def test_assign_mask_accum_replace(spark):
     assert gotna[(0, 1)] == 1 and gotna[(1, 0)] == 1  # kept under accum
 
 
+def test_extract_accum_into_without_accum_op_is_masked_write(spark):
+    """Round-12 review fix: accum_into with NO accumulator is a masked
+    WRITE per GraphBLAS — Z's pattern wins inside the effective mask,
+    C's off-mask cells survive per replace. Previously C was silently
+    dropped wholesale (the state is unreachable from mxm/ewise, which
+    default the accumulator, but extract/apply expose it)."""
+    A = gb.Matrix.from_tuples(
+        spark, [(i, j, 10 * i + j) for i in range(4) for j in range(2)], 4, 2
+    )
+    mask = gb.Matrix.from_tuples(spark, [(0, 0, 1), (2, 1, 1)], 3, 2)
+    C = gb.Matrix.from_tuples(
+        spark, [(0, 0, 100), (1, 1, 200), (2, 1, 300)], 3, 2
+    )
+    # rows 1..3 re-based to 0..2; no accum_op: in-mask C cells get Z's
+    # values ((0,0)->10, (2,1)->31 — the old 100/300 overwritten), the
+    # off-mask (1,1)=200 survives
+    out = gb.extract(A, (1, 3), None, mask=mask, accum_into=C)
+    assert as_dict(out.to_tuples()) == {(0, 0): 10, (2, 1): 31, (1, 1): 200}
+    # replace=True clears the off-mask cell
+    outr = gb.extract(A, (1, 3), None, mask=mask, accum_into=C, replace=True)
+    assert as_dict(outr.to_tuples()) == {(0, 0): 10, (2, 1): 31}
+    # no mask at all: C = Z wholesale
+    outw = gb.extract(A, (1, 3), None, accum_into=C)
+    assert as_dict(outw.to_tuples()) == {
+        (i, j): 10 * (i + 1) + j for i in range(3) for j in range(2)
+    }
+
+
 def test_assign_valued_mask(spark):
     """valued mask (Descriptor.scala:50-94): only truthy mask cells
     write; falsy-valued mask cells behave as off-mask."""
