@@ -1126,6 +1126,88 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "user_id", "error_id")
 
 
+def _q_events_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_range_join fixture routed through the STREAMING twin
+    (round-13 debut, staged+verified in r11-r12 via scripts/r13_queue.py):
+    clicks arrive as an availableNow file stream, each micro-batch
+    range-joins the static same-user error windows, results land in a
+    parquet sink and are read back — so the driver value-hashes the
+    streaming path against the exact batch oracle (stream==batch at the
+    driver, not just in pytest).
+
+    The sink/checkpoint live under a per-(sf, PID) temp root wiped at
+    gate start: deterministic within a process so same-process reruns
+    never double-append into the hash, PID-scoped so two concurrent
+    runs against the same sf_dir cannot delete each other's live
+    sink/checkpoint mid-drain (ADVICE r12). The nanosAsLong conf matches
+    what load_table pins session-wide on every call."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from g4s_spark.sources.tables import normalize_ts
+    from g4s_spark.streaming import range_enrich_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a DIRECTORY; glob-filter it down to
+    # the one events file so sibling tables never enter the stream
+    ev = normalize_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        ["ts"],
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/g4s_range_stream_{tag}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = f"{base}/out"
+
+    def sink(df: DataFrame, _batch_id: int) -> None:
+        df.select("click_id", "user_id", "error_id").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = range_enrich_stream(
+        clicks, windows, sink, f"{base}/chk", on="user_id", bucket_s=3600
+    )
+    if not q.awaitTermination(600):
+        # a timed-out drain would otherwise fall through to reading a
+        # PARTIAL sink (with the query still appending behind the read)
+        # and report as a hash mismatch instead of a timeout
+        q.stop()
+        raise RuntimeError(
+            "events_range_stream: availableNow drain did not finish "
+            "within 600s; partial sink discarded"
+        )
+    return spark.read.parquet(out_dir).select("click_id", "user_id", "error_id")
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (round-13 debut;
+    arXiv:2303.09540): coarse IVF-cell clustering (the seeded
+    ivf_assign_sql-reproducible assignment) then within-cell cosine
+    pruning, keep-lowest-id. threshold=0.3 on the synthetic embeddings
+    prunes 181/500 rows at sf0.01 — the gate exercises the drop path,
+    not just the passthrough."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, threshold=0.3)
+
+
 def _q_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary train + encode roundtrip: top-50 vocab over the corpus,
     every document encoded to ordered vocab ids (OOV -> -1); ids render
@@ -1369,46 +1451,39 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-12 composition (VERDICT r11 #1, lifted verbatim from NOTES.md
-# "Concrete r12 window plan"): the 2 round-12 GrB debuts (staged +
-# oracle-verified in r11 via scripts/r12_queue.py — select/apply/reduce
-# composed and the extract/assign selection-algebra roundtrip, closing
-# the last SURVEY §2.3 rows without a driver check), the 40 HARD age-4
-# gates (the full r8 cohort — ALL 40 pre-verified hash-matching TWICE
-# on final r11 code, NOTES.md "Round 11 FINAL verification"), and 8
-# r9-cohort refreshes (the 8 oldest by first appearance: the round-1
-# cypher originals), which trims r13's forced wave to ~40.
-# dedup_embedding retired this round (the one gated cartesian product —
-# VERDICT r11 "What's wrong" #1; dedup_embedding_lsh verifies
-# candidates through the identical exact-cosine path —
-# RETIRED_GATES.json). Rotation history lives in WINDOW_LEDGER.json
-# (append-only; rounds with a published CORRECTNESS artifact are
-# digest-pinned); tests/test_entry_contract.py enforces the budget.
-# Everything at 51+ is green in the local full check
-# (scripts/check_correctness.py).
+# Round-13 composition (VERDICT r12 #1, lifted verbatim from NOTES.md
+# "Concrete r13 window plan" — the ledger arithmetic lands EXACTLY at
+# 50 with no slack decisions): the 2 round-13 debuts
+# (events_range_stream — the streaming range-join twin drained at the
+# driver — and dedup_semantic; both staged + oracle-verified on final
+# r12 code via scripts/r13_queue.py), the 40 HARD last-green-r9 gates
+# (forced by the 4-round staleness budget), and the 8 oldest r10 rows
+# by first appearance. Registry 187 → 189 (≤ the 192 D=2 trip-wire).
+# Rotation history lives in WINDOW_LEDGER.json (append-only; rounds
+# with a published CORRECTNESS artifact are digest-pinned);
+# tests/test_entry_contract.py enforces the budget. Everything at 51+
+# is green in the local full check (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-12 debuts
-    "grb_select_apply_reduce", "grb_assign_extract",
-    # the 40 HARD age-4 gates (r8 cohort; contract test fails without them)
-    "ann_ivf_topk", "ann_lsh_topk", "cypher_concat", "cypher_distinct_agg",
-    "cypher_exists", "cypher_id_where", "cypher_introspect",
-    "cypher_not_exists", "cypher_optional_agg", "cypher_stats_agg",
-    "cypher_union", "cypher_unwind", "cypher_where_regex",
-    "cypher_with_having", "dedup_clusters", "dedup_embedding_lsh",
-    "dedup_vs_index", "events_anomalies", "events_enrich",
-    "events_session_window", "graph_assort_label",
-    "rel_q11_important_stock", "rel_q12_priority_class",
-    "rel_q13_order_dist", "rel_q15_top_supplier", "rel_q16_supplier_cnt",
-    "rel_q17_small_qty", "rel_q18_large_orders", "rel_q19_disjunctive",
-    "rel_q20_part_share", "rel_q21_waiting", "rel_q22_idle_cust",
-    "rel_q2_min_cost", "rel_q4_priority", "rel_q7_volume",
-    "rel_q8_market_share", "rel_q9_profit", "text_decontaminate",
-    "text_normalize", "text_redact_pii",
-    # 8 r9-cohort refreshes (oldest-first by first appearance — the
-    # round-1 cypher originals)
-    "cypher_1hop", "cypher_2hop_reverse", "cypher_closure",
-    "cypher_count_groups", "cypher_fork", "cypher_multi_return",
-    "cypher_multitype", "cypher_prop_agg",
+    # round-13 debuts
+    "events_range_stream", "dedup_semantic",
+    # the 40 HARD last-green-r9 gates (contract test fails without them)
+    "cypher_agg_of_agg", "cypher_case_priority", "cypher_collect",
+    "cypher_create", "cypher_edge_agg", "cypher_edge_where",
+    "cypher_expr_cross", "cypher_expr_return", "cypher_expr_revenue",
+    "cypher_expr_where", "cypher_keys", "cypher_merge_on_match",
+    "cypher_multilabel", "cypher_multilabel_props",
+    "cypher_optional_where", "cypher_set_label", "cypher_undirected",
+    "cypher_where_in", "cypher_where_string_fns", "dedup_kmv",
+    "dedup_lines", "dedup_lines_index", "events_followups",
+    "events_trending", "graph_betweenness", "graph_closeness_weighted",
+    "graph_condense", "graph_eigenvector", "graph_kcore", "graph_layers",
+    "graph_ppr", "knn_join", "multimodal_frames", "pack_sequences",
+    "pipeline_pretrain_mix", "rel_quantiles", "sample_split",
+    "sample_stratified", "sample_weighted", "text_repetition",
+    # 8 oldest r10 rows (first-appearance order)
+    "cypher_varlength", "dedup_ngram_jaccard", "events_sessionize",
+    "ewise_intersect_min", "ewise_union_plus", "graph_bfs",
+    "graph_pagerank", "multimodal_meta",
 ]
 
 
@@ -1954,6 +2029,11 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_agg": _q_graph_neighbor_agg,
         "cypher_deep_chain": _q_cypher_deep_chain,
         "dedup_canonical": _q_dedup_canonical,
+        # round-13 debuts: staged + oracle-verified in r11/r12
+        # (scripts/r13_queue.py) — the streaming range-join twin drained
+        # at the driver, and SemDeDup semantic deduplication
+        "events_range_stream": _q_events_range_stream,
+        "dedup_semantic": _q_dedup_semantic,
     }
 
 
@@ -4548,6 +4628,37 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'error') e
               ON c.user_id = e.user_id
              AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        """,
+        # IDENTICAL to the batch events_range_join oracle: the streaming
+        # drain must reproduce the batch result bit-for-bit
+        "events_range_stream": """
+            SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        """,
+        # same seeded-projection cell assignment as ivf_assign_sql (plan
+        # literals both sides), pairwise cosine via list_dot_product with
+        # the identical left-to-right accumulation order Spark's
+        # F.aggregate uses — bit-stable, like the dedup_embedding_lsh gate
+        "dedup_semantic": f"""
+            WITH cells AS ({S.ivf_assign_sql()}),
+            c AS (
+                SELECT e.vec_id AS id, e.embedding AS v, cells.cell
+                FROM embeddings e JOIN cells USING (vec_id)
+            ),
+            drop AS (
+                SELECT DISTINCT r.id
+                FROM c l JOIN c r ON l.cell = r.cell AND l.id < r.id
+                WHERE list_dot_product(l.v, r.v)
+                      / (sqrt(list_dot_product(l.v, l.v))
+                         * sqrt(list_dot_product(r.v, r.v)))
+                      >= 0.3
+            )
+            SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
         """,
         # vocab ids: count desc, token asc, id 0 = most frequent, top 50,
         # min_count 2 (build_vocab defaults); OOV encodes as -1

@@ -59,12 +59,90 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 def _loadavg() -> list[float] | None:
     """1/5/15-min load averages — recorded so a contended driver run
     self-documents (round-9, VERDICT r8 #7: r8's 54 s 'regression' burned
-    an adjudication cycle on regression-or-noise)."""
+    an adjudication cycle on regression-or-noise). NOTE: once Spark is up,
+    loadavg includes OUR OWN local[32] work — the contention flags below
+    therefore bind to (a) the pre-Spark loadavg and (b) the external-CPU
+    meter, never to a post-warmup loadavg reading (VERDICT r12 #2: the
+    archived r12 artifact showed loadavg 11.7 'at start' because start
+    was measured after warmup, and still flagged contended=false)."""
     try:
         with open("/proc/loadavg") as f:
             return [float(x) for x in f.read().split()[:3]]
     except (OSError, ValueError):
         return None
+
+
+def _total_busy_jiffies() -> int | None:
+    """Aggregate non-idle CPU jiffies across all cores (/proc/stat line 1:
+    user+nice+system+irq+softirq+steal; idle and iowait excluded)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        v = [int(x) for x in parts]
+        return v[0] + v[1] + v[2] + v[5] + v[6] + (v[7] if len(v) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_jiffies() -> int | None:
+    """utime+stime jiffies summed over THIS process and every live
+    descendant (the py4j-launched JVM and its children), by walking
+    /proc ppid chains. total_busy − tree = CPU burned by OTHER tenants."""
+    try:
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cpu: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    tail = f.read().rsplit(")", 1)[1].split()
+                ppid[int(d)] = int(tail[1])
+                cpu[int(d)] = int(tail[11]) + int(tail[12])
+            except (OSError, ValueError, IndexError):
+                continue
+        total = cpu.get(me, 0)
+        for pid in ppid:
+            if pid == me:
+                continue
+            p, seen = pid, set()
+            while p in ppid and p not in seen:
+                seen.add(p)
+                p = ppid[p]
+                if p == me:
+                    total += cpu.get(pid, 0)
+                    break
+        return total
+    except OSError:
+        return None
+
+
+class ExternalCpuMeter:
+    """Measures average EXTERNAL busy cores over a region: the delta of
+    machine-wide busy jiffies minus the delta attributable to our own
+    process tree, divided by wall time. Unlike loadavg this is immune to
+    our own local[32] load, so it can flag contention that arrives AFTER
+    the pre-Spark gate (VERDICT r12 #2: the archived artifact must never
+    be a silently contended band)."""
+
+    def __init__(self) -> None:
+        self.t0 = time.time()
+        self.total0 = _total_busy_jiffies()
+        self.tree0 = _tree_cpu_jiffies()
+
+    def external_cores(self) -> float | None:
+        if self.total0 is None or self.tree0 is None:
+            return None
+        total1, tree1 = _total_busy_jiffies(), _tree_cpu_jiffies()
+        if total1 is None or tree1 is None:
+            return None
+        dt = time.time() - self.t0
+        if dt <= 0:
+            return None
+        hz = os.sysconf("SC_CLK_TCK")
+        ext = (total1 - self.total0) - (tree1 - self.tree0)
+        return max(0.0, ext / hz / dt)
 
 
 def _gc_millis(spark) -> int:
@@ -93,13 +171,15 @@ def main():
     import __spark_entry__ as entrymod
     from g4s_spark.session import get_spark
 
-    # contention gate (VERDICT r10 #4: three straight driver rounds ran
-    # against loadavg 5-14 and every total needed manual adjudication):
-    # if the box is busy, wait briefly for it to quiet down, then run
-    # regardless — flagging the start state so a contended run
-    # self-labels instead of reading as a regression
-    wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "120"))
-    load_threshold = 4.0
+    # contention gate (VERDICT r10 #4; tightened r13 per VERDICT r12 #2:
+    # the r12 archived artifact ran on a loaded box yet flagged false —
+    # threshold was 4.0 and the flag bound only to the pre-Spark check):
+    # if the box is busy, wait for it to quiet down — up to 300 s —
+    # then run regardless, flagging the start state so a contended run
+    # self-labels instead of reading as a regression. This reading is
+    # taken BEFORE Spark starts, so it measures EXTERNAL load only.
+    wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "300"))
+    load_threshold = 2.0
     waited = 0
     la = _loadavg()
     while la and la[0] > load_threshold and waited < wait_s:
@@ -111,6 +191,7 @@ def main():
         time.sleep(10)
         waited += 10
         la = _loadavg()
+    pre_spark_load = la[0] if la else None
     contended = bool(la and la[0] > load_threshold)
     if contended:
         print(
@@ -143,6 +224,7 @@ def main():
         print(f"# [warmup] {name}: {time.time() - t0:.2f}s", file=sys.stderr)
 
     load_start = _loadavg()
+    meter = ExternalCpuMeter()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     gc_ms: dict[str, list[int]] = {name: [] for name in HEADLINE}
     for rep in range(REPEATS):
@@ -164,24 +246,60 @@ def main():
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
 
+    # external-CPU verdict for the WHOLE timed region: machine busy
+    # jiffies minus our own process tree. >2 avg cores of other-tenant
+    # CPU during the run ⇒ the band is contended no matter what the
+    # pre-Spark gate saw (VERDICT r12 #2) — the artifact says so itself.
+    ext_cores = meter.external_cores()
+    contended_run = ext_cores is not None and ext_cores > 2.0
+    if contended_run:
+        print(
+            f"# WARNING: external load during the timed region averaged "
+            f"{ext_cores:.1f} busy cores — this band is CONTENDED; "
+            "per-query minima are the only comparable statistics",
+            file=sys.stderr,
+        )
+
     # full per-sample detail goes to STDERR as a diagnostic: the driver
     # archives only the last ~2000 chars of stdout, and r11's verbose
     # line truncated mid-"samples" — cutting the medians off the
     # artifact and failing its json parse (VERDICT r11 #7). The ONE
-    # stdout JSON line is kept compact (~800 chars for 24 queries) so
+    # stdout JSON line is kept compact (~900 chars for 24 queries) so
     # the archived tail always holds the complete, parseable record.
     print("# samples " + json.dumps(samples), file=sys.stderr)
     print("# gc_ms " + json.dumps(gc_ms), file=sys.stderr)
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "loadavg": {"start": load_start, "end": _loadavg()},
+        "loadavg": {
+            "pre_spark": pre_spark_load,
+            "start": load_start,
+            "end": _loadavg(),
+        },
         "contended_start": contended,
+        "external_busy_cores": None if ext_cores is None else round(ext_cores, 2),
+        "contended_run": contended_run,
         "repeats": REPEATS,
         "sf": sf,
-    }))
+    }
+
+    # in-repo history (VERDICT r12 #8): every run appends its FULL
+    # per-sample record under bench_history/, so cross-round per-query
+    # comparisons never again depend on the driver's 2000-char stdout
+    # tail or on stray stderr logs. Committed by the next session.
+    try:
+        hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_history")
+        os.makedirs(hist_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+        with open(os.path.join(hist_dir, f"run_{stamp}_sf{sf}.json"), "w") as f:
+            json.dump({**record, "samples": samples, "gc_ms": gc_ms}, f, indent=1)
+    except OSError as e:
+        print(f"# bench_history write failed: {e}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,28 +1,20 @@
-"""Round-13 debut-gate staging area (started in round 11; consolidated
-in round 12 after the GrB gates lifted and r12_queue.py was absorbed
-here).
+"""Round-14/15 debut-gate staging area (successor to r13_queue.py —
+the r13 debuts events_range_stream + dedup_semantic LANDED in
+__spark_entry__ in round 13; git history keeps the old file).
 
-Gates here are BUILT AND ORACLE-VERIFIED but must wait for registry
-capacity: after the full r12 round (+grb_select_apply_reduce,
-+grb_assign_extract; −dedup_embedding, −extract_submatrix,
-−ann_ivf_cells retired — three retirements, the last two found late
-in r12 once grb_assign_extract existed to subsume one of them) the
-registry is **187** of the 192 D=2 steady-state trip-wire (NOTES.md
-"Registry steady-state arithmetic", option 2). The WHOLE queue lands
-inside capacity with no budget widening: TWO debuts at r13
-(events_range_stream + dedup_semantic → 189), TWO at r14
-(text_token_bpe + graph_resource_alloc → 191), ONE at r15
-(graph_random_walks → 192, AT the trip-wire). From r15 on, new debuts
-pair with genuine-subsumption retirements or take the 4 → 5 staleness
-widening (capacity 240) — NOTES.md carries the arithmetic.
+Gates here are BUILT AND ORACLE-VERIFIED but wait for registry
+capacity: after the r13 debuts the registry is **189** of the 192 D=2
+steady-state trip-wire. The remaining queue lands exactly at capacity
+with no budget widening: TWO debuts at r14 (text_token_bpe +
+graph_resource_alloc → 191), ONE at r15 (graph_random_walks → 192, AT
+the trip-wire). From r15 on, every new debut pairs with a
+genuine-subsumption retirement — the steady-state rule is written in
+tests/test_entry_contract.py::test_registry_under_sustainable_ledger_capacity.
 
-- events_range_stream: the range_enrich_stream twin DRAINED AT THE
-  DRIVER (availableNow -> parquet sink -> read back), value-hashed
-  against the SAME DuckDB oracle as the batch events_range_join —
-  stream==batch at the driver, not just in pytest.
 - text_token_bpe: token_count(mode='bpe') — GPT-2-style pre-token
   counts; the lookahead-free pattern is engine-identical in Java regex
-  and DuckDB RE2 (cross-checked), so the oracle is exact.
+  and DuckDB RE2 (cross-checked r11; whitespace as an explicit class
+  because Python/Java \\s includes \\x0B and RE2's does not — r12).
 - graph_resource_alloc: resource-allocation link prediction (Zhou
   2009) — common_neighbor_scores over the co-purchase projection;
   exact rational weights, the jaccard oracle's join with a 1/deg(nb)
@@ -30,14 +22,8 @@ widening (capacity 240) — NOTES.md carries the arithmetic.
 - graph_random_walks: deterministic md5-keyed DeepWalk-style walks
   over the part->supplier digraph; the oracle unrolls the per-step
   arg_min(md5) draws (md5 byte-identical across engines).
-- dedup_semantic: SemDeDup-style semantic deduplication
-  (dedup.semantic_dedup, round-11; arXiv:2303.09540) — coarse IVF-cell
-  clustering (the ivf_assign_sql-reproducible seeded assignment), then
-  within-cell cosine pruning, keep-lowest-id. threshold=0.3 on the
-  synthetic embeddings prunes 181/500 rows at sf0.01, so the gate
-  exercises the drop path, not just the passthrough.
 
-Verify locally:  python scripts/r13_queue.py
+Verify locally:  python scripts/r14_queue.py
 """
 
 from __future__ import annotations
@@ -48,86 +34,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
-from g4s_spark.functions.dedup import semantic_dedup
-from g4s_spark.functions.similarity import ivf_assign_sql
 from g4s_spark.sources import load_table
-
-
-def _q_events_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events_range_join fixture routed through the STREAMING twin:
-    clicks arrive as an availableNow file stream, each micro-batch
-    range-joins the static same-user error windows, results land in a
-    parquet sink and are read back — so the driver value-hashes the
-    streaming path against the exact batch oracle.
-
-    The sink/checkpoint live under a DETERMINISTIC per-sf temp root
-    wiped at gate start (ADVICE r11): a fresh mkdtemp per call leaked
-    directories, and re-running against a survivor dir would
-    double-append rows into the hash. The nanosAsLong conf matches what
-    load_table pins session-wide on every call, so no restore is
-    needed — the session norm IS true."""
-    import hashlib
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from g4s_spark.sources.tables import normalize_ts
-    from g4s_spark.streaming import range_enrich_stream
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source wants a DIRECTORY; glob-filter it down to
-    # the one events file so sibling tables never enter the stream
-    ev = normalize_ts(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir),
-        ["ts"],
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    windows = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            "user_id",
-            F.col("ts").alias("start"),
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
-        )
-    )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/g4s_range_stream_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
-    out_dir = f"{base}/out"
-
-    def sink(df: DataFrame, _batch_id: int) -> None:
-        df.select("click_id", "user_id", "error_id").write.mode(
-            "append"
-        ).parquet(out_dir)
-
-    q = range_enrich_stream(
-        clicks, windows, sink, f"{base}/chk", on="user_id", bucket_s=3600
-    )
-    if not q.awaitTermination(600):
-        # a timed-out drain would otherwise fall through to reading a
-        # PARTIAL sink (with the query still appending behind the read)
-        # and report as a hash mismatch instead of a timeout
-        q.stop()
-        raise RuntimeError(
-            "events_range_stream: availableNow drain did not finish "
-            "within 600s; partial sink discarded"
-        )
-    return spark.read.parquet(out_dir).select("click_id", "user_id", "error_id")
-
-
-def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic-dedup survivors over the embeddings corpus: one
-    representative (lowest vec_id) per within-cell cosine>=0.3 group."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.3)
 
 
 def _q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,45 +95,12 @@ def _q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUEUE_QUERIES = {
-    "events_range_stream": _q_events_range_stream,
-    "dedup_semantic": _q_dedup_semantic,
     "text_token_bpe": _q_text_token_bpe,
     "graph_resource_alloc": _q_graph_resource_alloc,
     "graph_random_walks": _q_graph_random_walks,
 }
 
 QUEUE_ORACLES = {
-    # IDENTICAL to the batch events_range_join oracle: the streaming
-    # drain must reproduce the batch result bit-for-bit
-    "events_range_stream": """
-        SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
-        FROM (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'click') c
-        JOIN (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'error') e
-          ON c.user_id = e.user_id
-         AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
-    """,
-    # same seeded-projection cell assignment as ivf_assign_sql (plan
-    # literals both sides), pairwise cosine via list_dot_product with
-    # the identical left-to-right accumulation order Spark's
-    # F.aggregate uses — bit-stable, like the dedup_embedding gate
-    "dedup_semantic": f"""
-        WITH cells AS ({ivf_assign_sql()}),
-        c AS (
-            SELECT e.vec_id AS id, e.embedding AS v, cells.cell
-            FROM embeddings e JOIN cells USING (vec_id)
-        ),
-        drop AS (
-            SELECT DISTINCT r.id
-            FROM c l JOIN c r ON l.cell = r.cell AND l.id < r.id
-            WHERE list_dot_product(l.v, r.v)
-                  / (sqrt(list_dot_product(l.v, l.v))
-                     * sqrt(list_dot_product(r.v, r.v)))
-                  >= 0.3
-        )
-        SELECT c.id AS vec_id, c.cell FROM c ANTI JOIN drop ON c.id = drop.id
-    """,
     # same pattern, same engine semantics — whitespace as an EXPLICIT
     # class because Python/Java \s includes \x0B and RE2's does not
     # (round-12 review; re-verified identical across all three engines
@@ -308,7 +182,7 @@ def main() -> None:
     sys.path.insert(0, "/root/repo/scripts")
     from check_correctness import run_queue
 
-    run_queue(QUEUE_QUERIES, QUEUE_ORACLES, app_name="r13_queue")
+    run_queue(QUEUE_QUERIES, QUEUE_ORACLES, app_name="r14_queue")
 
 
 if __name__ == "__main__":
