@@ -50,6 +50,7 @@ from g4s_spark.operators import (
     betweenness_centrality,
     bfs,
     closeness_centrality,
+    common_neighbor_scores,
     condensation,
     connected_components,
     eigenvector_centrality,
@@ -125,6 +126,21 @@ def _q_graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     top ~2k candidate pairs at sf0.01)."""
     out = neighborhood_jaccard(_copurchase_pairs(spark, sf_dir), threshold=0.08)
     return out.select("x", "y", "shared", pround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou/Lü/Zhang 2009) over
+    the co-purchase projection: Σ 1/deg(w) across shared neighbors —
+    neighborhood_jaccard's inverted-index join with a 1/deg(nb) weight
+    attached BEFORE the self-join, so the pair aggregation stays a
+    map-side-combinable sum. Exact rational per term (one IEEE
+    division), rounded like graph_harmonic's 1/d sums. min_shared=22
+    keeps the top ~900 candidate pairs at sf0.01 (max shared there
+    is 32)."""
+    out = common_neighbor_scores(
+        _copurchase_pairs(spark, sf_dir), index="resource_allocation", min_shared=22
+    )
+    return out.select("x", "y", "shared", pround(F.col("score"), 6).alias("score"))
 
 
 def _q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +628,15 @@ def _q_events_sliding(spark, sf_dir):
 
 def _q_text_tokens(spark, sf_dir):
     return TX.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_token_bpe(spark, sf_dir):
+    """GPT-2-style pre-token counts (token_count mode='bpe'): the
+    lookahead-free pattern evaluates identically in Java regex and
+    DuckDB's RE2 (cross-checked round-11; whitespace as an explicit
+    class because Python/Java \\s includes \\x0B and RE2's does not —
+    round-12 review)."""
+    return TX.token_count(load_table(spark, sf_dir, "documents"), mode="bpe")
 
 
 def _q_text_quality(spark, sf_dir):
@@ -1173,8 +1198,23 @@ def _q_events_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/g4s_range_stream_{tag}_{os.getpid()}"
+    tmp = tempfile.gettempdir()
+    base = f"{tmp}/g4s_range_stream_{tag}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
+    # reap sibling sink/checkpoint roots left by EXITED driver processes
+    # (ADVICE r13: the success path never removed its own root, so every
+    # past driver run leaked one per sf). A sibling whose PID is dead
+    # cannot have a live query appending — safe to sweep; live PIDs are
+    # left alone so concurrent runs still cannot delete each other's
+    # sink mid-drain (the ADVICE r12 property this layout exists for).
+    import re as _re
+
+    for d in os.listdir(tmp):
+        m = _re.match(rf"g4s_range_stream_{tag}_(\d+)$", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{m.group(1)}"):
+            shutil.rmtree(f"{tmp}/{d}", ignore_errors=True)
     out_dir = f"{base}/out"
 
     def sink(df: DataFrame, _batch_id: int) -> None:
@@ -1451,39 +1491,39 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-13 composition (VERDICT r12 #1, lifted verbatim from NOTES.md
-# "Concrete r13 window plan" — the ledger arithmetic lands EXACTLY at
-# 50 with no slack decisions): the 2 round-13 debuts
-# (events_range_stream — the streaming range-join twin drained at the
-# driver — and dedup_semantic; both staged + oracle-verified on final
-# r12 code via scripts/r13_queue.py), the 40 HARD last-green-r9 gates
-# (forced by the 4-round staleness budget), and the 8 oldest r10 rows
-# by first appearance. Registry 187 → 189 (≤ the 192 D=2 trip-wire).
+# Round-14 composition (VERDICT r13 #1 — the ledger arithmetic lands
+# EXACTLY at 50 with no slack decisions): the 2 round-14 debuts
+# (text_token_bpe — GPT-2-style pre-token counts — and
+# graph_resource_alloc — Zhou-2009 link prediction; both staged +
+# oracle-verified on final r13 code via scripts/r14_queue.py), the 40
+# HARD last-green-r10 gates (forced by the 4-round staleness budget),
+# and the 8 oldest last-seen-r11 rows by first appearance. Registry
+# 189 → 191 (≤ the 192 D=2 trip-wire; the r15 graph_random_walks debut
+# lands AT it — steady-state rule from then on).
 # Rotation history lives in WINDOW_LEDGER.json (append-only; rounds
 # with a published CORRECTNESS artifact are digest-pinned);
 # tests/test_entry_contract.py enforces the budget. Everything at 51+
 # is green in the local full check (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-13 debuts
-    "events_range_stream", "dedup_semantic",
-    # the 40 HARD last-green-r9 gates (contract test fails without them)
-    "cypher_agg_of_agg", "cypher_case_priority", "cypher_collect",
-    "cypher_create", "cypher_edge_agg", "cypher_edge_where",
-    "cypher_expr_cross", "cypher_expr_return", "cypher_expr_revenue",
-    "cypher_expr_where", "cypher_keys", "cypher_merge_on_match",
-    "cypher_multilabel", "cypher_multilabel_props",
-    "cypher_optional_where", "cypher_set_label", "cypher_undirected",
-    "cypher_where_in", "cypher_where_string_fns", "dedup_kmv",
-    "dedup_lines", "dedup_lines_index", "events_followups",
-    "events_trending", "graph_betweenness", "graph_closeness_weighted",
-    "graph_condense", "graph_eigenvector", "graph_kcore", "graph_layers",
-    "graph_ppr", "knn_join", "multimodal_frames", "pack_sequences",
-    "pipeline_pretrain_mix", "rel_quantiles", "sample_split",
-    "sample_stratified", "sample_weighted", "text_repetition",
-    # 8 oldest r10 rows (first-appearance order)
-    "cypher_varlength", "dedup_ngram_jaccard", "events_sessionize",
-    "ewise_intersect_min", "ewise_union_plus", "graph_bfs",
-    "graph_pagerank", "multimodal_meta",
+    # round-14 debuts (from scripts/r14_queue.py, oracle-verified)
+    "text_token_bpe", "graph_resource_alloc",
+    # the 40 HARD last-green-r10 gates (contract test fails without them)
+    "ann_hard_negatives", "ann_ivf_nprobe", "cypher_merge_node",
+    "cypher_skip_limit", "cypher_string_fns", "cypher_topk_agg",
+    "cypher_unwind_collected", "cypher_where_cross", "cypher_where_fn",
+    "cypher_where_or", "cypher_with_expr", "dedup_incremental",
+    "events_asof", "events_funnel", "events_json_props",
+    "events_range_join", "events_sliding_window", "extract_strided",
+    "graph_betweenness_multi", "graph_degree_hist", "graph_harmonic",
+    "graph_harmonic_weighted", "graph_ktruss", "graph_link_jaccard",
+    "graph_lpa", "graph_reciprocity", "graph_wpagerank", "mxm_any_pair",
+    "mxm_kron", "mxm_masked", "mxm_plus_times", "reduce_cols_max",
+    "reduce_rows_plus", "rel_q14_promo", "sample_deterministic",
+    "text_bigram_rarity", "text_encode", "text_tfidf", "text_vocab",
+    "vxm_masked",
+    # 8 oldest last-seen-r11 rows (first-appearance order)
+    "ann_topk", "cypher_untyped", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "graph_components", "graph_sssp", "graph_triangles",
 ]
 
 
@@ -1539,6 +1579,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wpagerank": _q_graph_wpagerank,
         "graph_harmonic": _q_graph_harmonic,
         "graph_link_jaccard": _q_graph_link_jaccard,
+        "graph_resource_alloc": _q_graph_resource_alloc,
         "events_enrich": lambda spark, sf_dir: EV.enrich_events(
             load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
         ),
@@ -1897,6 +1938,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q10_returns": _q_rel_q10_returns,
         # text analysis
         "text_token_count": _q_text_tokens,
+        "text_token_bpe": _q_text_token_bpe,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang,
         "text_fingerprint": _q_text_fp,
@@ -3821,6 +3863,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_reachable
             FROM dist WHERE d > 0
         """,
+        # the jaccard oracle's inverted-index join with a 1/deg(nb)
+        # weight attached to the index rows (explicit DOUBLE so DuckDB
+        # does not fall into DECIMAL arithmetic)
+        "graph_resource_alloc": """
+            WITH pairs AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                WHERE l1.l_partkey < l2.l_partkey
+            ),
+            sym AS (SELECT a AS n, b AS x FROM pairs UNION ALL SELECT b, a FROM pairs),
+            deg AS (SELECT n, count(*) AS deg FROM sym GROUP BY 1),
+            inv AS (
+                SELECT sym.x AS nb, sym.n AS node,
+                       CAST(1 AS DOUBLE) / d.deg AS w
+                FROM sym JOIN deg d ON d.n = sym.x
+            )
+            SELECT l.node AS x, r.node AS y, CAST(count(*) AS BIGINT) AS shared,
+                   floor(sum(l.w) * 1000000 + 0.5) / 1000000 AS score
+            FROM inv l JOIN inv r ON l.nb = r.nb AND l.node < r.node
+            GROUP BY 1, 2 HAVING count(*) >= 22
+        """,
         "graph_link_jaccard": """
             WITH pairs AS (
                 SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -3952,6 +4015,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        """,
+        # same pattern, same engine semantics — whitespace as an
+        # EXPLICIT class because Python/Java \\s includes \\x0B and
+        # RE2's does not (round-12 review; re-verified identical across
+        # all three engines on \\x0B/\\x1c-bearing inputs)
+        "text_token_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\f\r]+|[ \t\n\f\r]+'
+                   )) AS BIGINT) AS n_tokens
+            FROM documents
         """,
         # exact-integer sums + one double division + interpolated
         # percentile — engine-reproducible without rounding

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -85,9 +86,16 @@ def _total_busy_jiffies() -> int | None:
 
 
 def _tree_cpu_jiffies() -> int | None:
-    """utime+stime jiffies summed over THIS process and every live
-    descendant (the py4j-launched JVM and its children), by walking
-    /proc ppid chains. total_busy − tree = CPU burned by OTHER tenants."""
+    """utime+stime+cutime+cstime jiffies summed over THIS process and
+    every live descendant (the py4j-launched JVM and its children), by
+    walking /proc ppid chains. total_busy − tree = CPU burned by OTHER
+    tenants. cutime/cstime (stat fields 16-17, tail[13]+tail[14]) fold
+    in reaped children — e.g. PySpark python workers that exit during
+    the timed region — whose CPU would otherwise vanish from the live
+    sum and be misattributed as external load (ADVICE r13). A live
+    child's own utime is NOT double counted: cutime only accumulates at
+    wait(); a still-running descendant appears solely via its own stat
+    row."""
     try:
         me = os.getpid()
         ppid: dict[int, int] = {}
@@ -99,7 +107,10 @@ def _tree_cpu_jiffies() -> int | None:
                 with open(f"/proc/{d}/stat") as f:
                     tail = f.read().rsplit(")", 1)[1].split()
                 ppid[int(d)] = int(tail[1])
-                cpu[int(d)] = int(tail[11]) + int(tail[12])
+                cpu[int(d)] = (
+                    int(tail[11]) + int(tail[12])  # utime+stime
+                    + int(tail[13]) + int(tail[14])  # cutime+cstime (reaped)
+                )
             except (OSError, ValueError, IndexError):
                 continue
         total = cpu.get(me, 0)
@@ -290,12 +301,38 @@ def main():
     # comparisons never again depend on the driver's 2000-char stdout
     # tail or on stray stderr logs. Committed by the next session.
     try:
-        hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "bench_history")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        hist_dir = os.path.join(repo, "bench_history")
         os.makedirs(hist_dir, exist_ok=True)
+        # git SHA ties each record to the exact tree it measured
+        # (VERDICT r13 #8); PID in the name prevents two same-second
+        # runs at one sf silently overwriting each other (ADVICE r13).
+        try:
+            sha = subprocess.run(
+                ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except (OSError, subprocess.SubprocessError):
+            sha = None
+        # round inferred from the archived BENCH artifacts: this run,
+        # if archived, becomes BENCH_r{max+1}
+        try:
+            rounds = [
+                int(m.group(1))
+                for fn in os.listdir(repo)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+            ]
+            round_no = max(rounds, default=0) + 1
+        except OSError:
+            round_no = None
         stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
-        with open(os.path.join(hist_dir, f"run_{stamp}_sf{sf}.json"), "w") as f:
-            json.dump({**record, "samples": samples, "gc_ms": gc_ms}, f, indent=1)
+        fname = f"run_{stamp}_p{os.getpid()}_sf{sf}.json"
+        with open(os.path.join(hist_dir, fname), "w") as f:
+            json.dump(
+                {**record, "git_sha": sha, "round": round_no,
+                 "samples": samples, "gc_ms": gc_ms},
+                f, indent=1,
+            )
     except OSError as e:
         print(f"# bench_history write failed: {e}", file=sys.stderr)
 

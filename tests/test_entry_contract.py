@@ -157,7 +157,8 @@ def test_window_ledger_history_is_append_only():
         "9": "5a8832e87d1bc3de",
         "10": "af7e96d072039bb7",
         "11": "c33a255a5f96caba",
-        "12": "394355c362f7217e",  # final: CORRECTNESS_r12 published
+        "12": "394355c362f7217e",
+        "13": "23527ebff29c0d8b",  # final: CORRECTNESS_r13 published
     }
     published = {
         str(n)

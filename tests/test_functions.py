@@ -1314,3 +1314,29 @@ def test_semantic_dedup(spark):
     lax = {r.vec_id for r in
            semantic_dedup(emb, threshold=0.7, n_centroids=2, dim=4).collect()}
     assert lax <= got
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    """The cell-blowup guard (VERDICT r13 #2, mirroring range_join's
+    max_fanout): a cell holding more than max_cell_rows vectors fails
+    the job with an explicit executor-side error instead of silently
+    planning a |cell|^2 pair join; a bound the cells respect changes
+    nothing; None disables the guard."""
+    import pytest
+
+    from g4s_spark.functions.dedup import semantic_dedup
+
+    rows = [(i, [1.0 * (i % 3 == 0), 1.0, 0.0, float(i)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_centroids=1 -> one 12-row cell, over a 4-row bound
+    with pytest.raises(Exception, match="semantic_dedup: cell .* holds 12"):
+        semantic_dedup(
+            emb, threshold=0.99, n_centroids=1, dim=4, max_cell_rows=4
+        ).collect()
+    ok = semantic_dedup(
+        emb, threshold=0.99, n_centroids=1, dim=4, max_cell_rows=12
+    )
+    off = semantic_dedup(
+        emb, threshold=0.99, n_centroids=1, dim=4, max_cell_rows=None
+    )
+    assert {r.vec_id for r in ok.collect()} == {r.vec_id for r in off.collect()}
