@@ -15,6 +15,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from .tokenizer import CypherLexError, split_top_level, tokenize
+
 
 @dataclass(frozen=True)
 class PatternEdge:
@@ -316,41 +318,88 @@ def _arith_op_present(s: str) -> bool:
     return re.search(r"[-+*/]", t) is not None
 
 
+_STATEMENT_CLAUSES = {
+    "RETURN": ("RETURN",),
+    "ORDER BY": ("ORDER", "BY"),
+    "SKIP": ("SKIP",),
+    "LIMIT": ("LIMIT",),
+}
+# the clause order the statement grammar admits (each at most once,
+# RETURN mandatory) — openCypher's read-statement tail
+_CLAUSE_RANK = {"RETURN": 0, "ORDER BY": 1, "SKIP": 2, "LIMIT": 3}
+
+
 def parse(query: str) -> QueryGraph:
+    """Statement-level split runs on the token stream (round-14,
+    tokenizer.py): clause keywords inside string literals or in
+    identifier positions (``o.skip``, ``AS limit``) never split. A bare
+    binding actually NAMED like a tail keyword (``RETURN skip``) is the
+    one deliberate non-goal — treat those words as reserved, as
+    openCypher effectively does."""
     q = query.strip()
-    m = re.match(
-        r"(?is)^\s*MATCH\s+(?P<body>.+?)"
-        r"\s+RETURN\s+(?P<returns>.+?)"
-        r"(?:\s+ORDER\s+BY\s+(?P<orderby>.+?))?"
-        r"(?:\s+SKIP\s+(?P<skip>\d+))?"
-        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
-        q,
-    )
-    if not m:
-        raise CypherParseError(f"unsupported query (expected MATCH ... RETURN ...): {query!r}")
+    try:
+        toks = tokenize(q)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+    if not toks or not toks[0].is_word("MATCH") or len(toks) < 2:
+        raise CypherParseError(
+            f"unsupported query (expected MATCH ... RETURN ...): {query!r}"
+        )
+    segs = split_top_level(q, toks, _STATEMENT_CLAUSES)
+    head = segs[0]
+    clauses: dict[str, str] = {}
+    rank = -1
+    for name, text in segs[1:]:
+        if name in clauses or _CLAUSE_RANK[name] <= rank:
+            raise CypherParseError(
+                f"misplaced or duplicate {name} clause: {query!r}"
+            )
+        rank = _CLAUSE_RANK[name]
+        clauses[name] = text
+    if head[0] is not None or "RETURN" not in clauses:
+        raise CypherParseError(
+            f"unsupported query (expected MATCH ... RETURN ...): {query!r}"
+        )
+    body = head[1][toks[0].end :].strip()  # head text minus the MATCH keyword
+    if not body:
+        raise CypherParseError(f"empty MATCH pattern: {query!r}")
+    for k in ("SKIP", "LIMIT"):
+        if k in clauses and not re.fullmatch(r"\d+", clauses[k]):
+            raise CypherParseError(
+                f"{k} expects a non-negative integer literal: {clauses[k]!r}"
+            )
     qg = QueryGraph()
-    _parse_clauses(m.group("body"), qg)
-    _parse_returns(qg, m.group("returns"))
-    _parse_order_limit(qg, m.group("orderby"), m.group("limit"), m.group("skip"))
+    _parse_clauses(body, qg)
+    _parse_returns(qg, clauses["RETURN"])
+    _parse_order_limit(
+        qg, clauses.get("ORDER BY"), clauses.get("LIMIT"), clauses.get("SKIP")
+    )
     return qg
 
 
 def split_with(query: str) -> list[str] | None:
     """Split a query on top-level WITH keywords (the stage separators of a
     Cypher pipeline — an extension beyond the reference surface, which has
-    no WITH). Returns None when the query has no top-level WITH; quoted
-    strings, parenthesized groups, and the WITH inside a STARTS WITH /
-    ENDS WITH string predicate never split."""
-    parts = _split_bool(query.strip(), "WITH")
-    if len(parts) <= 1:
+    no WITH). Returns None when the query has no top-level WITH; string
+    literals, bracketed groups, identifier positions (``a.with``,
+    ``AS with``) and the WITH inside a STARTS WITH / ENDS WITH string
+    predicate never split (token-stream scan, round-14)."""
+    q = query.strip()
+    try:
+        toks = tokenize(q)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+
+    def not_string_op(ts, i):
+        return not (i > 0 and ts[i - 1].is_word("STARTS", "ENDS"))
+
+    segs = split_top_level(q, toks, {"WITH": ("WITH",)}, extra_guard=not_string_op)
+    if len(segs) <= 1:
         return None
-    merged = [parts[0]]
-    for p in parts[1:]:
-        if re.search(r"(?is)\b(?:STARTS|ENDS)\s*$", merged[-1]):
-            merged[-1] = merged[-1] + " WITH " + p
-        else:
-            merged.append(p)
-    return merged if len(merged) > 1 else None
+    parts = [text for _, text in segs]
+    if any(not p for p in parts):
+        raise CypherParseError(f"dangling WITH: {query!r}")
+    return parts
 
 
 def _parse_clauses(body: str, qg: QueryGraph) -> None:
@@ -366,8 +415,18 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
     # clause list: required MATCH first, then zero or more OPTIONAL MATCH;
     # each clause is `patterns [WHERE conds]` and WHERE scoping follows
     # clause order (a clause's WHERE may only reference bindings bound so
-    # far, like openCypher)
-    clauses = re.split(r"(?i)\s+OPTIONAL\s+MATCH\s+", body)
+    # far, like openCypher). Token-stream split (round-14): an OPTIONAL
+    # MATCH inside a string literal or sub-pattern parens never splits.
+    try:
+        btoks = tokenize(body)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+    clauses = [
+        text
+        for _, text in split_top_level(
+            body, btoks, {"OPTIONAL MATCH": ("OPTIONAL", "MATCH")}
+        )
+    ]
     for ci, clause in enumerate(clauses):
         cm_ = re.match(r"(?is)^(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+))?$", clause.strip())
         if not cm_:

@@ -133,22 +133,25 @@ def minhash_signatures(
     toked = df.repartition(F.col(id_col)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("t")
     )
-    grams = F.when(
-        F.size(F.col("t")) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    based = toked.select(F.col(id_col), grams.alias("g")).filter(F.size("g") > 0)
-
-    def perm_hash(idx: int):
-        # single-param lambda: a two-param form would be read by
-        # F.transform as (element, index) — see text.py's same note
-        return lambda s: F.md5(F.concat(s, F.lit(f"#{idx}")))
-
+    # one-string SQL expressions (round-14 build profile, NOTES.md): the
+    # previous per-permutation Python-lambda F.transform chain cost
+    # ~270 ms of py4j expression construction per BUILD — this is the
+    # driver-side plan-construction lesson from SCALE.md, applied to the
+    # hottest builder. Semantics are byte-identical: same transform /
+    # concat_ws / slice / md5 calls, now parsed JVM-side in one shot.
+    grams = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    based = toked.select(F.col(id_col), F.expr(grams).alias("g")).filter(
+        F.size("g") > 0
+    )
     sig_cols = [
-        F.array_min(F.transform(F.col("g"), perm_hash(i))).alias(f"h{i}")
+        F.expr(f"array_min(transform(g, s -> md5(concat(s, '#{i}'))))").alias(
+            f"h{i}"
+        )
         for i in range(k)
     ]
     return based.select(F.col(id_col), *sig_cols)

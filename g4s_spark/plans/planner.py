@@ -130,17 +130,27 @@ def _parse_literal_list(items_txt: str) -> list:
 
 
 def _split_union(query: str) -> tuple[list[str], bool]:
-    """Top-level UNION [ALL] segments. openCypher forbids mixing UNION
-    and UNION ALL in one query; so do we."""
-    parts = _split_bool(query.strip(), "UNION")
+    """Top-level UNION [ALL] segments (token-stream split, round-14 —
+    a UNION inside a string literal or parens never splits). openCypher
+    forbids mixing UNION and UNION ALL in one query; so do we."""
+    from ..cypher.tokenizer import CypherLexError, split_top_level, tokenize
+
+    q = query.strip()
+    try:
+        toks = tokenize(q)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+    parts = split_top_level(q, toks, {"UNION": ("UNION",)})
     if len(parts) <= 1:
-        return parts, False
+        return [q], False
     alls = []
-    segs = [parts[0]]
-    for p in parts[1:]:
-        m = re.match(r"(?is)^ALL\s+(?P<rest>.+)$", p.strip())
+    segs = [parts[0][1]]
+    for _, p in parts[1:]:
+        m = re.match(r"(?is)^ALL\s+(?P<rest>.+)$", p)
         alls.append(bool(m))
         segs.append(m.group("rest") if m else p)
+    if any(not s for s in segs):
+        raise CypherParseError(f"dangling UNION in: {query!r}")
     if len(set(alls)) > 1:
         raise CypherParseError("cannot mix UNION and UNION ALL in one query")
     return segs, alls[0]

@@ -51,10 +51,26 @@ def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+# One analyzed DataFrame per (spark app, sf_dir, table) — the same memo
+# scheme as graph.tpch._GRAPH_CACHE. spark.read.parquet lists files and
+# reads footers ON THE DRIVER at plan-construction time (~100 ms/table),
+# so an uncached load_tables() call cost ~1 s of serial driver time per
+# GATE; across a 50-gate driver window that was ~50 s of pure plan
+# construction (round-14 build-vs-execute profile, NOTES.md). The plan
+# is immutable — reuse is free; nothing here persists executor memory.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return normalize_ts(df, TS_COLS.get(name, []))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = normalize_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"), TS_COLS.get(name, [])
+        )
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,108 @@
+"""Statement-level tokenizer (round-14, VERDICT r12 #6): lexing and
+clause-split behavior — pure Python, no Spark session."""
+
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from g4s_spark.cypher.parser import CypherParseError, parse, split_with
+from g4s_spark.cypher.tokenizer import (
+    CypherLexError,
+    scan_clauses,
+    split_top_level,
+    tokenize,
+)
+
+
+def test_tokenize_kinds():
+    toks = tokenize("MATCH (a:A)-[r:X*1..2]->(b) WHERE a.k >= 1.5 RETURN $p, 'x'")
+    kinds = [(t.kind, t.text) for t in toks]
+    assert ("word", "MATCH") in kinds
+    assert ("punct", "..") in kinds  # .. lexes as one token, not two dots
+    assert ("num", "1.5") in kinds
+    assert ("param", "$p") in kinds
+    assert ("str", "'x'") in kinds
+    assert ("punct", "->") in kinds
+
+
+def test_tokenize_rejects_unreadable():
+    with pytest.raises(CypherLexError):
+        tokenize("MATCH (a) RETURN a ~ b")  # bare ~ is not in the grammar
+    # unterminated literal: the opening quote cannot lex
+    with pytest.raises(CypherLexError):
+        tokenize("MATCH (a) WHERE a.k = 'oops RETURN a")
+
+
+def test_clause_keywords_in_strings_never_split():
+    q = "MATCH (a:A) WHERE a.note = ' RETURN WITH UNION LIMIT 3 ' RETURN a"
+    qg = parse(q)
+    assert qg.limit is None
+    assert split_with(q) is None
+
+
+def test_identifier_positions_never_split():
+    # property access / alias: skip+limit as identifiers stay in RETURN
+    q = "MATCH (a:A) RETURN a.skip AS s1, a.x AS limit"
+    hits = scan_clauses(
+        tokenize(q),
+        {"RETURN": ("RETURN",), "SKIP": ("SKIP",), "LIMIT": ("LIMIT",)},
+    )
+    assert [h[0] for h in hits] == ["RETURN"]
+
+
+def test_depth_shields_subpatterns():
+    toks = tokenize("MATCH (a) WHERE EXISTS((a)-[:X]->(b RETURN)) RETURN a")
+    hits = scan_clauses(toks, {"RETURN": ("RETURN",)})
+    # only the top-level RETURN is a clause; the parenthesized one is not
+    assert len(hits) == 1
+
+
+def test_multiword_clause_requires_full_sequence():
+    toks = tokenize("MATCH (a) RETURN a, order_total ORDER BY a")
+    hits = scan_clauses(toks, {"ORDER BY": ("ORDER", "BY")})
+    assert len(hits) == 1  # the identifier order_total does not match
+
+
+def test_split_top_level_bodies():
+    q = "MATCH (a) WITH a MATCH (b) RETURN b"
+    segs = split_top_level(q, tokenize(q), {"WITH": ("WITH",)})
+    assert segs == [(None, "MATCH (a)"), ("WITH", "a MATCH (b) RETURN b")]
+
+
+def test_parse_clause_order_enforced():
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a) LIMIT 2 RETURN a")
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a) RETURN a RETURN a")
+    with pytest.raises(CypherParseError):
+        parse("MATCH (a) RETURN a SKIP nope")
+
+
+def test_starts_with_does_not_split_pipeline():
+    assert split_with("MATCH (a) WHERE a.s STARTS WITH 'q' RETURN a") is None
+    parts = split_with(
+        "MATCH (a) WHERE a.s ENDS WITH 'q' WITH a MATCH (b) RETURN b"
+    )
+    assert parts is not None and len(parts) == 2
+
+
+def test_optional_match_in_string_not_a_clause(spark):
+    """End-to-end: a literal containing ' OPTIONAL MATCH ' used to split
+    the raw text; on the token stream it is one string token."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "A", {"s": " OPTIONAL MATCH (x) "}), (1, "B", {"s": "y"})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, "X")], "src long, dst long, type string"
+    )
+    g = PropertyGraph(nodes, edges)
+    got = run_cypher(
+        g, "MATCH (a:A) WHERE a.s = ' OPTIONAL MATCH (x) ' RETURN a"
+    ).collect()
+    assert [r.a for r in got] == [0]
