@@ -727,20 +727,24 @@ def is_all(a: Matrix, b: Matrix, op_name: str = "eq") -> bool:
     short-circuit)."""
     if (a.nrows, a.ncols) != (b.nrows, b.ncols):
         return False
-    na = a.nvals()
-    if na != b.nvals():
-        return False
+    # ONE job (round-14, VERDICT r12 #4): a full-outer join surfaces
+    # pattern mismatch (either side NULL) and value mismatch (op fails)
+    # in the same pass, short-circuited by limit(1) — the previous shape
+    # ran two nvals() counts plus two jobs over a cached inner join.
     op = BINARY_OPS[op_name]
-    joined = (
-        a.df.withColumnRenamed("v", "va").join(b.df.withColumnRenamed("v", "vb"), on=["i", "j"])
-    ).cache()
-    try:
-        if joined.count() != na:  # pattern mismatch
-            return False
-        bad = joined.filter(~op(F.col("va"), F.col("vb")).cast("boolean")).limit(1).count()
-        return bad == 0
-    finally:
-        joined.unpersist()
+    j = a.df.withColumnRenamed("v", "va").join(
+        b.df.withColumnRenamed("v", "vb"), on=["i", "j"], how="full"
+    )
+    bad = (
+        j.filter(
+            F.col("va").isNull()
+            | F.col("vb").isNull()
+            | ~op(F.col("va"), F.col("vb")).cast("boolean")
+        )
+        .limit(1)
+        .count()
+    )
+    return bad == 0
 
 
 # GraphBLAS unary-op catalog for apply() — all JVM-side column

@@ -220,7 +220,36 @@ def run_cypher(
     return df
 
 
-_SET_STMT = re.compile(r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+SET\s+(?P<sets>.+)$")
+def _stmt_verb_split(
+    query: str, verbs: dict[str, tuple[str, ...]]
+) -> tuple[str, str, str] | None:
+    """Carve ``MATCH <body> <VERB> <tail>`` at the FIRST top-level verb
+    keyword on the token stream (round-14, cypher/tokenizer.py): a verb
+    inside a string literal (``WHERE a.s = '... DELETE ...'``) or in
+    identifier position (``a.delete``) never splits — the lazy-regex
+    statement splits this replaces cut at the first verb-shaped
+    substring regardless. Returns (verb_name, body, tail), or None when
+    the statement does not open with MATCH or carries no top-level
+    verb."""
+    from ..cypher.tokenizer import CypherLexError, scan_clauses, tokenize
+
+    q = query.strip()
+    try:
+        toks = tokenize(q)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+    if not toks or not toks[0].is_word("MATCH") or len(toks) < 2:
+        return None
+    hits = scan_clauses(toks, verbs)
+    # skip a hit at token 0 (the statement verb must FOLLOW the MATCH)
+    hits = [h for h in hits if h[1] > 0]
+    if not hits:
+        return None
+    name, _i, start, end = hits[0]
+    body = q[toks[0].end : start].strip()
+    return name, body, q[end:].strip()
+
+
 # SET n:Label / REMOVE n:Label — label mutation (round-8)
 _SET_LABEL_ITEM = re.compile(
     r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*:\s*"
@@ -294,11 +323,12 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
     props land via update_node_props' broadcast-merge join — so the
     match cost is one planned query and the write is
     Delta-MERGE-shaped."""
-    m = _SET_STMT.match(query)
-    if not m:
+    sp = _stmt_verb_split(query, {"SET": ("SET",)})
+    if sp is None or not sp[1] or not sp[2]:
         raise CypherParseError(
             f"SET statement must be MATCH ... SET b.prop = value: {query!r}"
         )
+    _verb, _body, _sets = sp
     from ..cypher.parser import (
         _parse_arith,
         _split_patterns,
@@ -309,7 +339,7 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
     # prop -> ("lit", str) | ("expr", tree), per binding
     sets: dict[str, dict[str, tuple]] = {}
     label_adds: list[tuple[str, str]] = []  # (binding, label) — SET n:L
-    for item in _split_patterns(m.group("sets")):
+    for item in _split_patterns(_sets):
         lm_ = _SET_LABEL_ITEM.match(item)
         if lm_:
             label_adds.append((lm_.group("b"), lm_.group("label")))
@@ -338,7 +368,7 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
                 )
         sets.setdefault(b, {})[am.group("p")] = ("expr", node)
     qg = QueryGraph()
-    _parse_clauses(m.group("body"), qg)
+    _parse_clauses(_body, qg)
     # edge-variable SET (round-7): `SET e.weight = <number>` overwrites
     # the matched edges' typed weight through update_edge_weights —
     # routed by the pattern edge the variable names
@@ -457,13 +487,6 @@ def run_cypher_set(graph: PropertyGraph, query: str) -> PropertyGraph:
     return out
 
 
-_DELETE_STMT = re.compile(
-    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+(?P<detach>DETACH\s+)?DELETE\s+"
-    r"(?P<targets>[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*$"
-)
-_REMOVE_STMT = re.compile(
-    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+REMOVE\s+(?P<items>.+)$"
-)
 _REMOVE_ITEM = re.compile(
     r"^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*$"
 )
@@ -484,15 +507,24 @@ def run_cypher_delete(graph: PropertyGraph, query: str) -> PropertyGraph:
     remove_vertices — all broadcastable semi-differences. The plain-
     DELETE constraint check is ONE limit(1) probe over the would-remain
     incident edges."""
-    m = _DELETE_STMT.match(query)
-    if not m:
+    sp = _stmt_verb_split(
+        query, {"DETACH DELETE": ("DETACH", "DELETE"), "DELETE": ("DELETE",)}
+    )
+    if (
+        sp is None
+        or not sp[1]
+        or not re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*", sp[2]
+        )
+    ):
         raise CypherParseError(
             f"DELETE statement must be MATCH ... [DETACH] DELETE targets: {query!r}"
         )
+    _detach = sp[0] == "DETACH DELETE"
     qg = QueryGraph()
-    _parse_clauses(m.group("body"), qg)
+    _parse_clauses(sp[1], qg)
     edge_by_name = {e.name: e for e in qg.edges if e.name}
-    targets = [t.strip() for t in m.group("targets").split(",")]
+    targets = [t.strip() for t in sp[2].split(",")]
     node_targets, edge_targets = [], []
     for t in targets:
         if t in qg.labels:
@@ -529,7 +561,7 @@ def run_cypher_delete(graph: PropertyGraph, query: str) -> PropertyGraph:
             part = matched.select(F.col(t).alias("id"))
             ids = part if ids is None else ids.unionByName(part)
         ids = ids.dropDuplicates(["id"])
-        if not m.group("detach"):
+        if not _detach:
             # openCypher: plain DELETE must not orphan relationships —
             # any incident edge that this statement does not itself
             # delete is an error (one limit(1) probe)
@@ -561,19 +593,19 @@ def run_cypher_remove(graph: PropertyGraph, query: str) -> PropertyGraph:
     reads back as NULL (the IS NULL / coalesce contract). Edge
     properties are typed columns here, so REMOVE on an edge variable is
     a typed error (SET e.weight to a new value instead)."""
-    m = _REMOVE_STMT.match(query)
-    if not m:
+    sp = _stmt_verb_split(query, {"REMOVE": ("REMOVE",)})
+    if sp is None or not sp[1] or not sp[2]:
         raise CypherParseError(
             f"REMOVE statement must be MATCH ... REMOVE b.prop: {query!r}"
         )
     from ..cypher.parser import _split_patterns
 
     qg = QueryGraph()
-    _parse_clauses(m.group("body"), qg)
+    _parse_clauses(sp[1], qg)
     edge_names = {e.name for e in qg.edges if e.name}
     removes: dict[str, list[str]] = {}
     label_removes: list[tuple[str, str]] = []  # (binding, label)
-    for item in _split_patterns(m.group("items")):
+    for item in _split_patterns(sp[2]):
         lm_ = _SET_LABEL_ITEM.match(item)
         if lm_:
             b = lm_.group("b")
@@ -616,9 +648,11 @@ _MERGE_NODE_STMT = re.compile(
     r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\{(?P<props>[^}]*)\}\s*)?\)\s*(?P<tail>.*)$"
 )
-_MERGE_EDGE_STMT = re.compile(
-    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+MERGE\s+"
-    r"\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+# tail-anchored (round-14): the MATCH body is carved off by
+# _stmt_verb_split on the token stream; this matches what FOLLOWS the
+# top-level MERGE keyword
+_MERGE_EDGE_TAIL = re.compile(
+    r"(?is)^\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
     r"-\s*\[\s*(?P<en>[A-Za-z_][A-Za-z0-9_]*)?\s*:\s*"
     r"(?P<type>[A-Za-z_][A-Za-z0-9_]*)\s*\]\s*->\s*"
     r"\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(?P<tail>.*)$"
@@ -681,9 +715,10 @@ _CREATE_NODE_PAT = re.compile(
     r"(?P<label>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\{(?P<props>[^}]*)\}\s*)?\)\s*$"
 )
-_CREATE_EDGE_STMT = re.compile(
-    r"(?is)^\s*MATCH\s+(?P<body>.+?)\s+CREATE\s+"
-    r"\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
+# tail-anchored (round-14): matches what follows the top-level CREATE
+# keyword once _stmt_verb_split carves off the MATCH body
+_CREATE_EDGE_TAIL = re.compile(
+    r"(?is)^\(\s*(?P<a>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
     r"-\s*\[\s*:\s*(?P<type>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\{(?P<eprops>[^}]*)\}\s*)?\]\s*->\s*"
     r"\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
@@ -706,9 +741,10 @@ def run_cypher_create(graph: PropertyGraph, query: str) -> PropertyGraph:
     Plan shape at scale: node form is a driver-literal append; edge
     form is one planned MATCH projected to the distinct endpoint pair
     plus an append — no shuffle beyond the match itself."""
-    em = _CREATE_EDGE_STMT.match(query)
+    sp = _stmt_verb_split(query, {"CREATE": ("CREATE",)})
+    em = _CREATE_EDGE_TAIL.match(sp[2]) if sp is not None and sp[1] else None
     if em:
-        qg = parse(f"MATCH {em.group('body')} RETURN {em.group('a')}, {em.group('b')}")
+        qg = parse(f"MATCH {sp[1]} RETURN {em.group('a')}, {em.group('b')}")
         matched = plan_match(graph, qg).df
         eprops = _parse_props_literal(em.group("eprops"))
         for k in eprops:
@@ -778,9 +814,11 @@ def run_cypher_merge(graph: PropertyGraph, query: str) -> PropertyGraph:
     The node form's existence probe is ONE limit(1) point-lookup
     action (the statement's semantics branch on existence; the
     created row itself is a literal)."""
-    em = _MERGE_EDGE_STMT.match(query)
-    if em:
-        return _run_merge_edge(graph, em)
+    sp = _stmt_verb_split(query, {"MERGE": ("MERGE",)})
+    if sp is not None and sp[1]:
+        em = _MERGE_EDGE_TAIL.match(sp[2])
+        if em:
+            return _run_merge_edge(graph, sp[1], em)
     nm = _MERGE_NODE_STMT.match(query)
     if not nm:
         raise CypherParseError(
@@ -868,7 +906,9 @@ def run_cypher_merge(graph: PropertyGraph, query: str) -> PropertyGraph:
     return graph.update_node_props(upd.select("id", F.create_map(*entries).alias("props")))
 
 
-def _run_merge_edge(graph: PropertyGraph, em: "re.Match") -> PropertyGraph:
+def _run_merge_edge(
+    graph: PropertyGraph, body: str, em: "re.Match"
+) -> PropertyGraph:
     a, b, en, etype = em.group("a"), em.group("b"), em.group("en"), em.group("type")
     on_create, on_match = _split_on_clauses(em.group("tail"))
 
@@ -916,7 +956,7 @@ def _run_merge_edge(graph: PropertyGraph, em: "re.Match") -> PropertyGraph:
     match_w = _parse_weight_items(on_match, allow_expr=True)
 
     qg = QueryGraph()
-    _parse_clauses(em.group("body"), qg)
+    _parse_clauses(body, qg)
     for nb in (a, b):
         if nb not in qg.labels:
             raise CypherParseError(f"MERGE endpoint {nb!r} is not bound by MATCH")
