@@ -279,11 +279,31 @@ def main():
     # the archived tail always holds the complete, parseable record.
     print("# samples " + json.dumps(samples), file=sys.stderr)
     print("# gc_ms " + json.dumps(gc_ms), file=sys.stderr)
+    # per-query minima + stall census (round-14): on this box host-side
+    # contention is invisible to the guest (Firecracker — no steal
+    # accounting; NOTES.md "bench-band adjudication"), so a band can be
+    # dirty with contended_run false. The min over repeats is the
+    # comparable statistic in that case; stall_samples counts samples
+    # >3x their query's min with <10% of the excess explained by GC —
+    # a nonzero census marks the band suspect even when the CPU meter
+    # saw nothing.
+    minima = {name: round(min(ts), 3) for name, ts in samples.items()}
+    stalls = 0
+    for name, ts in samples.items():
+        m = min(ts)
+        for t, g in zip(ts, gc_ms[name]):
+            if t > 3 * m and (g / 1000.0) < 0.1 * (t - m):
+                stalls += 1
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query minima live in the bench_history record only — the
+        # stdout line must stay well under the driver's ~2000-char
+        # archived tail (VERDICT r11 #7)
+        "total_min": round(sum(minima.values()), 3),
+        "stall_samples": stalls,
         "loadavg": {
             "pre_spark": pre_spark_load,
             "start": load_start,
@@ -330,7 +350,7 @@ def main():
         with open(os.path.join(hist_dir, fname), "w") as f:
             json.dump(
                 {**record, "git_sha": sha, "round": round_no,
-                 "samples": samples, "gc_ms": gc_ms},
+                 "queries_min": minima, "samples": samples, "gc_ms": gc_ms},
                 f, indent=1,
             )
     except OSError as e:
