@@ -923,6 +923,19 @@ def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_ps_edges(spark, sf_dir))
 
 
+def _q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed walks (DeepWalk-style corpus generation)
+    over the part->supplier digraph (the graph_scc fixture): 3 steps
+    from every source node, one walk per node. Each step draws
+    arg_min(md5('seed:start:rep:t:dst')) over the out-neighbors — md5
+    is byte-identical across Spark, DuckDB, and hashlib, so the oracle
+    unrolls the same three draws. Round-15 debut (staged + verified in
+    scripts/r15_queue.py on the final r14 tree)."""
+    from g4s_spark.operators import random_walks
+
+    return random_walks(_ps_edges(spark, sf_dir), length=3, walks_per_node=1, seed=42)
+
+
 # --- round-9 debuts (staged + oracle-verified in r8, scripts/r9_queue) ----
 
 EIG_ITERS = 3
@@ -1491,39 +1504,40 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-14 composition (VERDICT r13 #1 — the ledger arithmetic lands
-# EXACTLY at 50 with no slack decisions): the 2 round-14 debuts
-# (text_token_bpe — GPT-2-style pre-token counts — and
-# graph_resource_alloc — Zhou-2009 link prediction; both staged +
-# oracle-verified on final r13 code via scripts/r14_queue.py), the 40
-# HARD last-green-r10 gates (forced by the 4-round staleness budget),
-# and the 8 oldest last-seen-r11 rows by first appearance. Registry
-# 189 → 191 (≤ the 192 D=2 trip-wire; the r15 graph_random_walks debut
-# lands AT it — steady-state rule from then on).
+# Round-15 composition (drafted in NOTES.md at r14 close, lifted
+# verbatim): the 1 round-15 debut (graph_random_walks — deterministic
+# md5-keyed DeepWalk walks; staged + oracle-verified on final r14 code
+# via scripts/r15_queue.py), the 41 forced last-green-r11 gates (the
+# 4-round staleness budget), and the 8 oldest last-seen-r12 rows by
+# first appearance. Registry 191 → 192 — AT the D=2 trip-wire; from
+# here every debut pairs with a genuine-subsumption retirement
+# (RETIRED_GATES.json policy; candidates pre-staged in NOTES.md).
 # Rotation history lives in WINDOW_LEDGER.json (append-only; rounds
 # with a published CORRECTNESS artifact are digest-pinned);
 # tests/test_entry_contract.py enforces the budget. Everything at 51+
 # is green in the local full check (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-14 debuts (from scripts/r14_queue.py, oracle-verified)
-    "text_token_bpe", "graph_resource_alloc",
-    # the 40 HARD last-green-r10 gates (contract test fails without them)
-    "ann_hard_negatives", "ann_ivf_nprobe", "cypher_merge_node",
-    "cypher_skip_limit", "cypher_string_fns", "cypher_topk_agg",
-    "cypher_unwind_collected", "cypher_where_cross", "cypher_where_fn",
-    "cypher_where_or", "cypher_with_expr", "dedup_incremental",
-    "events_asof", "events_funnel", "events_json_props",
-    "events_range_join", "events_sliding_window", "extract_strided",
-    "graph_betweenness_multi", "graph_degree_hist", "graph_harmonic",
-    "graph_harmonic_weighted", "graph_ktruss", "graph_link_jaccard",
-    "graph_lpa", "graph_reciprocity", "graph_wpagerank", "mxm_any_pair",
-    "mxm_kron", "mxm_masked", "mxm_plus_times", "reduce_cols_max",
-    "reduce_rows_plus", "rel_q14_promo", "sample_deterministic",
-    "text_bigram_rarity", "text_encode", "text_tfidf", "text_vocab",
-    "vxm_masked",
-    # 8 oldest last-seen-r11 rows (first-appearance order)
-    "ann_topk", "cypher_untyped", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "graph_components", "graph_sssp", "graph_triangles",
+    # round-15 debut (from scripts/r15_queue.py, oracle-verified)
+    "graph_random_walks",
+    # the 41 forced last-green-r11 gates (contract test fails without them)
+    "chunk_documents", "cypher_coalesce", "cypher_count_prop",
+    "cypher_deep_chain", "cypher_delete", "cypher_orderby_prop",
+    "cypher_path_length", "cypher_remove", "cypher_set_edge_expr",
+    "cypher_set_expr", "cypher_shortest_path", "cypher_where_isnull",
+    "cypher_with_optional", "dedup_canonical", "dedup_cross_source",
+    "events_asof_forward", "events_asof_nearest", "events_asof_tolerance",
+    "graph_assortativity", "graph_clustering", "graph_hits",
+    "graph_neighbor_agg", "graph_scc", "pipeline_corpus_report",
+    "pipeline_curate", "pipeline_token_budget", "pipeline_token_rates",
+    "rel_q10_returns", "rel_q1_pricing", "rel_q3_shipping",
+    "rel_q5_local_volume", "rel_q6_forecast", "rel_supplier_rank",
+    "rel_top_orders", "sample_shuffle", "text_bm25", "text_doc_freq",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_token_count",
+    # 8 oldest last-seen-r12 rows (first-appearance order)
+    "ann_lsh_topk", "cypher_1hop", "cypher_2hop_reverse",
+    "cypher_closure", "cypher_count_groups", "cypher_fork",
+    "cypher_multi_return", "cypher_multitype",
 ]
 
 
@@ -1990,6 +2004,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(spark, sf_dir, "documents"), sep=" the ", min_docs=2
         ),
         "graph_scc": _q_graph_scc,
+        "graph_random_walks": _q_graph_random_walks,
         # round-9 debuts: the 11 gates staged + oracle-verified in r8
         # (scripts/r9_queue.py) plus the MERGE ON MATCH SET and
         # weighted-closeness driver rows (VERDICT r8 #6/#8)
@@ -4495,6 +4510,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id, least(n.id, coalesce(min(m.m), n.id)) AS scc
             FROM nodes n LEFT JOIN mutual m ON m.id = n.id
             GROUP BY n.id
+        """,
+        # round-15 debut: three unrolled arg_min(md5) draw steps over
+        # the part->supplier digraph — the exact per-step key string
+        # Spark's concat_ws builds: 'seed:start:rep:t:dst' with longs
+        # rendered bare (md5 is byte-identical across engines)
+        "graph_random_walks": f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT CAST({PART_OFF} + l_partkey AS BIGINT) AS src,
+                       CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT) AS dst
+                FROM lineitem
+                UNION
+                SELECT DISTINCT CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT),
+                       CAST({PART_OFF} + l_partkey AS BIGINT)
+                FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+            ),
+            w0 AS (SELECT DISTINCT src AS start, src AS node FROM e),
+            s1 AS (
+                SELECT w.start,
+                       arg_min(e.dst, md5('42:' || CAST(w.start AS VARCHAR)
+                                          || ':0:1:' || CAST(e.dst AS VARCHAR)))
+                       AS node
+                FROM w0 w JOIN e ON e.src = w.node GROUP BY w.start
+            ),
+            s2 AS (
+                SELECT w.start,
+                       arg_min(e.dst, md5('42:' || CAST(w.start AS VARCHAR)
+                                          || ':0:2:' || CAST(e.dst AS VARCHAR)))
+                       AS node
+                FROM s1 w JOIN e ON e.src = w.node GROUP BY w.start
+            ),
+            s3 AS (
+                SELECT w.start,
+                       arg_min(e.dst, md5('42:' || CAST(w.start AS VARCHAR)
+                                          || ':0:3:' || CAST(e.dst AS VARCHAR)))
+                       AS node
+                FROM s2 w JOIN e ON e.src = w.node GROUP BY w.start
+            )
+            SELECT start, CAST(0 AS BIGINT) AS rep,
+                   CAST(0 AS BIGINT) AS step, node FROM w0
+            UNION ALL SELECT start, 0, 1, node FROM s1
+            UNION ALL SELECT start, 0, 2, node FROM s2
+            UNION ALL SELECT start, 0, 3, node FROM s3
         """,
         # round-9 debuts (oracle-verified while staged in r8)
         "graph_eigenvector": _eig_oracle(EIG_ITERS),

@@ -172,6 +172,30 @@ def _gc_millis(spark) -> int:
         return -1
 
 
+def _current_round(repo: str):
+    """The round this run belongs to, from WINDOW_LEDGER's max entry
+    (the planned round). The old inference — max(BENCH_r*)+1 — assumed
+    the run would be archived as the NEXT artifact, so a mid-round
+    rerun AFTER the driver archived its BENCH_r{N} got mislabeled
+    round N+1 (VERDICT r14 #3). The ledger's newest key IS the round
+    being worked, before and after the driver archives. Fallback to
+    the old artifact inference only if the ledger is unreadable."""
+    try:
+        with open(os.path.join(repo, "WINDOW_LEDGER.json")) as f:
+            return max(int(k) for k in json.load(f))
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    try:
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+        ]
+        return max(rounds, default=0) + 1
+    except OSError:
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -294,11 +318,32 @@ def main():
         for t, g in zip(ts, gc_ms[name]):
             if t > 3 * m and (g / 1000.0) < 0.1 * (t - m):
                 stalls += 1
+    # band verdict on the archive-bound record itself (VERDICT r14 #1:
+    # the r14 artifact was taken inside a degraded band its own census
+    # flagged — never again silently). band_clean is the one bit a
+    # reader needs: stall census zero, pre-Spark load under 2 cores,
+    # and no external CPU during the timed region. A dirty-band record
+    # still prints (the driver needs its one JSON line) but says so
+    # itself, and the stderr warning tells the operator to re-run.
+    band_clean = (
+        stalls == 0
+        and (pre_spark_load is None or pre_spark_load < 2.0)
+        and not contended_run
+    )
+    if not band_clean:
+        print(
+            f"# WARNING: this run is NOT clean-band (stall_samples={stalls}, "
+            f"pre_spark={pre_spark_load}, contended_run={contended_run}) — "
+            "do not archive it as the round's number; re-run on a quiet box "
+            "and archive a record with band_clean=true",
+            file=sys.stderr,
+        )
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "band_clean": band_clean,
         # per-query minima live in the bench_history record only — the
         # stdout line must stay well under the driver's ~2000-char
         # archived tail (VERDICT r11 #7)
@@ -334,17 +379,7 @@ def main():
             ).stdout.strip() or None
         except (OSError, subprocess.SubprocessError):
             sha = None
-        # round inferred from the archived BENCH artifacts: this run,
-        # if archived, becomes BENCH_r{max+1}
-        try:
-            rounds = [
-                int(m.group(1))
-                for fn in os.listdir(repo)
-                if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
-            ]
-            round_no = max(rounds, default=0) + 1
-        except OSError:
-            round_no = None
+        round_no = _current_round(repo)
         stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
         fname = f"run_{stamp}_p{os.getpid()}_sf{sf}.json"
         with open(os.path.join(hist_dir, fname), "w") as f:

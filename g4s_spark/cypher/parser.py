@@ -345,7 +345,10 @@ def parse(query: str) -> QueryGraph:
         raise CypherParseError(
             f"unsupported query (expected MATCH ... RETURN ...): {query!r}"
         )
-    segs = split_top_level(q, toks, _STATEMENT_CLAUSES)
+    try:
+        segs = split_top_level(q, toks, _STATEMENT_CLAUSES)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
     head = segs[0]
     clauses: dict[str, str] = {}
     rank = -1
@@ -365,8 +368,18 @@ def parse(query: str) -> QueryGraph:
         raise CypherParseError(f"empty MATCH pattern: {query!r}")
     for k in ("SKIP", "LIMIT"):
         if k in clauses and not re.fullmatch(r"\d+", clauses[k]):
+            # an empty body usually means the word appeared as a bare
+            # binding ('RETURN skip') — say so (ADVICE r14): SKIP /
+            # LIMIT / RETURN / ORDER are reserved at top level here
+            hint = (
+                " (SKIP/LIMIT/RETURN/ORDER are reserved words — rename"
+                " the binding or alias it)"
+                if not clauses[k]
+                else ""
+            )
             raise CypherParseError(
-                f"{k} expects a non-negative integer literal: {clauses[k]!r}"
+                f"{k} expects a non-negative integer literal: "
+                f"{clauses[k]!r}{hint}"
             )
     qg = QueryGraph()
     _parse_clauses(body, qg)
@@ -393,7 +406,12 @@ def split_with(query: str) -> list[str] | None:
     def not_string_op(ts, i):
         return not (i > 0 and ts[i - 1].is_word("STARTS", "ENDS"))
 
-    segs = split_top_level(q, toks, {"WITH": ("WITH",)}, extra_guard=not_string_op)
+    try:
+        segs = split_top_level(
+            q, toks, {"WITH": ("WITH",)}, extra_guard=not_string_op
+        )
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
     if len(segs) <= 1:
         return None
     parts = [text for _, text in segs]
@@ -419,14 +437,14 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
     # MATCH inside a string literal or sub-pattern parens never splits.
     try:
         btoks = tokenize(body)
+        clauses = [
+            text
+            for _, text in split_top_level(
+                body, btoks, {"OPTIONAL MATCH": ("OPTIONAL", "MATCH")}
+            )
+        ]
     except CypherLexError as e:
         raise CypherParseError(str(e)) from None
-    clauses = [
-        text
-        for _, text in split_top_level(
-            body, btoks, {"OPTIONAL MATCH": ("OPTIONAL", "MATCH")}
-        )
-    ]
     for ci, clause in enumerate(clauses):
         cm_ = re.match(r"(?is)^(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+))?$", clause.strip())
         if not cm_:

@@ -118,17 +118,27 @@ def scan_clauses(
     """
     seqs = sorted(keywords.items(), key=lambda kv: -len(kv[1]))
     hits: list[tuple[str, int, int, int]] = []
-    depth = 0
+    # unbalanced brackets (ADVICE r14): a negative or dangling depth
+    # silently shields subsequent (or all) top-level keywords and
+    # surfaces as a misleading "expected MATCH ... RETURN" — track the
+    # opener stack so the error names the real problem and its position
+    opens: list[Token] = []
     i = 0
     while i < len(toks):
         t = toks[i]
         if t.kind == "punct":
             if t.text in "([{":
-                depth += 1
+                opens.append(t)
             elif t.text in ")]}":
-                depth -= 1
+                if not opens:
+                    raise CypherLexError(
+                        f"unbalanced '{t.text}' at position {t.pos}: "
+                        "no matching opener"
+                    )
+                opens.pop()
             i += 1
             continue
+        depth = len(opens)
         if t.kind == "word" and _is_clause_start(toks, i, depth):
             matched = None
             for name, seq in seqs:
@@ -146,6 +156,11 @@ def scan_clauses(
                 i += nwords
                 continue
         i += 1
+    if opens:
+        o = opens[-1]
+        raise CypherLexError(
+            f"unclosed '{o.text}' opened at position {o.pos}"
+        )
     return hits
 
 

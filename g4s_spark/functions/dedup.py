@@ -592,8 +592,12 @@ def semantic_dedup(
     the failure mode of keeping the default n_centroids on a large
     corpus. The default 65536 caps the per-cell pair space at ~2^31.
     The check is one map-side-combinable count per cell (n_centroids
-    result rows) broadcast back into the plan — no driver action, no
-    extra pass over the vectors. ``None`` disables it."""
+    result rows) broadcast back into the plan — no driver action. Cost
+    honesty (ADVICE r14): the count aggregation re-evaluates the cell
+    assignment's lineage, so enabling the guard costs one extra scan +
+    aggregate of the embedding input per call (cache/checkpoint the
+    ``ivf_cells_corpus`` output upstream to amortize it when calling
+    repeatedly). ``None`` disables it."""
     from .similarity import (
         EMB_DIM, IVF_SEED, dot_expr, ivf_cells_corpus, norm_expr,
     )

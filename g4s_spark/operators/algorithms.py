@@ -656,8 +656,49 @@ def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _hub_guard_filter(inv: DataFrame, deg_col: str, cap: int, fn: str) -> DataFrame:
+    """Executor-side hub-degree guard shared by the co-neighborhood
+    family (VERDICT r14 #2 — the sibling of semantic_dedup's
+    max_cell_rows, dedup.py): the inverted-index self-join on `nb`
+    plans Σ_w deg(w)² candidate pairs, so ONE power-law hub of degree
+    10⁶ turns an exact-at-TPC-H operator into a 10¹²-pair stage at
+    100 TB. The guard is a row-wise when/raise_error over the degree
+    column ALREADY attached to the index rows, read by a filter so
+    column pruning cannot drop it and every index row is checked —
+    no extra aggregation, no broadcast of a |V|-row table (that
+    broadcast would itself be the scale bug). On trip: fail loudly
+    naming the hub, pointing at the mitigations (drop or
+    hash-truncate hub neighborhoods to top-k before calling — hubs
+    dominate Jaccard/RA denominators anyway, so top-k truncation is
+    the standard DeepWalk/link-prediction fallback)."""
+    ok = (
+        F.when(F.col(deg_col) <= F.lit(int(cap)), F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{fn}: neighbor "),
+                    F.col("nb").cast("string"),
+                    F.lit(" has degree "),
+                    F.col(deg_col).cast("string"),
+                    F.lit(
+                        f" (max_neighbor_degree={int(cap)}): the"
+                        " co-neighborhood self-join would plan deg²"
+                        " candidate pairs for this hub — drop or"
+                        " hash-truncate hub neighborhoods to top-k"
+                        " first, or raise max_neighbor_degree"
+                    ),
+                )
+            )
+        )
+    )
+    return inv.filter(ok >= 1)
+
+
 def neighborhood_jaccard(
-    pairs: DataFrame, threshold: float = 0.3, min_shared: int = 1
+    pairs: DataFrame,
+    threshold: float = 0.3,
+    min_shared: int = 1,
+    max_neighbor_degree: int | None = 65536,
 ) -> DataFrame:
     """Link-prediction feature: Jaccard similarity of node neighborhoods
     over an undirected graph given as canonical pairs (a < b) —
@@ -668,15 +709,31 @@ def neighborhood_jaccard(
     over documents): explode to (neighbor, node), self-join on the
     neighbor key to count shared neighbors — candidates are bounded by
     co-neighborhood, never |V|²; degrees join back (map-side broadcast
-    under AQE) and the ratio is one row-wise expression."""
+    under AQE) and the ratio is one row-wise expression.
+
+    ``max_neighbor_degree`` (default 65536 ≈ 2^31 candidate pairs per
+    hub, the same budget as semantic_dedup's max_cell_rows): any
+    neighbor whose degree exceeds it fails the job loudly instead of
+    silently planning a deg² pair stage — see _hub_guard_filter. The
+    guard's degree join keys on ``nb``, the SAME key the self-join
+    shuffles on, so the exchange is reused. ``None`` disables it."""
     pairs = iter_checkpoint(pairs)  # feeds the index AND the degree side
     sym = (
         pairs.select(F.col("a").alias("n"), F.col("b").alias("x"))
         .unionByName(pairs.select(F.col("b").alias("n"), F.col("a").alias("x")))
     )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     # sym: (n, x) = "x is a neighbor of n"; invert: for each neighbor x,
     # the nodes n it connects — pairs of n sharing an x are candidates
     inv = sym.select(F.col("x").alias("nb"), F.col("n").alias("node"))
+    if max_neighbor_degree is not None:
+        nbdeg = deg.select(F.col("n").alias("nb"), F.col("deg").alias("_nb_deg"))
+        inv = _hub_guard_filter(
+            inv.join(nbdeg, on="nb"),
+            "_nb_deg",
+            max_neighbor_degree,
+            "neighborhood_jaccard",
+        ).drop("_nb_deg")
     shared = (
         inv.alias("l").join(inv.alias("r"), on="nb")
         .filter(F.col("l.node") < F.col("r.node"))
@@ -684,7 +741,6 @@ def neighborhood_jaccard(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
-    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     out = (
         shared
         .join(deg.select(F.col("n").alias("x"), F.col("deg").alias("dx")), on="x")
@@ -704,6 +760,7 @@ def common_neighbor_scores(
     pairs: DataFrame,
     index: str = "resource_allocation",
     min_shared: int = 1,
+    max_neighbor_degree: int | None = 65536,
 ) -> DataFrame:
     """Weighted common-neighbor link-prediction indexes over an
     undirected graph given as canonical pairs (a < b) — the family
@@ -724,7 +781,15 @@ def common_neighbor_scores(
     with the weight attached to the index rows by ONE degree equi-join
     BEFORE the self-join — the pair aggregation is then a plain
     map-side-combinable sum, candidates bounded by co-neighborhood,
-    never |V|²."""
+    never |V|².
+
+    ``max_neighbor_degree`` (default 65536, same budget as
+    neighborhood_jaccard / semantic_dedup's max_cell_rows): a hub
+    neighbor above it fails the job loudly instead of planning deg²
+    pairs — see _hub_guard_filter. FREE here: the degree is already
+    joined onto the index rows for the weight, so the guard is one
+    row-wise expression, no extra join or aggregation. ``None``
+    disables it."""
     weights = {
         "common": F.lit(1.0),
         "resource_allocation": 1.0 / F.col("nb_deg"),
@@ -755,6 +820,10 @@ def common_neighbor_scores(
         .join(deg.withColumnRenamed("n", "nb"), on="nb")
         .withColumn("w", weights[index].cast("double"))
     )
+    if max_neighbor_degree is not None:
+        inv = _hub_guard_filter(
+            inv, "nb_deg", max_neighbor_degree, "common_neighbor_scores"
+        )
     out = (
         inv.alias("l")
         .join(inv.alias("r"), on="nb")

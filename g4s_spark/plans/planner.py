@@ -138,9 +138,9 @@ def _split_union(query: str) -> tuple[list[str], bool]:
     q = query.strip()
     try:
         toks = tokenize(q)
+        parts = split_top_level(q, toks, {"UNION": ("UNION",)})
     except CypherLexError as e:
         raise CypherParseError(str(e)) from None
-    parts = split_top_level(q, toks, {"UNION": ("UNION",)})
     if len(parts) <= 1:
         return [q], False
     alls = []
@@ -240,7 +240,10 @@ def _stmt_verb_split(
         raise CypherParseError(str(e)) from None
     if not toks or not toks[0].is_word("MATCH") or len(toks) < 2:
         return None
-    hits = scan_clauses(toks, verbs)
+    try:
+        hits = scan_clauses(toks, verbs)
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
     # skip a hit at token 0 (the statement verb must FOLLOW the MATCH)
     hits = [h for h in hits if h[1] > 0]
     if not hits:

@@ -58,7 +58,30 @@ def normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
 # GATE; across a 50-gate driver window that was ~50 s of pure plan
 # construction (round-14 build-vs-execute profile, NOTES.md). The plan
 # is immutable — reuse is free; nothing here persists executor memory.
+#
+# ASSUMPTION (ADVICE r14): parquet under sf_dir is immutable for the
+# application's lifetime — a cached plan holds the file listing read
+# at first load, so rewriting the files behind it yields stale reads
+# or FileNotFoundException. That matches this engine's inputs (the
+# driver's testdata is write-once; mutations go through the graph
+# store's append paths, never in-place rewrites). Tests or
+# data-regeneration code that DO rewrite a directory must call
+# invalidate_table_cache() after. Bounded in practice by
+# #apps × #sf_dirs × 10 tables (a handful of plan objects, no
+# executor memory); invalidate_table_cache() is also the escape hatch
+# if a long-lived service ever cycles through many directories.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop memoized table plans — all of them, or only those under
+    ``sf_dir`` — so the next load_table re-lists files. Call after
+    rewriting parquet under a directory load_table has seen."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    for key in [k for k in _TABLE_CACHE if k[1] == sf_dir]:
+        del _TABLE_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -232,6 +232,34 @@ def test_neighborhood_jaccard_square_plus_diagonal(spark):
     assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
 
 
+def test_hub_degree_guard_trips_and_passes(spark):
+    """max_neighbor_degree (VERDICT r14 #2): a hub neighbor above the
+    cap fails the job LOUDLY (executor-side raise_error naming the
+    hub) instead of silently planning deg² candidate pairs; under the
+    cap the guard is result-invisible — same rows with the guard on,
+    off (None), and at the exact degree."""
+    import pytest as pt
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from g4s_spark.operators import common_neighbor_scores, neighborhood_jaccard
+
+    # star: node 9 is a hub of degree 4; leaves pairwise share only it
+    star = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9)], "a long, b long"
+    )
+    for fn, kw in (
+        (neighborhood_jaccard, {"threshold": 0.0}),
+        (common_neighbor_scores, {}),
+    ):
+        with pt.raises(SparkRuntimeException, match="max_neighbor_degree=3"):
+            fn(star, max_neighbor_degree=3, **kw).collect()
+        baseline = sorted(map(tuple, fn(star, max_neighbor_degree=None, **kw).collect()))
+        for cap in (4, 65536):
+            got = sorted(map(tuple, fn(star, max_neighbor_degree=cap, **kw).collect()))
+            assert got == baseline, (fn.__name__, cap)
+        assert len(baseline) == 6  # C(4,2) leaf pairs through the hub
+
+
 def test_label_propagation_two_communities(spark):
     """Two triangles bridged by one edge: deterministic synchronous LPA
     (min-label tie-break) labels each triangle with its smallest id."""

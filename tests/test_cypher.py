@@ -186,7 +186,9 @@ def test_expr_unbound_variable_rejected():
 
 
 def test_expr_unbalanced_parens_rejected():
-    with pytest.raises(CypherParseError, match="parenthes"):
+    # the lexer-level bracket check (ADVICE r14) now catches this
+    # earlier than the expression grammar, with the position named
+    with pytest.raises(CypherParseError, match=r"unclosed '\('"):
         parse("MATCH (c:Customer) RETURN (c.acctbal * 2 AS x")
 
 
@@ -352,7 +354,7 @@ def test_numeric_function_parse_errors(spark):
     g = PropertyGraph.from_tuples(spark, [(0, "N")], [])
     with pytest.raises(CypherParseError):
         run_cypher(g, "MATCH (n:N) RETURN n, abs n.x AS a")
-    with pytest.raises(CypherParseError, match="parenthes"):
+    with pytest.raises(CypherParseError, match=r"unclosed '\('"):
         run_cypher(g, "MATCH (n:N) RETURN n, abs(n.x AS a")
 
 

@@ -58,6 +58,31 @@ def test_bench_headline_gates_are_registered():
     assert not missing, f"bench HEADLINE names unregistered gates: {missing}"
 
 
+def test_bench_round_stamp_from_ledger(tmp_path):
+    """bench_history records stamp their round from WINDOW_LEDGER's max
+    entry, not max(BENCH_r*)+1 — the artifact inference mislabeled a
+    mid-round rerun taken AFTER the driver archived (VERDICT r14 #3).
+    Fabricated set: ledger says round 9 even though BENCH_r09 already
+    exists (the old inference would say 10); no ledger → artifact
+    fallback; neither → None."""
+    import json
+
+    import bench
+
+    repo = str(tmp_path)
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    (tmp_path / "WINDOW_LEDGER.json").write_text(
+        json.dumps({"8": [], "9": []})
+    )
+    assert bench._current_round(repo) == 9
+    (tmp_path / "WINDOW_LEDGER.json").unlink()
+    assert bench._current_round(repo) == 10
+    (tmp_path / "BENCH_r08.json").unlink()
+    (tmp_path / "BENCH_r09.json").unlink()
+    assert bench._current_round(repo) == 1
+
+
 def test_window_ledger_matches_current_window():
     """WINDOW_LEDGER.json records each round's driver window (rounds
     1..N-1 from the CORRECTNESS files, round N = the planned window).
@@ -158,7 +183,8 @@ def test_window_ledger_history_is_append_only():
         "10": "af7e96d072039bb7",
         "11": "c33a255a5f96caba",
         "12": "394355c362f7217e",
-        "13": "23527ebff29c0d8b",  # final: CORRECTNESS_r13 published
+        "13": "23527ebff29c0d8b",
+        "14": "b15ce8aaf216f05d",  # final: CORRECTNESS_r14 published
     }
     published = {
         str(n)

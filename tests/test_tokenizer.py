@@ -106,3 +106,26 @@ def test_optional_match_in_string_not_a_clause(spark):
         g, "MATCH (a:A) WHERE a.s = ' OPTIONAL MATCH (x) ' RETURN a"
     ).collect()
     assert [r.a for r in got] == [0]
+
+
+def test_unbalanced_brackets_named_errors():
+    """ADVICE r14: an unbalanced closer used to drive depth negative,
+    silently shielding every later top-level keyword and surfacing as a
+    misleading 'expected MATCH ... RETURN'. Both directions now raise a
+    typed error naming the bracket and position, mapped to
+    CypherParseError at every parse entry point."""
+    with pytest.raises(CypherParseError, match="unbalanced '\\)' at position 9"):
+        parse("MATCH (a)) RETURN a")
+    with pytest.raises(CypherParseError, match="unclosed '\\(' opened at position 6"):
+        parse("MATCH (a RETURN a")
+    with pytest.raises(CypherParseError, match="unbalanced"):
+        split_with("MATCH (a)] WITH a RETURN a")
+
+
+def test_reserved_word_binding_error_is_self_explanatory():
+    """ADVICE r14: 'RETURN skip' / 'RETURN limit' are rejected (tail
+    keywords are reserved at top level) — the error must say so instead
+    of the bare "expects a non-negative integer literal: ''"."""
+    for q in ("MATCH (a) RETURN skip", "MATCH (a) RETURN limit"):
+        with pytest.raises(CypherParseError, match="reserved words"):
+            parse(q)
