@@ -1582,9 +1582,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": lambda spark, sf_dir: TX.bm25_score(
             load_table(spark, sf_dir, "documents"), ["spark", "table", "query"]
         ),
-        "text_vocab": lambda spark, sf_dir: TX.build_vocab(
-            load_table(spark, sf_dir, "documents"), size=30
-        ),
+        # text_vocab retired round-15 (subsumed by text_encode — same
+        # build_vocab path, only the size literal differs;
+        # RETIRED_GATES.json)
         # streaming twins with batch oracles (round-5 extensions)
         "graph_kcore": _q_graph_kcore,
         "graph_lpa": _q_graph_lpa,
@@ -3943,18 +3943,6 @@ def oracle_sql() -> dict[str, str]:
                 ) AS BIGINT) AS rnk
                 FROM counts
             ) WHERE rnk <= 3
-        """,
-        "text_vocab": f"""
-            SELECT token, count, vocab_id FROM (
-                SELECT token, count,
-                       CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1
-                            AS BIGINT) AS vocab_id
-                FROM (
-                    SELECT u.token, CAST(count(*) AS BIGINT) AS count
-                    FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(token)
-                    GROUP BY 1
-                ) c WHERE count >= 2
-            ) WHERE vocab_id < 30
         """,
         "events_anomalies": """
             WITH counts AS (

@@ -446,15 +446,30 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
     except CypherLexError as e:
         raise CypherParseError(str(e)) from None
     for ci, clause in enumerate(clauses):
-        cm_ = re.match(r"(?is)^(?P<patterns>.+?)(?:\s+WHERE\s+(?P<where>.+))?$", clause.strip())
-        if not cm_:
+        # clause-level WHERE boundary on the token stream (round-15 —
+        # the old non-greedy regex split at the FIRST ' WHERE ', so a
+        # string literal containing it broke the clause): WHERE inside
+        # literals/brackets/identifier positions never splits
+        clause = clause.strip()
+        try:
+            ctoks = tokenize(clause)
+            wsegs = split_top_level(clause, ctoks, {"WHERE": ("WHERE",)})
+        except CypherLexError as e:
+            raise CypherParseError(str(e)) from None
+        if len(wsegs) > 2:
+            raise CypherParseError(f"multiple WHERE in one clause: {clause!r}")
+        patterns_text = wsegs[0][1].strip()
+        where_text = wsegs[1][1].strip() if len(wsegs) == 2 else None
+        if where_text == "":
+            raise CypherParseError(f"empty WHERE in: {clause!r}")
+        if not patterns_text:
             raise CypherParseError(f"empty MATCH clause in: {body!r}")
         target = qg.edges
         if ci > 0:
             target = []
             qg.optionals.append(target)
         clause_bound: set[str] = set()
-        for pattern in _split_patterns(cm_.group("patterns")):
+        for pattern in _split_patterns(patterns_text):
             pm_ = re.match(r"^(?P<pname>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<rest>.+)$", pattern)
             pname = None
             if pm_:
@@ -489,7 +504,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
             qg.match_bindings = set(qg.labels)
         elif not target:
             raise CypherParseError("OPTIONAL MATCH needs at least one pattern edge")
-        if cm_.group("where"):
+        if where_text:
             enames = _edge_names(qg)
             clause_enames = {e.name for e in target if e.name}
 
@@ -612,7 +627,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
             # a bare `a AND b OR c` mean `(a AND b) OR c`, which CNF-first
             # splitting would silently mis-read — so OR groups must be
             # parenthesized whenever ANDs are present.
-            conjuncts = _split_bool(cm_.group("where"), "AND")
+            conjuncts = _split_bool(where_text, "AND")
             for conj in conjuncts:
                 c, parenthesized = _strip_outer_parens(conj)
                 # pattern predicate conjunct: [NOT] (..)-[..]-(..) — the
@@ -1300,43 +1315,18 @@ def _parse_order_limit(
 
 
 def _split_bool(s: str, word: str) -> list[str]:
-    """Split on a top-level boolean keyword (AND/OR), respecting
-    parentheses and quoted strings."""
-    parts: list[str] = []
-    cur: list[str] = []
-    depth, i, n, q = 0, 0, len(s), None
-    w = len(word)
-    while i < n:
-        ch = s[i]
-        if q is not None:
-            cur.append(ch)
-            if ch == q:
-                q = None
-            i += 1
-            continue
-        if ch in "'\"":
-            q = ch
-            cur.append(ch)
-            i += 1
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if (
-            depth == 0
-            and s[i : i + w].upper() == word
-            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + w >= n or not (s[i + w].isalnum() or s[i + w] == "_"))
-        ):
-            parts.append("".join(cur))
-            cur = []
-            i += w
-            continue
-        cur.append(ch)
-        i += 1
-    parts.append("".join(cur))
-    out = [p.strip() for p in parts]
+    """Split a WHERE fragment on a top-level boolean keyword (AND/OR)
+    via the token stream (round-15, continuing the r14 statement-level
+    migration one clause inward): the keyword inside a string literal,
+    inside any bracket group — (), [] incl. IN-list brackets, {} — or
+    in an identifier position (``a.and``, ``x AS or``) never splits;
+    the per-predicate grammar inside each part stays regex."""
+    try:
+        toks = tokenize(s)
+        segs = split_top_level(s, toks, {word: (word,)})
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
+    out = [text for _, text in segs]
     if any(not p for p in out):
         raise CypherParseError(f"dangling {word} in WHERE: {s!r}")
     return out

@@ -129,3 +129,26 @@ def test_reserved_word_binding_error_is_self_explanatory():
     for q in ("MATCH (a) RETURN skip", "MATCH (a) RETURN limit"):
         with pytest.raises(CypherParseError, match="reserved words"):
             parse(q)
+
+
+def test_where_split_on_token_stream():
+    """Round-15: the clause-level WHERE boundary and AND/OR conjunct
+    splitting run on the token stream — the keyword inside a string
+    literal or bracket group never splits, and multiple WHERE in one
+    clause is a named error (the old non-greedy regex split at the
+    FIRST ' WHERE ', breaking literals containing it)."""
+    qg = parse("MATCH (c:Customer) WHERE c.name = ' WHERE x ' RETURN c")
+    assert qg.filters and qg.filters[0].value == " WHERE x "
+    qg = parse("MATCH (c:Customer) WHERE c.name = ' AND ' RETURN c")
+    assert qg.filters and qg.filters[0].value == " AND "
+    # IN-list brackets shield the AND; the real AND after ']' splits
+    qg = parse(
+        "MATCH (c:Customer) WHERE c.mkt IN ['a AND b'] AND c.name = 'z' RETURN c"
+    )
+    assert [(f.prop, f.value) for f in qg.filters] == [
+        ("mkt", "a AND b"), ("name", "z"),
+    ]
+    with pytest.raises(CypherParseError, match="multiple WHERE"):
+        parse("MATCH (c:Customer) WHERE c.a = 1 WHERE c.b = 2 RETURN c")
+    with pytest.raises(CypherParseError, match="empty WHERE"):
+        parse("MATCH (c:Customer) WHERE RETURN c")
