@@ -1,0 +1,103 @@
+"""Round-16 debut-gate staging area (successor to r15_queue.py — the
+r15 debut graph_random_walks LANDED in __spark_entry__ in round 15;
+git history keeps the old file).
+
+Registry state after round 15: 191 live gates (graph_random_walks
+debuted +1, text_vocab retired -1 — RETIRED_GATES.json), so ONE debut
+slot is open before the 192 D=2 trip-wire binds again. Staged here:
+
+- pipeline_dsir: DSIR importance weights (Xie et al. 2023,
+  arXiv:2302.03169) — hashed-unigram bucket distributions of a target
+  corpus (lang='en' documents) vs the raw corpus, per-document
+  log-importance scores. The md5 bucketing is byte-identical across
+  Spark/DuckDB (sampling._md5_bucket), so the oracle reproduces the
+  full computation; ln is the single transcendental, rounded at the
+  gate boundary like the harmonic/z-score gates.
+
+Verify locally:  python scripts/r16_queue.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from g4s_spark.sources import load_table
+
+N_BUCKETS = 8192
+
+
+def _q_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log-importance of every document against the English
+    sub-corpus as the target: high scores = most target-like. Rounded
+    to 6 decimals (ln last-ulp parity, like graph_harmonic)."""
+    from g4s_spark.functions.pipeline import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, n_buckets=N_BUCKETS)
+    return w.select(
+        "doc_id",
+        "n_feat",
+        (F.floor(F.col("log_weight") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "log_weight"
+        ),
+    )
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_BUCKET = (
+    "CAST(('0x' || substr(md5('0:' || tok), 1, 8)) AS BIGINT) % " + str(N_BUCKETS)
+)
+
+DSIR_ORACLE = f"""
+    WITH raw_tok AS (
+        SELECT doc_id, u.tok FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        unnest(ts) AS u(tok)
+    ),
+    tgt_tok AS (
+        SELECT u.tok FROM (SELECT {_TOKS} AS ts FROM documents WHERE lang = 'en'),
+        unnest(ts) AS u(tok)
+    ),
+    rawb AS (SELECT {_BUCKET} AS bucket, count(*) AS r_n FROM raw_tok GROUP BY 1),
+    tgtb AS (SELECT {_BUCKET} AS bucket, count(*) AS t_n FROM tgt_tok GROUP BY 1),
+    rt AS (SELECT sum(r_n) AS rt FROM rawb),
+    tt AS (SELECT sum(t_n) AS tt FROM tgtb),
+    ratio AS (
+        SELECT rawb.bucket,
+               ln((coalesce(t_n, 0) + 1.0) / (tt + {N_BUCKETS}.0))
+               - ln((r_n + 1.0) / (rt + {N_BUCKETS}.0)) AS lr
+        FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket, rt, tt
+    ),
+    docb AS (
+        SELECT doc_id, {_BUCKET} AS bucket, count(*) AS c
+        FROM raw_tok GROUP BY 1, 2
+    )
+    SELECT d.doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+           floor(sum(c * lr) * 1000000 + 0.5) / 1000000 AS log_weight
+    FROM docb d JOIN ratio r ON d.bucket = r.bucket
+    GROUP BY 1
+"""
+
+QUEUE_QUERIES = {
+    "pipeline_dsir": _q_pipeline_dsir,
+}
+
+QUEUE_ORACLES = {
+    "pipeline_dsir": DSIR_ORACLE,
+}
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo/scripts")
+    from check_correctness import run_queue
+
+    run_queue(QUEUE_QUERIES, QUEUE_ORACLES, app_name="r16_queue")
+
+
+if __name__ == "__main__":
+    main()

@@ -268,3 +268,62 @@ def test_curriculum_order(spark):
     by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
     seq = [(-r.score, r.doc_id) for r in by_pos]
     assert seq == sorted(seq)
+
+
+def test_dsir_log_weights_vs_replica(spark):
+    """dsir_log_weights (round-15, staged r16 debut — Xie et al. 2023):
+    hashed-unigram importance scores vs an exact hashlib/python replica
+    of the same md5 bucketing and smoothed log-ratio."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from g4s_spark.functions.pipeline import dsir_log_weights
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "der hund lief im park", "de"),
+        (3, "the dog ran in the park", "en"),
+        (4, "cat dog park mat", "en"),
+        (5, "xyz qqq zzz", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B, seed, alpha = 64, 0, 1.0
+
+    def bucket(tok):
+        h = hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()
+        return int(h[:8], 16) % B
+
+    def toks(s):
+        import re
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    raw_c, tgt_c = Counter(), Counter()
+    for _id, text, lang in rows:
+        bs = [bucket(t) for t in toks(text)]
+        raw_c.update(bs)
+        if lang == "en":
+            tgt_c.update(bs)
+    R, T = sum(raw_c.values()), sum(tgt_c.values())
+    want = {}
+    for _id, text, lang in rows:
+        cs = Counter(bucket(t) for t in toks(text))
+        lw = sum(
+            c * (math.log((tgt_c.get(b, 0) + alpha) / (T + alpha * B))
+                 - math.log((raw_c[b] + alpha) / (R + alpha * B)))
+            for b, c in cs.items()
+        )
+        want[_id] = (sum(cs.values()), lw)
+
+    got = {
+        r.doc_id: (r.n_feat, r.log_weight)
+        for r in dsir_log_weights(
+            docs, docs.filter("lang = 'en'"), n_buckets=B, alpha=alpha
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-9, k
+    # English docs score higher than the German/gibberish ones
+    assert min(got[1][1], got[3][1]) > max(got[2][1], got[5][1])
