@@ -336,3 +336,47 @@ def curriculum_order(
         )
         .drop("_s", "_shard")
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    log_weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick (Kool et al. 2019, arXiv:1903.06059; equivalently
+    Efraimidis-Spirakis A-ES keys in log space): each row draws
+    g = log_w − ln(−ln(u)) with u a deterministic md5-uniform of
+    (key, seed), and the global top-k g-keys ARE an exact weight-
+    proportional sample without replacement. The natural resampling
+    step after pipeline.dsir_log_weights — log weights go in as-is, no
+    exponentiation, so DSIR scores (which can be large-magnitude
+    negatives) never under/overflow.
+
+    The kept set is a pure function of (keys, seed, log-weight values):
+    stable across engines, reruns, partitionings, and cluster sizes —
+    and SQL-oracle-able, since md5 and ln are the only ingredients.
+    u is mapped from the md5 bucket as (b + 1) / (SPACE + 2), keeping
+    u strictly inside (0, 1) so both logs are finite.
+
+    Scale shape: the Gumbel key is one narrow row expression; top-k is
+    a rank-free global TakeOrderedAndProject (Spark's limit-after-sort
+    physical strategy: per-partition partial top-k, then one k-row
+    merge on the driver side of the exchange — never a full global
+    sort at rest). Ties (impossible at md5 resolution unless keys
+    collide) break by key for total order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_md5_bucket(F.col(key_col), seed) + F.lit(1.0)) / F.lit(
+        float(_SAMPLE_SPACE) + 2.0
+    )
+    g = (F.col(log_weight_col).cast("double") - F.log(-F.log(u))).alias(
+        "gumbel_key"
+    )
+    return (
+        df.withColumn("gumbel_key", g)
+        .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
+        .limit(int(k))
+    )

@@ -439,6 +439,38 @@ def normalize_text(
     )
 
 
+def _segment(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Shared segmenter for the line-dedup family: (id, pos, line) rows
+    via posexplode over a literal-separator split. ONE definition so
+    dedup_lines, common_lines, and dedup_lines_against provably
+    segment identically (retirement-candidate evidence, NOTES r16+)."""
+    import re as _re
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+
+
+def _reassemble(kept: DataFrame, id_col: str, sep: str) -> DataFrame:
+    """Shared ordered-reassembly aggregate: surviving (id, pos, line)
+    rows back into one document per id, original order."""
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -462,36 +494,18 @@ def dedup_lines(
     unbounded, so no broadcast assumption) -> ONE shuffle back on doc
     id for the ordered reassembly. Nothing is pairwise; 100 TB of
     documents is ~3 segment-keyed passes. The segment groupBy combines
-    map-side (count-distinct per segment over sorted ids)."""
-    import re as _re
+    map-side (count-distinct per segment over sorted ids).
 
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), _re.escape(sep), -1)
-        ).alias("pos", "line"),
-    )
-    # empty / whitespace-only segments are STRUCTURE, not boilerplate
-    # (round-9, ADVICE r8): two documents sharing a blank line must not
-    # push it over min_docs, or paragraph breaks collapse on reassembly
-    common = (
-        lines.filter(F.trim(F.col("line")) != "")
-        .groupBy("line")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("line")
-    )
+    Composition (shared helpers, round-15): this IS
+    ``common_lines(df)`` anti-joined via the ``dedup_lines_against``
+    path (same _segment / _reassemble), plus the totals join that
+    keeps fully-boilerplate documents as empty text with an n_removed
+    count — the incremental twin drops them (its batch has no totals
+    side)."""
+    lines = _segment(df, text_col, id_col, sep)
+    common = common_lines(df, text_col, id_col, sep, min_docs)
     kept = lines.join(common, on="line", how="left_anti")
-    agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.line,
-            ),
-            sep,
-        ).alias("_text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-    )
+    agg = _reassemble(kept, id_col, sep)
     totals = lines.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("_total")
     )
@@ -521,14 +535,10 @@ def common_lines(
     one ``line`` column of segments appearing in >= ``min_docs``
     distinct documents. Persist it (parquet) to reuse across ingest
     batches — the corpus is scanned once, not per batch."""
-    import re as _re
-
-    lines = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("line"),
-    )
-    # blank segments excluded: structural, never boilerplate (see
-    # dedup_lines — the index must match what it would strip)
+    lines = _segment(df, text_col, id_col, sep)
+    # blank segments excluded: structural, never boilerplate (round-9,
+    # ADVICE r8): two documents sharing a blank line must not push it
+    # over min_docs, or paragraph breaks collapse on reassembly
     return (
         lines.filter(F.trim(F.col("line")) != "")
         .groupBy("line")
@@ -552,30 +562,14 @@ def dedup_lines_against(
     stream-static and stateless, and the surviving (id, pos, line) rows
     are returned UN-reassembled (a per-doc reassembly aggregate would
     be unbounded state; reassemble per micro-batch in foreachBatch)."""
-    import re as _re
-
-    lines = new_docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), _re.escape(sep), -1)
-        ).alias("pos", "line"),
-    )
+    lines = _segment(new_docs, text_col, id_col, sep)
     kept = lines.join(
         line_index.select("line").dropDuplicates(["line"]),
         on="line", how="left_anti",
     )
     if new_docs.isStreaming:
         return kept
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.line,
-            ),
-            sep,
-        ).alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-    )
+    return _reassemble(kept, id_col, sep).withColumnRenamed("_text", "text")
 
 
 def tfidf_keywords(

@@ -83,12 +83,49 @@ DSIR_ORACLE = f"""
     GROUP BY 1
 """
 
+def _q_sample_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k weighted sample (Kool 2019 / A-ES): top-50 docs by
+    log(n_chars) − ln(−ln(u)), u the deterministic md5-uniform of
+    (doc_id, seed 0) — exact weight-proportional sampling without
+    replacement, length-weighted. Staged for r17 (needs a retirement
+    slot — candidates in NOTES.md)."""
+    from g4s_spark.functions.sampling import gumbel_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gumbel_topk_sample(
+        docs.withColumn("lw", F.log(F.col("n_chars").cast("double"))),
+        "lw", k=50,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        (F.floor(F.col("gumbel_key") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "gumbel_key"
+        ),
+    )
+
+
+GUMBEL_ORACLE = """
+    SELECT doc_id, source,
+           floor(gk * 1000000 + 0.5) / 1000000 AS gumbel_key
+    FROM (
+        SELECT doc_id, source,
+               ln(n_chars)
+               - ln(-ln((CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                        / (power(16.0, 8) + 2.0))) AS gk
+        FROM documents
+    )
+    ORDER BY gk DESC, doc_id ASC LIMIT 50
+"""
+
 QUEUE_QUERIES = {
     "pipeline_dsir": _q_pipeline_dsir,
+    "sample_gumbel_topk": _q_sample_gumbel_topk,
 }
 
 QUEUE_ORACLES = {
     "pipeline_dsir": DSIR_ORACLE,
+    "sample_gumbel_topk": GUMBEL_ORACLE,
 }
 
 

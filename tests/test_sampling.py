@@ -327,3 +327,34 @@ def test_dsir_log_weights_vs_replica(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-9, k
     # English docs score higher than the German/gibberish ones
     assert min(got[1][1], got[3][1]) > max(got[2][1], got[5][1])
+
+
+def test_gumbel_topk_sample_vs_replica(spark):
+    """gumbel_topk_sample (round-15, staged r17 debut — Kool 2019):
+    exact weight-proportional sampling without replacement; the top-k
+    set and key values match a hashlib/python replica, and heavier
+    rows win more often (sanity: the max-weight row is in the top-k
+    here by construction)."""
+    import hashlib
+    import math
+
+    from g4s_spark.functions.sampling import gumbel_topk_sample
+
+    rows = [(i, float(i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    df = df.withColumn("lw", F.log("w"))
+
+    SPACE = 16 ** 8
+
+    def gkey(doc_id, w):
+        h = hashlib.md5(f"0:{doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1.0) / (SPACE + 2.0)
+        return math.log(w) - math.log(-math.log(u))
+
+    want = sorted(rows, key=lambda r: (-gkey(*r), r[0]))[:10]
+    got = gumbel_topk_sample(df, "lw", k=10).collect()
+    assert [r.doc_id for r in got] == [r[0] for r in want]
+    for r, (wid, ww) in zip(got, want):
+        assert abs(r.gumbel_key - gkey(wid, ww)) < 1e-9
+    with pytest.raises(ValueError, match="k must be"):
+        gumbel_topk_sample(df, "lw", k=0)
