@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .tokenizer import CypherLexError, split_top_level, tokenize
+from .tokenizer import CypherLexError, split_punct, split_top_level, tokenize
 
 
 @dataclass(frozen=True)
@@ -1236,22 +1236,14 @@ def _strip_quoted(s: str) -> str:
 
 
 def _split_plus_quoted(s: str) -> list[str]:
-    """Split on '+' outside quoted literals."""
-    parts, cur, inq = [], [], None
-    for ch in s:
-        if inq:
-            cur.append(ch)
-            if ch == inq:
-                inq = None
-        elif ch in "'\"":
-            inq = ch
-            cur.append(ch)
-        elif ch == "+":
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
+    """Split a concat body on top-level '+' via the token stream
+    (round-15): '+' inside a quoted literal or a bracket group never
+    splits. Empty parts are kept — the piece grammar downstream rejects
+    them with its own error, as before."""
+    try:
+        parts = split_punct(s, tokenize(s), "+")
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
     return [p.strip() for p in parts]
 
 
@@ -1278,7 +1270,13 @@ def _parse_order_limit(
 ) -> None:
     out_cols = out_columns(qg)
     if orderby:
-        for part in orderby.split(","):
+        # token-stream comma split (round-15): empties kept so `a,,b`
+        # still errors as an unsupported item, matching the old split
+        try:
+            ob_parts = split_punct(orderby, tokenize(orderby), ",")
+        except CypherLexError as e:
+            raise CypherParseError(str(e)) from None
+        for part in ob_parts:
             om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
             if om and om.group("col") in out_cols:
                 desc = (om.group("dir") or "").upper() == "DESC"
@@ -1419,30 +1417,16 @@ def _parse_pattern(
 
 
 def _split_patterns(s: str) -> list[str]:
-    """Split on top-level commas — bracket-depth AND quote aware
-    (round-8: a comma inside a string literal, e.g. a concat separator
-    `', '` or an IN-list item, is data, not a delimiter)."""
-    parts, depth, cur, inq = [], 0, [], None
-    for ch in s:
-        if inq:
-            cur.append(ch)
-            if ch == inq:
-                inq = None
-            continue
-        if ch in "'\"":
-            inq = ch
-            cur.append(ch)
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
+    """Split on top-level commas via the token stream (round-15,
+    continuing the r14/r15 migration: one lexer, not three). A comma
+    inside a string literal (round-8: a concat separator `', '` or an
+    IN-list item is data, not a delimiter) or inside any bracket group
+    — (), [], now also {} — never splits. Empty parts are dropped
+    (trailing comma tolerated, as before)."""
+    try:
+        parts = split_punct(s, tokenize(s), ",")
+    except CypherLexError as e:
+        raise CypherParseError(str(e)) from None
     return [p for p in (x.strip() for x in parts) if p]
 
 

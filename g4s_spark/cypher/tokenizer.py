@@ -164,6 +164,45 @@ def scan_clauses(
     return hits
 
 
+def split_punct(source: str, toks: list[Token], punct: str) -> list[str]:
+    """Split ``source`` at top-level occurrences of a punct token
+    (``,`` for pattern/RETURN/IN-list items, ``+`` for string concat).
+
+    Same opens-stack discipline as scan_clauses: a delimiter inside a
+    string literal (one token — invisible) or inside any bracket group
+    ``()``/``[]``/``{}`` never splits, and unbalanced brackets raise
+    CypherLexError naming the offending bracket and its position. Parts
+    are returned raw (unstripped, empties kept) so callers keep their
+    own acceptance rules — _split_patterns drops empties (trailing
+    comma tolerated, round-8 behavior), ORDER BY rejects them.
+    """
+    opens: list[Token] = []
+    parts: list[str] = []
+    prev_end = 0
+    for t in toks:
+        if t.kind != "punct":
+            continue
+        if t.text in "([{":
+            opens.append(t)
+        elif t.text in ")]}":
+            if not opens:
+                raise CypherLexError(
+                    f"unbalanced '{t.text}' at position {t.pos}: "
+                    "no matching opener"
+                )
+            opens.pop()
+        elif t.text == punct and not opens:
+            parts.append(source[prev_end:t.pos])
+            prev_end = t.end
+    if opens:
+        o = opens[-1]
+        raise CypherLexError(
+            f"unclosed '{o.text}' opened at position {o.pos}"
+        )
+    parts.append(source[prev_end:])
+    return parts
+
+
 def split_top_level(
     source: str,
     toks: list[Token],

@@ -587,7 +587,7 @@ _CYPHER_TOKENS = [
     "IS NULL", "IS NOT NULL", "count", "sum", "CASE", "WHEN", "THEN",
     "END", "EXISTS", "NOT", "AND", "OR", "IN", "AS", "=~", "STARTS WITH",
     "(", ")", "[", "]", "{", "}", "-", "->", "<-", "--", ":", ",", "*",
-    "..", ".", "=", "<", ">", "|", "a", "b", "n", "r", "k", "A", "X",
+    "..", ".", "=", "<", ">", "|", "+", "a", "b", "n", "r", "k", "A", "X",
     "'x'", "1", "2", "$p", "*1..2", "NULL", "true",
 ]
 
@@ -615,6 +615,40 @@ def test_keyword_fuzz_plans_or_typed_error(spark, toks):
             assert out is not None
         except (CypherParseError, ValueError):
             pass
+
+
+@given(
+    parts=st.lists(
+        st.text(
+            alphabet="ab1 ()[]{}'\",+.:-<>=",
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    delim=st.sampled_from([",", "+"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_split_punct_roundtrip(parts, delim):
+    """Pure-python property for the round-15 item splitter: for any
+    lexable source, every removed delimiter is exactly one top-level
+    ``delim`` char, so joining the parts back with it reproduces the
+    source verbatim; and no part retokenizes with a top-level delim of
+    its own (splits are maximal). Unlexable/unbalanced input raises the
+    typed lexer error, never a foreign exception."""
+    from g4s_spark.cypher.tokenizer import CypherLexError, split_punct, tokenize
+
+    s = delim.join(parts)
+    try:
+        got = split_punct(s, tokenize(s), delim)
+    except CypherLexError:
+        return
+    assert delim.join(got) == s
+    for p in got:
+        # a part is always lexable (it is a token-aligned slice) and
+        # carries no further top-level delimiter
+        sub = split_punct(p, tokenize(p), delim)
+        assert sub == [p]
 
 
 def test_unsupported_opencypher_negative_corpus(spark):

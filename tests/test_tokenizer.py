@@ -11,6 +11,7 @@ from g4s_spark.cypher.parser import CypherParseError, parse, split_with
 from g4s_spark.cypher.tokenizer import (
     CypherLexError,
     scan_clauses,
+    split_punct,
     split_top_level,
     tokenize,
 )
@@ -152,3 +153,45 @@ def test_where_split_on_token_stream():
         parse("MATCH (c:Customer) WHERE c.a = 1 WHERE c.b = 2 RETURN c")
     with pytest.raises(CypherParseError, match="empty WHERE"):
         parse("MATCH (c:Customer) WHERE RETURN c")
+
+
+def test_split_punct_commas_and_plus():
+    """Round-15: item-level comma and concat '+' splitting run on the
+    SAME token stream as clause splitting — one lexer, not three. A
+    delimiter inside a string literal or any bracket group ((), [],
+    {}) never splits; parts come back raw (empties kept) so callers
+    keep their own acceptance rules."""
+    s = "(a)-[:T]->(b), (c {k: 1, j: 2}), 'x, y'"
+    parts = split_punct(s, tokenize(s), ",")
+    assert [p.strip() for p in parts] == [
+        "(a)-[:T]->(b)", "(c {k: 1, j: 2})", "'x, y'"
+    ]
+    s = "a.x + '-+-' + coalesce(b.y + 1, 0)"
+    parts = split_punct(s, tokenize(s), "+")
+    assert [p.strip() for p in parts] == [
+        "a.x", "'-+-'", "coalesce(b.y + 1, 0)"
+    ]
+    # empties are the caller's problem, not silently dropped here
+    s = "a,,b,"
+    assert split_punct(s, tokenize(s), ",") == ["a", "", "b", ""]
+
+
+def test_split_punct_unbalanced_brackets_raise():
+    with pytest.raises(CypherLexError, match="unbalanced '\\)'"):
+        split_punct("a), b", tokenize("a), b"), ",")
+    with pytest.raises(CypherLexError, match="unclosed '\\['"):
+        split_punct("a, [b", tokenize("a, [b"), ",")
+
+
+def test_item_splitters_use_token_stream_end_to_end():
+    """The migrated parser paths: RETURN-item commas inside function
+    parens and string literals, ORDER BY item commas, IN-list commas,
+    and concat '+' inside literals — all through parse()."""
+    qg = parse(
+        "MATCH (c:Customer) RETURN coalesce(c.nick, 'a, b') AS nick, c"
+    )
+    assert set(qg.returns) >= {"c"}
+    qg = parse("MATCH (c:Customer) RETURN c.name + ' + ' + c.mkt AS t")
+    assert qg.concat_returns
+    with pytest.raises(CypherParseError, match="unsupported ORDER BY item"):
+        parse("MATCH (c:Customer) RETURN c ORDER BY c,,c LIMIT 1")
