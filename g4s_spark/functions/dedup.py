@@ -113,6 +113,80 @@ def ngram_jaccard_pairs(
             sh.unpersist()
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    materialize: bool = False,
+) -> DataFrame:
+    """Directional near-dup pairs by shingle containment
+    C(contained -> container) = |S(c) ∩ S(C)| / |S(c)| (Broder 1997,
+    "On the resemblance and containment of documents").
+
+    Jaccard misses the classic contamination shape: a short document (a
+    quote, a test-set item, a boilerplate block) embedded verbatim in a
+    much longer one scores ~|A|/|B| symmetric but 1.0 directional —
+    training-data decontamination wants containment, not resemblance.
+    The reference engine has no text pipeline; semantics are Broder's.
+
+    Plan shape: the same inverted-index self-join as
+    ngram_jaccard_pairs — candidates exist only where a shingle is
+    shared (required for any t > 0) — with the intersection aggregated
+    ONCE per unordered pair (a < b); both directions then fold out of a
+    2-element inline array (narrow generator, no second shuffle or
+    re-aggregation), each normalized by its own side's shingle count.
+    Returns (contained, container, containment) rows.
+
+    100 TB scale path: pair-stage cost is Σ_shingle df² exactly like
+    jaccard; at corpus scale generate candidates with minhash_lsh_pairs
+    (banded index) and verify containment only on candidates instead of
+    the full self-join.
+    """
+    sh = shingle_docs(df, text_col, id_col, n)
+    if materialize:
+        sh = sh.cache()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        both = (
+            inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), on="a")
+            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), on="b")
+        )
+        dirs = both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("contained"),
+                        F.col("b").alias("container"),
+                        (F.col("n_common") / F.col("sza")).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("contained"),
+                        F.col("a").alias("container"),
+                        (F.col("n_common") / F.col("szb")).alias("c"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
+        out = (
+            dirs.filter(F.col("c") >= threshold)
+            .select("contained", "container", pround(F.col("c"), 4).alias("containment"))
+        )
+        return iter_checkpoint(out) if materialize else out
+    finally:
+        if materialize:
+            sh.unpersist()
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:

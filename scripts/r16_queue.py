@@ -14,6 +14,13 @@ slot is open before the 192 D=2 trip-wire binds again. Staged here:
   full computation; ln is the single transcendental, rounded at the
   gate boundary like the harmonic/z-score gates.
 
+- sample_gumbel_topk (r17 candidate): Gumbel top-k weighted sampling
+  without replacement (Kool 2019 / Efraimidis-Spirakis in log space).
+
+- dedup_containment (r18 candidate): directional shingle containment
+  (Broder 1997) — the decontamination shape symmetric Jaccard misses;
+  one pair aggregation, both directions folded out of an inline array.
+
 Verify locally:  python scripts/r16_queue.py
 """
 
@@ -83,6 +90,46 @@ DSIR_ORACLE = f"""
     GROUP BY 1
 """
 
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (Broder 1997): short-doc-inside-
+    long-doc contamination that symmetric Jaccard scores near zero.
+    Staged for r18 (pairs with retirement candidate #3: dedup_lines →
+    common_lines + dedup_lines_against, NOTES.md)."""
+    from g4s_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4, materialize=True
+    )
+
+
+_SHINGLES = """
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+           WHERE len(t) >= 3)
+"""
+
+CONTAINMENT_ORACLE = f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dirs AS (
+        SELECT a AS contained, b AS container, n * 1.0 / za.c AS c
+        FROM inter JOIN sz za ON a = za.doc_id
+        UNION ALL
+        SELECT b AS contained, a AS container, n * 1.0 / zb.c AS c
+        FROM inter JOIN sz zb ON b = zb.doc_id
+    )
+    SELECT contained, container,
+           floor(c * 10000 + 0.5) / 10000 AS containment
+    FROM dirs WHERE c >= 0.4
+"""
+
+
 def _q_sample_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-k weighted sample (Kool 2019 / A-ES): top-50 docs by
     log(n_chars) − ln(−ln(u)), u the deterministic md5-uniform of
@@ -121,11 +168,13 @@ GUMBEL_ORACLE = """
 QUEUE_QUERIES = {
     "pipeline_dsir": _q_pipeline_dsir,
     "sample_gumbel_topk": _q_sample_gumbel_topk,
+    "dedup_containment": _q_dedup_containment,
 }
 
 QUEUE_ORACLES = {
     "pipeline_dsir": DSIR_ORACLE,
     "sample_gumbel_topk": GUMBEL_ORACLE,
+    "dedup_containment": CONTAINMENT_ORACLE,
 }
 
 

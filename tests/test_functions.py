@@ -112,6 +112,35 @@ def test_ngram_jaccard(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_containment_pairs_directional(spark):
+    """Broder containment (r18 staging): a short doc embedded verbatim
+    in a long one scores 1.0 in the contained->container direction
+    while symmetric Jaccard (2 shared / 6 union shingles = 0.33) would
+    miss it at any threshold above 1/3; the reverse direction carries
+    its own denominator; exact dups score 1.0 both ways."""
+    rows = [
+        (10, "alpha beta gamma delta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "unrelated words all over this line"),
+        (13, "alpha beta gamma delta"),  # exact dup of 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.contained, r.container): r.containment
+        for r in D.containment_pairs(df, threshold=0.3).collect()
+    }
+    assert got[(10, 11)] == 1.0  # short inside long: full containment
+    assert got[(11, 10)] == pytest.approx(2 / 6, abs=1e-4)
+    assert got[(10, 13)] == 1.0 and got[(13, 10)] == 1.0
+    assert not any(12 in p for p in got)
+    # higher threshold keeps the directional hit, drops the reverse
+    hi = {
+        (r.contained, r.container)
+        for r in D.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (10, 11) in hi and (11, 10) not in hi
+
+
 def test_minhash_lsh_finds_exact_dups(docs):
     pairs = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs).collect()}
     assert (1, 4) in pairs  # identical token sets agree on every band
