@@ -308,14 +308,56 @@ def _encode_scalar_fn(fn: str, a1: str | None, a2: str | None, ctx: str) -> str:
 
 
 def _arith_op_present(s: str) -> bool:
-    """An arithmetic operator acting BETWEEN operands. A leading unary
-    sign does not count, so `c.x > -5` stays a plain literal filter
-    (scan pushdown) instead of detouring through the expression path;
-    `a.x - 5` (operator mid-string) does count."""
+    """An arithmetic operator acting BETWEEN operands, decided on the
+    token stream (round-15): an operator inside a string literal no
+    longer counts, so ``c.name = 'a-b'`` stays a plain literal filter
+    (scan pushdown) instead of detouring through the expression path.
+    A leading unary sign does not count either, so ``c.x > -5`` stays
+    a literal filter; ``a.x - 5`` (operator between operands) counts.
+    Unlexable fragments keep the old raw scan as the fallback."""
     t = s.strip()
-    if t.startswith("-"):
-        t = t[1:]
-    return re.search(r"[-+*/]", t) is not None
+    try:
+        toks = tokenize(t)
+    except CypherLexError:
+        if t.startswith("-"):
+            t = t[1:]
+        return re.search(r"[-+*/]", t) is not None
+    for i, tok in enumerate(toks):
+        if tok.kind == "punct" and tok.text in ("+", "-", "*", "/"):
+            if i == 0 and tok.text == "-":
+                continue
+            return True
+    return False
+
+
+_CMP_TOKENS = {"<=", ">=", "<>", "!=", "=", "<", ">"}
+
+
+def _top_cmps(c: str) -> tuple[list[tuple[int, int, str]], bool]:
+    """Comparison-operator occurrences OUTSIDE string literals and
+    CASE...END spans, via the token stream (round-15): a cmp inside a
+    literal (``'a>b'``) or a CASE arm never splits, ``=~`` is one token
+    and never yields its ``=``, and nested CASE pairs correctly (the
+    old raw-text scan used a non-greedy regex and matched literal
+    interiors). Returns ``([(start, end, op), ...], case_present)``."""
+    try:
+        toks = tokenize(c)
+    except CypherLexError:
+        return [], False
+    out: list[tuple[int, int, str]] = []
+    case_depth = 0
+    case_present = False
+    for t in toks:
+        if t.kind == "word":
+            u = t.text.upper()
+            if u == "CASE":
+                case_depth += 1
+                case_present = True
+            elif u == "END" and case_depth:
+                case_depth -= 1
+        elif t.kind == "punct" and t.text in _CMP_TOKENS and case_depth == 0:
+            out.append((t.pos, t.end, t.text))
+    return out, case_present
 
 
 _STATEMENT_CLAUSES = {
@@ -684,22 +726,17 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                 # comparison operator OUTSIDE any CASE...END span (a CASE
                 # right of the outer comparison, e.g. `a.x > CASE WHEN
                 # b.y = 1 ...`, has internal comparisons that must not
-                # split; arithmetic itself has none)
-                case_spans = [
-                    m.span() for m in re.finditer(r"(?is)\bCASE\b.*?\bEND\b", c)
-                ]
-                cmps = [
-                    m for m in re.finditer(r"<=|>=|<>|!=|=|<|>", c)
-                    if not any(s <= m.start() < e for s, e in case_spans)
-                ]
+                # split; arithmetic itself has none). Token-stream scan
+                # (round-15): cmps inside string literals never match.
+                cmps, case_present = _top_cmps(c)
                 if cmps and "." in c and (
-                    case_spans
-                    or _arith_op_present(c[:cmps[0].start()])
-                    or _arith_op_present(c[cmps[0].end():])
+                    case_present
+                    or _arith_op_present(c[:cmps[0][0]])
+                    or _arith_op_present(c[cmps[0][1]:])
                     or re.match(r"(?i)\s*(?:abs|round|ceil|floor|sqrt)\s*\(", c)
                 ):
-                    first = cmps[0]
-                    lhs_txt, rhs_txt = c[:first.start()], c[first.end():]
+                    first_start, first_end, first_op = cmps[0]
+                    lhs_txt, rhs_txt = c[:first_start], c[first_end:]
                     try:
                         lt = _tokenize_expr(lhs_txt)
                         ln, le = _parse_arith(lt)
@@ -721,7 +758,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                                     raise CypherParseError(
                                         "arithmetic WHERE over edge variables is unsupported"
                                     )
-                            qg.expr_filters.append((ln, first.group(0), rn))
+                            qg.expr_filters.append((ln, first_op, rn))
                             continue
                 disjuncts = _split_bool(c, "OR")
                 if len(disjuncts) > 1 and len(conjuncts) > 1 and not parenthesized:
@@ -1332,17 +1369,33 @@ def _split_bool(s: str, word: str) -> list[str]:
 
 def _strip_outer_parens(s: str) -> tuple[str, bool]:
     """Remove one pair of parens if they wrap the whole conjunct; returns
-    (stripped, was_parenthesized)."""
+    (stripped, was_parenthesized). Token-stream scan (round-15): a paren
+    inside a string literal (`(c.name = ')')`) no longer miscounts;
+    unlexable input keeps the old char scan."""
     s = s.strip()
     if not (s.startswith("(") and s.endswith(")")):
         return s, False
+    try:
+        toks = tokenize(s)
+    except CypherLexError:
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s, False
+        return s[1:-1].strip(), True
     depth = 0
-    for i, ch in enumerate(s):
-        if ch == "(":
+    for i, t in enumerate(toks):
+        if t.kind != "punct":
+            continue
+        if t.text == "(":
             depth += 1
-        elif ch == ")":
+        elif t.text == ")":
             depth -= 1
-            if depth == 0 and i != len(s) - 1:
+            if depth == 0 and i != len(toks) - 1:
                 return s, False  # e.g. "(a) OR (b)" — parens don't wrap all
     return s[1:-1].strip(), True
 

@@ -195,3 +195,37 @@ def test_item_splitters_use_token_stream_end_to_end():
     assert qg.concat_returns
     with pytest.raises(CypherParseError, match="unsupported ORDER BY item"):
         parse("MATCH (c:Customer) RETURN c ORDER BY c,,c LIMIT 1")
+
+
+def test_cmp_scan_on_token_stream():
+    """Round-15: the expr-comparison scan runs on the token stream.
+    Comparison/arith chars inside string literals no longer engage the
+    expression path — `c.name = 'a-b'` stays a plain pushdown filter —
+    and `=~` is one token, never yielding its '=' to the splitter."""
+    from g4s_spark.cypher.parser import _arith_op_present, _top_cmps
+
+    assert _arith_op_present("'a-b'") is False
+    assert _arith_op_present("a.x - 5") is True
+    assert _arith_op_present("-5") is False
+    assert [op for _, _, op in _top_cmps("c.name = 'a>b'")[0]] == ["="]
+    assert _top_cmps("c.name =~ 'p.*'")[0] == []
+    cmps, case_present = _top_cmps(
+        "a.x > CASE WHEN b.y = 1 THEN 2 ELSE 3 END"
+    )
+    assert [op for _, _, op in cmps] == [">"] and case_present
+
+    qg = parse("MATCH (c:Customer) WHERE c.name = 'a-b' RETURN c")
+    assert qg.filters and not qg.expr_filters
+    qg = parse("MATCH (c:Customer) WHERE c.acctbal + 1 > 2 RETURN c")
+    assert qg.expr_filters
+
+
+def test_strip_outer_parens_literal_safe():
+    """Round-15: outer-paren stripping counts paren TOKENS — a paren
+    inside a string literal no longer miscounts the depth."""
+    from g4s_spark.cypher.parser import _strip_outer_parens
+
+    assert _strip_outer_parens("(a) OR (b)") == ("(a) OR (b)", False)
+    assert _strip_outer_parens("(c.name = ')')") == ("c.name = ')'", True)
+    qg = parse("MATCH (c:Customer) WHERE (c.name = ')x(') RETURN c")
+    assert qg.filters and qg.filters[0].value == ")x("
