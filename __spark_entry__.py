@@ -936,6 +936,33 @@ def _q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(_ps_edges(spark, sf_dir), length=3, walks_per_node=1, seed=42)
 
 
+DSIR_BUCKETS = 8192
+
+
+def _q_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hashed-unigram bucket distributions of the target corpus (lang='en'
+    documents) vs the raw corpus, then per-document log-importance
+    scores — high scores = most target-like. The md5 bucketing is
+    byte-identical across Spark/DuckDB so the oracle reproduces the
+    full computation; ln is the single transcendental, rounded at the
+    gate boundary (6 decimals, like graph_harmonic). Round-16 debut
+    (staged + oracle-verified in scripts/r16_queue.py on the final r15
+    tree)."""
+    from g4s_spark.functions.pipeline import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, n_buckets=DSIR_BUCKETS)
+    return w.select(
+        "doc_id",
+        "n_feat",
+        (F.floor(F.col("log_weight") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "log_weight"
+        ),
+    )
+
+
 # --- round-9 debuts (staged + oracle-verified in r8, scripts/r9_queue) ----
 
 EIG_ITERS = 3
@@ -1504,40 +1531,42 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- driver-window rotation ----------------------------------------------
 # The correctness driver checks the FIRST 50 dict entries only.
-# Round-15 composition (drafted in NOTES.md at r14 close, lifted
-# verbatim): the 1 round-15 debut (graph_random_walks — deterministic
-# md5-keyed DeepWalk walks; staged + oracle-verified on final r14 code
-# via scripts/r15_queue.py), the 41 forced last-green-r11 gates (the
-# 4-round staleness budget), and the 8 oldest last-seen-r12 rows by
-# first appearance. Registry 191 → 192 — AT the D=2 trip-wire; from
-# here every debut pairs with a genuine-subsumption retirement
-# (RETIRED_GATES.json policy; candidates pre-staged in NOTES.md).
-# Rotation history lives in WINDOW_LEDGER.json (append-only; rounds
-# with a published CORRECTNESS artifact are digest-pinned);
-# tests/test_entry_contract.py enforces the budget. Everything at 51+
-# is green in the local full check (scripts/check_correctness.py).
+# Round-16 composition (drafted in NOTES.md at r15 close, lifted
+# verbatim): the 1 round-16 debut (pipeline_dsir — DSIR hashed-unigram
+# importance weights, Xie 2023; staged + oracle-verified on final r15
+# code via scripts/r16_queue.py), the 42 forced last-green-r12 gates
+# (the 4-round staleness budget), and the 7 oldest last-seen-r13 rows
+# by first appearance. Registry 191 → 192 — back AT the D=2 trip-wire
+# (text_vocab retired r15); from here every debut pairs with a
+# genuine-subsumption retirement (RETIRED_GATES.json policy;
+# candidates pre-staged in NOTES.md). Rotation history lives in
+# WINDOW_LEDGER.json (append-only; rounds with a published CORRECTNESS
+# artifact are digest-pinned); tests/test_entry_contract.py enforces
+# the budget. Everything at 51+ is green in the local full check
+# (scripts/check_correctness.py).
 _WINDOW_ORDER = [
-    # round-15 debut (from scripts/r15_queue.py, oracle-verified)
-    "graph_random_walks",
-    # the 41 forced last-green-r11 gates (contract test fails without them)
-    "chunk_documents", "cypher_coalesce", "cypher_count_prop",
-    "cypher_deep_chain", "cypher_delete", "cypher_orderby_prop",
-    "cypher_path_length", "cypher_remove", "cypher_set_edge_expr",
-    "cypher_set_expr", "cypher_shortest_path", "cypher_where_isnull",
-    "cypher_with_optional", "dedup_canonical", "dedup_cross_source",
-    "events_asof_forward", "events_asof_nearest", "events_asof_tolerance",
-    "graph_assortativity", "graph_clustering", "graph_hits",
-    "graph_neighbor_agg", "graph_scc", "pipeline_corpus_report",
-    "pipeline_curate", "pipeline_token_budget", "pipeline_token_rates",
-    "rel_q10_returns", "rel_q1_pricing", "rel_q3_shipping",
-    "rel_q5_local_volume", "rel_q6_forecast", "rel_supplier_rank",
-    "rel_top_orders", "sample_shuffle", "text_bm25", "text_doc_freq",
-    "text_fingerprint", "text_lang_id", "text_quality",
-    "text_token_count",
-    # 8 oldest last-seen-r12 rows (first-appearance order)
-    "ann_lsh_topk", "cypher_1hop", "cypher_2hop_reverse",
-    "cypher_closure", "cypher_count_groups", "cypher_fork",
-    "cypher_multi_return", "cypher_multitype",
+    # round-16 debut (from scripts/r16_queue.py, oracle-verified)
+    "pipeline_dsir",
+    # the 42 forced last-green-r12 gates (contract test fails without them)
+    "ann_ivf_topk", "cypher_concat", "cypher_distinct_agg",
+    "cypher_exists", "cypher_id_where", "cypher_introspect",
+    "cypher_not_exists", "cypher_optional_agg", "cypher_prop_agg",
+    "cypher_stats_agg", "cypher_union", "cypher_unwind",
+    "cypher_where_regex", "cypher_with_having", "dedup_clusters",
+    "dedup_embedding_lsh", "dedup_vs_index", "events_anomalies",
+    "events_enrich", "events_session_window", "graph_assort_label",
+    "grb_assign_extract", "grb_select_apply_reduce",
+    "rel_q11_important_stock", "rel_q12_priority_class",
+    "rel_q13_order_dist", "rel_q15_top_supplier",
+    "rel_q16_supplier_cnt", "rel_q17_small_qty", "rel_q18_large_orders",
+    "rel_q19_disjunctive", "rel_q20_part_share", "rel_q21_waiting",
+    "rel_q22_idle_cust", "rel_q2_min_cost", "rel_q4_priority",
+    "rel_q7_volume", "rel_q8_market_share", "rel_q9_profit",
+    "text_decontaminate", "text_normalize", "text_redact_pii",
+    # 7 oldest last-seen-r13 rows (first-appearance order)
+    "cypher_varlength", "dedup_ngram_jaccard", "events_sessionize",
+    "ewise_intersect_min", "ewise_union_plus", "graph_bfs",
+    "graph_pagerank",
 ]
 
 
@@ -2005,6 +2034,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "graph_scc": _q_graph_scc,
         "graph_random_walks": _q_graph_random_walks,
+        "pipeline_dsir": _q_pipeline_dsir,
         # round-9 debuts: the 11 gates staged + oracle-verified in r8
         # (scripts/r9_queue.py) plus the MERGE ON MATCH SET and
         # weighted-closeness driver rows (VERDICT r8 #6/#8)
@@ -2116,6 +2146,12 @@ _PID = f"CAST({PART_OFF} + l_partkey AS BIGINT)"
 _SID = f"CAST({SUPPLIER_OFF} + l_suppkey AS BIGINT)"
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# DSIR hashed-unigram bucket: the exact key string sampling._md5_bucket
+# builds ('0:' salt prefix), md5 being byte-identical across engines
+_DSIR_BUCKET = (
+    "CAST(('0x' || substr(md5('0:' || tok), 1, 8)) AS BIGINT) % "
+    + str(DSIR_BUCKETS)
+)
 
 # PII / normalization regexes shared verbatim with functions/text.py
 # (portable subset: no lookaround, identical in Java regex and RE2;
@@ -4144,6 +4180,44 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # round-16 debut: DSIR importance weights — the oracle rebuilds
+        # the SAME hashed-unigram bucket distributions (md5 bucketing is
+        # byte-identical across engines), the add-1-smoothed log-ratio
+        # per bucket, and the per-document score sum; ln is the single
+        # transcendental, rounded at the gate boundary like
+        # graph_harmonic
+        "pipeline_dsir": f"""
+            WITH raw_tok AS (
+                SELECT doc_id, u.tok
+                FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+                unnest(ts) AS u(tok)
+            ),
+            tgt_tok AS (
+                SELECT u.tok
+                FROM (SELECT {_TOKS} AS ts FROM documents WHERE lang = 'en'),
+                unnest(ts) AS u(tok)
+            ),
+            rawb AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS r_n
+                     FROM raw_tok GROUP BY 1),
+            tgtb AS (SELECT {_DSIR_BUCKET} AS bucket, count(*) AS t_n
+                     FROM tgt_tok GROUP BY 1),
+            rt AS (SELECT sum(r_n) AS rt FROM rawb),
+            tt AS (SELECT sum(t_n) AS tt FROM tgtb),
+            ratio AS (
+                SELECT rawb.bucket,
+                       ln((coalesce(t_n, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                       - ln((r_n + 1.0) / (rt + {DSIR_BUCKETS}.0)) AS lr
+                FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket, rt, tt
+            ),
+            docb AS (
+                SELECT doc_id, {_DSIR_BUCKET} AS bucket, count(*) AS c
+                FROM raw_tok GROUP BY 1, 2
+            )
+            SELECT d.doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+                   floor(sum(c * lr) * 1000000 + 0.5) / 1000000 AS log_weight
+            FROM docb d JOIN ratio r ON d.bucket = r.bucket
+            GROUP BY 1
         """,
         "text_doc_freq": f"""
             WITH tok AS (

@@ -347,7 +347,7 @@ def _top_cmps(c: str) -> tuple[list[tuple[int, int, str]], bool]:
     out: list[tuple[int, int, str]] = []
     case_depth = 0
     case_present = False
-    for t in toks:
+    for i, t in enumerate(toks):
         if t.kind == "word":
             u = t.text.upper()
             if u == "CASE":
@@ -357,7 +357,55 @@ def _top_cmps(c: str) -> tuple[list[tuple[int, int, str]], bool]:
                 case_depth -= 1
         elif t.kind == "punct" and t.text in _CMP_TOKENS and case_depth == 0:
             out.append((t.pos, t.end, t.text))
+        elif (
+            t.kind == "punct"
+            and t.text == "<-"
+            and case_depth == 0
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "num"
+        ):
+            # the lexer is greedy on relationship arrows, so '<-5'
+            # (meaning '< -5', spaceless) arrives as one '<-' token;
+            # a number right after can only read as '<' plus unary
+            # minus in predicate position (ADVICE r15) — split so the
+            # RHS keeps the sign
+            out.append((t.pos, t.pos + 1, "<"))
     return out, case_present
+
+
+def _cmp_numeric_split(c: str) -> tuple[str, str, str, bool] | None:
+    """Decompose ``<expr> <cmp> <numeric literal>`` on token spans
+    (round-16, VERDICT r15 #4 — retiring the last raw-text comparison
+    split, the old non-greedy ``(?P<lhs>.+?)(op)(num)$`` regex that
+    could match a comparator inside a string literal): returns
+    ``(lhs_text, op, val_text, case_present)`` when the conjunct's
+    LAST top-level comparator is followed by nothing but a (signed)
+    numeric literal, else None. Only the last comparator can qualify —
+    any earlier one's tail contains the later comparator, which is not
+    numeric — so this is exactly the split the backtracking regex
+    computed, minus its literal-interior matches. The spaceless
+    ``<-5`` lexer-greed case arrives pre-split from _top_cmps."""
+    cmps, case_present = _top_cmps(c)
+    if not cmps:
+        return None
+    s0, e0, op0 = cmps[-1]
+    rhs = c[e0:]
+    try:
+        rtoks = tokenize(rhs)
+    except CypherLexError:
+        return None
+    if len(rtoks) == 1 and rtoks[0].kind == "num":
+        val = rtoks[0].text
+    elif (
+        len(rtoks) == 2
+        and rtoks[0].kind == "punct"
+        and rtoks[0].text == "-"
+        and rtoks[1].kind == "num"
+    ):
+        val = "-" + rtoks[1].text
+    else:
+        return None
+    return c[:s0], op0, val, case_present
 
 
 _STATEMENT_CLAUSES = {
@@ -691,21 +739,17 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                         )
                     qg.pattern_filters.append((tuple(tmp), bool(pm.group("neg"))))
                     continue
-                em = re.match(
-                    r"(?is)^(?P<lhs>.+?)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*"
-                    r"(?P<val>-?\d+(?:\.\d+)?)\s*$",
-                    c,
-                )
+                em = _cmp_numeric_split(c)
                 if em and (
-                    (_arith_op_present(em.group("lhs")) and "." in em.group("lhs"))
-                    or re.search(r"(?i)\bCASE\s+WHEN\b", em.group("lhs"))
+                    (_arith_op_present(em[0]) and "." in em[0]) or em[3]
                 ):
                     # arithmetic predicate: expr <op> numeric literal
+                    lhs_txt, cmp_op, cmp_val, _case = em
                     if ci > 0:
                         raise CypherParseError(
                             "arithmetic WHERE in OPTIONAL MATCH is unsupported"
                         )
-                    toks = _tokenize_expr(em.group("lhs"))
+                    toks = _tokenize_expr(lhs_txt)
                     node, end = _parse_arith(toks)
                     if end != len(toks):
                         raise CypherParseError(f"trailing tokens in WHERE expression: {c!r}")
@@ -719,7 +763,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                                 "arithmetic WHERE over edge variables is unsupported"
                             )
                     qg.expr_filters.append(
-                        (node, em.group("op"), ("num", float(em.group("val"))))
+                        (node, cmp_op, ("num", float(cmp_val)))
                     )
                     continue
                 # expr-vs-expr comparison (extension): split at the FIRST

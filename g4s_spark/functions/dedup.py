@@ -667,11 +667,14 @@ def semantic_dedup(
     corpus. The default 65536 caps the per-cell pair space at ~2^31.
     The check is one map-side-combinable count per cell (n_centroids
     result rows) broadcast back into the plan — no driver action. Cost
-    honesty (ADVICE r14): the count aggregation re-evaluates the cell
-    assignment's lineage, so enabling the guard costs one extra scan +
-    aggregate of the embedding input per call (cache/checkpoint the
-    ``ivf_cells_corpus`` output upstream to amortize it when calling
-    repeatedly). ``None`` disables it."""
+    honesty (ADVICE r14/r15): the sizes aggregate reads the SAME
+    session-persisted cell table the pair join reads
+    (ivf_cells_corpus ``.persist()``s its output, keyed on the corpus
+    plan's semantic hash), so the guard costs one aggregate over the
+    cached (id, v, cell) rows — the embedding input itself is scanned
+    once per session, not once more per call. Only with the corpus
+    cache disabled (``use_cache=False`` upstream) does the guard add a
+    genuine second scan. ``None`` disables it."""
     from .similarity import (
         EMB_DIM, IVF_SEED, dot_expr, ivf_cells_corpus, norm_expr,
     )

@@ -369,6 +369,11 @@ def gumbel_topk_sample(
     collide) break by key for total order."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if "gumbel_key" in df.columns:
+        raise ValueError(
+            "input already has a 'gumbel_key' column; rename it before "
+            "sampling (the sample key is attached under that name)"
+        )
     u = (_md5_bucket(F.col(key_col), seed) + F.lit(1.0)) / F.lit(
         float(_SAMPLE_SPACE) + 2.0
     )

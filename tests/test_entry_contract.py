@@ -76,6 +76,10 @@ def test_bench_round_stamp_from_ledger(tmp_path):
         json.dumps({"8": [], "9": []})
     )
     assert bench._current_round(repo) == 9
+    # a ledger holding a non-iterable JSON value must fall back to the
+    # artifact inference, not abort with TypeError (ADVICE r15)
+    (tmp_path / "WINDOW_LEDGER.json").write_text("7")
+    assert bench._current_round(repo) == 10
     (tmp_path / "WINDOW_LEDGER.json").unlink()
     assert bench._current_round(repo) == 10
     (tmp_path / "BENCH_r08.json").unlink()
@@ -131,8 +135,10 @@ def test_registry_under_sustainable_ledger_capacity():
     (50 − D) × 4: D=2 → 192, the steady state adopted in round 12
     (NOTES.md "Registry steady-state arithmetic", option 2): at most
     TWO debuts per round from r13 on. The verified queue fits exactly:
-    r13 +2 → 189 (this round), r14 +2 → 191, r15 +1 → 192 (AT the
-    trip-wire), still 8 gates under the absolute cliff.
+    r13 +2 → 189 (this round), r14 +2 → 191, r15 +1−1 → 191 (the
+    text_vocab retirement landed with the graph_random_walks debut),
+    r16 +1 → 192 (AT the trip-wire), still 8 gates under the absolute
+    cliff.
 
     STEADY-STATE RULE FROM r15 ON (decided round 13, BEFORE the
     trip-wire binds — VERDICT r12 #4): every post-r15 debut MUST pair
@@ -184,7 +190,8 @@ def test_window_ledger_history_is_append_only():
         "11": "c33a255a5f96caba",
         "12": "394355c362f7217e",
         "13": "23527ebff29c0d8b",
-        "14": "b15ce8aaf216f05d",  # final: CORRECTNESS_r14 published
+        "14": "b15ce8aaf216f05d",
+        "15": "6fe1352a4c424f93",  # final: CORRECTNESS_r15 published
     }
     published = {
         str(n)

@@ -358,3 +358,7 @@ def test_gumbel_topk_sample_vs_replica(spark):
         assert abs(r.gumbel_key - gkey(wid, ww)) < 1e-9
     with pytest.raises(ValueError, match="k must be"):
         gumbel_topk_sample(df, "lw", k=0)
+    # a pre-existing gumbel_key column would be silently overwritten —
+    # refuse loudly instead (ADVICE r15)
+    with pytest.raises(ValueError, match="gumbel_key"):
+        gumbel_topk_sample(df.withColumn("gumbel_key", F.lit(0.0)), "lw", k=5)

@@ -305,6 +305,44 @@ def test_negative_literal_stays_plain_filter(props_graph):
     assert got == {(0,), (1,), (2,)}
 
 
+def test_spaceless_less_than_negative_literal(props_graph):
+    """``p.age - 100 <-5`` (meaning ``< -5``, no space): the lexer
+    greedily reads ``<-`` as a relationship arrow, so _top_cmps splits
+    a top-level ``<-`` followed by a number into ``<`` plus unary
+    minus (ADVICE r15) — the predicate plans through the expression
+    path instead of raising a parse error."""
+    got = rows(run_cypher(
+        props_graph,
+        "MATCH (p:Person) WHERE p.age - 100 <-51 RETURN p",
+    ))
+    # ages 35, 17, 50 → age-100 = -65, -83, -50; < -51 keeps the first two
+    assert got == {(0,), (1,)}
+
+
+def test_cmp_numeric_split_ignores_literal_interiors():
+    """The expr-op-literal decomposition consumes tokens (round-16,
+    VERDICT r15 #4): a comparator inside a string literal never
+    splits, and a signed RHS with a space ('> - 5') lexes as minus +
+    num."""
+    from g4s_spark.cypher.parser import _cmp_numeric_split
+
+    # comparator only inside the literal → no split
+    assert _cmp_numeric_split("c.name + '>' ") is None
+    # plain split, LAST top-level comparator wins, sign carried
+    lhs, op, val, case_present = _cmp_numeric_split("c.x + 1 < -5")
+    assert (op, val, case_present) == ("<", "-5", False)
+    assert lhs.strip() == "c.x + 1"
+    # spaced sign also accepted (the old regex required '-5' glued)
+    assert _cmp_numeric_split("c.x + 1 < - 5")[2] == "-5"
+    # comparator inside CASE...END suppressed; outer one found
+    lhs, op, val, case_present = _cmp_numeric_split(
+        "CASE WHEN c.x > 3 THEN 1 ELSE 0 END = 1"
+    )
+    assert (op, val, case_present) == ("=", "1", True)
+    # non-numeric tail → None (falls to the plain-filter grammar)
+    assert _cmp_numeric_split("c.name = 'abc'") is None
+
+
 def test_case_right_of_comparison(props_graph):
     """Outer comparison LEFT of a CASE: the split happens at the first
     comparison outside the CASE...END span (ADVICE r5: splitting at the
