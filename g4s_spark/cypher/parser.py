@@ -15,7 +15,13 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .tokenizer import CypherLexError, split_punct, split_top_level, tokenize
+from .tokenizer import (
+    CypherLexError,
+    Token,
+    split_punct,
+    split_top_level,
+    tokenize,
+)
 
 
 @dataclass(frozen=True)
@@ -221,14 +227,20 @@ class QueryGraph:
     limit: int | None = None
 
 
+# inline property maps (round-16, openCypher MapExpression): `{k: lit,
+# ...}` on a pattern node or single-hop edge desugars to equality
+# PropFilters. `[^{}]*` is the same no-nesting/no-quoted-brace contract
+# as the CREATE/MERGE map grammar (planner._CREATE_NODE_PAT).
 _NODE = re.compile(
     r"\(\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?P<labels>(?::\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)"
+    r"(?P<labels>(?::\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*"
+    r"(?:\{(?P<props>[^{}]*)\}\s*)?\)"
 )
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)?\s*"
     r"(?::\s*(?P<types>[A-Za-z_][A-Za-z0-9_]*(?:\s*\|\s*[A-Za-z_][A-Za-z0-9_]*)*))?\s*"
-    r"(?:\*\s*(?P<lo>\d+)?\s*(?P<range>\.\.)?\s*(?P<hi>\d+)?\s*)?\]\s*-(?P<right>>)?"
+    r"(?:\*\s*(?P<lo>\d+)?\s*(?P<range>\.\.)?\s*(?P<hi>\d+)?\s*)?"
+    r"(?:\{(?P<props>[^{}]*)\}\s*)?\]\s*-(?P<right>>)?"
 )
 
 
@@ -236,58 +248,240 @@ class CypherParseError(ValueError):
     pass
 
 
-_COND = re.compile(
-    r"^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
-    r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
-)
-# IS [NOT] NULL (round-7): a property absent from the props map is NULL
-_COND_NULL = re.compile(
-    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
-    r"\s+IS\s+(?P<neg>NOT\s+)?NULL\s*$"
-)
-# string predicates + IN lists (extension): STARTS WITH / ENDS WITH /
-# CONTAINS take one quoted string; IN takes a bracket list of literals
-# and expands to an equality OR-group (reusing the scan-pushdown path)
-_COND_STR = re.compile(
-    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
-    r"(?P<op>STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+"
-    r"(?P<val>'[^']*'|\"[^\"]*\")\s*$"
-)
-# scalar function over a property in WHERE (extension):
-# toLower/toUpper/trim(b.p) <op> 'str'  |  size(b.p) <op> number
-_COND_EXISTS = re.compile(
-    r"(?is)^\s*exists\s*\(\s*"
-    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
-)
-_COND_FN = re.compile(
-    r"(?is)^\s*(?P<fn>toLower|toUpper|trim|size|reverse|substring|left|right|toFloat|toInteger|toString)\s*\(\s*"
-    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)\s*"
-    r"(?P<op><>|!=|<=|>=|=|<|>)\s*"
-    r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$"
-)
-# regex predicate (openCypher =~): FULL-string match, per the spec —
-# the planner anchors the pattern (^(?:pat)$) before Spark's partial
-# rlike; oracles use regexp_full_match. Patterns must stay in the
-# Java∩RE2-portable subset (no lookaround) for oracle parity.
-_COND_REGEX = re.compile(
-    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"=~\s*(?P<val>'[^']*'|\"[^\"]*\")\s*$"
-)
-_COND_IN = re.compile(
-    r"(?is)^\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s+"
-    r"IN\s*\[(?P<list>[^\]]*)\]\s*$"
-)
-# id(b) <op> integer (round-8): point/range lookups on the node id —
-# still a scan-pushed PropFilter; the store maps the \x1did sentinel to
-# the physical id column (no props access)
-_COND_ID = re.compile(
-    r"(?is)^\s*id\s*\(\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*"
-    r"(?P<op><>|!=|<=|>=|=|<|>)\s*(?P<val>-?\d+)\s*$"
-)
 ID_PROP = "\x1did"
-_IN_ITEM = re.compile(r"^\s*('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*$")
+
+# ---------------------------------------------------------------------------
+# Per-predicate grammar on token spans (round-16, VERDICT r15 "what's
+# missing #3" — retiring the _COND* regex family that round 7-13 grew).
+# Every WHERE atom — b.p <cmp> literal, IS [NOT] NULL, exists(), scalar
+# fn, =~, STARTS/ENDS WITH, CONTAINS, IN [...], id() — is now shape-
+# matched on the token list, so a comparator or keyword INSIDE a string
+# literal can never split or match, whitespace never matters, and the
+# lexer-greedy '<-NUM' case ('c.x <-5' meaning '< -5', ADVICE r15) is
+# normalized once for every shape instead of per-regex. The reference
+# gets this from its openCypher front-end (reference build.sbt:117).
+# Deliberate liberalizations vs the regexes (documented in the round-16
+# corpus diff, scripts/predicate_corpus.py): a unary minus may be
+# separated from its digits ('= - 5'), and a bracketed IN item yields
+# "unsupported IN list item" instead of "unsupported WHERE condition".
+# ---------------------------------------------------------------------------
+
+# scalar functions admitted in fn(b.p[, i[, j]]) <cmp> literal position
+_FN_WORDS = {
+    "tolower", "toupper", "trim", "size", "reverse", "substring",
+    "left", "right", "tofloat", "tointeger", "tostring",
+}
+
+
+def _split_arrow_lt(toks: list[Token]) -> list[Token]:
+    """Re-emit a '<-' token immediately preceding a number as '<' plus
+    '-' (the lexer is greedy on relationship arrows; in predicate
+    position '<-5' can only read as '<' with a unary minus, ADVICE
+    r15) so every downstream shape sees a plain comparator."""
+    out: list[Token] = []
+    for i, t in enumerate(toks):
+        if (
+            t.kind == "punct"
+            and t.text == "<-"
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "num"
+        ):
+            out.append(Token("punct", "<", t.pos, t.pos + 1))
+            out.append(Token("punct", "-", t.pos + 1, t.end))
+        else:
+            out.append(t)
+    return out
+
+
+def _prop_at(toks: list[Token], i: int) -> tuple[str, str, int] | None:
+    """``b.p`` at toks[i:]: (binding, prop, next_index) or None."""
+    if (
+        i + 2 < len(toks)
+        and toks[i].kind == "word"
+        and toks[i + 1].kind == "punct"
+        and toks[i + 1].text == "."
+        and toks[i + 2].kind == "word"
+    ):
+        return toks[i].text, toks[i + 2].text, i + 3
+    return None
+
+
+def _lit_at(toks: list[Token], i: int) -> tuple[str, str, int] | None:
+    """A scalar literal at toks[i:]: ('str'|'num', text, next_index) or
+    None. String text is unquoted; a unary minus fuses with a following
+    number token."""
+    if i >= len(toks):
+        return None
+    t = toks[i]
+    if t.kind == "str":
+        return "str", t.text[1:-1], i + 1
+    if t.kind == "num":
+        return "num", t.text, i + 1
+    if (
+        t.kind == "punct"
+        and t.text == "-"
+        and i + 1 < len(toks)
+        and toks[i + 1].kind == "num"
+    ):
+        return "num", "-" + toks[i + 1].text, i + 2
+    return None
+
+
+def _match_atom(toks: list[Token], cond: str):
+    """Shape-match ONE predicate atom over its full token list; returns
+    a tagged spec tuple, or None when no shape consumes every token
+    (the caller raises the canonical "unsupported WHERE condition").
+    Spec tags: plain / null / exists / fn / id / regex / strpred / in —
+    one per retired _COND* regex."""
+    toks = _split_arrow_lt(toks)
+    n = len(toks)
+    prop = _prop_at(toks, 0)
+    if prop:
+        b, p, j = prop
+        if j >= n:
+            return None
+        t = toks[j]
+        if t.kind == "punct" and t.text in _CMP_TOKENS:
+            lit = _lit_at(toks, j + 1)
+            if lit and lit[2] == n:
+                return ("plain", b, p, t.text, lit[0], lit[1])
+            return None
+        if t.kind == "punct" and t.text == "=~":
+            # openCypher =~ is a FULL-string match: the planner anchors
+            # the pattern (^(?:pat)$) before Spark's partial rlike;
+            # oracles use regexp_full_match. Patterns must stay in the
+            # Java∩RE2-portable subset (no lookaround) for oracle parity.
+            if j + 2 == n and toks[j + 1].kind == "str":
+                return ("regex", b, p, toks[j + 1].text[1:-1])
+            return None
+        if t.is_word("IS"):
+            # IS [NOT] NULL (round-7): a property absent from the props
+            # map is NULL
+            k = j + 1
+            neg = k < n and toks[k].is_word("NOT")
+            if neg:
+                k += 1
+            if k + 1 == n and toks[k].is_word("NULL"):
+                return ("null", b, p, neg)
+            return None
+        if t.is_word("STARTS", "ENDS"):
+            if (
+                j + 3 == n
+                and toks[j + 1].is_word("WITH")
+                and toks[j + 2].kind == "str"
+            ):
+                op = "starts_with" if t.text.upper() == "STARTS" else "ends_with"
+                return ("strpred", b, p, op, toks[j + 2].text[1:-1])
+            return None
+        if t.is_word("CONTAINS"):
+            if j + 2 == n and toks[j + 1].kind == "str":
+                return ("strpred", b, p, "contains", toks[j + 1].text[1:-1])
+            return None
+        if t.is_word("IN"):
+            # IN [literals] expands to an equality OR-group (reusing the
+            # scan-pushdown path). Comma-split the bracket interior;
+            # empty segments are dropped (trailing/duplicate commas),
+            # matching the retired _split_patterns behavior.
+            if not (
+                j + 1 < n
+                and toks[j + 1].kind == "punct"
+                and toks[j + 1].text == "["
+                and toks[n - 1].kind == "punct"
+                and toks[n - 1].text == "]"
+            ):
+                return None
+            segs: list[list[Token]] = [[]]
+            for t2 in toks[j + 2 : n - 1]:
+                if t2.kind == "punct" and t2.text == ",":
+                    segs.append([])
+                else:
+                    segs[-1].append(t2)
+            items: list[tuple[str, str]] = []
+            for seg in segs:
+                if not seg:
+                    continue
+                lit = _lit_at(seg, 0)
+                if lit is None or lit[2] != len(seg):
+                    item = cond[seg[0].pos : seg[-1].end]
+                    raise CypherParseError(f"unsupported IN list item: {item!r}")
+                items.append((lit[0], lit[1]))
+            return ("in", b, p, items)
+        return None
+    if toks and toks[0].kind == "word":
+        head = toks[0].text
+        u = head.lower()
+        if u == "exists":
+            # exists(b.prop) (openCypher 9) == b.prop IS NOT NULL
+            if (
+                n >= 3
+                and toks[1].kind == "punct"
+                and toks[1].text == "("
+            ):
+                inner = _prop_at(toks, 2)
+                if (
+                    inner
+                    and inner[2] + 1 == n
+                    and toks[inner[2]].kind == "punct"
+                    and toks[inner[2]].text == ")"
+                ):
+                    return ("exists", inner[0], inner[1])
+            return None
+        if u == "id":
+            # id(b) <op> integer (round-8): point/range lookups on the
+            # node id — still a scan-pushed PropFilter; the store maps
+            # the \x1did sentinel to the physical id column (no props)
+            if (
+                n >= 6
+                and toks[1].kind == "punct"
+                and toks[1].text == "("
+                and toks[2].kind == "word"
+                and toks[3].kind == "punct"
+                and toks[3].text == ")"
+                and toks[4].kind == "punct"
+                and toks[4].text in _CMP_TOKENS
+            ):
+                lit = _lit_at(toks, 5)
+                if (
+                    lit
+                    and lit[2] == n
+                    and lit[0] == "num"
+                    and "." not in lit[1]
+                ):
+                    return ("id", toks[2].text, toks[4].text, lit[1])
+            return None
+        if u in _FN_WORDS:
+            # scalar function over a property (extension):
+            # toLower/toUpper/trim(b.p) <op> 'str' | size(b.p) <op> num
+            if not (n >= 2 and toks[1].kind == "punct" and toks[1].text == "("):
+                return None
+            inner = _prop_at(toks, 2)
+            if not inner:
+                return None
+            b, p, k = inner
+            args: list[str] = []
+            while (
+                len(args) < 2
+                and k + 1 < n
+                and toks[k].kind == "punct"
+                and toks[k].text == ","
+                and toks[k + 1].kind == "num"
+                and "." not in toks[k + 1].text
+            ):
+                args.append(toks[k + 1].text)
+                k += 2
+            if not (k < n and toks[k].kind == "punct" and toks[k].text == ")"):
+                return None
+            k += 1
+            if not (k < n and toks[k].kind == "punct" and toks[k].text in _CMP_TOKENS):
+                return None
+            op = toks[k].text
+            lit = _lit_at(toks, k + 1)
+            if lit and lit[2] == n:
+                a1 = args[0] if args else None
+                a2 = args[1] if len(args) > 1 else None
+                return ("fn", head, b, p, a1, a2, op, lit[0], lit[1])
+            return None
+    return None
 
 
 def _encode_scalar_fn(fn: str, a1: str | None, a2: str | None, ctx: str) -> str:
@@ -580,7 +774,7 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                 ):
                     raise CypherParseError(f"path name collides with another binding: {pname!r}")
             start = len(target)
-            _parse_pattern(pattern, qg, target, fresh, clause_bound)
+            _parse_pattern(pattern, qg, target, fresh, clause_bound, ci=ci)
             if pname is not None:
                 if ci > 0:
                     # path binding inside an OPTIONAL MATCH (round-7):
@@ -612,105 +806,31 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                     )
 
             def atoms_of(cond: str) -> list[PropFilter]:
-                nlm = _COND_NULL.match(cond) or _COND_EXISTS.match(cond)
-                if nlm:
-                    check_binding(nlm.group("b"), cond)
-                    # exists(b.prop) (openCypher 9) == b.prop IS NOT NULL;
-                    # NOT exists(...) arrives here with neg set by the
-                    # boolean splitter's NOT handling
-                    op = "is_not_null" if nlm.groupdict().get("neg") or (
-                        "exists" in nlm.re.pattern
-                    ) else "is_null"
-                    return [PropFilter(
-                        nlm.group("b"), nlm.group("p"), op, None, False,
-                        clause=ci,
-                    )]
-                fm = _COND_FN.match(cond)
-                if fm:
-                    check_binding(fm.group("b"), cond)
-                    fn = fm.group("fn").lower()
-                    fn = _encode_scalar_fn(fn, fm.group("a1"), fm.group("a2"), cond)
-                    raw = fm.group("val")
-                    if raw[0] in "'\"":
-                        value, is_num = raw[1:-1], False
-                    else:
-                        value, is_num = float(raw), True
-                    numeric_fns = ("size", "tofloat", "tointeger")
-                    if fn in numeric_fns and not is_num:
-                        raise CypherParseError(
-                            f"{fm.group('fn')}() compares against a number: {cond!r}"
-                        )
-                    if fn not in numeric_fns and is_num:
-                        raise CypherParseError(
-                            f"{fm.group('fn')}() compares against a string: {cond!r}"
-                        )
-                    return [PropFilter(
-                        fm.group("b"), fm.group("p"), fm.group("op"),
-                        value, is_num, clause=ci, fn=fn,
-                    )]
-                wm = _COND.match(cond)
-                if wm:
-                    check_binding(wm.group("b"), cond)
-                    raw = wm.group("val")
-                    if raw[0] in "'\"":
-                        value, is_num = raw[1:-1], False
-                    else:
-                        value, is_num = float(raw), True
-                    return [PropFilter(
-                        wm.group("b"), wm.group("p"), wm.group("op"),
-                        value, is_num, clause=ci,
-                    )]
-                idm = _COND_ID.match(cond)
-                if idm:
-                    b = idm.group("b")
-                    check_binding(b, cond)
-                    if b not in qg.labels:
-                        raise CypherParseError(
-                            f"id() in WHERE needs a node variable: {b!r}"
-                        )
-                    return [PropFilter(
-                        b, ID_PROP, idm.group("op"),
-                        float(idm.group("val")), True, clause=ci,
-                    )]
-                rx = _COND_REGEX.match(cond)
-                if rx:
-                    check_binding(rx.group("b"), cond)
-                    # anchor HERE (openCypher =~ is a full match): the
-                    # planner's op lambdas receive the value as a lit()
-                    # Column, so the pattern must arrive ready-to-use
-                    return [PropFilter(
-                        rx.group("b"), rx.group("p"), "regex",
-                        f"^(?:{rx.group('val')[1:-1]})$", False, clause=ci,
-                    )]
-                sm = _COND_STR.match(cond)
-                if sm:
-                    check_binding(sm.group("b"), cond)
-                    op = re.sub(r"\s+", "_", sm.group("op").lower())  # starts_with etc.
-                    return [PropFilter(
-                        sm.group("b"), sm.group("p"), op,
-                        sm.group("val")[1:-1], False, clause=ci,
-                    )]
-                im = _COND_IN.match(cond)
-                if im:
-                    check_binding(im.group("b"), cond)
-                    atoms = []
-                    items = _split_patterns(im.group("list"))
-                    if not im.group("list").strip():
-                        raise CypherParseError(f"empty IN list: {cond!r}")
-                    for item in items:
-                        vm = _IN_ITEM.match(item)
-                        if not vm:
-                            raise CypherParseError(f"unsupported IN list item: {item!r}")
-                        raw = vm.group(1)
-                        if raw[0] in "'\"":
-                            value, is_num = raw[1:-1], False
-                        else:
-                            value, is_num = float(raw), True
-                        atoms.append(PropFilter(
-                            im.group("b"), im.group("p"), "=", value, is_num, clause=ci
-                        ))
+                try:
+                    ctoks = tokenize(cond)
+                except CypherLexError as e:  # cond is a lexed-slice; belt+braces
+                    raise CypherParseError(str(e)) from None
+                # NOT <atom> (round-16): negation folds into the op —
+                # under SQL 3VL every mapping is exact (NULL props drop
+                # the row on both sides of the flip). NOT binds one atom;
+                # a parenthesized group needs De Morgan the CNF splitter
+                # doesn't do, and NOT IN would need an AND the OR-group
+                # channel can't carry — both stay unsupported.
+                neg = False
+                cond_atom = cond
+                if len(ctoks) > 1 and ctoks[0].is_word("NOT"):
+                    neg = True
+                    cond_atom = cond[ctoks[1].pos :]
+                    ctoks = tokenize(cond_atom)  # re-lex: positions index cond_atom
+                spec = _match_atom(ctoks, cond_atom)
+                if spec is None:
+                    raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
+                if neg:
+                    atoms = _negate_atoms(
+                        _apply_atom(spec, cond_atom, check_binding, qg, ci), cond
+                    )
                     return atoms
-                raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
+                return _apply_atom(spec, cond_atom, check_binding, qg, ci)
 
             # WHERE is CNF: conjuncts split on top-level AND, each conjunct
             # an optionally-parenthesized disjunction. SQL precedence makes
@@ -730,7 +850,10 @@ def _parse_clauses(body: str, qg: QueryGraph) -> None:
                             "pattern predicates in OPTIONAL MATCH WHERE are unsupported"
                         )
                     tmp: list[PatternEdge] = []
-                    _parse_pattern(pm.group("pat"), qg, tmp, fresh, set())
+                    _parse_pattern(
+                        pm.group("pat"), qg, tmp, fresh, set(),
+                        allow_props=False,
+                    )
                     if not any(
                         b in clause_bound for e2 in tmp for b in (e2.src, e2.dst)
                     ):
@@ -991,6 +1114,291 @@ def _try_parse_expr_item(qg: QueryGraph, item: str) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# RETURN/WITH item grammar on token spans (round-16, second migration
+# chunk after the WHERE atoms: VERDICT r15 "what's missing #3" names
+# the expression grammar). The twelve `re.fullmatch` item shapes are
+# shape-matched on the token list instead: quoted-literal interiors are
+# invisible, whitespace never matters (``sum ( a . age )`` now parses,
+# a deliberate liberalization recorded in scripts/return_corpus.py's
+# regex-vs-token diff), and the trailing ``AS alias`` is stripped once
+# for every shape instead of per-regex. Two further liberalizations:
+# replace() accepts double-quoted arguments like every other shape, and
+# an arithmetic operator INSIDE a string literal no longer routes a
+# junk item down the expression path (it falls to the canonical
+# "unsupported return item" error instead).
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp"}
+_EXPR_FN1_WORDS = {"abs", "round", "ceil", "floor", "sqrt"}
+_INTROSPECT_FNS = {"id", "labels", "type", "keys", "properties"}
+
+
+def _strip_ret_alias(toks: list[Token]) -> tuple[list[Token], str | None]:
+    """Split a trailing ``AS alias`` off an item's token list. A bare
+    ``AS x`` (empty body) is not an alias form — the caller falls
+    through to the canonical unsupported-item error."""
+    if len(toks) >= 3 and toks[-2].is_word("AS") and toks[-1].kind == "word":
+        return toks[:-2], toks[-1].text
+    return toks, None
+
+
+def _ret_item_shape(toks: list[Token]):
+    """Shape-match ONE aliased-stripped RETURN/WITH item body; returns a
+    tagged spec tuple or None (caller tries concat, then the expression
+    path, then the bare-binding forms). Tags: prop / count_star /
+    length / agg / pct / coalesce / sfn / replace / ifn."""
+    n = len(toks)
+    pr = _prop_at(toks, 0)
+    if pr and pr[2] == n:
+        return ("prop", pr[0], pr[1])
+    if not (
+        n >= 3
+        and toks[0].kind == "word"
+        and toks[1].kind == "punct"
+        and toks[1].text == "("
+        and toks[n - 1].kind == "punct"
+        and toks[n - 1].text == ")"
+    ):
+        return None
+    fn_src = toks[0].text
+    fnl = fn_src.lower()
+    inner = toks[2 : n - 1]
+    m = len(inner)
+    if fnl == "count" and m == 1 and inner[0].kind == "punct" and inner[0].text == "*":
+        return ("count_star",)
+    if fnl == "length" and m == 1 and inner[0].kind == "word":
+        return ("length", inner[0].text)
+    if fnl in _AGG_FNS:
+        k, dist = 0, False
+        if m >= 2 and inner[0].is_word("DISTINCT"):
+            k, dist = 1, True
+        if m - k == 1 and inner[k].kind == "word":
+            return ("agg", fnl, dist, inner[k].text, None)
+        pr2 = _prop_at(inner, k)
+        if pr2 and pr2[2] == m:
+            return ("agg", fnl, dist, pr2[0], pr2[1])
+        return None
+    if fnl in ("percentilecont", "percentiledisc"):
+        pr2 = _prop_at(inner, 0)
+        if not pr2:
+            return None
+        k = pr2[2]
+        if not (k < m and inner[k].kind == "punct" and inner[k].text == ","):
+            return None
+        if k + 2 == m and inner[k + 1].kind == "num":
+            q = inner[k + 1].text
+        elif (
+            k + 3 == m
+            and inner[k + 1].kind == "punct"
+            and inner[k + 1].text == "."
+            and inner[k + 2].kind == "num"
+            and "." not in inner[k + 2].text
+        ):
+            q = "." + inner[k + 2].text  # '.9' lexes as '.' + '9'
+        else:
+            return None
+        v = float(q)
+        if not 0.0 <= v <= 1.0:  # out-of-range quantile: no shape, so the
+            return None          # item falls to the canonical error
+        return ("pct", fnl, pr2[0], pr2[1], v)
+    if fnl == "coalesce":
+        pr2 = _prop_at(inner, 0)
+        if not pr2:
+            return None
+        k = pr2[2]
+        if not (k < m and inner[k].kind == "punct" and inner[k].text == ","):
+            return None
+        lit = _lit_at(inner, k + 1)
+        if lit and lit[2] == m:
+            # props are stored as strings: a numeric default keeps its
+            # source text, a quoted one its unquoted value
+            return ("coalesce", pr2[0], pr2[1], lit[1])
+        return None
+    if fnl in _FN_WORDS:
+        pr2 = _prop_at(inner, 0)
+        if not pr2:
+            return None
+        b, p, k = pr2
+        args: list[str] = []
+        while (
+            len(args) < 2
+            and k + 1 < m
+            and inner[k].kind == "punct"
+            and inner[k].text == ","
+            and inner[k + 1].kind == "num"
+            and "." not in inner[k + 1].text
+        ):
+            args.append(inner[k + 1].text)
+            k += 2
+        if k != m:
+            return None
+        a1 = args[0] if args else None
+        a2 = args[1] if len(args) > 1 else None
+        return ("sfn", fnl, b, p, a1, a2)
+    if fnl == "replace":
+        pr2 = _prop_at(inner, 0)
+        if not pr2:
+            return None
+        b, p, k = pr2
+        strs: list[str] = []
+        while (
+            len(strs) < 2
+            and k + 1 < m
+            and inner[k].kind == "punct"
+            and inner[k].text == ","
+            and inner[k + 1].kind == "str"
+        ):
+            strs.append(inner[k + 1].text[1:-1])
+            k += 2
+        if k != m or len(strs) != 2:
+            return None
+        return ("replace", b, p, strs[0], strs[1])
+    if fnl in _INTROSPECT_FNS and m == 1 and inner[0].kind == "word":
+        return ("ifn", fnl, inner[0].text)
+    return None
+
+
+def _apply_ret_item(qg: QueryGraph, spec, name: str, alias: str | None) -> None:
+    """Append one shape-matched RETURN/WITH item to qg, preserving the
+    regex-era binding checks, default aliases, and error texts."""
+    tag = spec[0]
+    if tag == "prop":
+        _, b, p = spec
+        a = alias or f"{b}_{p}"
+        if b in qg.labels:
+            qg.prop_returns.append((b, p, a))
+        elif b in _edge_names(qg):
+            qg.edge_prop_returns.append((b, p, a))
+        else:
+            raise CypherParseError(f"return of unbound variable: {b!r}")
+        return
+    if tag == "count_star":
+        # count(*) counts the distinct matches themselves
+        qg.aggregates.append(AggItem("count", "*", None, alias or "count_star"))
+        return
+    if tag == "length":
+        pn = spec[1]
+        if pn not in qg.paths and pn not in qg.opt_paths:
+            raise CypherParseError(f"length() of unknown path: {pn!r}")
+        qg.path_lengths.append((pn, alias or f"len_{pn}"))
+        return
+    if tag == "agg":
+        _, fn, dist, arg, prop = spec
+        if arg not in qg.labels:
+            # edge-variable property aggregate: sum/avg/min/max/
+            # collect(e.prop) over the typed edge columns
+            if arg in _edge_names(qg) and fn != "count":
+                if prop is None:
+                    raise CypherParseError(
+                        f"{fn}() needs a property: {fn}({arg}.<prop>)"
+                    )
+                if dist:
+                    raise CypherParseError(
+                        "DISTINCT edge-property aggregates are unsupported"
+                    )
+                a = alias or f"{fn}_{arg}_{prop}"
+                qg.aggregates.append(AggItem(fn, arg, prop, a, on_edge=True))
+                return
+            raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
+        if fn == "count":
+            # count(b.prop) counts matches whose property is non-NULL
+            # (openCypher parity, VERDICT r6 #8); count(b) counts all;
+            # count(DISTINCT ...) counts the distinct values
+            a = alias or (
+                f"count_{arg}" if prop is None else f"count_{arg}_{prop}"
+            )
+        elif fn == "collect":
+            # collect(b) / collect(b.prop): the SORTED DISTINCT value
+            # list — openCypher's collect() with the deterministic
+            # reading existence semantics imply (a bag ordered by
+            # arrival would be nondeterministic under distinct-match
+            # evaluation); DISTINCT is therefore a no-op
+            a = alias or (
+                f"collect_{arg}" if prop is None else f"collect_{arg}_{prop}"
+            )
+        else:
+            if prop is None:
+                raise CypherParseError(f"{fn}() needs a property: {fn}({arg}.<prop>)")
+            a = alias or f"{fn}_{arg}_{prop}"
+        qg.aggregates.append(AggItem(fn, arg, prop, a, distinct=dist))
+        return
+    if tag == "pct":
+        _, kind, arg, prop, q = spec
+        if arg not in qg.labels:
+            raise CypherParseError(f"percentile of unbound variable: {arg!r}")
+        a = alias or f"{kind}_{arg}_{prop}"
+        qg.aggregates.append(AggItem(kind, arg, prop, a, param=q))
+        return
+    if tag == "coalesce":
+        _, b, p, dflt = spec
+        if b not in qg.labels:
+            raise CypherParseError(
+                f"coalesce() of unbound or non-node variable: {b!r}"
+            )
+        qg.coalesce_returns.append((b, p, dflt, alias or f"coalesce_{b}_{p}"))
+        return
+    if tag == "sfn":
+        _, fn, b, p, a1, a2 = spec
+        if b not in qg.labels:
+            raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
+        enc = _encode_scalar_fn(fn, a1, a2, name)
+        qg.string_fn_returns.append((enc, b, p, alias or f"{fn}_{b}_{p}"))
+        return
+    if tag == "replace":
+        _, b, p, x, y = spec
+        if b not in qg.labels:
+            raise CypherParseError(
+                f"replace() of unbound or non-node variable: {b!r}"
+            )
+        qg.string_fn_returns.append(
+            (f"replace\x1f{x}\x1f{y}", b, p, alias or f"replace_{b}_{p}")
+        )
+        return
+    if tag == "ifn":
+        # graph-introspection functions (round-8): id(n) projects the
+        # binding's node id; labels(n) the sorted comma-joined label
+        # string (scalar-contract rendering of openCypher's list);
+        # type(r) rides the edge-property path — `type` is a physical
+        # column of the edge table, so the scan carries it for free
+        _, fn, b = spec
+        a = alias or f"{fn}_{b}"
+        if fn == "type":
+            if b not in _edge_names(qg):
+                raise CypherParseError(f"type() of non-edge variable: {b!r}")
+            qg.edge_prop_returns.append((b, "type", a))
+        elif b not in qg.labels:
+            raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
+        elif fn == "id":
+            qg.id_returns.append((b, a))
+        elif fn == "labels":
+            qg.labels_returns.append((b, a))
+        else:
+            # keys()/properties(): sorted comma-joined rendering
+            qg.keys_returns.append((b, a, fn == "properties"))
+        return
+    raise CypherParseError(f"unsupported return item: {name!r}")  # unreachable
+
+
+def _split_depth0_plus(toks: list[Token]) -> list[list[Token]]:
+    """Token segments of a concat body between top-level '+' operators
+    ('+' inside any bracket group never splits; a '+' inside a string
+    literal is already literal-interior by lexing). Empty segments are
+    kept — the piece grammar rejects them with its own error."""
+    segs: list[list[Token]] = [[]]
+    depth = 0
+    for t in toks:
+        if t.kind == "punct" and t.text in "([{":
+            depth += 1
+        elif t.kind == "punct" and t.text in ")]}":
+            depth -= 1
+        if t.kind == "punct" and t.text == "+" and depth == 0:
+            segs.append([])
+        else:
+            segs[-1].append(t)
+    return segs
+
+
 def _parse_returns(qg: QueryGraph, returns: str) -> None:
     """Parse a RETURN / WITH item list into qg's return fields."""
     # RETURN DISTINCT is accepted and is a no-op: match results are
@@ -1010,229 +1418,75 @@ def _parse_returns(qg: QueryGraph, returns: str) -> None:
                 raise CypherParseError("RETURN * with no named bindings")
             qg.returns.extend(b for b in named if b not in qg.returns)
             continue
-        sm = re.fullmatch(r"(?i)count\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?", name)
-        if sm:
-            # count(*) counts the distinct matches themselves
-            qg.aggregates.append(AggItem("count", "*", None, sm.group("alias") or "count_star"))
+        try:
+            itoks = tokenize(name)
+        except CypherLexError as e:  # item is a lexed slice; belt+braces
+            raise CypherParseError(str(e)) from None
+        body, alias = _strip_ret_alias(itoks)
+        spec = _ret_item_shape(body) if body else None
+        if spec is not None:
+            _apply_ret_item(qg, spec, name, alias)
             continue
-        lm = re.fullmatch(
-            r"(?i)length\s*\(\s*(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if lm:
-            pn = lm.group("p")
-            if pn not in qg.paths and pn not in qg.opt_paths:
-                raise CypherParseError(f"length() of unknown path: {pn!r}")
-            qg.path_lengths.append((pn, lm.group("alias") or f"len_{pn}"))
-            continue
-        cm = re.fullmatch(
-            r"(?i)(?P<fn>count|sum|avg|min|max|collect|stDev|stDevP)\s*\(\s*"
-            r"(?P<dist>DISTINCT\s+)?(?P<arg>[A-Za-z_][A-Za-z0-9_]*)"
-            r"(?:\.(?P<p>[A-Za-z_][A-Za-z0-9_]*))?\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if cm:
-            fn, arg, prop = cm.group("fn").lower(), cm.group("arg"), cm.group("p")
-            dist = cm.group("dist") is not None
-            if arg not in qg.labels:
-                # edge-variable property aggregate: sum/avg/min/max/
-                # collect(e.prop) over the typed edge columns
-                if arg in _edge_names(qg) and fn != "count":
-                    if prop is None:
-                        raise CypherParseError(
-                            f"{fn}() needs a property: {fn}({arg}.<prop>)"
-                        )
-                    if dist:
-                        raise CypherParseError(
-                            "DISTINCT edge-property aggregates are unsupported"
-                        )
-                    alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
-                    qg.aggregates.append(AggItem(fn, arg, prop, alias, on_edge=True))
-                    continue
-                raise CypherParseError(f"{fn}() of unbound variable: {arg!r}")
-            if fn == "count":
-                # count(b.prop) counts matches whose property is non-NULL
-                # (openCypher parity, VERDICT r6 #8); count(b) counts all;
-                # count(DISTINCT ...) counts the distinct values
-                alias = cm.group("alias") or (
-                    f"count_{arg}" if prop is None else f"count_{arg}_{prop}"
-                )
-            elif fn == "collect":
-                # collect(b) / collect(b.prop): the SORTED DISTINCT value
-                # list — openCypher's collect() with the deterministic
-                # reading existence semantics imply (a bag ordered by
-                # arrival would be nondeterministic under distinct-match
-                # evaluation); DISTINCT is therefore a no-op
-                alias = cm.group("alias") or (
-                    f"collect_{arg}" if prop is None else f"collect_{arg}_{prop}"
-                )
-            else:
-                if prop is None:
-                    raise CypherParseError(f"{fn}() needs a property: {fn}({arg}.<prop>)")
-                alias = cm.group("alias") or f"{fn}_{arg}_{prop}"
-            qg.aggregates.append(AggItem(fn, arg, prop, alias, distinct=dist))
-            continue
-        pcm = re.fullmatch(
-            r"(?i)percentile(?P<kind>Cont|Disc)\s*\(\s*"
-            r"(?P<arg>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
-            r"(?P<q>0?\.\d+|0|1(?:\.0*)?)\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if pcm:
-            arg = pcm.group("arg")
-            if arg not in qg.labels:
-                raise CypherParseError(f"percentile of unbound variable: {arg!r}")
-            kind = "percentilecont" if pcm.group("kind").lower() == "cont" else "percentiledisc"
-            alias = pcm.group("alias") or f"{kind}_{arg}_{pcm.group('p')}"
-            qg.aggregates.append(
-                AggItem(kind, arg, pcm.group("p"), alias, param=float(pcm.group("q")))
-            )
-            continue
-        clm = re.fullmatch(
-            r"(?i)coalesce\s*\(\s*"
-            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
-            r"(?P<dflt>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if clm:
-            b = clm.group("b")
-            if b not in qg.labels:
-                raise CypherParseError(f"coalesce() of unbound or non-node variable: {b!r}")
-            raw = clm.group("dflt")
-            dflt = raw[1:-1] if raw[0] in "'\"" else raw  # props are strings
-            alias = clm.group("alias") or f"coalesce_{b}_{clm.group('p')}"
-            qg.coalesce_returns.append((b, clm.group("p"), dflt, alias))
-            continue
-        sfm = re.fullmatch(
-            r"(?i)(?P<fn>toLower|toUpper|trim|reverse|substring|left|right|toFloat|toInteger|toString)\s*\(\s*"
-            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*"
-            r"(?:,\s*(?P<a1>\d+)\s*)?(?:,\s*(?P<a2>\d+)\s*)?\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if sfm:
-            b, fn = sfm.group("b"), sfm.group("fn").lower()
-            if b not in qg.labels:
-                raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
-            spec = _encode_scalar_fn(fn, sfm.group("a1"), sfm.group("a2"), name)
-            alias = sfm.group("alias") or f"{fn}_{b}_{sfm.group('p')}"
-            qg.string_fn_returns.append((spec, b, sfm.group("p"), alias))
-            continue
-        rpm = re.fullmatch(
-            r"(?i)replace\s*\(\s*"
-            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
-            r"'(?P<x>[^']*)'\s*,\s*'(?P<y>[^']*)'\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
-        )
-        if rpm:
-            b = rpm.group("b")
-            if b not in qg.labels:
-                raise CypherParseError(f"replace() of unbound or non-node variable: {b!r}")
-            alias = rpm.group("alias") or f"replace_{b}_{rpm.group('p')}"
-            qg.string_fn_returns.append(
-                (f"replace\x1f{rpm.group('x')}\x1f{rpm.group('y')}", b, rpm.group("p"), alias)
-            )
-            continue
-        ccm = None
-        if re.search(r"'[^']*'|\"[^\"]*\"", name):
-            # a quoted literal + a top-level '+' = string concatenation
-            # (must run BEFORE the arithmetic branch, which would try to
-            # evaluate the chain as numbers)
-            ccm = re.fullmatch(
-                r"(?is)(?P<body>.+?)\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)",
-                name,
-            )
-            if ccm and "+" not in _strip_quoted(ccm.group("body")):
-                ccm = None
-        if ccm:
+        # string concatenation: a quoted literal plus a top-level '+'
+        # (checked BEFORE the arithmetic path, which would try to
+        # evaluate the chain as numbers); the alias is mandatory — an
+        # unaliased concat falls through to the expression path whose
+        # needs-an-AS-alias error names the real fix
+        if (
+            alias is not None
+            and any(t.kind == "str" for t in body)
+            and any(t.kind == "punct" and t.text == "+" for t in body)
+        ):
             parts = []
-            for piece in _split_plus_quoted(ccm.group("body")):
-                if piece and piece[0] in "'\"" and piece[-1] == piece[0]:
-                    parts.append(("lit", piece[1:-1]))
+            for seg in _split_depth0_plus(body):
+                if len(seg) == 1 and seg[0].kind == "str":
+                    parts.append(("lit", seg[0].text[1:-1]))
                     continue
-                ppm = re.fullmatch(
-                    r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)",
-                    piece,
-                )
-                if not ppm:
+                pp = _prop_at(seg, 0)
+                if not (pp and pp[2] == len(seg)):
+                    piece = name[seg[0].pos : seg[-1].end] if seg else ""
                     raise CypherParseError(
                         f"string concatenation takes b.prop and quoted "
                         f"literals only: {piece!r}"
                     )
-                if ppm.group("b") not in qg.labels:
+                if pp[0] not in qg.labels:
                     raise CypherParseError(
-                        f"concat of unbound or non-node variable: {ppm.group('b')!r}"
+                        f"concat of unbound or non-node variable: {pp[0]!r}"
                     )
-                parts.append(("prop", ppm.group("b"), ppm.group("p")))
-            qg.concat_returns.append((tuple(parts), ccm.group("alias")))
+                parts.append(("prop", pp[0], pp[1]))
+            qg.concat_returns.append((tuple(parts), alias))
             continue
-        gfm = re.fullmatch(
-            r"(?i)(?P<fn>id|labels|type|keys|properties)\s*\(\s*"
-            r"(?P<b>[A-Za-z_][A-Za-z0-9_]*)\s*\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
+        # arithmetic / CASE / math-fn items ride the expression path;
+        # detection is token-level, so an operator inside a string
+        # literal no longer routes a junk item here
+        has_dot = any(t.kind == "punct" and t.text == "." for t in itoks)
+        has_op = any(t.kind == "punct" and t.text in "+-*/" for t in itoks)
+        has_case = any(
+            t.is_word("CASE") and i + 1 < len(itoks) and itoks[i + 1].is_word("WHEN")
+            for i, t in enumerate(itoks)
         )
-        if gfm:
-            # graph-introspection functions (round-8): id(n) projects the
-            # binding's node id; labels(n) the sorted comma-joined label
-            # string (scalar-contract rendering of openCypher's list);
-            # type(r) rides the edge-property path — `type` is a physical
-            # column of the edge table, so the scan carries it for free
-            fn, b = gfm.group("fn").lower(), gfm.group("b")
-            alias = gfm.group("alias") or f"{fn}_{b}"
-            if fn == "type":
-                if b not in _edge_names(qg):
-                    raise CypherParseError(f"type() of non-edge variable: {b!r}")
-                qg.edge_prop_returns.append((b, "type", alias))
-            elif b not in qg.labels:
-                raise CypherParseError(f"{fn}() of unbound or non-node variable: {b!r}")
-            elif fn == "id":
-                qg.id_returns.append((b, alias))
-            elif fn == "labels":
-                qg.labels_returns.append((b, alias))
-            else:
-                # keys()/properties(): sorted comma-joined rendering
-                qg.keys_returns.append((b, alias, fn == "properties"))
-            continue
-        pm = re.fullmatch(
-            r"(?i)(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*))?",
-            name,
+        fn1_head = (
+            len(itoks) >= 2
+            and itoks[0].kind == "word"
+            and itoks[0].text.lower() in _EXPR_FN1_WORDS
+            and itoks[1].kind == "punct"
+            and itoks[1].text == "("
         )
-        if pm:
-            b = pm.group("b")
-            alias = pm.group("alias") or f"{b}_{pm.group('p')}"
-            if b in qg.labels:
-                qg.prop_returns.append((b, pm.group("p"), alias))
-            elif b in _edge_names(qg):
-                qg.edge_prop_returns.append((b, pm.group("p"), alias))
-            else:
-                raise CypherParseError(f"return of unbound variable: {b!r}")
-            continue
-        if (
-            (re.search(r"[+*/-]", name) and "." in name)
-            or re.search(r"(?i)\bCASE\s+WHEN\b", name)
-            or re.match(r"(?i)\s*(?:abs|round|ceil|floor|sqrt)\s*\(", name)
-        ):
+        if (has_op and has_dot) or has_case or fn1_head:
             _try_parse_expr_item(qg, name)
             continue
-        am = re.fullmatch(
-            r"(?i)(?P<n>[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
-            r"(?P<a>[A-Za-z_][A-Za-z0-9_]*)",
-            name,
-        )
-        if am and am.group("n") in qg.labels:
+        if (
+            alias is not None
+            and len(body) == 1
+            and body[0].kind == "word"
+            and body[0].text in qg.labels
+        ):
             # RETURN b AS alias (round-8): the binding's id column under
             # a new name — shares id()'s zero-cost projection path (the
             # shape UNION sides need to line their columns up)
-            qg.id_returns.append((am.group("n"), am.group("a")))
+            qg.id_returns.append((body[0].text, alias))
             continue
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        if not (alias is None and len(body) == 1 and body[0].kind == "word"):
             raise CypherParseError(f"unsupported return item: {name!r}")
         if name in qg.paths or name in qg.opt_paths:
             raise CypherParseError(
@@ -1310,22 +1564,8 @@ def bind_params(query: str, params: dict | None) -> str:
     return "".join(out)
 
 
-def _strip_quoted(s: str) -> str:
-    """The string with quoted spans removed — for operator detection
-    outside literals."""
-    return re.sub(r"'[^']*'|\"[^\"]*\"", "", s)
 
 
-def _split_plus_quoted(s: str) -> list[str]:
-    """Split a concat body on top-level '+' via the token stream
-    (round-15): '+' inside a quoted literal or a bracket group never
-    splits. Empty parts are kept — the piece grammar downstream rejects
-    them with its own error, as before."""
-    try:
-        parts = split_punct(s, tokenize(s), "+")
-    except CypherLexError as e:
-        raise CypherParseError(str(e)) from None
-    return [p.strip() for p in parts]
 
 
 def out_columns(qg: QueryGraph) -> set[str]:
@@ -1358,39 +1598,144 @@ def _parse_order_limit(
         except CypherLexError as e:
             raise CypherParseError(str(e)) from None
         for part in ob_parts:
-            om = re.fullmatch(r"(?i)\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)(?:\s+(?P<dir>ASC|DESC))?\s*", part)
-            if om and om.group("col") in out_cols:
-                desc = (om.group("dir") or "").upper() == "DESC"
-                qg.order_by.append((om.group("col"), desc))
-                qg.order_items.append(("col", om.group("col"), desc))
-                continue
-            # ORDER BY b.prop (extension): sort by a property without
-            # returning it — resolved via the planner's props join and
+            # token shapes (round-16, with the WHERE/RETURN migrations):
+            # `col [ASC|DESC]` over an output column, or `b.prop
+            # [ASC|DESC]` (extension) — sort by a property without
+            # returning it, resolved via the planner's props join and
             # dropped after LIMIT
-            pm = re.fullmatch(
-                r"(?i)\s*(?P<b>[A-Za-z_][A-Za-z0-9_]*)\.(?P<p>[A-Za-z_][A-Za-z0-9_]*)"
-                r"(?:\s+(?P<dir>ASC|DESC))?\s*",
-                part,
-            )
-            if pm:
-                if pm.group("b") not in qg.labels:
+            try:
+                ptoks = tokenize(part)
+            except CypherLexError as e:
+                raise CypherParseError(str(e)) from None
+            desc = False
+            if ptoks and ptoks[-1].is_word("ASC", "DESC"):
+                desc = ptoks[-1].text.upper() == "DESC"
+                ptoks = ptoks[:-1]
+            if len(ptoks) == 1 and ptoks[0].kind == "word":
+                col = ptoks[0].text
+                if col in out_cols:
+                    qg.order_by.append((col, desc))
+                    qg.order_items.append(("col", col, desc))
+                    continue
+                raise CypherParseError(
+                    f"ORDER BY of non-returned column: {col!r}"
+                )
+            opr = _prop_at(ptoks, 0)
+            if opr and opr[2] == len(ptoks):
+                if opr[0] not in qg.labels:
                     raise CypherParseError(
                         f"ORDER BY property of unbound binding: {part!r}"
                     )
-                qg.order_items.append((
-                    "prop", pm.group("b"), pm.group("p"),
-                    (pm.group("dir") or "").upper() == "DESC",
-                ))
+                qg.order_items.append(("prop", opr[0], opr[1], desc))
                 continue
-            if om:
-                raise CypherParseError(
-                    f"ORDER BY of non-returned column: {om.group('col')!r}"
-                )
             raise CypherParseError(f"unsupported ORDER BY item: {part!r}")
     if skip:
         qg.skip = int(skip)
     if limit:
         qg.limit = int(limit)
+
+
+
+_NEG_OP = {
+    "=": "<>", "<>": "=", "!=": "=",
+    "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "is_null": "is_not_null", "is_not_null": "is_null",
+    "regex": "not_regex", "starts_with": "not_starts_with",
+    "ends_with": "not_ends_with", "contains": "not_contains",
+}
+
+
+def _negate_atoms(atoms: list[PropFilter], cond: str) -> list[PropFilter]:
+    """Fold a leading NOT into the atom's operator (round-16). A
+    multi-atom result means an IN list — its negation is a conjunction
+    the per-disjunct OR channel cannot carry, so it stays unsupported."""
+    if len(atoms) != 1:
+        raise CypherParseError(
+            f"NOT IN is unsupported — spell it as <> conjuncts: {cond!r}"
+        )
+    f = atoms[0]
+    return [PropFilter(
+        f.binding, f.prop, _NEG_OP[f.op], f.value, f.is_num,
+        clause=f.clause, fn=f.fn,
+    )]
+
+
+def _apply_atom(spec, cond: str, check_binding, qg: QueryGraph, ci: int) -> list[PropFilter]:
+    """Turn a _match_atom spec into PropFilters, preserving the
+    regex-era binding checks and error texts (extracted from the
+    atoms_of closure when NOT folding landed, round-16)."""
+    tag = spec[0]
+    if tag in ("null", "exists"):
+        b, p = spec[1], spec[2]
+        check_binding(b, cond)
+        # exists(b.prop) (openCypher 9) == b.prop IS NOT NULL
+        op = (
+            "is_not_null"
+            if tag == "exists" or spec[3]
+            else "is_null"
+        )
+        return [PropFilter(b, p, op, None, False, clause=ci)]
+    if tag == "fn":
+        _, fn_src, b, p, a1, a2, op, lk, lv = spec
+        check_binding(b, cond)
+        fn = _encode_scalar_fn(fn_src.lower(), a1, a2, cond)
+        is_num = lk == "num"
+        value = float(lv) if is_num else lv
+        numeric_fns = ("size", "tofloat", "tointeger")
+        if fn in numeric_fns and not is_num:
+            raise CypherParseError(
+                f"{fn_src}() compares against a number: {cond!r}"
+            )
+        if fn not in numeric_fns and is_num:
+            raise CypherParseError(
+                f"{fn_src}() compares against a string: {cond!r}"
+            )
+        return [PropFilter(
+            b, p, op, value, is_num, clause=ci, fn=fn,
+        )]
+    if tag == "plain":
+        _, b, p, op, lk, lv = spec
+        check_binding(b, cond)
+        is_num = lk == "num"
+        value = float(lv) if is_num else lv
+        return [PropFilter(b, p, op, value, is_num, clause=ci)]
+    if tag == "id":
+        _, b, op, lv = spec
+        check_binding(b, cond)
+        if b not in qg.labels:
+            raise CypherParseError(
+                f"id() in WHERE needs a node variable: {b!r}"
+            )
+        return [PropFilter(
+            b, ID_PROP, op, float(lv), True, clause=ci,
+        )]
+    if tag == "regex":
+        _, b, p, pat = spec
+        check_binding(b, cond)
+        # anchor HERE (openCypher =~ is a full match): the
+        # planner's op lambdas receive the value as a lit()
+        # Column, so the pattern must arrive ready-to-use
+        return [PropFilter(
+            b, p, "regex", f"^(?:{pat})$", False, clause=ci,
+        )]
+    if tag == "strpred":
+        _, b, p, op, val = spec
+        check_binding(b, cond)
+        return [PropFilter(b, p, op, val, False, clause=ci)]
+    if tag == "in":
+        _, b, p, items = spec
+        check_binding(b, cond)
+        if not items:
+            raise CypherParseError(f"empty IN list: {cond!r}")
+        return [
+            PropFilter(
+                b, p, "=",
+                float(lv) if lk == "num" else lv,
+                lk == "num", clause=ci,
+            )
+            for lk, lv in items
+        ]
+    raise CypherParseError(f"unsupported WHERE condition: {cond!r}")
 
 
 def _split_bool(s: str, word: str) -> list[str]:
@@ -1450,15 +1795,62 @@ def _edge_names(qg: QueryGraph) -> set[str]:
     }
 
 
+def _parse_prop_map(s: str) -> list[tuple[str, str | float, bool]]:
+    """Inline property-map entries ``k: literal[, ...]`` (round-16,
+    openCypher MapExpression — the reference front-end accepts these
+    via its openCypher artifact, reference build.sbt:117): returns
+    (key, value, is_num) triples with the same literal semantics as
+    WHERE equality atoms. Token shapes throughout — a comma or colon
+    inside a quoted value never splits."""
+    entries: list[tuple[str, str | float, bool]] = []
+    for entry in _split_patterns(s):
+        try:
+            toks = tokenize(entry)
+        except CypherLexError as e:
+            raise CypherParseError(str(e)) from None
+        if (
+            len(toks) >= 3
+            and toks[0].kind == "word"
+            and toks[1].kind == "punct"
+            and toks[1].text == ":"
+        ):
+            lit = _lit_at(toks, 2)
+            if lit and lit[2] == len(toks):
+                kind, text = lit[0], lit[1]
+                entries.append(
+                    (toks[0].text, float(text) if kind == "num" else text,
+                     kind == "num")
+                )
+                continue
+        raise CypherParseError(f"unsupported pattern property entry: {entry!r}")
+    return entries
+
+
 def _parse_pattern(
     pattern: str, qg: QueryGraph, target: list[PatternEdge], fresh,
-    clause_bound: set[str] | None = None,
+    clause_bound: set[str] | None = None, ci: int = 0,
+    allow_props: bool = True,
 ) -> None:
     """Parse one node-edge-node chain, appending edges to `target`
     (qg.edges for MATCH, a group list for OPTIONAL MATCH). Node bindings
-    named in this pattern are added to `clause_bound` (WHERE scoping)."""
+    named in this pattern are added to `clause_bound` (WHERE scoping).
+    Inline property maps desugar to clause-``ci`` equality PropFilters;
+    ``allow_props=False`` (pattern predicates) rejects them — a map
+    there would wrongly constrain the whole match, not the semi-join."""
     if clause_bound is None:
         clause_bound = set()
+
+    def desugar_node_props(nm: re.Match, binding: str) -> None:
+        raw = nm.group("props")
+        if raw is None:
+            return
+        if not allow_props:
+            raise CypherParseError(
+                "property maps in pattern predicates are unsupported"
+            )
+        for k, v, is_num in _parse_prop_map(raw):
+            qg.filters.append(PropFilter(binding, k, "=", v, is_num, clause=ci))
+
     pos = 0
     pattern = pattern.strip()
     nm = _NODE.match(pattern, pos)
@@ -1466,6 +1858,7 @@ def _parse_pattern(
         raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
     prev = _bind_node(qg, nm, fresh)
     clause_bound.add(prev)
+    desugar_node_props(nm, prev)
     pos = nm.end()
     while pos < len(pattern):
         em = _EDGE.match(pattern, pos)
@@ -1482,6 +1875,7 @@ def _parse_pattern(
             raise CypherParseError(f"expected node at: {pattern[pos:]!r}")
         cur = _bind_node(qg, nm, fresh)
         clause_bound.add(cur)
+        desugar_node_props(nm, cur)
         pos = nm.end()
         types = tuple(t.strip() for t in em.group("types").split("|")) if em.group("types") else ()
         ename = em.group("name")
@@ -1492,7 +1886,11 @@ def _parse_pattern(
             # same-edge identity semantics the planner doesn't implement
             raise CypherParseError(f"edge variable reused across pattern edges: {ename!r}")
         lo, hi = 1, 1
-        star = em.group(0).find("*") != -1
+        # scan for '*' only up to the props map (a quoted prop value may
+        # legitimately contain '*'); before round-16 the whole match was
+        # quote-free so group(0).find sufficed
+        star_end = em.start("props") if em.group("props") is not None else em.end()
+        star = pattern.find("*", em.start(), star_end) != -1
         if star:
             lo = int(em.group("lo")) if em.group("lo") else 1
             if em.group("range"):
@@ -1504,6 +1902,27 @@ def _parse_pattern(
                 hi = None  # bare * = 1..unbounded
             if lo < 1 or (hi is not None and hi < lo):
                 raise CypherParseError(f"invalid path bounds *{lo}..{hi}")
+        eprops = em.group("props")
+        if eprops is not None:
+            if not allow_props:
+                raise CypherParseError(
+                    "property maps in pattern predicates are unsupported"
+                )
+            if star:
+                # a map on a var-length edge constrains EVERY hop — the
+                # closure runner has no per-hop filter channel; spell it
+                # as single hops or filter the expanded edges in WHERE
+                raise CypherParseError(
+                    "property maps on variable-length pattern edges are "
+                    "unsupported"
+                )
+            entries = _parse_prop_map(eprops)
+            if entries and ename is None:
+                ename = fresh()  # filters are keyed by edge name
+            for k, v, is_num in entries:
+                qg.edge_filters.append(
+                    PropFilter(ename, k, "=", v, is_num, clause=ci)
+                )
         if em.group("right"):  # (prev)-[:T]->(cur)
             target.append(PatternEdge(prev, cur, types, lo, hi, ename))
         elif em.group("left"):  # (prev)<-[:T]-(cur)

@@ -47,6 +47,15 @@ _PRED_OPS = {
     # regexp_like accepts the lit() Column cond() passes (rlike is
     # str-only)
     "regex": lambda c, v: F.regexp_like(c, v if isinstance(v, Column) else F.lit(v)),
+    # negated string/regex predicates (round-16, WHERE NOT <atom>): the
+    # SQL-3VL `~` keeps NULL NULL, so a NULL property drops the row
+    # under NOT exactly as it does un-negated — openCypher parity
+    "not_starts_with": lambda c, v: ~c.startswith(v),
+    "not_ends_with": lambda c, v: ~c.endswith(v),
+    "not_contains": lambda c, v: ~c.contains(v),
+    "not_regex": lambda c, v: ~F.regexp_like(
+        c, v if isinstance(v, Column) else F.lit(v)
+    ),
 }
 
 

@@ -1170,6 +1170,14 @@ _OPS = {
     # =~ is a FULL-string match; regexp alone is partial). regexp_like
     # accepts the lit() Column every call site passes (rlike is str-only)
     "regex": lambda c, v: F.regexp_like(c, v if isinstance(v, Column) else F.lit(v)),
+    # negated string/regex predicates (round-16, WHERE NOT <atom>):
+    # SQL-3VL `~` keeps NULL NULL, so NULL props drop the row either way
+    "not_starts_with": lambda c, v: ~c.startswith(v),
+    "not_ends_with": lambda c, v: ~c.endswith(v),
+    "not_contains": lambda c, v: ~c.contains(v),
+    "not_regex": lambda c, v: ~F.regexp_like(
+        c, v if isinstance(v, Column) else F.lit(v)
+    ),
 }
 
 

@@ -463,7 +463,7 @@ def test_cypher_expressions_match_python_eval(spark, tree):
 
 
 @given(q=st.text(
-    alphabet="MATCHRETURNWHE ()[]<>-:.*,'|abcz0123456789+/=",
+    alphabet="MATCHRETURNWHEO {}()[]<>-:.*,'|abcz0123456789+/=",
     min_size=1, max_size=80,
 ))
 @settings(max_examples=50, deadline=None,

@@ -509,3 +509,38 @@ def test_where_exists_and_conversions(spark):
     assert got[0] == (4.9, 4, "4.9")  # toInteger truncates toward zero
     assert got[1] == (7.0, 7, "7")
     assert got[2] == (None, None, None)  # absent prop -> NULL through
+
+
+def test_where_not_folds_into_operator(props_graph):
+    """WHERE NOT <atom> (round-16): negation folds into the op under SQL
+    3VL — a NULL property drops the row on BOTH sides of the flip, so
+    NOT(p = v) is exactly p <> v over present props."""
+    base = "MATCH (p:Person)-[:BOUGHT]->(i:Item) WHERE {w} RETURN p"
+    pairs = [
+        ("NOT p.age >= 18", "p.age < 18"),
+        ("NOT p.city = 'berlin'", "p.city <> 'berlin'"),
+        ("NOT p.city CONTAINS 'erl'", "p.city = 'paris'"),
+        ("NOT p.city STARTS WITH 'b'", "p.city = 'paris'"),
+        ("NOT p.city =~ 'b.*'", "p.city = 'paris'"),
+        ("NOT exists(p.age)", "p.age IS NULL"),
+    ]
+    for neg, equiv in pairs:
+        got = rows(run_cypher(props_graph, base.format(w=neg)))
+        want = rows(run_cypher(props_graph, base.format(w=equiv)))
+        assert got == want, (neg, got, want)
+
+
+def test_where_not_null_semantics(spark):
+    """NOT contains over a NULL prop drops the row (3VL), unlike the
+    set-complement reading a naive engine would give."""
+    from g4s_spark.graph import PropertyGraph
+    from g4s_spark.plans import run_cypher
+
+    nodes = spark.createDataFrame(
+        [(0, "N", {"v": "abc"}), (1, "N", {"v": "xyz"}), (2, "N", {})],
+        "id long, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame([], "src long, dst long, type string")
+    g = PropertyGraph(nodes, edges, spark)
+    out = run_cypher(g, "MATCH (n:N) WHERE NOT n.v CONTAINS 'b' RETURN n")
+    assert sorted(r.n for r in out.collect()) == [1]  # node 2 dropped
