@@ -245,7 +245,9 @@ _EDGE = re.compile(
 
 
 class CypherParseError(ValueError):
-    pass
+    """The ONLY exception the query front-end may raise (the fuzz suites
+    assert no foreign exceptions escape — the reference throws a typed
+    MatchError the same way)."""
 
 
 ID_PROP = "\x1did"
