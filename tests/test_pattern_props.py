@@ -161,3 +161,21 @@ def test_map_in_optional_match(graph):
         "RETURN p, i",
     ))
     assert got == {(0, None), (1, None), (2, 3)}
+
+
+# ---------- differential property (no Spark) ----------
+
+
+def test_map_form_parses_identically_to_where_form():
+    """For a grid of (label, key, literal) combinations, the map form's
+    parsed filters equal the WHERE form's — the desugaring is literally
+    the same PropFilter constructor."""
+    lits = ["'x'", "'a,b'", "5", "-2.5", "''"]
+    for lit in lits:
+        m = parse(f"MATCH (a:P {{k: {lit}}})-[:T]->(b:Q) RETURN a")
+        w = parse(f"MATCH (a:P)-[:T]->(b:Q) WHERE a.k = {lit} RETURN a")
+        assert m.filters == w.filters, lit
+    for lit in lits:
+        m = parse(f"MATCH (a:P)-[e:T {{w: {lit}}}]->(b:Q) RETURN a")
+        w = parse(f"MATCH (a:P)-[e:T]->(b:Q) WHERE e.w = {lit} RETURN a")
+        assert m.edge_filters == w.edge_filters, lit
