@@ -202,6 +202,37 @@ def _degree_folded_edges(graph: PropertyGraph) -> DataFrame:
 CHECKPOINT_EVERY = 5
 
 
+def _mass_edges(graph: PropertyGraph) -> DataFrame:
+    """(src, dst, deg, cnt): the degree-folded edge table with the
+    source node's multiplicity in the node table attached (multi-labeled
+    nodes are one row per label — SURVEY §2.5 — and the dense rank
+    vector joined each edge once per label row). Memoized on the graph
+    like _degree_folded_edges."""
+    cached = getattr(graph, "_mass_edges", None)
+    if cached is not None:
+        return cached
+    e2 = _degree_folded_edges(graph)
+    cnt = graph.nodes.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    e3 = (
+        e2.join(cnt.withColumnRenamed("id", "cnt_src"), e2.src == F.col("cnt_src"))
+        .select("src", "dst", "deg", "cnt")
+        .cache()
+    )
+    graph._mass_edges = e3
+    return e3
+
+
+def _node_count(graph: PropertyGraph) -> int:
+    """|V|, memoized on the graph object (the node table is immutable for
+    the graph's lifetime — same contract as _GRAPH_CACHE / the stats
+    store): every *-pagerank call needs N and the count job recurred per
+    call."""
+    n = getattr(graph, "_n_nodes", None)
+    if n is None:
+        n = graph._n_nodes = graph.nodes.count()
+    return n
+
+
 def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank (simplified: dangling mass dropped — the
     semantics are pinned so the unrolled-SQL oracle matches exactly):
@@ -214,37 +245,69 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
     plain DataFrames; contributions combine map-side before the shuffle.
 
     The degree normalization is folded into the edge table once up front
-    (src, dst, 1/outdeg), cached: the loop never re-joins the degree
-    table — each iteration moves only the rank vector. (Deliberately NOT
-    pre-repartitioned: the rank side is small enough that AQE broadcasts
-    it, so forcing a co-partitioning shuffle of the big edge table costs
-    more than it saves.)"""
-    nodes = graph.nodes.select("id").cache()
-    # deg (not 1/deg) rides along: pr/deg stays bit-identical to the
-    # oracle's division — a fused reciprocal multiply is not
-    e2 = _degree_folded_edges(graph)
-    try:
-        n = nodes.count()
-        pr = nodes.withColumn("pr", F.lit(1.0 / n))
-        for i in range(iters):
-            contribs = (
-                pr.join(e2, pr.id == e2.src)
-                .select(F.col("dst").alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
-                .groupBy("id")
-                .agg(F.sum("c").alias("mass"))
+    (src, dst, outdeg), cached: the loop never re-joins the degree table.
+
+    The rank vector is kept SPARSE (round-16): a node that received no
+    mass sits at the closed-form constant — 1/N before iteration 1,
+    (1-d)/N after (d·0.0 adds nothing in IEEE, so the constant is
+    bit-identical to the dense formula). Iteration 1 therefore needs no
+    join at all (rank is the uniform literal), and later iterations
+    left-join the sparse vector into the cached edge table with the
+    constant as the null-fill. This removes the per-iteration
+    nodes-union Exchange+Sort+SortMergeJoin the dense form paid to
+    re-attach zero-mass nodes (measured plan, plans/r16/) — the full
+    node set is joined exactly once, after the loop. The sparse vector
+    is the broadcast side while N is under BROADCAST_SET_MAX_ROWS
+    (size-aware, like bfs/sssp frontiers — at cluster scale the rank
+    vector is O(V) and must shuffle instead; the plan then falls back
+    to a regular join on the cached, src-keyed edge table).
+
+    Multiset semantics: the node table carries one row per (id, label),
+    so a multi-labeled node joined the dense rank vector k times and its
+    contribution counted k-fold (the oracle's graph_nodes CTE does the
+    same). The sparse form preserves that by folding the multiplicity
+    into the cached edge table (cnt column) and weighting each
+    contribution cnt·(pr/deg) — the product matches the dense form's
+    repeated addition to within one ulp, absorbed by the gate's
+    9-decimal rounding like every other summation-order difference."""
+    e3 = _mass_edges(graph)
+    n = _node_count(graph)
+    if iters <= 0:
+        return graph.nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    pr = None  # sparse (id, pr); None = uniform 1/N (iteration 0 state)
+    default = 1.0 / n  # rank of any node outside the sparse support
+    for i in range(iters):
+        if pr is None:
+            contribs = e3.select(
+                F.col("dst").alias("id"),
+                (F.col("cnt") * (F.lit(default) / F.col("deg"))).alias("c"),
             )
-            pr = (
-                nodes.join(contribs, on="id", how="left")
+        else:
+            contribs = (
+                e3.join(_bc(pr, n, None), pr.id == e3.src, "left")
                 .select(
-                    "id",
-                    (F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+                    F.col("dst").alias("id"),
+                    (F.col("cnt")
+                     * (F.coalesce(F.col("pr"), F.lit(default)) / F.col("deg"))).alias("c"),
                 )
             )
-            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
-                pr = iter_checkpoint(pr)
-    finally:
-        nodes.unpersist()
-    return pr
+        pr = (
+            contribs.groupBy("id")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.col("mass")).alias("pr"),
+            )
+        )
+        default = base
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            pr = iter_checkpoint(pr)
+    return (
+        graph.nodes.select("id")
+        .join(pr, on="id", how="left")
+        .select("id", F.coalesce(F.col("pr"), F.lit(default)).alias("pr"))
+    )
 
 
 def weighted_pagerank(
