@@ -280,16 +280,28 @@ def _li_matrices(spark: SparkSession, sf_dir: str):
     # distribution requirement (no second shuffle). Measured ~2x on the
     # mxm gates at sf0.1; at cluster scale the writer should emit
     # many row groups and this becomes a no-op-cost hash exchange.
+    # repartition on the ROW key alone (round-16): HashPartitioning on a
+    # subset of the grouping keys satisfies the aggregation's
+    # ClusteredDistribution, so groupBy(row, col) still runs without a
+    # second exchange — and, because the partitioning survives the
+    # broadcast-hash join inside mxm, the final groupBy(i, j) / the
+    # reduce_rows groupBy(i) reuse it too: the 2.4M-row post-join
+    # exchange disappears from the mxm gates and reduce_rows becomes
+    # single-shuffle (plans/r16/ before vs after). b keys on l_partkey =
+    # mxm's join key k, so at scales where b stops broadcasting the join
+    # needs no b-side exchange either. Sum order changes are immaterial:
+    # l_quantity is integer-valued (checked all SFs), so every sum and
+    # product is exact in double regardless of grouping.
     li = load_table(spark, sf_dir, "lineitem")
     a = Matrix.from_df(
         li.select("l_orderkey", "l_partkey", "l_quantity")
-        .repartition(MXM_PARTITIONS, "l_orderkey", "l_partkey")
+        .repartition(MXM_PARTITIONS, "l_orderkey")
         .groupBy("l_orderkey", "l_partkey").agg(F.sum("l_quantity").alias("v")),
         "l_orderkey", "l_partkey", "v",
     )
     b = Matrix.from_df(
         li.select("l_partkey", "l_suppkey", "l_quantity")
-        .repartition(MXM_PARTITIONS, "l_partkey", "l_suppkey")
+        .repartition(MXM_PARTITIONS, "l_partkey")
         .groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("v")),
         "l_partkey", "l_suppkey", "v",
     )
@@ -329,6 +341,11 @@ def _split_matrices(spark, sf_dir):
     from g4s_spark.grblas import Matrix
 
     li = load_table(spark, sf_dir, "lineitem")
+    # BOTH keys here, unlike _li_matrices: the ewise join on (i, j) only
+    # skips its exchanges when the children are co-partitioned on the
+    # FULL join key set (spark.sql.requireAllClusterKeysForCoPartition —
+    # joins don't get the subset rule aggregations get; a row-key-only
+    # repartition re-introduced two Exchange+Sort pairs, measured r16)
     early = Matrix.from_df(
         li.filter(F.col("l_shipdate") < "1998-01-01")
         .select("l_orderkey", "l_partkey", "l_quantity")
