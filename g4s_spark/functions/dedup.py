@@ -538,30 +538,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     ±1 votes; fingerprint bit = vote > 0. Output: (id, simhash long).
 
     Near-dups = equal fingerprints (bucket join downstream)."""
+    # one row per distinct (doc, token) with the leading `bits` of the
+    # md5 decoded to ONE integer; the per-bit ±1 vote tally folds into a
+    # single aggregation as vote_p = 2·Σ bit_p − n_tokens (round-16 —
+    # this replaces a bits× explode plus a (doc, p)-keyed shuffle and
+    # per-row substr/instr decoding with `bits` shifted-mask sums in the
+    # same map-side-combinable groupBy; all-integer arithmetic, so the
+    # fingerprints are identical bit for bit)
     tok = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .dropDuplicates([id_col, "tok"])
-        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, bits // 4))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10)
+            .cast("long").alias("hv"),
+        )
     )
-    pos = tok.select(
-        id_col,
-        "h4",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p"),
-    )
-    digit = F.col("h4").substr(F.floor(F.col("p") / 4).cast("int") + 1, F.lit(1))
-    dval = F.instr(F.lit("0123456789abcdef"), digit) - 1
-    shift = F.when(F.col("p") % 4 == 0, 8).when(F.col("p") % 4 == 1, 4).when(F.col("p") % 4 == 2, 2).otherwise(1)
-    bit = F.floor(dval / shift).cast("long") % 2
-    votes = (
-        pos.withColumn("vote", bit * 2 - 1)
-        .groupBy(id_col, "p")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn("bitval", F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    # p counts from the MSB of the hex prefix, matching the oracle's
+    # digit/shift decomposition: bit_p = (hv >> (bits-1-p)) & 1
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("hv"), bits - 1 - p).bitwiseAND(F.lit(1))).alias(f"s{p}")
+        for p in range(bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for p in range(bits):
+        term = F.when(F.lit(2) * F.col(f"s{p}") - F.col("n") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(id_col, fingerprint.alias("simhash"))
 
 
 def embedding_near_dups(

@@ -96,11 +96,19 @@ def bfs(
             .dropDuplicates(["id"])
             .join(_bc(visited.select("id"), n_visited, broadcast_frontier), on="id", how="left_anti")
         )
-        nxt = iter_checkpoint(nxt)
-        n_new = nxt.count()  # nxt is checkpointed: count is a cheap re-scan
+        # lazy checkpoint + count = ONE job per iteration (round-16):
+        # eager=True ran a materialization job and then the count; with
+        # eager=False the count triggers the materialization and later
+        # consumers hit the stored blocks. The growing visited set is
+        # also marked lazily — it materializes as a byproduct of the
+        # next iteration's anti-join (each level exactly once).
+        nxt = iter_checkpoint(nxt, eager=False)
+        n_new = nxt.count()
         if n_new == 0:
             break
-        visited = iter_checkpoint(visited.unionByName(nxt.withColumn("dist", F.lit(dist))))
+        visited = iter_checkpoint(
+            visited.unionByName(nxt.withColumn("dist", F.lit(dist))), eager=False
+        )
         frontier = nxt
         n_frontier = n_new
         n_visited += n_new
@@ -146,16 +154,23 @@ def sssp(
             .filter(F.col("d.dist").isNull() | (F.col("c.dist") < F.col("d.dist")))
             .select("id", F.col("c.dist").alias("dist"))
         )
-        improved = iter_checkpoint(improved)
+        # lazy checkpoint + count = ONE job per iteration (round-16),
+        # same pattern as bfs; the merged dist vector is marked lazily
+        # and materializes inside the next iteration's improvement join.
+        improved = iter_checkpoint(improved, eager=False)
         n_improved = improved.count()
         if n_improved == 0:
             break
         dist = iter_checkpoint(
-            dist.join(improved.select("id"), on="id", how="left_anti").unionByName(improved)
+            dist.join(improved.select("id"), on="id", how="left_anti").unionByName(improved),
+            eager=False,
         )
         frontier = improved
         n_frontier = n_improved
-        n_dist = dist.count()
+        # |dist| grows by at most the improved count; the exact size was
+        # only consumed by the broadcast-size gate, so the (monotone)
+        # upper bound replaces a full count job per iteration
+        n_dist += n_improved
     else:
         raise RuntimeError(
             f"sssp did not converge within {max_iters} iterations; "
@@ -448,7 +463,8 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
                 comp.join(neighbor_min, on="id", how="left")
                 .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
             )
-            new_comp = iter_checkpoint(new_comp)
+            # lazy: the changed-probe count materializes the checkpoint
+            new_comp = iter_checkpoint(new_comp, eager=False)
             changed = (
                 new_comp.alias("n")
                 .join(comp.alias("o"), on="id")
@@ -494,7 +510,8 @@ def k_core(pairs: DataFrame, k: int, max_iters: int = 30) -> DataFrame:
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
         )
-        keep = iter_checkpoint(keep)
+        # lazy: the convergence count materializes the checkpoint
+        keep = iter_checkpoint(keep, eager=False)
         alive = keep.count()
         if alive == prev_alive:
             break
