@@ -28,6 +28,13 @@ class GraphStats:
     # selectivities mis-estimate (e.g. a type that connects several label
     # pairs). Empty dict = unknown (planner falls back to independence).
     triplet_counts: dict[tuple[str, str, str], int] = field(default_factory=dict)
+    # True when every node id carries exactly one label row. The planner's
+    # label-implied semi-join skip is only sound under this invariant: with
+    # multi-label nodes the two-sided triplet join counts an edge once per
+    # label *pair*, so a side-sum over triplet_counts can equal type_card
+    # without every edge's endpoint carrying the label (a 2-label endpoint
+    # plus a dangling edge cancel exactly). None = unknown -> no skip.
+    single_label: bool | None = None
 
     @staticmethod
     def compute(nodes: DataFrame, edges: DataFrame) -> "GraphStats":
@@ -44,7 +51,10 @@ class GraphStats:
             .count()
         )
         tpc = {(r.sl, r.type, r.dl): r["count"] for r in trip.collect()}
-        return GraphStats(sum(lc.values()), sum(tc.values()), lc, tc, tpc)
+        one_label = (
+            nodes.groupBy("id").count().filter(F.col("count") > 1).limit(1).count() == 0
+        )
+        return GraphStats(sum(lc.values()), sum(tc.values()), lc, tc, tpc, one_label)
 
     # selectivities (StatsStore.scala:179-189)
     def node_sel(self, label: str | None) -> float:
@@ -250,6 +260,7 @@ def stats_to_dict(s: "GraphStats") -> dict:
         "triplet_counts": {
             "\x1f".join(k): v for k, v in s.triplet_counts.items()
         },
+        "single_label": s.single_label,
     }
 
 
@@ -260,4 +271,5 @@ def stats_from_dict(d: dict) -> "GraphStats":
         dict(d.get("label_counts", {})),
         dict(d.get("type_counts", {})),
         {tuple(k.split("\x1f")): v for k, v in d.get("triplet_counts", {}).items()},
+        d.get("single_label"),
     )

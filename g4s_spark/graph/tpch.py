@@ -162,6 +162,9 @@ def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, Da
     g._stats = GraphStats(
         sum(label_counts.values()), sum(type_counts.values()), label_counts, type_counts,
         triplet_counts,
+        # ids are disjoint by table offset and each table contributes one
+        # label row per key, so the single-label invariant holds statically
+        single_label=True,
     )
     return g
 

@@ -1871,17 +1871,63 @@ def plan_match(
             ids = F.broadcast(ids)
         return ids
 
-    def constrain(df: DataFrame, binding: str) -> DataFrame:
+    def constrain(df: DataFrame, binding: str, label_implied: bool = False) -> DataFrame:
         label = qg.labels.get(binding)
         nfs = filters_by_binding().get(binding, ())
         ors = or_filters_by_binding().get(binding, ())
         extra = qg.extra_labels.get(binding, ())
         if label is None and not nfs and not ors and not extra:
             return df
+        if label_implied and not nfs and not ors and not extra:
+            # the edge scan already guarantees the label (exact triplet
+            # counts, _edge_implies_label): the semi-join is an identity
+            # — skip its broadcast build + join pass (round-16)
+            steps.append(("semi_skip", binding, label))
+            return df
         steps.append(("semi", binding, label, len(nfs) + len(ors) + len(extra)))
         return df.join(
             node_set(binding).withColumnRenamed("id", binding), on=binding, how="left_semi"
         )
+
+    def _edge_implies_label(e, binding: str) -> bool:
+        """True when every scanned edge of ``e``'s types provably ends at
+        a ``label``-bearing node on ``binding``'s side(s) — the triplet
+        counters give the exact test: for each type T,
+        triplet(label, T, ·) == type_card(T) (resp. the dst orientation).
+        Stats always describe the graph being planned (label-changing
+        mutations rebuild them; only cardinality-neutral rewrites carry
+        them over — store.py), so a True here means the label semi-join
+        cannot drop a row. Restricted to plain 1-hop directed edges:
+        undirected scans would need both orientations and var-length
+        closures have interior hops. Requires stats.single_label: with
+        multi-label nodes the triplet join counts an edge once per label
+        *pair*, so the side-sum over triplet_counts is inflated by the
+        other endpoint's extra labels and can equal type_card without
+        full coverage (stats.py documents the cancellation case)."""
+        if e.undirected or (e.min_hops, e.max_hops) != (1, 1):
+            return False
+        if stats.single_label is not True:
+            return False
+        label = qg.labels.get(binding)
+        if label is None:
+            return False
+        tcs = stats.triplet_counts
+        types = list(e.types) if e.types else list(stats.type_counts)
+        if not tcs or not types:
+            return False
+        sides = [s for s, bb in ((0, e.src), (2, e.dst)) if bb == binding]
+        for t in types:
+            total = stats.type_counts.get(t, 0)
+            if total == 0:
+                return False
+            for side in sides:
+                have = sum(
+                    c for (sl, tt, dl), c in tcs.items()
+                    if tt == t and (sl if side == 0 else dl) == label
+                )
+                if have != total:
+                    return False
+        return True
 
     # edge-variable property returns: (edge name) -> [(prop, out alias)]
     edge_prop_cols: dict[str, list[tuple[str, str]]] = {}
@@ -2143,7 +2189,7 @@ def plan_match(
         for b in dict.fromkeys((e.src, e.dst)):
             if b == seeded:
                 continue  # restriction already applied inside the expansion
-            df = constrain(df, b)
+            df = constrain(df, b, label_implied=_edge_implies_label(e, b))
         return df
 
     # bindings that appear in no pattern edge: plain label scans, joined in

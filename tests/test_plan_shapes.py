@@ -72,13 +72,59 @@ def test_label_pruning_reaches_parquet_scan(spark, tmp_path):
 def test_broadcast_semi_join_for_small_labels(spark):
     """Label semi-joins must go broadcast when the label set is small —
     the FilterMul analogue should never shuffle the frontier for a tiny
-    dimension (SURVEY §4.3)."""
-    nodes = [(i, "A") for i in range(100)] + [(1000, "B")]
-    edges = [(i, 1000, "X") for i in range(100)]
+    dimension (SURVEY §4.3). The extra C-sourced X edge keeps the a:A
+    constraint non-redundant (otherwise the triplet-identity skip
+    removes the semi-join altogether — see test below)."""
+    nodes = [(i, "A") for i in range(100)] + [(1000, "B"), (1001, "C")]
+    edges = [(i, 1000, "X") for i in range(100)] + [(1001, 1000, "X")]
     g = PropertyGraph.from_tuples(spark, nodes, edges)
-    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN b"))
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b"))
     physical = planned.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in physical
+
+
+def test_label_identity_semi_join_skipped(spark):
+    """When the triplet stats prove every X edge runs A->B, the label
+    semi-joins are identities and the planner skips them (round-16):
+    the plan records semi_skip steps, no semi steps, and the result is
+    identical to the constrained match."""
+    nodes = [(i, "A") for i in range(100)] + [(1000, "B"), (1001, "C")]
+    edges = [(i, 1000, "X") for i in range(100)] + [(1000, 1001, "Y")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b"))
+    assert steps_of(planned, "semi_skip"), planned.steps
+    assert not steps_of(planned, "semi"), planned.steps
+    rows = {(r.a, r.b) for r in planned.df.collect()}
+    assert rows == {(i, 1000) for i in range(100)}
+    # a C-sourced X edge breaks src coverage: the a-side semi-join must
+    # come back (and b-side coverage still holds -> still skipped)
+    g2 = PropertyGraph.from_tuples(
+        spark, nodes, [(i, 1000, "X") for i in range(100)] + [(1001, 1000, "X")]
+    )
+    planned2 = plan_match(g2, parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b"))
+    assert steps_of(planned2, "semi"), planned2.steps
+    rows2 = {(r.a, r.b) for r in planned2.df.collect()}
+    assert rows2 == {(i, 1000) for i in range(100)}
+
+
+def test_label_skip_unsound_under_multilabel_nodes(spark):
+    """Multi-label nodes inflate the two-sided triplet counters (an edge
+    counts once per label PAIR), so a side-sum can equal the type count
+    without full coverage: here the Z-src edge's dst carries two labels
+    (2 triplet rows) and the A-src edge's dst is dangling (0 rows) —
+    sum(sl=Z) == type_card(X) even though edge e2 runs from an A node.
+    stats.single_label must gate the skip off and keep the semi-join."""
+    nodes = [(1, "Z"), (2, "A"), (1000, "B"), (1000, "C")]
+    edges = [(1, 1000, "X"), (2, 5000, "X")]  # 5000 has no label row
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    assert g.stats.single_label is False
+    tcs = g.stats.triplet_counts
+    covered = sum(c for (sl, t, _), c in tcs.items() if t == "X" and sl == "Z")
+    assert covered == g.stats.type_counts["X"]  # the trap is live
+    planned = plan_match(g, parse("MATCH (a:Z)-[:X]->(b) RETURN a, b"))
+    assert steps_of(planned, "semi"), planned.steps
+    assert not steps_of(planned, "semi_skip"), planned.steps
+    assert {(r.a, r.b) for r in planned.df.collect()} == {(1, 1000)}
 
 
 def test_cost_model_formulas():
