@@ -217,6 +217,18 @@ def _degree_folded_edges(graph: PropertyGraph) -> DataFrame:
 CHECKPOINT_EVERY = 5
 
 
+def _node_ids(graph: PropertyGraph) -> DataFrame:
+    """(id) projection backed by the graph's cached slim (id,label)
+    projection when PropertyGraph.cache() has pinned one — the full
+    nodes frame is a 7-way union of parquet scans on the TPC-H graph
+    and re-scanning it per call/sample is pure I/O (round-16; the
+    pagerank final attach alone re-read every table). Same row
+    multiplicity as graph.nodes (one row per label)."""
+    slim = getattr(graph, "_nodes_slim", None)
+    base = slim if slim is not None else graph.nodes
+    return base.select("id")
+
+
 def _mass_edges(graph: PropertyGraph) -> DataFrame:
     """(src, dst, deg, cnt): the degree-folded edge table with the
     source node's multiplicity in the node table attached (multi-labeled
@@ -227,7 +239,7 @@ def _mass_edges(graph: PropertyGraph) -> DataFrame:
     if cached is not None:
         return cached
     e2 = _degree_folded_edges(graph)
-    cnt = graph.nodes.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = _node_ids(graph).groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
     e3 = (
         e2.join(cnt.withColumnRenamed("id", "cnt_src"), e2.src == F.col("cnt_src"))
         .select("src", "dst", "deg", "cnt")
@@ -244,7 +256,7 @@ def _node_count(graph: PropertyGraph) -> int:
     call."""
     n = getattr(graph, "_n_nodes", None)
     if n is None:
-        n = graph._n_nodes = graph.nodes.count()
+        n = graph._n_nodes = _node_ids(graph).count()
     return n
 
 
@@ -288,7 +300,7 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
     e3 = _mass_edges(graph)
     n = _node_count(graph)
     if iters <= 0:
-        return graph.nodes.select("id", F.lit(1.0 / n).alias("pr"))
+        return _node_ids(graph).select("id", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
     pr = None  # sparse (id, pr); None = uniform 1/N (iteration 0 state)
     default = 1.0 / n  # rank of any node outside the sparse support
@@ -319,7 +331,7 @@ def pagerank(graph: PropertyGraph, iters: int = 3, damping: float = 0.85) -> Dat
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
             pr = iter_checkpoint(pr)
     return (
-        graph.nodes.select("id")
+        _node_ids(graph)
         .join(pr, on="id", how="left")
         .select("id", F.coalesce(F.col("pr"), F.lit(default)).alias("pr"))
     )
@@ -339,7 +351,7 @@ def weighted_pagerank(
     keyed by weight_col, mirroring _cached_typed_edges, so two calls
     with different weight columns never share a fold); each iteration
     moves only the rank vector."""
-    nodes = graph.nodes.select("id").cache()
+    nodes = _node_ids(graph).cache()
     cache = getattr(graph, "_weight_edges", None)
     if cache is None or not isinstance(cache, dict):
         cache = {}
@@ -399,7 +411,7 @@ def personalized_pagerank(
     one dst-keyed aggregation per iteration; lineage truncated); the
     reset vector is a cached per-node column joined in place of the
     uniform constant."""
-    nodes = graph.nodes.select("id").cache()
+    nodes = _node_ids(graph).cache()
     s = seeds.select("id").dropDuplicates()
     e2 = _degree_folded_edges(graph)
     reset = (
@@ -450,7 +462,7 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
         .dropDuplicates(["src", "dst"])
         .cache()
     )
-    comp = graph.nodes.select("id", F.col("id").alias("component"))
+    comp = _node_ids(graph).select("id", F.col("id").alias("component"))
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -1054,7 +1066,7 @@ def hits(graph: PropertyGraph, iters: int = 3) -> DataFrame:
     normalization stays executor-side and adds no shuffle. Same Pregel
     profile as pagerank."""
     edges = _cached_typed_edges(graph, None, ("src", "dst"))
-    nodes = graph.nodes.select("id").dropDuplicates(["id"]).cache()
+    nodes = _node_ids(graph).dropDuplicates(["id"]).cache()
     try:
         hub = nodes.withColumn("s", F.lit(1.0))
         auth = None
@@ -1255,7 +1267,7 @@ def eigenvector_centrality(
     Scale shape: identical to pagerank — each iteration is one join +
     one dst-keyed aggregation with map-side combine, only the score
     vector moves, periodic lineage cut."""
-    nodes = graph.nodes.select("id").dropDuplicates(["id"]).cache()
+    nodes = _node_ids(graph).dropDuplicates(["id"]).cache()
     e = graph.edges.select("src", "dst").cache()
     try:
         n = nodes.count()
