@@ -28,6 +28,13 @@ class GraphStats:
     # selectivities mis-estimate (e.g. a type that connects several label
     # pairs). Empty dict = unknown (planner falls back to independence).
     triplet_counts: dict[tuple[str, str, str], int] = field(default_factory=dict)
+    # (type, side) -> distinct endpoint count, side 0 = src, 2 = dst.
+    # Raw countDistinct over the edge table (danglers included) — only
+    # sound for the planner's tautological-hop elimination when combined
+    # with the edge-coverage test, which fails whenever a dangling edge
+    # of the type exists (a dangling edge contributes no triplet row, so
+    # coverage < type count). Empty dict = unknown -> no elimination.
+    endpoint_counts: dict[tuple[str, int], int] = field(default_factory=dict)
     # True when every node id carries exactly one label row. The planner's
     # label-implied semi-join skip is only sound under this invariant: with
     # multi-label nodes the two-sided triplet join counts an edge once per
@@ -51,10 +58,23 @@ class GraphStats:
             .count()
         )
         tpc = {(r.sl, r.type, r.dl): r["count"] for r in trip.collect()}
+        ep: dict[tuple[str, int], int] = {}
+        for r in (
+            edges.groupBy("type")
+            .agg(
+                F.countDistinct("src").alias("ns"),
+                F.countDistinct("dst").alias("nd"),
+            )
+            .collect()
+        ):
+            ep[(r.type, 0)] = int(r.ns)
+            ep[(r.type, 2)] = int(r.nd)
         one_label = (
             nodes.groupBy("id").count().filter(F.col("count") > 1).limit(1).count() == 0
         )
-        return GraphStats(sum(lc.values()), sum(tc.values()), lc, tc, tpc, one_label)
+        return GraphStats(
+            sum(lc.values()), sum(tc.values()), lc, tc, tpc, ep, one_label
+        )
 
     # selectivities (StatsStore.scala:179-189)
     def node_sel(self, label: str | None) -> float:
@@ -260,6 +280,9 @@ def stats_to_dict(s: "GraphStats") -> dict:
         "triplet_counts": {
             "\x1f".join(k): v for k, v in s.triplet_counts.items()
         },
+        "endpoint_counts": {
+            f"{t}\x1f{side}": v for (t, side), v in s.endpoint_counts.items()
+        },
         "single_label": s.single_label,
     }
 
@@ -271,5 +294,9 @@ def stats_from_dict(d: dict) -> "GraphStats":
         dict(d.get("label_counts", {})),
         dict(d.get("type_counts", {})),
         {tuple(k.split("\x1f")): v for k, v in d.get("triplet_counts", {}).items()},
+        {
+            (k.split("\x1f")[0], int(k.split("\x1f")[1])): v
+            for k, v in d.get("endpoint_counts", {}).items()
+        },
         d.get("single_label"),
     )

@@ -159,9 +159,36 @@ def _build_graph_uncached(spark: SparkSession, sf_dir: str, tables: dict[str, Da
         ("Lineitem", "OF_PART", "Part"): counts["lineitem"],
         ("Lineitem", "BY_SUPP", "Supplier"): counts["lineitem"],
     }
+    # distinct endpoint counts per (type, side) — the tautological-hop
+    # elimination's participation test (planner._eliminate_tautological
+    # _edges). Side counts that are one-edge-per-row with a unique key
+    # are the table counts (static); the referenced-key sides are exact
+    # distinct counts over the key column, computed once per session
+    # (the graph is cached by build_graph) — small column scans.
+    dc = lambda df, col: df.select(col).distinct().count()  # noqa: E731
+    endpoint_counts = {
+        ("IN_REGION", 0): counts["nation"],
+        ("IN_REGION", 2): dc(nation, "n_regionkey"),
+        ("FROM_NATION", 0): counts["customer"] + counts["supplier"],
+        ("FROM_NATION", 2): (
+            customer.select(F.col("c_nationkey").alias("k"))
+            .unionByName(supplier.select(F.col("s_nationkey").alias("k")))
+            .distinct()
+            .count()
+        ),
+        ("PLACED", 0): dc(orders, "o_custkey"),
+        ("PLACED", 2): counts["orders"],
+        ("HAS_ITEM", 0): dc(lineitem, "l_orderkey"),
+        ("HAS_ITEM", 2): counts["lineitem"],
+        ("OF_PART", 0): counts["lineitem"],
+        ("OF_PART", 2): dc(lineitem, "l_partkey"),
+        ("BY_SUPP", 0): counts["lineitem"],
+        ("BY_SUPP", 2): dc(lineitem, "l_suppkey"),
+    }
     g._stats = GraphStats(
         sum(label_counts.values()), sum(type_counts.values()), label_counts, type_counts,
         triplet_counts,
+        endpoint_counts,
         # ids are disjoint by table offset and each table contributes one
         # label row per key, so the single-label invariant holds statically
         single_label=True,

@@ -28,7 +28,7 @@ The reference's semantics we must preserve (SURVEY §7.3):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields as dc_fields, is_dataclass, replace as dc_replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1823,6 +1823,167 @@ def _run_with_pipeline(
     raise CypherParseError("WITH pipeline has no RETURN")
 
 
+def _edge_implies_label(qg: QueryGraph, stats, e, binding: str) -> bool:
+    """True when every scanned edge of ``e``'s types provably ends at
+    a ``label``-bearing node on ``binding``'s side(s) — the triplet
+    counters give the exact test: for each type T,
+    triplet(label, T, ·) == type_card(T) (resp. the dst orientation).
+    Stats always describe the graph being planned (label-changing
+    mutations rebuild them; only cardinality-neutral rewrites carry
+    them over — store.py), so a True here means the label semi-join
+    cannot drop a row. Restricted to plain 1-hop directed edges:
+    undirected scans would need both orientations and var-length
+    closures have interior hops. Requires stats.single_label: with
+    multi-label nodes the triplet join counts an edge once per label
+    *pair*, so the side-sum over triplet_counts is inflated by the
+    other endpoint's extra labels and can equal type_card without
+    full coverage (stats.py documents the cancellation case)."""
+    if e.undirected or (e.min_hops, e.max_hops) != (1, 1):
+        return False
+    if stats.single_label is not True:
+        return False
+    label = qg.labels.get(binding)
+    if label is None:
+        return False
+    tcs = stats.triplet_counts
+    types = list(e.types) if e.types else list(stats.type_counts)
+    if not tcs or not types:
+        return False
+    sides = [s for s, bb in ((0, e.src), (2, e.dst)) if bb == binding]
+    for t in types:
+        total = stats.type_counts.get(t, 0)
+        if total == 0:
+            return False
+        for side in sides:
+            have = sum(
+                c for (sl, tt, dl), c in tcs.items()
+                if tt == t and (sl if side == 0 else dl) == label
+            )
+            if have != total:
+                return False
+    return True
+
+
+def _qg_referenced_strings(qg: QueryGraph) -> set[str]:
+    """Every string reachable from the QueryGraph OUTSIDE the structural
+    fields (labels / extra_labels / edges / match_bindings) — the
+    conservative over-approximation of 'binding b is consumed somewhere'
+    the tautological-edge eliminator tests against. Collecting aliases,
+    property names, operators and literals too only ever ADDS names,
+    which can only suppress an elimination, never unsoundly allow one."""
+    out: set[str] = set()
+    skip = {"labels", "extra_labels", "edges", "match_bindings"}
+
+    def walk(v):
+        if isinstance(v, str):
+            out.add(v)
+        elif isinstance(v, dict):
+            for k, vv in v.items():
+                walk(k)
+                walk(vv)
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            for vv in v:
+                walk(vv)
+        elif is_dataclass(v) and not isinstance(v, type):
+            for f in dc_fields(v):
+                walk(getattr(v, f.name))
+
+    for f in dc_fields(qg):
+        if f.name not in skip:
+            walk(getattr(qg, f.name))
+    # other edges' variable names are consumers too (edge_filters /
+    # edge_prop_returns address edges by name); collect them so a binding
+    # named like an edge variable is conservatively kept
+    for e in qg.edges:
+        if e.name is not None:
+            out.add(e.name)
+    return out
+
+
+def _eliminate_tautological_edges(qg: QueryGraph, stats, steps: list) -> QueryGraph:
+    """Stats-driven foreign-key hop elimination (round-16, guide §3):
+    drop a pattern edge whose dead-side binding ``y`` is referenced
+    nowhere else when the exact counters prove the hop cannot change the
+    result set: (a) coverage — every scanned edge of the type ends at an
+    ``L_x``-labelled node on the live side AND at an ``L_y``-labelled
+    node on the dead side (triplet counts, same identity the semi_skip
+    uses), and (b) participation — the type's distinct endpoint count on
+    the live side equals ``|L_x|``, i.e. every candidate ``x`` has at
+    least one such edge. Under the engine's distinct-match semantics
+    (project + dropDuplicates to the needed bindings) the join is then
+    an identity and the whole hop — scan, expand join, label semi-joins
+    — vanishes. Eliminations cascade (a 2-hop chain returning only its
+    far endpoint collapses to one label scan).
+
+    Soundness gates: exact single type, plain 1-hop directed edge, no
+    edge variable, no self-loop; ``y`` unreferenced anywhere (generic
+    conservative scan incl. optionals / pattern filters / verbs — verb
+    layers put their bindings in ``returns``), in no other edge, no
+    extra labels; skip entirely under paths (edge indices), carried
+    stages, count(*) (it counts distinct FULL-pattern matches), unknown
+    endpoint stats, or multi-label graphs (the triplet identity is only
+    valid under single_label — stats.py). The participation count is a
+    raw countDistinct over the edge table (danglers included) but a
+    dangling edge of the type also breaks coverage (it contributes no
+    triplet row), so the pair of tests is sound together."""
+    if (
+        stats.single_label is not True
+        or not getattr(stats, "endpoint_counts", None)
+        or qg.paths
+        or qg.opt_paths
+        or qg.carry_required
+        or any(a.binding == "*" for a in qg.aggregates)
+    ):
+        return qg
+    referenced = _qg_referenced_strings(qg)
+    qg = dc_replace(
+        qg,
+        labels=dict(qg.labels),
+        edges=list(qg.edges),
+        match_bindings=set(qg.match_bindings),
+    )
+    changed = True
+    while changed:
+        changed = False
+        use: dict[str, int] = {}
+        for e in qg.edges:
+            for b in (e.src, e.dst):
+                use[b] = use.get(b, 0) + 1
+        for e in qg.edges:
+            if (
+                len(e.types) != 1
+                or e.undirected
+                or (e.min_hops, e.max_hops) != (1, 1)
+                or e.name is not None
+                or e.src == e.dst
+            ):
+                continue
+            t = e.types[0]
+            for y, x, side_x in ((e.dst, e.src, 0), (e.src, e.dst, 2)):
+                if y in referenced or use.get(y, 0) != 1:
+                    continue
+                if qg.extra_labels.get(y):
+                    continue
+                ylab = qg.labels.get(y)
+                if ylab is not None and not _edge_implies_label(qg, stats, e, y):
+                    continue
+                if qg.labels.get(x) is None or not _edge_implies_label(qg, stats, e, x):
+                    continue
+                if stats.endpoint_counts.get((t, side_x)) != stats.label_card(
+                    qg.labels[x]
+                ):
+                    continue
+                qg.edges.remove(e)
+                qg.labels.pop(y, None)
+                qg.match_bindings.discard(y)
+                steps.append(("edge_elim", (e.src, e.dst), t, y))
+                changed = True
+                break
+            if changed:
+                break
+    return qg
+
+
 def plan_match(
     graph: PropertyGraph, qg: QueryGraph, carry: DataFrame | None = None
 ) -> PlannedQuery:
@@ -1834,6 +1995,14 @@ def plan_match(
     stats = graph.stats
     steps: list[tuple] = []
     total_cost = 0.0
+
+    # stats-driven FK hop elimination (round-16): rewrite the pattern
+    # before any planning so join-order, label skips and projections are
+    # all re-derived on the reduced graph. Carried stages are skipped —
+    # the carry frame's columns can reference bindings the generic scan
+    # cannot see.
+    if carry is None:
+        qg = _eliminate_tautological_edges(qg, stats, steps)
 
     # WHERE predicates are clause-scoped (openCypher): the required
     # MATCH's filters constrain the main chain; an OPTIONAL MATCH's
@@ -1889,45 +2058,10 @@ def plan_match(
             node_set(binding).withColumnRenamed("id", binding), on=binding, how="left_semi"
         )
 
-    def _edge_implies_label(e, binding: str) -> bool:
-        """True when every scanned edge of ``e``'s types provably ends at
-        a ``label``-bearing node on ``binding``'s side(s) — the triplet
-        counters give the exact test: for each type T,
-        triplet(label, T, ·) == type_card(T) (resp. the dst orientation).
-        Stats always describe the graph being planned (label-changing
-        mutations rebuild them; only cardinality-neutral rewrites carry
-        them over — store.py), so a True here means the label semi-join
-        cannot drop a row. Restricted to plain 1-hop directed edges:
-        undirected scans would need both orientations and var-length
-        closures have interior hops. Requires stats.single_label: with
-        multi-label nodes the triplet join counts an edge once per label
-        *pair*, so the side-sum over triplet_counts is inflated by the
-        other endpoint's extra labels and can equal type_card without
-        full coverage (stats.py documents the cancellation case)."""
-        if e.undirected or (e.min_hops, e.max_hops) != (1, 1):
-            return False
-        if stats.single_label is not True:
-            return False
-        label = qg.labels.get(binding)
-        if label is None:
-            return False
-        tcs = stats.triplet_counts
-        types = list(e.types) if e.types else list(stats.type_counts)
-        if not tcs or not types:
-            return False
-        sides = [s for s, bb in ((0, e.src), (2, e.dst)) if bb == binding]
-        for t in types:
-            total = stats.type_counts.get(t, 0)
-            if total == 0:
-                return False
-            for side in sides:
-                have = sum(
-                    c for (sl, tt, dl), c in tcs.items()
-                    if tt == t and (sl if side == 0 else dl) == label
-                )
-                if have != total:
-                    return False
-        return True
+    def edge_implies_label(e, binding: str) -> bool:
+        # module-level _edge_implies_label over THIS stage's (possibly
+        # hop-eliminated) query graph and stats
+        return _edge_implies_label(qg, stats, e, binding)
 
     # edge-variable property returns: (edge name) -> [(prop, out alias)]
     edge_prop_cols: dict[str, list[tuple[str, str]]] = {}
@@ -2189,7 +2323,7 @@ def plan_match(
         for b in dict.fromkeys((e.src, e.dst)):
             if b == seeded:
                 continue  # restriction already applied inside the expansion
-            df = constrain(df, b, label_implied=_edge_implies_label(e, b))
+            df = constrain(df, b, label_implied=edge_implies_label(e, b))
         return df
 
     # bindings that appear in no pattern edge: plain label scans, joined in
@@ -2305,7 +2439,18 @@ def plan_match(
         df = build_tree(tree, set())
 
     for b in isolated:
-        scan = constrain(graph.nodes.select(F.col("id").alias(b)), b).dropDuplicates([b])
+        # scan the label's id set directly (label-pruned parquet / slim
+        # cache) instead of the full union-of-tables node scan plus a
+        # semi-join against that same set (round-16): identical id
+        # multiset, one scan fewer — this is the hot path for patterns
+        # reduced by the tautological-hop elimination above
+        ids = graph.node_set(
+            qg.labels.get(b),
+            filters_by_binding().get(b, ()),
+            or_filters_by_binding().get(b, ()),
+            qg.extra_labels.get(b, ()),
+        )
+        scan = ids.withColumnRenamed("id", b).dropDuplicates([b])
         steps.append(("node_scan", b, qg.labels.get(b)))
         df = scan if df is None else df.crossJoin(scan)
         bound.add(b)

@@ -28,11 +28,19 @@ def test_write_read_roundtrip_partitioned(spark, tmp_path):
 
 
 def test_graphdb_explain_and_resolve(spark):
-    db = GraphDB(diamond(spark))
+    g = diamond(spark)
+    db = GraphDB(g)
+    # the diamond's stats prove both hops tautological for RETURN c: the
+    # explain trace shows the hop elimination + lone label scan (round-16),
+    # and payload resolution works over the reduced plan
     text = db.explain("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c")
-    assert "scan" in text and "expand" in text and "cost" in text
+    assert "edge_elim" in text and "node_scan" in text and "cost" in text
     rows = db.query("MATCH (a:A)-[:X]->(b:B) RETURN b", resolve=True).collect()
     assert {(r.b, r.b_label) for r in rows} == {(1, "B"), (2, "B")}
+    # with endpoint stats unknown the full chain plans scan + expand
+    g.stats.endpoint_counts.clear()
+    text = db.explain("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c")
+    assert "scan" in text and "expand" in text and "cost" in text
 
 
 def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):

@@ -26,6 +26,9 @@ def test_cheapest_edge_scanned_first_chain(spark):
     # 50 X edges A->B, 1 Y edge B->C
     edges = [(i, 100 + i, "X") for i in range(50)] + [(100, 200, "Y")]
     g = PropertyGraph.from_tuples(spark, nodes, edges)
+    # this test pins JOIN ORDER: disable the round-16 tautological-hop
+    # elimination (which would collapse the whole chain to a label scan)
+    g.stats.endpoint_counts.clear()
     planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
     first = steps_of(planned, "scan")[0]
     assert first[1] == ("b", "c"), planned.steps  # Y edge anchors the chain
@@ -42,6 +45,8 @@ def test_live_binding_projection_prunes_dead_columns(spark):
         nodes=[(0, "A"), (1, "B"), (2, "C")],
         edges=[(0, 1, "X"), (1, 2, "Y")],
     )
+    # pins per-hop projection: keep the hops (see elimination tests below)
+    g.stats.endpoint_counts.clear()
     planned = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
     final_proj = steps_of(planned, "project_distinct")[-1]
     assert final_proj[1] == ("c",)  # a and b dropped before the end
@@ -125,6 +130,95 @@ def test_label_skip_unsound_under_multilabel_nodes(spark):
     assert steps_of(planned, "semi"), planned.steps
     assert not steps_of(planned, "semi_skip"), planned.steps
     assert {(r.a, r.b) for r in planned.df.collect()} == {(1, 1000)}
+
+
+def test_tautological_hop_elimination_cascades(spark):
+    """FK hop elimination (round-16): a chain returning only its far
+    endpoint collapses to a single label scan when the stats prove every
+    hop is an identity (coverage + participation). The cascade must drop
+    BOTH hops and the result must equal the un-eliminated plan's."""
+    nodes = (
+        [(i, "A") for i in range(20)]
+        + [(100 + i, "B") for i in range(10)]
+        + [(200 + i, "C") for i in range(5)]
+    )
+    # every A has an X edge, every B is covered; every B has a Y edge,
+    # every C is covered
+    edges = [(i, 100 + i % 10, "X") for i in range(20)] + [
+        (100 + i, 200 + i % 5, "Y") for i in range(10)
+    ]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    q = "MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"
+    planned = plan_match(g, parse(q))
+    assert len(steps_of(planned, "edge_elim")) == 2, planned.steps
+    assert not steps_of(planned, "scan"), planned.steps
+    assert steps_of(planned, "node_scan") == [("node_scan", "c", "C")]
+    got = {r.c for r in planned.df.collect()}
+    # differential: the un-eliminated plan over the same graph
+    g.stats.endpoint_counts.clear()
+    ref = plan_match(g, parse(q))
+    assert not steps_of(ref, "edge_elim")
+    assert got == {r.c for r in ref.df.collect()} == {200 + i for i in range(5)}
+
+
+def test_tautological_hop_elimination_blockers(spark):
+    """Each soundness gate must block the elimination on its own: a
+    referenced dead binding, a participation gap (a C node with no
+    Y in-edge), count(*) semantics, and a dangling edge endpoint
+    (coverage breaks via the missing triplet row)."""
+    nodes = [(0, "A"), (1, "B"), (2, "B")]
+    edges = [(0, 1, "X"), (0, 2, "X")]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    # fully covered 1-hop: RETURN b eliminates (a dead), RETURN a, b not
+    gone = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN b"))
+    assert steps_of(gone, "edge_elim"), gone.steps
+    assert {r.b for r in gone.df.collect()} == {1, 2}
+    kept = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b"))
+    assert not steps_of(kept, "edge_elim"), kept.steps
+    # count(*) counts distinct FULL matches — elimination must not fire
+    star = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B) RETURN count(*) AS n"))
+    assert not steps_of(star, "edge_elim"), star.steps
+    assert star.df.collect()[0].n == 2
+    # a WHERE on the dead side blocks (referenced via filters); id()
+    # predicates need no props column on this tuple-built graph
+    filt = plan_match(
+        g, parse("MATCH (a:A)-[:X]->(b:B) WHERE id(a) = 0 RETURN b")
+    )
+    assert not steps_of(filt, "edge_elim"), filt.steps
+    assert {r.b for r in filt.df.collect()} == {1, 2}
+    # participation gap: a B node with no X in-edge
+    g2 = PropertyGraph.from_tuples(
+        spark, nodes + [(3, "B")], edges
+    )
+    part = plan_match(g2, parse("MATCH (a:A)-[:X]->(b:B) RETURN b"))
+    assert not steps_of(part, "edge_elim"), part.steps
+    assert {r.b for r in part.df.collect()} == {1, 2}
+    # dangling dst (id 99 has no label row): kills coverage on BOTH
+    # sides (no triplet row), so neither orientation eliminates
+    g3 = PropertyGraph.from_tuples(spark, nodes, edges + [(0, 99, "X")])
+    dang = plan_match(g3, parse("MATCH (a:A)-[:X]->(b:B) RETURN b"))
+    assert not steps_of(dang, "edge_elim"), dang.steps
+    assert {r.b for r in dang.df.collect()} == {1, 2}
+
+
+def test_tautological_hop_elimination_unlabeled_dead_side(spark):
+    """An unlabeled dead binding needs no dead-side coverage — but a
+    dangling endpoint must still block via the LIVE side's coverage
+    test (the dangling edge has no triplet row at all)."""
+    nodes = [(0, "A"), (1, "A"), (10, "B")]
+    g = PropertyGraph.from_tuples(spark, nodes, [(0, 10, "X"), (1, 10, "X")])
+    gone = plan_match(g, parse("MATCH (a:A)-[:X]->(b) RETURN a"))
+    assert steps_of(gone, "edge_elim"), gone.steps
+    assert {r.a for r in gone.df.collect()} == {0, 1}
+    # now a dangles an X edge to a missing node: src coverage breaks
+    # (that edge has no triplet row) -> no elimination, and the result
+    # STILL includes node 0 (it matches via the dangling edge too)
+    g2 = PropertyGraph.from_tuples(
+        spark, nodes, [(0, 10, "X"), (1, 10, "X"), (0, 99, "X")]
+    )
+    kept = plan_match(g2, parse("MATCH (a:A)-[:X]->(b) RETURN a"))
+    assert not steps_of(kept, "edge_elim"), kept.steps
+    assert {r.a for r in kept.df.collect()} == {0, 1}
 
 
 def test_cost_model_formulas():
@@ -361,6 +455,8 @@ def test_predicate_selectivity_flips_anchor(spark):
         "src long, dst long, type string",
     )
     g = PropertyGraph(nodes, edges).cache()
+    # pins anchor choice under histograms: keep the hops
+    g.stats.endpoint_counts.clear()
 
     base = plan_match(g, parse("MATCH (a:A)-[:X]->(b:B)-[:Y]->(c:C) RETURN c"))
     assert steps_of(base, "scan")[0][1] == ("b", "c")  # Y anchors: 10 < 100

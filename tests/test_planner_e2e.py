@@ -125,6 +125,9 @@ def test_plan_cost_orders_selective_edge_first(spark):
     nodes += [(300, "B"), (301, "C")]
     edges = [(i, 100 + i, "X") for i in range(100)] + [(300, 301, "Y")]
     g = PropertyGraph.from_tuples(spark, nodes, edges)
+    # pins SCAN ORDER: disable the round-16 hop elimination, which would
+    # collapse both (fully-covered) hops to label scans
+    g.stats.endpoint_counts.clear()
     planned = plan_match(g, parse("MATCH (a:A)-[:X]->(d:D), (b:B)-[:Y]->(c:C) RETURN a, b"))
     scans = [s for s in planned.steps if s[0] == "scan"]
     assert scans[0][1] == ("b", "c")  # cheapest edge scanned first
