@@ -243,6 +243,16 @@ def _mass_edges(graph: PropertyGraph) -> DataFrame:
     e3 = (
         e2.join(cnt.withColumnRenamed("id", "cnt_src"), e2.src == F.col("cnt_src"))
         .select("src", "dst", "deg", "cnt")
+        # dst-keyed cache (round-16): the pagerank loop aggregates the
+        # contributions by dst every iteration; hash-partitioning the
+        # cached table once lets that groupBy reuse the cache's
+        # partitioning (alias-aware: dst -> id survives the broadcast
+        # join + projection), so the per-iteration Exchange disappears
+        # while the sparse rank vector broadcasts. Partition count comes
+        # from spark.sql.shuffle.partitions (scale-adaptive, not a
+        # local[32] constant); the non-broadcast fallback path shuffles
+        # on src exactly as before.
+        .repartition(F.col("dst"))
         .cache()
     )
     graph._mass_edges = e3

@@ -68,6 +68,47 @@ def test_pagerank_star(spark):
     assert sum(pr.values()) <= 1.0 + 1e-9
 
 
+def test_pagerank_iteration_agg_reuses_mass_cache_partitioning(spark):
+    """The cached _mass_edges table is hash-partitioned on dst
+    (round-16), and that partitioning must survive the broadcast rank
+    join + dst->id projection into the per-iteration mass aggregation:
+    the iteration plan may contain NO shuffle exchange (only the rank
+    broadcast). This is the plan shape that makes each pagerank
+    iteration a single cache-scan job."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.operators.algorithms import _mass_edges
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(i, "V") for i in range(6)],
+        edges=[(i, (i + 1) % 6, "E") for i in range(6)] + [(0, 3, "E")],
+    )
+    e3 = _mass_edges(g)
+    e3.count()  # materialize the cache (bench warmup does the same)
+    pr = spark.createDataFrame([(0, 0.5), (3, 0.25)], "id long, pr double")
+    it = (
+        e3.join(F.broadcast(pr), pr.id == e3.src, "left")
+        .select(
+            F.col("dst").alias("id"),
+            (F.col("cnt") * (F.coalesce(F.col("pr"), F.lit(0.1)) / F.col("deg"))).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("mass"))
+    )
+    plan = it._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" in plan, plan
+    # only the plan ABOVE the cache scan matters: the cached build
+    # lineage legitimately contains the one-time REPARTITION_BY_COL
+    # exchange that established the dst partitioning
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in above_cache, above_cache
+    assert "InMemoryTableScan" in above_cache, above_cache
+    # and the masses are right: node 1 gets 0.5/2 (node 0 has outdeg 2)
+    masses = {r.id: r.mass for r in it.collect()}
+    assert masses[1] == pytest.approx(0.25)
+
+
 def test_connected_components_two_islands(spark):
     from g4s_spark.operators import connected_components
 
