@@ -61,6 +61,14 @@ def _cached_typed_edges(
     if memo is None:
         memo = graph._typed_edge_cache = {}
     if key not in memo:
+        # NOT dst-keyed, unlike _mass_edges (round-16, measured): the
+        # bfs/sssp frontier loops are task-latency-bound — their per-
+        # iteration dedup/min exchanges carry only the (small) expanded
+        # frontier, and pinning the cache to the 32-partition shuffle
+        # layout made every tiny iteration run MORE tasks (bfs isolated
+        # min 1.7 -> 2.4 s). The exchange-elision trick only pays when
+        # each iteration aggregates the full edge-sized table, as
+        # pagerank's mass aggregation does.
         memo[key] = graph.typed_edges(edge_types).select(*cols).cache()
     return memo[key]
 
