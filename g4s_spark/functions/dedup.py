@@ -545,8 +545,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # per-row substr/instr decoding with `bits` shifted-mask sums in the
     # same map-side-combinable groupBy; all-integer arithmetic, so the
     # fingerprints are identical bit for bit)
+    # single-exchange shape (round-16, measured A/B scripts/exp_simhash.py:
+    # min 0.920 -> 0.751 s at sf0.1): hash-partitioning on id_col alone
+    # satisfies ClusteredDistribution([id, tok]) (the subset rule), so the
+    # distinct AND the vote groupBy(id) below both reuse this one exchange
+    # instead of paying a (id, tok)-keyed shuffle plus an (id)-keyed one.
+    # Trade: the wire carries the raw exploded token stream (no map-side
+    # partial dedup) — measured cheaper at every sample; partition count
+    # comes from spark.sql.shuffle.partitions (scale-adaptive).
     tok = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .repartition(id_col)
         .dropDuplicates([id_col, "tok"])
         .select(
             id_col,

