@@ -280,6 +280,13 @@ def main():
     except Exception:
         pass
     time.sleep(3.0)
+    # one short UNTIMED throwaway query after the flush (ADVICE r16 #2):
+    # the fixed 3 s settle cannot verify the ContextCleaner queue drained,
+    # and post-fix data still showed bfs sample 1 at ~1.15-1.35x steady on
+    # slow bands. A real (short) query gives any residual cleanup RPCs a
+    # running-job window to land in before the meter starts; still outside
+    # the timed region, so the timed methodology is unchanged.
+    qs[HEADLINE[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
     print(f"# [warmup gc-flush] {time.time() - t0:.2f}s", file=sys.stderr)
 
     load_start = _loadavg()
@@ -368,9 +375,10 @@ def main():
         "unit": "sec",
         "queries": timings,
         "band_clean": band_clean,
-        # per-query minima live in the bench_history record only — the
-        # stdout line must stay well under the driver's ~2000-char
-        # archived tail (VERDICT r11 #7)
+        # total_min kept for continuity; the per-query minima now also
+        # ride in the record (queries_min below, VERDICT r16 #7) — size
+        # re-measured against the driver's ~2000-char archived tail
+        # (VERDICT r11 #7): ~1.6 kB with the additions.
         "total_min": round(sum(minima.values()), 3),
         "stall_samples": stalls,
         "loadavg": {
@@ -383,6 +391,18 @@ def main():
         "contended_run": contended_run,
         "repeats": REPEATS,
         "sf": sf,
+        # dirty-band deflator (VERDICT r16 #7, additions-only): per-query
+        # minima let a regression call on the medians be auto-adjudicated
+        # against the band (the r16 mxm_any_pair flip-flop); gc_ms_max is
+        # SPARSE — only queries with a >500 ms single-sample GC burst —
+        # to keep the one stdout line under the driver's ~2000-char
+        # archived tail (measured: full dict would overflow it).
+        "queries_min": minima,
+        "gc_ms_max": {
+            name: max(g)
+            for name, g in gc_ms.items()
+            if g and max(g) > 500
+        },
     }
 
     # in-repo history (VERDICT r12 #8): every run appends its FULL
@@ -458,8 +478,16 @@ def main():
                     "round": round_no,
                     "sf": sf,
                 }
+                # per-sf companion name for non-canonical SFs (round-17
+                # fix): the cross-run scan filters records by sf, but the
+                # file name didn't — a quick sf0.01 run CLOBBERED the
+                # round's sf0.1 companion. The canonical bench sf keeps
+                # the unsuffixed name the judge reads.
+                suffix = "" if sf == 0.1 else f"_sf{sf}"
                 with open(
-                    os.path.join(repo, f"BENCH_MINIMA_r{round_no:02d}.json"), "w"
+                    os.path.join(
+                        repo, f"BENCH_MINIMA_r{round_no:02d}{suffix}.json"
+                    ), "w"
                 ) as f:
                     json.dump(companion, f, indent=1)
     except OSError as e:

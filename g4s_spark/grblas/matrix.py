@@ -84,6 +84,40 @@ class Matrix:
         self.df = self.df.cache()
         return self
 
+    def partition_by_row(self, num_partitions: int | None = None) -> "Matrix":
+        """Hash-partition the COO frame on the ROW key alone — the
+        exchange-reuse rule the round-16 bench fixtures proved, now a
+        library surface (VERDICT r16 #2). HashPartitioning on a SUBSET
+        of an aggregation's grouping keys satisfies its
+        ClusteredDistribution, and the partitioning survives a
+        broadcast-hash join of the other operand, so ONE exchange here
+        is reused by every downstream row-keyed aggregation instead of
+        each paying a fresh exchange of the (usually larger) join
+        product:
+
+          * mxm's output groupBy(i, j) / existence dropDuplicates(i, j)
+            — when this matrix is the A side and B broadcasts;
+          * mxv/reduce_rows' groupBy(i);
+          * reduce_cols on the transpose (partition the TRANSPOSED
+            matrix: transpose() swaps the keys, so row-partitioning
+            does not carry across it).
+
+        Joins do NOT get the subset rule
+        (requireAllClusterKeysForCoPartition) — the ewise kernels keep
+        both keys, and co-partitioning two operands for a k-keyed mxm
+        join needs key k, not i. Pass num_partitions to pin the
+        exchange against AQE coalescing when the downstream aggregation
+        is CPU-heavy (the MXM_PARTITIONS lesson — AQE's compressed-size
+        estimate can shrink a CPU-bound aggregation to too few tasks);
+        default follows the session's shuffle partitioning. Typically
+        followed by .cache() so the exchange is paid once per session."""
+        df = (
+            self.df.repartition(num_partitions, "i")
+            if num_partitions
+            else self.df.repartition(F.col("i"))
+        )
+        return Matrix(df, self.nrows, self.ncols)
+
     # -- point element ops (GrBMatrix.scala:32-45,127-128) -----------------
 
     def get_element(self, i: int, j: int):
@@ -430,6 +464,11 @@ def mxm(
     semiring (Operator.scala:401-424) and the key trick that bounds
     intermediate size at scale: never count paths when you only need
     reachability.
+
+    Perf: when A is row-partitioned (``A.partition_by_row()``) and B
+    broadcasts, the output aggregation reuses A's exchange — the
+    post-join shuffle of the (larger) join product disappears
+    (plans/r16 mxm evidence; subset-key ClusteredDistribution rule).
     """
     ad = a.df.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
     bd = b.df.select(F.col("i").alias("k"), F.col("j").alias("bj"), F.col("v").alias("bv"))
@@ -597,7 +636,8 @@ def ewise_intersect(
 
 
 def reduce_rows(a: Matrix, monoid_name: str = "plus") -> Vector:
-    """Row-wise reduction matrix -> vector (GrBMatrix.scala:50-54)."""
+    """Row-wise reduction matrix -> vector (GrBMatrix.scala:50-54).
+    Shuffle-free when ``a`` is row-partitioned (``partition_by_row``)."""
     m = MONOIDS[monoid_name]
     return Vector(a.df.groupBy("i").agg(m.agg(F.col("v")).alias("v")), a.nrows)
 

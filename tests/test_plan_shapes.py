@@ -599,3 +599,134 @@ def test_simhash_single_exchange(spark):
     assert len(got) == 3
     by_id = dict(got)
     assert by_id[1] == by_id[3]  # identical docs -> identical fingerprints
+
+
+def test_mxm_reuses_row_partitioned_input_exchange(spark):
+    """Library-level port of the round-16 fixture rule (VERDICT r16 #2):
+    a NON-fixture matrix that opted in via Matrix.partition_by_row()
+    must feed mxm's output aggregation and reduce_rows' groupBy(i)
+    through its ONE row-keyed exchange — HashPartitioning(i) is a
+    subset of the grouping keys and survives the broadcast join of the
+    B operand, so the join product is never re-shuffled: no hash
+    exchange sits ABOVE the join (plans print top-down, so "above"
+    means before BroadcastHashJoin in the string). Differential: the
+    unpartitioned form pays the aggregation exchange above the join,
+    and both forms produce identical cells."""
+    from g4s_spark.grblas import Matrix, PLUS_TIMES, mxm, reduce_rows
+
+    cells_a = [(i % 40, i % 17, float(i % 5 + 1)) for i in range(400)]
+    cells_b = [(k, k % 7, 2.0) for k in range(17)]
+    a_plain = Matrix.from_df(
+        spark.createDataFrame(cells_a, "i long, j long, v double"),
+        "i", "j", "v", 40, 17,
+    )
+    b = Matrix.from_df(
+        spark.createDataFrame(cells_b, "i long, j long, v double"),
+        "i", "j", "v", 17, 7,
+    ).cache()  # cached => exact size stats => planner builds/broadcasts B
+    b.df.count()
+    a_part = a_plain.partition_by_row(4).cache()
+    a_part.df.count()  # materialize, as a session warmup would
+
+    out_part = mxm(a_part, b, PLUS_TIMES).df
+    out_plain = mxm(a_plain, b, PLUS_TIMES).df
+    plan_part, plan_plain = _physical(out_part), _physical(out_plain)
+    assert "BroadcastHashJoin" in plan_part, plan_part
+    # row-partitioned A: the aggregation reuses the cached partitioning —
+    # nothing above the join but the broadcast build
+    above = plan_part.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning" not in above, plan_part
+    assert "InMemoryTableScan" in plan_part
+    # plain A: the groupBy(i, j) pays its own exchange above the join
+    above_plain = plan_plain.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning" in above_plain, plan_plain
+    got_part = {(r.i, r.j, r.v) for r in out_part.collect()}
+    got_plain = {(r.i, r.j, r.v) for r in out_plain.collect()}
+    assert got_part == got_plain and got_part
+
+    # reduce_rows on the cached row-partitioned matrix: shuffle-free —
+    # the groupBy(i) sits directly on the cache scan
+    red = reduce_rows(a_part).df
+    plan_red = _physical(red)
+    # only the plan ABOVE the cache scan matters: the cached build
+    # lineage legitimately contains the one-time row-key exchange
+    above_red = plan_red.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in above_red, plan_red
+    assert "InMemoryTableScan" in above_red
+    got_red = {(r.i, r.v) for r in red.collect()}
+    want = {}
+    for i, _, v in cells_a:
+        want[i] = want.get(i, 0.0) + v
+    assert got_red == {(i, v) for i, v in want.items()}
+
+
+def test_semi_skip_fires_on_synth_graph_and_snapshot_roundtrip(spark, tmp_path):
+    """VERDICT r16 #6: the stats-driven eliminations must flow through
+    NON-TPC-H graphs — a graph built from synthesized DataFrames gets
+    endpoint_counts + single_label from GraphStats.compute, and a
+    write_graph/read_graph stats-snapshot round-trip preserves them, so
+    the semi-join skip fires on both."""
+    from g4s_spark.graph.synth import power_law_graph
+    from g4s_spark.sources.layout import write_graph, read_graph
+
+    e = power_law_graph(spark, n_nodes=50, n_edges=200, seed=7)
+    # label by id range: every edge runs Src-label -> Dst-label by
+    # construction (src and dst id spaces are disjoint after the shift)
+    edges = e.select(
+        F.col("src"), (F.col("dst") + 1000).alias("dst"), F.lit("X").alias("type")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.lit("S"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id")).distinct()
+            .withColumn("label", F.lit("T"))
+        )
+    )
+    g = PropertyGraph(nodes, edges, spark)
+    assert g.stats.single_label is True
+    assert g.stats.endpoint_counts  # computed, not empty
+    planned = plan_match(g, parse("MATCH (a:S)-[:X]->(b:T) RETURN a, b"))
+    assert steps_of(planned, "semi_skip"), planned.steps
+    assert not steps_of(planned, "semi"), planned.steps
+
+    # snapshot round-trip: read_graph pre-warms stats from stats.json —
+    # the flags must survive and the skip must still fire
+    path = str(tmp_path / "synthg")
+    write_graph(g, path)
+    g2 = read_graph(spark, path)
+    assert g2._stats is not None and g2._stats.single_label is True
+    planned2 = plan_match(g2, parse("MATCH (a:S)-[:X]->(b:T) RETURN a, b"))
+    assert steps_of(planned2, "semi_skip"), planned2.steps
+    got = {(r.a, r.b) for r in planned2.df.collect()}
+    want = {(r.src, r.dst) for r in edges.select("src", "dst").collect()}
+    assert got == want
+
+
+def test_semi_skip_refused_under_preflag_stats_snapshot(spark, tmp_path):
+    """A stats snapshot written BEFORE the single_label/endpoint_counts
+    flags existed loads with single_label=None — the planner must treat
+    unknown as unsafe: no semi_skip, no tautological-hop elimination,
+    same results through the full semi-join plan."""
+    import json as _json
+
+    from g4s_spark.sources.layout import write_graph, read_graph
+
+    nodes = [(i, "A") for i in range(20)] + [(1000, "B")]
+    edges = [(i, 1000, "X") for i in range(20)]
+    g = PropertyGraph.from_tuples(spark, nodes, edges)
+    path = str(tmp_path / "oldg")
+    write_graph(g, path)
+    # simulate the pre-flag snapshot: strip the round-16 fields
+    with open(f"{path}/stats.json") as fh:
+        d = _json.load(fh)
+    d.pop("single_label", None)
+    d.pop("endpoint_counts", None)
+    with open(f"{path}/stats.json", "w") as fh:
+        _json.dump(d, fh)
+    g2 = read_graph(spark, path)
+    assert g2._stats is not None and g2._stats.single_label is None
+    planned = plan_match(g2, parse("MATCH (a:A)-[:X]->(b:B) RETURN a, b"))
+    assert not steps_of(planned, "semi_skip"), planned.steps
+    assert steps_of(planned, "semi"), planned.steps
+    assert {(r.a, r.b) for r in planned.df.collect()} == {(i, 1000) for i in range(20)}
