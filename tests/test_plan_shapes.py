@@ -730,3 +730,44 @@ def test_semi_skip_refused_under_preflag_stats_snapshot(spark, tmp_path):
     assert not steps_of(planned, "semi_skip"), planned.steps
     assert steps_of(planned, "semi"), planned.steps
     assert {(r.a, r.b) for r in planned.df.collect()} == {(i, 1000) for i in range(20)}
+
+
+def test_ngram_jaccard_session_shingle_index(spark):
+    """round-17: materialize=True serves the pair stage from the
+    session-persisted shingle inverted index (shingle_table) — the memo
+    returns the SAME cached frame across calls (one fill per corpus per
+    session), the doc-keyed cache partitioning is reused by the pair
+    aggregation (no exchange above the cache scans in the
+    pre-checkpoint pipeline), and the results are identical to the
+    uncached plan-builder form."""
+    from g4s_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    sh1 = D.shingle_table(df)
+    sh2 = D.shingle_table(df)
+    assert sh1 is sh2  # memoized: every consumer shares ONE fill
+    sh1.count()  # materialize, as the gate's first execution does —
+    # only a materialized cache carries exact size stats (=> broadcast)
+    # pre-checkpoint pipeline over the index: cache-scan-backed, and the
+    # doc-keyed partitioning satisfies the (a, b) aggregation via the
+    # subset rule — no hash exchange above the cache scans
+    from pyspark.sql import functions as FF
+
+    a = sh1.select(FF.col("doc_id").alias("a"), "shingle")
+    b = sh1.select(FF.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, on="shingle").filter(FF.col("a") < FF.col("b"))
+        .groupBy("a", "b").agg(FF.count(FF.lit(1)).alias("n_common"))
+    )
+    plan = _physical(inter)
+    above = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in above, plan
+    assert "Exchange hashpartitioning" not in above, plan
+    got = {(r.a, r.b, r.jaccard) for r in
+           D.ngram_jaccard_pairs(df, threshold=0.2, materialize=True).collect()}
+    want = {(r.a, r.b, r.jaccard) for r in
+            D.ngram_jaccard_pairs(df, threshold=0.2, materialize=False).collect()}
+    assert got == want and got
