@@ -173,16 +173,29 @@ def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(build_graph(spark, sf_dir))
 
 
+# Session memo of the co-purchase projection (round-17): seven gates
+# (jaccard / resource_alloc / triangles / assortativity / clustering /
+# lpa / kcore) each re-ran the lineitem self-join + distinct per call.
+# Same (applicationId, sf_dir)-keyed amortization as _GRAPH_CACHE — the
+# canonical pair set is immutable for the corpus, and at 100 TB it is a
+# materialized projection table maintained alongside the graph.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
-    l2 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
-    return (
-        l1.join(l2, on="o")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIRS_CACHE:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        l1 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+        l2 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+        _PAIRS_CACHE[key] = (
+            l1.join(l2, on="o")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+            .cache()
+        )
+    return _PAIRS_CACHE[key]
 
 
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +929,12 @@ def _q_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+# Session memo (round-17, same pattern as _PAIRS_CACHE): five gates
+# (scc / condense / layers / random_walks / hop fixtures) re-scanned
+# lineitem and re-unioned the edge list per call.
+_PS_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived directed part<->supplier graph graph_scc /
     graph_condense / graph_layers gate on: every lineitem contributes
@@ -925,14 +944,17 @@ def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-'R' back-edges would collapse everything into ONE giant SCC —
     first-line-only keeps a giant SCC plus ~480 satellites and a real
     condensation DAG)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
-    sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
-    fwd = li.select(pid.alias("src"), sid.alias("dst"))
-    back = li.filter(
-        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
-    ).select(sid.alias("src"), pid.alias("dst"))
-    return fwd.unionByName(back)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PS_EDGES_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        pid = (F.lit(PART_OFF) + F.col("l_partkey")).cast("long")
+        sid = (F.lit(SUPPLIER_OFF) + F.col("l_suppkey")).cast("long")
+        fwd = li.select(pid.alias("src"), sid.alias("dst"))
+        back = li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+        ).select(sid.alias("src"), pid.alias("dst"))
+        _PS_EDGES_CACHE[key] = fwd.unionByName(back).cache()
+    return _PS_EDGES_CACHE[key]
 
 
 def _q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,14 +1016,18 @@ def _q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from g4s_spark.graph import PropertyGraph
 
     g = build_graph(spark, sf_dir)
-    endpoints = (
-        g.edges.select(F.col("src").alias("id"))
-        .unionByName(g.edges.select(F.col("dst").alias("id")))
-        .dropDuplicates(["id"])
-    )
-    ec = eigenvector_centrality(
-        PropertyGraph(endpoints, g.edges, spark), iters=EIG_ITERS
-    )
+    # the endpoints graph is memoized on the cached base graph (round-17):
+    # a fresh PropertyGraph per call defeated the operator's graph-lifetime
+    # memos (nodes/edges/count re-cached per call)
+    eg = getattr(g, "_endpoints_graph", None)
+    if eg is None:
+        endpoints = (
+            g.edges.select(F.col("src").alias("id"))
+            .unionByName(g.edges.select(F.col("dst").alias("id")))
+            .dropDuplicates(["id"])
+        )
+        eg = g._endpoints_graph = PropertyGraph(endpoints, g.edges, spark)
+    ec = eigenvector_centrality(eg, iters=EIG_ITERS)
     return ec.select("id", pround(F.col("ec"), 9).alias("ec"))
 
 

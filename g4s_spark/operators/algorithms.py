@@ -48,28 +48,38 @@ def _bc(df: DataFrame, n_rows: int, broadcast: bool | None):
 
 
 def _cached_typed_edges(
-    graph: PropertyGraph, edge_types: list[str] | None, cols: tuple[str, ...]
+    graph: PropertyGraph,
+    edge_types: list[str] | None,
+    cols: tuple[str, ...],
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Per-graph memo of the cached (typed) edge projection every
     iteration re-joins — bfs/sssp on the same graph reuse the
     materialized cache across calls instead of paying the scan+filter
     per call (same session-amortization pattern as _degree_folded_edges;
     the cache is never unpersisted inside one algorithm call anymore,
-    it lives with the graph)."""
-    key = (tuple(edge_types) if edge_types else None, cols)
+    it lives with the graph).
+
+    ``partition_col`` hash-partitions the cache on that column before
+    caching (the _mass_edges trick, round-16): when each iteration
+    BROADCASTS the score vector into this table and then aggregates by
+    ``partition_col`` (or a superset of grouping keys containing it),
+    the cache's partitioning survives the broadcast join and the
+    aggregation exchange disappears. Only worth it for loops that
+    aggregate the full edge-sized message table per step (pagerank /
+    hits / eigenvector / components); bfs/sssp keep the unpartitioned
+    cache — their per-iteration exchanges carry only the small frontier
+    and pinning the layout made every tiny iteration run MORE tasks
+    (round-16, measured: bfs isolated min 1.7 -> 2.4 s)."""
+    key = (tuple(edge_types) if edge_types else None, cols, partition_col)
     memo = getattr(graph, "_typed_edge_cache", None)
     if memo is None:
         memo = graph._typed_edge_cache = {}
     if key not in memo:
-        # NOT dst-keyed, unlike _mass_edges (round-16, measured): the
-        # bfs/sssp frontier loops are task-latency-bound — their per-
-        # iteration dedup/min exchanges carry only the (small) expanded
-        # frontier, and pinning the cache to the 32-partition shuffle
-        # layout made every tiny iteration run MORE tasks (bfs isolated
-        # min 1.7 -> 2.4 s). The exchange-elision trick only pays when
-        # each iteration aggregates the full edge-sized table, as
-        # pagerank's mass aggregation does.
-        memo[key] = graph.typed_edges(edge_types).select(*cols).cache()
+        e = graph.typed_edges(edge_types).select(*cols)
+        if partition_col is not None:
+            e = e.repartition(F.col(partition_col))
+        memo[key] = e.cache()
     return memo[key]
 
 
@@ -265,6 +275,69 @@ def _mass_edges(graph: PropertyGraph) -> DataFrame:
     )
     graph._mass_edges = e3
     return e3
+
+
+def _distinct_node_ids(graph: PropertyGraph) -> DataFrame:
+    """Distinct (id) set, cached once per graph (round-17): hits and
+    eigenvector re-deduped + re-cached the node-id set per CALL (cache
+    fill + unpersist inside each call), so every bench sample re-paid
+    the dedup over the nodes union. Memoized on the graph like
+    _degree_folded_edges; lives for the graph's lifetime."""
+    cached = getattr(graph, "_node_ids_distinct", None)
+    if cached is None:
+        cached = graph._node_ids_distinct = (
+            _node_ids(graph).dropDuplicates(["id"]).cache()
+        )
+    return cached
+
+
+def _distinct_edges(graph: PropertyGraph) -> DataFrame:
+    """Distinct (src, dst) topology, cached once per graph (round-17):
+    betweenness re-deduped + re-cached the full edge union per call.
+    Same session-amortization pattern as _cached_typed_edges."""
+    cached = getattr(graph, "_edges_distinct", None)
+    if cached is None:
+        cached = graph._edges_distinct = (
+            graph.edges.select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+            # dst-keyed for the same broadcast-join partitioning-reuse
+            # reason as _sym_edges (see betweenness_centrality)
+            .repartition(F.col("dst"))
+            .cache()
+        )
+    return cached
+
+
+def _distinct_node_count(graph: PropertyGraph) -> int:
+    """|distinct ids|, memoized on the graph (round-17) — the broadcast
+    size gate for score-vector loops (every loop vector has at most this
+    many rows) and eigenvector's 1/N seed."""
+    n = getattr(graph, "_n_nodes_distinct", None)
+    if n is None:
+        n = graph._n_nodes_distinct = _distinct_node_ids(graph).count()
+    return n
+
+
+def _sym_edges(graph: PropertyGraph) -> DataFrame:
+    """Distinct symmetric (src, dst) topology — the undirected view
+    connected_components folds per call — cached once per graph
+    (round-17, same pattern as _distinct_edges)."""
+    cached = getattr(graph, "_edges_sym", None)
+    if cached is None:
+        e = graph.edges.select("src", "dst")
+        cached = graph._edges_sym = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .dropDuplicates(["src", "dst"])
+            # dst-keyed (round-17, the _mass_edges trick): the HashMin
+            # loop broadcasts the label vector into this table and
+            # aggregates by dst — the cache partitioning survives the
+            # broadcast join, so the per-iteration exchange disappears
+            .repartition(F.col("dst"))
+            .cache()
+        )
+    return cached
 
 
 def _node_count(graph: PropertyGraph) -> int:
@@ -474,44 +547,45 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
     (id long, component long). Raises if max_iters is hit before the
     fixpoint — a silently-unconverged labeling is wrong, not approximate
     (e.g. min-id propagation on a path graph longer than max_iters)."""
-    sym = (
-        graph.edges.select("src", "dst")
-        .unionByName(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .dropDuplicates(["src", "dst"])
-        .cache()
-    )
+    # graph-lifetime memo (round-17): the symmetric fold was re-built and
+    # re-cached per call (and unpersisted on exit)
+    sym = _sym_edges(graph)
     comp = _node_ids(graph).select("id", F.col("id").alias("component"))
-    try:
-        for _ in range(max_iters):
-            neighbor_min = (
-                comp.join(sym, comp.id == sym.src)
-                .select(F.col("dst").alias("id"), F.col("component"))
-                .groupBy("id")
-                .agg(F.min("component").alias("nmin"))
-            )
-            new_comp = (
-                comp.join(neighbor_min, on="id", how="left")
-                .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
-            )
-            # lazy: the changed-probe count materializes the checkpoint
-            new_comp = iter_checkpoint(new_comp, eager=False)
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), on="id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            comp = new_comp
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge within {max_iters} "
-                "iterations; raise max_iters"
-            )
-    finally:
-        sym.unpersist()
+    # the label vector and the per-iteration min table are both bounded
+    # by the node-table row count — one memoized count gates every
+    # broadcast below (round-17: the unknown-size checkpoint stats
+    # forced SortMergeJoin, shuffling + sorting the symmetric edge table
+    # EVERY iteration; broadcasting the vector keeps the dst-partitioned
+    # cache layout, so the min aggregation needs no exchange either)
+    n_rows = _node_count(graph)
+    for _ in range(max_iters):
+        neighbor_min = (
+            _bc(comp, n_rows, None).join(sym, comp.id == sym.src)
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_comp = (
+            comp.join(_bc(neighbor_min, n_rows, None), on="id", how="left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
+        )
+        # lazy: the changed-probe count materializes the checkpoint
+        new_comp = iter_checkpoint(new_comp, eager=False)
+        changed = (
+            new_comp.alias("n")
+            .join(_bc(comp, n_rows, None).alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; raise max_iters"
+        )
     return comp
 
 
@@ -1076,70 +1150,79 @@ def hits(graph: PropertyGraph, iters: int = 3) -> DataFrame:
     out-edges hub 0. Deterministic up to float-summation order — gates
     round to 9 decimals like pagerank.
 
-    Scale: per half-step ONE join of the score vector onto the cached
-    edge table + one dst- (resp. src-) keyed aggregate; the L2 norm is
-    a one-row aggregate broadcast-cross-joined onto the vector
-    (VERDICT r11 #6: no driver collect inside the loop — a collect per
-    half-step serialized iterations on a driver round-trip), so the
-    normalization stays executor-side and adds no shuffle. Same Pregel
-    profile as pagerank."""
-    edges = _cached_typed_edges(graph, None, ("src", "dst"))
-    nodes = _node_ids(graph).dropDuplicates(["id"]).cache()
-    try:
-        hub = nodes.withColumn("s", F.lit(1.0))
-        auth = None
-        for i in range(iters):
-            # materialize each half-step aggregate ONCE (VERDICT r6 #2):
-            # it is consumed twice — by the norm collect and by the join
-            # that builds the normalized vector — and without the
-            # checkpoint the join+aggregate lineage would execute twice
-            # per half-step (2x per-iteration work at scale).
-            a_raw = iter_checkpoint(
-                hub.join(edges, hub.id == edges.src)
-                .select(F.col("dst").alias("id"), F.col("s"))
-                .groupBy("id").agg(F.sum("s").alias("s"))
-            )
-            # norm as a broadcast 1-row frame: executor-side, NULL/0 -> 1
-            a_norm = a_raw.agg(
-                F.coalesce(
-                    F.nullif(F.sqrt(F.sum(F.col("s") * F.col("s"))), F.lit(0.0)),
-                    F.lit(1.0),
-                ).alias("_norm")
-            )
-            auth = (
-                nodes.join(a_raw, on="id", how="left")
-                .crossJoin(F.broadcast(a_norm))
-                .select(
-                    "id",
-                    (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_norm")).alias("s"),
-                )
-            )
-            h_raw = iter_checkpoint(
-                auth.join(edges, auth.id == edges.dst)
-                .select(F.col("src").alias("id"), F.col("s"))
-                .groupBy("id").agg(F.sum("s").alias("s"))
-            )
-            h_norm = h_raw.agg(
-                F.coalesce(
-                    F.nullif(F.sqrt(F.sum(F.col("s") * F.col("s"))), F.lit(0.0)),
-                    F.lit(1.0),
-                ).alias("_norm")
-            )
-            hub = (
-                nodes.join(h_raw, on="id", how="left")
-                .crossJoin(F.broadcast(h_norm))
-                .select(
-                    "id",
-                    (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_norm")).alias("s"),
-                )
-            )
-            if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
-                hub = iter_checkpoint(hub)
-                auth = iter_checkpoint(auth)
-    finally:
-        nodes.unpersist()
-    return hub.select("id", F.col("s").alias("hub")).join(
-        auth.select("id", F.col("s").alias("auth")), on="id"
+    Scale (round-17 rewrite, the pagerank sparse-vector treatment): the
+    loop carries the score vector SPARSE — only nodes on the message
+    support, never the full node set — and the vector is size-gated
+    broadcast into the edge join, so the dst- (resp. src-) partitioned
+    edge cache's layout survives the join and the aggregation needs no
+    exchange: per half-step ONE zero-exchange job. The old form LEFT-
+    JOINED the full node set onto every half-step aggregate to assign
+    zeros, and because the checkpointed vector has unknown size stats
+    the planner ran SortMergeJoin — two exchanges + sorts of node- and
+    edge-sized tables per half-step (measured 38.7 s isolated at sf0.1;
+    plans/r17/graph_hits_before.txt). Zeros are attached ONCE after the
+    loop. Equivalence is exact, not approximate: from hub_0 = 1
+    everywhere, every score on the support is strictly positive, the
+    sparse support IS the nonzero support, and a node outside it (no
+    in-/out-edges) never contributes a message term — same doubles,
+    same rows. The L2 norm is a one-row aggregate over the (already
+    sparse) half-step table, broadcast-cross-joined onto the vector
+    (VERDICT r11 #6: no driver collect inside the loop)."""
+    edges_by_dst = _cached_typed_edges(graph, None, ("src", "dst"), "dst")
+    edges_by_src = _cached_typed_edges(graph, None, ("src", "dst"), "src")
+    # graph-lifetime memo (round-17): the per-call dedup+cache+unpersist
+    # of the node-id set re-paid the nodes-union scan every call
+    nodes = _distinct_node_ids(graph)
+    n = _distinct_node_count(graph)
+    hub = nodes.withColumn("s", F.lit(1.0))
+    auth = None
+    for i in range(iters):
+        # materialize each half-step aggregate ONCE (VERDICT r6 #2):
+        # it is consumed twice — by the norm aggregate and by the next
+        # half-step's join — and without the checkpoint the
+        # join+aggregate lineage would execute twice per half-step.
+        # |vector| <= |V|, so the size gate reuses the node count.
+        a_raw = iter_checkpoint(
+            _bc(hub, n, None).join(edges_by_dst, hub.id == edges_by_dst.src)
+            .select(F.col("dst").alias("id"), F.col("s"))
+            .groupBy("id").agg(F.sum("s").alias("s"))
+        )
+        # norm as a broadcast 1-row frame: executor-side, NULL/0 -> 1
+        a_norm = a_raw.agg(
+            F.coalesce(
+                F.nullif(F.sqrt(F.sum(F.col("s") * F.col("s"))), F.lit(0.0)),
+                F.lit(1.0),
+            ).alias("_norm")
+        )
+        auth = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "id", (F.col("s") / F.col("_norm")).alias("s")
+        )
+        h_raw = iter_checkpoint(
+            _bc(auth, n, None).join(edges_by_src, auth.id == edges_by_src.dst)
+            .select(F.col("src").alias("id"), F.col("s"))
+            .groupBy("id").agg(F.sum("s").alias("s"))
+        )
+        h_norm = h_raw.agg(
+            F.coalesce(
+                F.nullif(F.sqrt(F.sum(F.col("s") * F.col("s"))), F.lit(0.0)),
+                F.lit(1.0),
+            ).alias("_norm")
+        )
+        hub = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "id", (F.col("s") / F.col("_norm")).alias("s")
+        )
+        # (no periodic checkpoint needed: both half-step aggregates are
+        # checkpointed every iteration, so vector lineage depth is O(1))
+    # single final attach: zeros for no-in-edge (auth) / no-out-edge
+    # (hub) nodes assigned in ONE pass over the cached node set
+    return (
+        nodes.join(_bc(hub, n, None).withColumnRenamed("s", "_h"), on="id", how="left")
+        .join(_bc(auth, n, None).withColumnRenamed("s", "_a"), on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("_a"), F.lit(0.0)).alias("auth"),
+        )
     )
 
 
@@ -1282,48 +1365,54 @@ def eigenvector_centrality(
     decay to 0, per the standard definition on directed graphs. Returns
     (id long, ec double).
 
-    Scale shape: identical to pagerank — each iteration is one join +
-    one dst-keyed aggregation with map-side combine, only the score
-    vector moves, periodic lineage cut."""
-    nodes = _node_ids(graph).dropDuplicates(["id"]).cache()
-    e = graph.edges.select("src", "dst").cache()
-    try:
-        n = nodes.count()
-        x = nodes.withColumn("ec", F.lit(1.0 / n))
-        for i in range(iters):
-            msgs = (
-                x.join(e, x.id == e.src)
-                .select(F.col("dst").alias("id"), F.col("ec"))
-                .groupBy("id")
-                .agg(F.sum("ec").alias("m"))
-            )
-            x = iter_checkpoint(
-                nodes.join(msgs, on="id", how="left").select(
-                    "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("ec")
-                )
-            )
-            # L1 norm as a broadcast 1-row frame (VERDICT r11 #6: no
-            # driver collect inside the loop). A zero/NULL total means
-            # no cycles feed back and every score already hit 0 — the
-            # all-zero vector is a fixpoint, so dividing by 1 and
-            # continuing reproduces the old early-break's result
-            # without the driver round-trip.
-            total = x.agg(
-                F.coalesce(
-                    F.nullif(F.sum("ec"), F.lit(0.0)), F.lit(1.0)
-                ).alias("_norm")
-            )
-            # (no periodic checkpoint needed: the pre-norm x is
-            # materialized every iteration above — it feeds BOTH the
-            # norm aggregate and the normalized vector, and truncates
-            # lineage as a side effect)
-            x = x.crossJoin(F.broadcast(total)).select(
-                "id", (F.col("ec") / F.col("_norm")).alias("ec")
-            )
-    finally:
-        nodes.unpersist()
-        e.unpersist()
-    return x
+    Scale shape (round-17 rewrite, same sparse-vector treatment as hits
+    / pagerank): the loop carries the vector SPARSE (support = nodes
+    with at least one in-edge after step 1 — a node outside it is
+    exactly 0.0 and contributes exactly-zero message terms, so dropping
+    its rows is an IEEE no-op: fl(x + 0.0) = x), size-gated broadcast
+    into the dst-partitioned edge cache, zero-exchange aggregation per
+    iteration, zeros attached ONCE after the loop. The old form
+    left-joined the full node set every iteration and the unknown-size
+    checkpoint stats forced SortMergeJoin (two exchanges + sorts per
+    step; plans/r17/graph_eigenvector_before.txt)."""
+    # graph-lifetime memos (round-17): nodes/edges/count were re-cached
+    # and re-counted per call (and unpersisted on exit), so every call
+    # re-paid the dedup, the edge projection fill, and the count job
+    nodes = _distinct_node_ids(graph)
+    e = _cached_typed_edges(graph, None, ("src", "dst"), "dst")
+    n = _distinct_node_count(graph)
+    x = nodes.withColumn("ec", F.lit(1.0 / n))
+    for i in range(iters):
+        # |x| <= |V|: the broadcast size gate reuses the node count
+        msgs = iter_checkpoint(
+            _bc(x, n, None).join(e, x.id == e.src)
+            .select(F.col("dst").alias("id"), F.col("ec"))
+            .groupBy("id")
+            .agg(F.sum("ec").alias("m"))
+        )
+        # L1 norm as a broadcast 1-row frame (VERDICT r11 #6: no
+        # driver collect inside the loop). A zero/NULL total means
+        # no cycles feed back and every score already hit 0 — the
+        # all-zero vector is a fixpoint, so dividing by 1 and
+        # continuing reproduces the old early-break's result
+        # without the driver round-trip. Summing the sparse support
+        # equals summing the dense vector: the dropped terms are
+        # exactly 0.0.
+        total = msgs.agg(
+            F.coalesce(
+                F.nullif(F.sum("m"), F.lit(0.0)), F.lit(1.0)
+            ).alias("_norm")
+        )
+        # (no periodic checkpoint needed: the pre-norm msgs table is
+        # materialized every iteration above — it feeds BOTH the norm
+        # aggregate and the normalized vector, and truncates lineage)
+        x = msgs.crossJoin(F.broadcast(total)).select(
+            "id", (F.col("m") / F.col("_norm")).alias("ec")
+        )
+    # single final attach: nodes never reached by a message are 0.0
+    return nodes.join(_bc(x, n, None), on="id", how="left").select(
+        "id", F.coalesce(F.col("ec"), F.lit(0.0)).alias("ec")
+    )
 
 
 def condensation(edges: DataFrame, max_iters: int = 30) -> DataFrame:
@@ -1479,7 +1568,13 @@ def betweenness_centrality(
     u(d-1) -> w(d). Returns (id long, bc double) with the endpoints-
     excluded convention (sources contribute dependencies, not scores).
     """
-    e = graph.edges.select("src", "dst").dropDuplicates(["src", "dst"]).cache()
+    # graph-lifetime memo (round-17): the distinct topology was re-deduped
+    # and re-cached per call (and unpersisted on exit). dst-keyed: the
+    # forward phase broadcasts the layer into this table and aggregates
+    # by (s, v=dst) — HashPartitioning on dst is a subset of the grouping
+    # keys, so the cache layout satisfies the aggregation and the
+    # per-layer exchange disappears (the r16 subset-key rule).
+    e = _distinct_edges(graph)
     spark = graph.spark
     if sources is None:
         seeds = (
@@ -1499,85 +1594,91 @@ def betweenness_centrality(
             )
     else:
         seeds = spark.createDataFrame([(int(x),) for x in sources], "s long")
-    try:
-        layer0 = iter_checkpoint(
-            seeds.select(
-                "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
-            )
+    # every per-layer table is bounded by |S| x |V| rows — one static
+    # bound gates the broadcasts below (round-17: unknown-size checkpoint
+    # stats forced SortMergeJoin, shuffling + re-sorting the edge cache
+    # once per LAYER in both phases)
+    n_state = (
+        n_nodes * n_nodes
+        if sources is None
+        else len(sources) * _node_count(graph)
+    )
+    layer0 = iter_checkpoint(
+        seeds.select(
+            "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
         )
-        layers = [layer0]  # layers[d]: (s, v, sigma) at distance d
-        visited = layer0.select("s", "v")
-        frontier = layer0
-        for _d in range(max_depth):
-            nxt = (
-                frontier.join(e, frontier.v == e.src)
-                .select("s", F.col("dst").alias("v"), "sigma")
-                .groupBy("s", "v")
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(visited, on=["s", "v"], how="left_anti")
+    )
+    layers = [layer0]  # layers[d]: (s, v, sigma) at distance d
+    visited = layer0.select("s", "v")
+    frontier = layer0
+    for _d in range(max_depth):
+        nxt = (
+            _bc(frontier, n_state, None).join(e, frontier.v == e.src)
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(_bc(visited, n_state, None), on=["s", "v"], how="left_anti")
+        )
+        nxt = iter_checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        layers.append(nxt)
+        visited = iter_checkpoint(visited.unionByName(nxt.select("s", "v")))
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"betweenness forward phase exceeded {max_depth} layers; "
+            "raise max_depth"
+        )
+    # backward accumulation, deepest layer first
+    delta_next: DataFrame | None = None  # (s, v, delta) at layer d+1... current deepest processed
+    acc: DataFrame | None = None  # accumulated per-(s,v) dependency
+    for d in range(len(layers) - 1, 0, -1):
+        w = layers[d].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sig_w")
+        )
+        if delta_next is not None:
+            w = w.join(
+                _bc(delta_next.select("s", F.col("v").alias("w"), "delta"), n_state, None),
+                on=["s", "w"],
+                how="left",
+            ).select(
+                "s", "w", "sig_w",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
             )
-            nxt = iter_checkpoint(nxt)
-            if nxt.limit(1).count() == 0:
-                break
-            layers.append(nxt)
-            visited = iter_checkpoint(visited.unionByName(nxt.select("s", "v")))
-            frontier = nxt
         else:
-            raise RuntimeError(
-                f"betweenness forward phase exceeded {max_depth} layers; "
-                "raise max_depth"
-            )
-        # backward accumulation, deepest layer first
-        delta_next: DataFrame | None = None  # (s, v, delta) at layer d+1... current deepest processed
-        acc: DataFrame | None = None  # accumulated per-(s,v) dependency
-        for d in range(len(layers) - 1, 0, -1):
-            w = layers[d].select(
-                "s", F.col("v").alias("w"), F.col("sigma").alias("sig_w")
-            )
-            if delta_next is not None:
-                w = w.join(
-                    delta_next.select("s", F.col("v").alias("w"), "delta"),
-                    on=["s", "w"],
-                    how="left",
-                ).select(
-                    "s", "w", "sig_w",
-                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
-                )
-            else:
-                w = w.select("s", "w", "sig_w", F.lit(0.0).alias("delta"))
-            u = layers[d - 1].select(
-                "s", F.col("v").alias("u"), F.col("sigma").alias("sig_u")
-            )
-            contrib = (
-                u.join(e, u.u == e.src)
-                .select("s", "u", "sig_u", F.col("dst").alias("w"))
-                .join(w, on=["s", "w"])
-                .select(
-                    "s", F.col("u").alias("v"),
-                    (
-                        F.col("sig_u") / F.col("sig_w")
-                        * (F.lit(1.0) + F.col("delta"))
-                    ).alias("c"),
-                )
-                .groupBy("s", "v")
-                .agg(F.sum("c").alias("delta"))
-            )
-            delta_next = iter_checkpoint(contrib)
-            # sources' own dependencies are not betweenness scores
-            scored = delta_next.filter(F.col("v") != F.col("s"))
-            acc = (
-                scored if acc is None
-                else iter_checkpoint(acc.unionByName(scored))
-            )
-        if acc is None:
-            return seeds.select(F.col("s").alias("id")).select(
-                "id", F.lit(0.0).alias("bc")
-            ).limit(0)
-        return acc.groupBy(F.col("v").alias("id")).agg(
-            F.sum("delta").alias("bc")
+            w = w.select("s", "w", "sig_w", F.lit(0.0).alias("delta"))
+        u = layers[d - 1].select(
+            "s", F.col("v").alias("u"), F.col("sigma").alias("sig_u")
         )
-    finally:
-        e.unpersist()
+        contrib = (
+            _bc(u, n_state, None).join(e, u.u == e.src)
+            .select("s", "u", "sig_u", F.col("dst").alias("w"))
+            .join(_bc(w, n_state, None), on=["s", "w"])
+            .select(
+                "s", F.col("u").alias("v"),
+                (
+                    F.col("sig_u") / F.col("sig_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("delta"))
+        )
+        delta_next = iter_checkpoint(contrib)
+        # sources' own dependencies are not betweenness scores
+        scored = delta_next.filter(F.col("v") != F.col("s"))
+        acc = (
+            scored if acc is None
+            else iter_checkpoint(acc.unionByName(scored))
+        )
+    if acc is None:
+        return seeds.select(F.col("s").alias("id")).select(
+            "id", F.lit(0.0).alias("bc")
+        ).limit(0)
+    return acc.groupBy(F.col("v").alias("id")).agg(
+        F.sum("delta").alias("bc")
+    )
 
 
 def reciprocity(edges: DataFrame) -> DataFrame:

@@ -848,3 +848,70 @@ def test_random_walks_deterministic_vs_replica(spark):
         for r in random_walks(edges, length=4, walks_per_node=2, seed=8).collect()
     }
     assert out3 != out
+
+
+def test_hits_sparse_loop_broadcasts_and_zero_exchange_halfstep(spark):
+    """Round-17 sparse rewrite of hits: (a) a half-step aggregation over
+    the dst-partitioned edge cache runs with NO shuffle exchange above
+    the cache scan (the broadcast vector join preserves the cache
+    layout); (b) the returned frame attaches zeros with broadcast joins,
+    never SortMergeJoin; (c) values match the dense definition."""
+    from pyspark.sql import functions as F
+
+    from g4s_spark.operators.algorithms import _cached_typed_edges, hits
+
+    g = PropertyGraph.from_tuples(
+        spark,
+        nodes=[(i, "V") for i in range(5)],
+        edges=[(0, 1, "E"), (0, 2, "E"), (1, 2, "E"), (3, 2, "E")],
+    )
+    out = hits(g, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the half-step shape: broadcast vector into the partitioned cache,
+    # aggregate by the partition key — no exchange above the cache scan
+    e_dst = _cached_typed_edges(g, None, ("src", "dst"), "dst")
+    e_dst.count()
+    vec = spark.createDataFrame([(0, 1.0), (1, 0.5)], "id long, s double")
+    half = (
+        F.broadcast(vec).join(e_dst, vec.id == e_dst.src)
+        .select(F.col("dst").alias("id"), F.col("s"))
+        .groupBy("id").agg(F.sum("s").alias("s"))
+    )
+    hplan = half._jdf.queryExecution().executedPlan().toString()
+    above_cache = hplan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in above_cache, above_cache
+    assert "InMemoryTableScan" in above_cache, above_cache
+    # node 4 has no edges at all: present with exact zeros (final attach)
+    rows = {r.id: (r.hub, r.auth) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[4] == (0.0, 0.0)
+    assert rows[2][1] > 0 and rows[0][0] > 0
+
+
+def test_eigenvector_sparse_loop_matches_dense_reference(spark):
+    """Round-17 sparse rewrite of eigenvector_centrality: the loop drops
+    exact-zero rows (IEEE no-op) and attaches zeros once at the end —
+    the result must equal the dense per-iteration recomputation
+    bit-for-bit, and no-inlink nodes must be exactly 0.0."""
+    from g4s_spark.operators.algorithms import eigenvector_centrality
+
+    edges = [(0, 1, "E"), (1, 2, "E"), (2, 0, "E"), (3, 0, "E")]
+    g = PropertyGraph.from_tuples(
+        spark, nodes=[(i, "V") for i in range(5)], edges=edges
+    )
+    got = {r.id: r.ec for r in eigenvector_centrality(g, iters=3).collect()}
+    # dense reference: x <- (sum of in-scores), L1-normalized, from 1/n
+    import collections
+
+    n = 5
+    x = {i: 1.0 / n for i in range(n)}
+    for _ in range(3):
+        m = collections.defaultdict(float)
+        for s, d, _t in edges:
+            m[d] += x[s]
+        total = sum(m.values()) or 1.0
+        x = {i: m.get(i, 0.0) / total for i in range(n)}
+    assert got == x, (got, x)
+    assert got[3] == 0.0 and got[4] == 0.0  # no in-edges -> exact zero
