@@ -1262,29 +1262,43 @@ def strongly_connected_components(
     )
     assigned: DataFrame | None = None
     remaining = iter_checkpoint(nodes)
+    # every per-iteration state table (color / frontier / reach /
+    # remaining) is bounded by the node count — one up-front count gates
+    # all the broadcasts below (round-17: the unknown-size checkpoint
+    # stats forced SortMergeJoin inside BOTH inner fixpoints, paying
+    # exchange+sort barriers on every tiny iteration of a latency-bound
+    # loop; with the gate the non-broadcast fallback is byte-identical
+    # to the old plan)
+    n_nodes = remaining.count()
     try:
         for _outer in range(max_iters):
-            if remaining.limit(1).count() == 0:
+            if n_nodes == 0:
                 break
             sub = (
                 e.join(
-                    remaining.select(F.col("id").alias("src")),
+                    _bc(remaining.select(F.col("id").alias("src")), n_nodes, None),
                     on="src", how="left_semi",
                 ).join(
-                    remaining.select(F.col("id").alias("dst")),
+                    _bc(remaining.select(F.col("id").alias("dst")), n_nodes, None),
                     on="dst", how="left_semi",
                 )
+                # dst-keyed: the forward fixpoint broadcasts color into
+                # this table and min-aggregates by dst every iteration —
+                # the cache layout makes that a zero-exchange job
+                .repartition(F.col("dst"))
             ).cache()
             # (1) forward min-id coloring to fixpoint
             color = remaining.select("id", F.col("id").alias("color"))
             for _ in range(MAX_CLOSURE_ITERS):
                 neighbor_min = (
-                    color.join(sub, color.id == sub.src)
+                    _bc(color, n_nodes, None).join(sub, color.id == sub.src)
                     .select(F.col("dst").alias("id"), F.col("color"))
                     .groupBy("id")
                     .agg(F.min("color").alias("nmin"))
                 )
-                new_color = color.join(neighbor_min, on="id", how="left").select(
+                new_color = color.join(
+                    _bc(neighbor_min, n_nodes, None), on="id", how="left"
+                ).select(
                     "id",
                     F.least(
                         F.col("color"), F.coalesce(F.col("nmin"), F.col("color"))
@@ -1293,7 +1307,7 @@ def strongly_connected_components(
                 new_color = iter_checkpoint(new_color)
                 changed = (
                     new_color.alias("n")
-                    .join(color.alias("o"), on="id")
+                    .join(_bc(color, n_nodes, None).alias("o"), on="id")
                     .filter(F.col("n.color") != F.col("o.color"))
                     .limit(1)
                     .count()
@@ -1313,11 +1327,11 @@ def strongly_connected_components(
             frontier = reach
             for _ in range(MAX_CLOSURE_ITERS):
                 step = (
-                    frontier.join(sub, frontier.id == sub.dst)
+                    _bc(frontier, n_nodes, None).join(sub, frontier.id == sub.dst)
                     .select(F.col("src").alias("id"), F.col("color"))
                     .dropDuplicates(["id", "color"])
-                    .join(color, on=["id", "color"], how="left_semi")
-                    .join(reach, on=["id"], how="left_anti")
+                    .join(_bc(color, n_nodes, None), on=["id", "color"], how="left_semi")
+                    .join(_bc(reach, n_nodes, None), on=["id"], how="left_anti")
                 )
                 step = iter_checkpoint(step)
                 if step.limit(1).count() == 0:
@@ -1335,8 +1349,11 @@ def strongly_connected_components(
             )
             assigned = iter_checkpoint(assigned)
             remaining = iter_checkpoint(
-                remaining.join(scc.select("id"), on="id", how="left_anti")
+                remaining.join(
+                    _bc(scc.select("id"), n_nodes, None), on="id", how="left_anti"
+                )
             )
+            n_nodes = remaining.count()
             sub.unpersist()
         else:
             # exhausted the round budget — but a run whose condensation
@@ -1448,7 +1465,14 @@ def topological_layers(edges: DataFrame, max_iters: int = 64) -> DataFrame:
     edges out of last round's changed set (one src-keyed join + one
     dst-keyed max aggregate), lineage cut per round; rounds = DAG
     depth."""
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).cache()
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        # dst-keyed: the relaxation broadcasts the delta into this table
+        # and max-aggregates by dst — zero-exchange round (round-17)
+        .repartition(F.col("dst"))
+        .cache()
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -1456,16 +1480,19 @@ def topological_layers(edges: DataFrame, max_iters: int = 64) -> DataFrame:
     )
     try:
         layer = iter_checkpoint(nodes.withColumn("layer", F.lit(0).cast("long")))
+        # all per-round state is bounded by the node count — one up-front
+        # count gates the broadcasts (round-17, same rationale as scc)
+        n_nodes = layer.count()
         delta = layer
         for _ in range(max_iters):
             cand = (
-                delta.join(e, delta.id == e.src)
+                _bc(delta, n_nodes, None).join(e, delta.id == e.src)
                 .select(F.col("dst").alias("id"), (F.col("layer") + 1).alias("l"))
                 .groupBy("id")
                 .agg(F.max("l").alias("l"))
             )
             improved = (
-                cand.join(layer, on="id")
+                cand.join(_bc(layer, n_nodes, None), on="id")
                 .filter(F.col("l") > F.col("layer"))
                 .select("id", F.col("l").alias("layer"))
             )
@@ -1473,7 +1500,7 @@ def topological_layers(edges: DataFrame, max_iters: int = 64) -> DataFrame:
             if improved.limit(1).count() == 0:
                 return layer
             layer = iter_checkpoint(
-                layer.join(improved.select("id"), on="id", how="left_anti")
+                layer.join(_bc(improved.select("id"), n_nodes, None), on="id", how="left_anti")
                 .unionByName(improved)
             )
             delta = improved
