@@ -291,21 +291,25 @@ def _distinct_node_ids(graph: PropertyGraph) -> DataFrame:
     return cached
 
 
-def _distinct_edges(graph: PropertyGraph) -> DataFrame:
-    """Distinct (src, dst) topology, cached once per graph (round-17):
-    betweenness re-deduped + re-cached the full edge union per call.
-    Same session-amortization pattern as _cached_typed_edges."""
-    cached = getattr(graph, "_edges_distinct", None)
-    if cached is None:
-        cached = graph._edges_distinct = (
+def _distinct_edges(graph: PropertyGraph, partition_col: str = "dst") -> DataFrame:
+    """Distinct (src, dst) topology, cached once per graph per
+    partition key (round-17): betweenness re-deduped + re-cached the
+    full edge union per call. Keyed caches for the same broadcast-join
+    partitioning-reuse reason as _sym_edges — betweenness' forward
+    phase aggregates by (s, v=dst) off the dst-keyed copy, its backward
+    phase by (s, v=u=src) off the src-keyed copy; either way the
+    subset-key rule erases the per-layer exchange."""
+    memo = getattr(graph, "_edges_distinct", None)
+    if memo is None:
+        memo = graph._edges_distinct = {}
+    if partition_col not in memo:
+        memo[partition_col] = (
             graph.edges.select("src", "dst")
             .dropDuplicates(["src", "dst"])
-            # dst-keyed for the same broadcast-join partitioning-reuse
-            # reason as _sym_edges (see betweenness_centrality)
-            .repartition(F.col("dst"))
+            .repartition(F.col(partition_col))
             .cache()
         )
-    return cached
+    return memo[partition_col]
 
 
 def _distinct_node_count(graph: PropertyGraph) -> int:
@@ -565,20 +569,23 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
             .groupBy("id")
             .agg(F.min("component").alias("nmin"))
         )
+        # carry the did-it-change flag in the row (round-17): the old
+        # probe re-joined new vs old labels — a whole extra join per
+        # iteration just to ask "any strict improvement?"; the flag is
+        # known at update time and the probe becomes a filter scan of
+        # the checkpoint the convergence count materializes anyway
         new_comp = (
             comp.join(_bc(neighbor_min, n_rows, None), on="id", how="left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"))
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("_chg"),
+            )
         )
         # lazy: the changed-probe count materializes the checkpoint
         new_comp = iter_checkpoint(new_comp, eager=False)
-        changed = (
-            new_comp.alias("n")
-            .join(_bc(comp, n_rows, None).alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
+        changed = new_comp.filter(F.col("_chg")).limit(1).count()
+        comp = new_comp.drop("_chg")
         if changed == 0:
             break
     else:
@@ -1296,6 +1303,8 @@ def strongly_connected_components(
                     .groupBy("id")
                     .agg(F.min("color").alias("nmin"))
                 )
+                # in-row change flag (round-17): the probe is a filter
+                # over the materialized checkpoint, not a second join
                 new_color = color.join(
                     _bc(neighbor_min, n_nodes, None), on="id", how="left"
                 ).select(
@@ -1303,16 +1312,11 @@ def strongly_connected_components(
                     F.least(
                         F.col("color"), F.coalesce(F.col("nmin"), F.col("color"))
                     ).alias("color"),
+                    (F.col("nmin") < F.col("color")).alias("_chg"),
                 )
-                new_color = iter_checkpoint(new_color)
-                changed = (
-                    new_color.alias("n")
-                    .join(_bc(color, n_nodes, None).alias("o"), on="id")
-                    .filter(F.col("n.color") != F.col("o.color"))
-                    .limit(1)
-                    .count()
-                )
-                color = new_color
+                new_color = iter_checkpoint(new_color, eager=False)
+                changed = new_color.filter(F.col("_chg")).limit(1).count()
+                color = new_color.drop("_chg")
                 if changed == 0:
                     break
             else:
@@ -1678,8 +1682,12 @@ def betweenness_centrality(
         u = layers[d - 1].select(
             "s", F.col("v").alias("u"), F.col("sigma").alias("sig_u")
         )
+        # src-keyed cache copy: the broadcast-u join preserves its
+        # partitioning and the (s, v=u=src) aggregation below needs no
+        # exchange (subset-key rule, round-17)
+        e_src = _distinct_edges(graph, "src")
         contrib = (
-            _bc(u, n_state, None).join(e, u.u == e.src)
+            _bc(u, n_state, None).join(e_src, u.u == e_src.src)
             .select("s", "u", "sig_u", F.col("dst").alias("w"))
             .join(_bc(w, n_state, None), on=["s", "w"])
             .select(
