@@ -562,9 +562,16 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
     # EVERY iteration; broadcasting the vector keeps the dst-partitioned
     # cache layout, so the min aggregation needs no exchange either)
     n_rows = _node_count(graph)
+    # semi-naive messages (round-17): a node's label can only improve
+    # via a neighbor whose label improved LAST round (its older message
+    # was already incorporated), so only the changed set sends — the
+    # message join shrinks geometrically after the first rounds while
+    # results stay identical (min-propagation closure; the same
+    # delta-evaluation topological_layers always used)
+    delta = comp
     for _ in range(max_iters):
         neighbor_min = (
-            _bc(comp, n_rows, None).join(sym, comp.id == sym.src)
+            _bc(delta, n_rows, None).join(sym, delta.id == sym.src)
             .select(F.col("dst").alias("id"), F.col("component"))
             .groupBy("id")
             .agg(F.min("component").alias("nmin"))
@@ -586,6 +593,7 @@ def connected_components(graph: PropertyGraph, max_iters: int = 30) -> DataFrame
         new_comp = iter_checkpoint(new_comp, eager=False)
         changed = new_comp.filter(F.col("_chg")).limit(1).count()
         comp = new_comp.drop("_chg")
+        delta = new_comp.filter(F.col("_chg")).select("id", "component")
         if changed == 0:
             break
     else:
@@ -1294,11 +1302,13 @@ def strongly_connected_components(
                 # the cache layout makes that a zero-exchange job
                 .repartition(F.col("dst"))
             ).cache()
-            # (1) forward min-id coloring to fixpoint
+            # (1) forward min-id coloring to fixpoint — semi-naive
+            # messages, same delta argument as connected_components
             color = remaining.select("id", F.col("id").alias("color"))
+            delta = color
             for _ in range(MAX_CLOSURE_ITERS):
                 neighbor_min = (
-                    _bc(color, n_nodes, None).join(sub, color.id == sub.src)
+                    _bc(delta, n_nodes, None).join(sub, delta.id == sub.src)
                     .select(F.col("dst").alias("id"), F.col("color"))
                     .groupBy("id")
                     .agg(F.min("color").alias("nmin"))
@@ -1317,6 +1327,7 @@ def strongly_connected_components(
                 new_color = iter_checkpoint(new_color, eager=False)
                 changed = new_color.filter(F.col("_chg")).limit(1).count()
                 color = new_color.drop("_chg")
+                delta = new_color.filter(F.col("_chg")).select("id", "color")
                 if changed == 0:
                     break
             else:
